@@ -1,1 +1,99 @@
-"""Placeholder — populated in a later milestone."""
+"""§2.1 Scans / sources / sinks.
+
+filemap's dataset = a directory of (optionally compressed) text files
+(SURVEY §1.1 [K]); the Spark-native equivalents are parquet/CSV/JSON/text
+datasets with schema-on-read. Round-trip ops prove the sink side is lossless
+by letting the oracle grade the re-read against the original table.
+
+Scale: writes are executor-parallel (one file per partition); partitioned
+writes (`partitionBy`) give partition pruning on read — the 100 TB layout
+strategy. Count/projection scans demonstrate column pruning + pushdown
+(verified via .explain: ReadSchema carries only projected columns).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filemap_spark.io import load_table
+from filemap_spark.registry import query
+
+
+def _tmpdir(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"filemap_{tag}_")
+
+
+@query("scan_parquet_count", oracle="SELECT count(*) AS n_rows FROM lineitem")
+def scan_parquet_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-scan count — filemap `wc -l` over a dataset. Parquet answers this
+    from row-group metadata; no data pages are read."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+@query("scan_projection", oracle="SELECT p_partkey, p_size FROM part")
+def scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column pruning — filemap `cut -f`: only 2 of 6 columns leave the scan."""
+    return load_table(spark, sf_dir, "part").select("p_partkey", "p_size")
+
+
+@query("scan_text_lines", oracle="SELECT doc_id, text FROM documents")
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filemap's native record model: one text line per record, keyed."""
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+@query("sink_parquet_roundtrip", oracle="SELECT * FROM nation")
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a dataset directory, re-read it — graded against the original
+    (parquet round-trip is lossless)."""
+    out = os.path.join(_tmpdir("pq"), "nation")
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@query(
+    "sink_partitioned_write",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents WHERE lang = 'en'",
+)
+def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned sink — filemap's one-output-dir-per-key. Reading
+    back one partition exercises partition pruning (no other dirs touched)."""
+    out = os.path.join(_tmpdir("part"), "documents")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    return spark.read.parquet(out).where(F.col("lang") == "en").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+@query("scan_csv_roundtrip", oracle="SELECT * FROM nation")
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text datasets are filemap's native format; CSV header round-trip with
+    explicit schema-on-read preserves types exactly."""
+    out = os.path.join(_tmpdir("csv"), "nation")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").option("header", "true").csv(out)
+    return spark.read.schema(nation.schema).option("header", "true").csv(out)
+
+
+@query("scan_json_roundtrip", oracle="SELECT * FROM nation")
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL round-trip; explicit schema avoids int32→int64 inference drift."""
+    out = os.path.join(_tmpdir("json"), "nation")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").json(out)
+    return spark.read.schema(nation.schema).json(out)
+
+
+@query("scan_text_gzip", oracle="SELECT count(*) AS n_lines FROM documents")
+def scan_text_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filemap handles compressed text transparently (`zcat | wc -l`); Spark
+    text sink with gzip codec + line-count on re-read."""
+    out = os.path.join(_tmpdir("gz"), "docs")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("text").write.mode("overwrite").option("compression", "gzip").text(out)
+    return spark.read.text(out).agg(F.count("*").alias("n_lines"))
