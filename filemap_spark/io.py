@@ -62,5 +62,5 @@ def register_views(spark: SparkSession, sf_dir: str) -> SparkSession:
 # `events` — the CTE shadows the driver-registered view of the same name.
 EVENTS_NORM_SQL = (
     "WITH events AS (SELECT * REPLACE "
-    "(make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events)"
+    "(make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM main.events)"
 )

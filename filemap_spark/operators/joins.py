@@ -1,1 +1,307 @@
-"""Placeholder — populated in a later milestone."""
+"""§2.3 Joins.
+
+filemap joins by co-sorting text files and running `join(1)` per bucket
+(SURVEY §1.1 [K]); Spark picks broadcast-hash vs shuffled sort-merge via
+`JoinSelection` + AQE. Scale posture: dimension tables (region/nation/
+customer at contract scale) get explicit `F.broadcast` hints so the fact
+table never shuffles for star joins; theta-residual predicates ride on the
+equi-key so the pure-theta nested-loop path is reserved for genuinely
+non-equi conditions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from filemap_spark.functions.numeric import dsum
+from filemap_spark.io import EVENTS_NORM_SQL, load_table
+from filemap_spark.registry import query
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join — filemap `join(1)` on sorted files; Spark chooses
+    broadcast or sort-merge by size (AQE re-plans at runtime)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(customer, orders.o_custkey == customer.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT c_custkey, c_name, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side join — filemap copies the small file to every node; Spark
+    broadcasts the dim so the fact side never shuffles."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "c_name", "n_name")
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, count(o_orderkey) AS n_urgent_orders
+    FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+      ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer — filemap `join -a1`; unmatched rows surface as NULLs that
+    count(col) then ignores."""
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_urgent_orders"))
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT c_custkey, c_name, count(o_orderkey) AS n_f_orders
+    FROM (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+      RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer — filemap `join -a2` (mirror of left)."""
+    customer = load_table(spark, sf_dir, "customer")
+    finished = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return (
+        finished.join(customer, finished.o_custkey == customer.c_custkey, "right")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_f_orders"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle=f"""
+    SELECT a.o_orderkey AS left_key, b.l_orderkey AS right_key,
+           a.o_totalprice, b.sum_rev
+    FROM (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'P') a
+    FULL JOIN (SELECT l_orderkey, {dsum('l_extendedprice', 'sum_rev')}
+               FROM lineitem WHERE l_quantity > 45 GROUP BY l_orderkey) b
+      ON a.o_orderkey = b.l_orderkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer — filemap `join -a1 -a2`; both inputs filtered so both
+    sides contribute unmatched rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = orders.where(F.col("o_orderstatus") == "P").select("o_orderkey", "o_totalprice")
+    b = (
+        li.where(F.col("l_quantity") > 45)
+        .groupBy("l_orderkey")
+        .agg(F.expr(dsum("l_extendedprice", "sum_rev")))
+    )
+    return a.join(b, a.o_orderkey == b.l_orderkey, "full").select(
+        a.o_orderkey.alias("left_key"),
+        b.l_orderkey.alias("right_key"),
+        "o_totalprice",
+        "sum_rev",
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join — customers having at least one pending order (filemap:
+    `join | cut | sort -u`). No right columns, no row multiplication."""
+    customer = load_table(spark, sf_dir, "customer")
+    pending = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return customer.join(
+        pending, customer.c_custkey == pending.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join — customers with no pending order (filemap `join -v1`)."""
+    customer = load_table(spark, sf_dir, "customer")
+    pending = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return customer.join(
+        pending, customer.c_custkey == pending.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (125 rows) — nested loop over two small files."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+@query(
+    "join_theta_range",
+    oracle=f"""
+    SELECT p_brand, count(*) AS n_pairs,
+           {dsum('l_extendedprice - p_retailprice', 'sum_margin')}
+    FROM lineitem JOIN part
+      ON l_partkey = p_partkey AND l_extendedprice > p_retailprice
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + non-equi residual — the residual rides the hash join as a
+    post-filter, so no nested-loop blowup at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(
+            part,
+            (li.l_partkey == part.p_partkey) & (li.l_extendedprice > part.p_retailprice),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.expr(dsum("l_extendedprice - p_retailprice", "sum_margin")),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "join_theta_pure",
+    oracle="""
+    SELECT n1.n_name AS a_name, n2.n_name AS b_name
+    FROM nation n1 JOIN nation n2
+      ON n1.n_nationkey < n2.n_nationkey AND n1.n_regionkey = n2.n_regionkey
+    """,
+)
+def join_theta_pure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure non-equi pair generation (a<b within region) — broadcast
+    nested-loop; only sane for small/filtered inputs, which Catalyst enforces
+    by requiring a broadcastable side."""
+    n1 = load_table(spark, sf_dir, "nation").alias("n1")
+    n2 = load_table(spark, sf_dir, "nation").alias("n2")
+    return n1.join(
+        n2,
+        (F.col("n1.n_nationkey") < F.col("n2.n_nationkey"))
+        & (F.col("n1.n_regionkey") == F.col("n2.n_regionkey")),
+    ).select(F.col("n1.n_name").alias("a_name"), F.col("n2.n_name").alias("b_name"))
+
+
+@query(
+    "join_multiway_star",
+    oracle=f"""
+    SELECT r_name, n_name, count(*) AS n_orders,
+           {dsum('o_totalprice', 'sum_price')}
+    FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join + rollup-grain agg — all dims broadcast, so the fact
+    table streams through map-side joins with zero shuffle before the final
+    two-key aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_orders"), F.expr(dsum("o_totalprice", "sum_price")))
+        .orderBy("r_name", "n_name")
+    )
+
+
+@query(
+    "join_asof",
+    oracle=EVENTS_NORM_SQL
+    + """
+    SELECT e.event_id, e.user_id, epoch_us(s.ts) AS signup_us
+    FROM events e
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+      ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — each event matched to the user's most recent signup at or
+    before it. Spark has no native batch as-of (SURVEY §4.3.2): expressed as
+    a running `max(ts where signup)` window over the event stream itself —
+    one shuffle on user_id, no join at all, which also scales better than the
+    sort-merge-asof a direct port would do."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    signup_ts = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts_us"))
+    ).over(w)
+    return ev.select("event_id", "user_id", signup_ts.alias("signup_us"))
+
+
+@query(
+    "join_self_sequential",
+    oracle="""
+    SELECT a.l_orderkey, a.l_linenumber AS ln_a, b.l_linenumber AS ln_b,
+           round(a.l_extendedprice + b.l_extendedprice, 6) AS pair_price
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber + 1 = b.l_linenumber
+    """,
+)
+def join_self_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-line self join — filemap `paste` of consecutive lines; equi
+    join on (orderkey, linenumber+1) stays a hash join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", "l_linenumber", "l_extendedprice").alias("a")
+    b = li.select("l_orderkey", "l_linenumber", "l_extendedprice").alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") + 1 == F.col("b.l_linenumber")),
+    ).select(
+        F.col("a.l_orderkey").alias("l_orderkey"),
+        F.col("a.l_linenumber").alias("ln_a"),
+        F.col("b.l_linenumber").alias("ln_b"),
+        F.round(F.col("a.l_extendedprice") + F.col("b.l_extendedprice"), 6).alias("pair_price"),
+    )
