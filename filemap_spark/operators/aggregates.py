@@ -11,10 +11,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from filemap_spark.functions.numeric import davg, dsum
 from filemap_spark.io import load_table
 from filemap_spark.registry import query
+
+from filemap_spark.io import EVENTS_NORM_SQL, register_views
 
 _PRICING_CUTOFF = "2000-09-02"
 
@@ -58,4 +61,296 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+    SELECT count(*) AS n_rows,
+           {dsum('l_extendedprice', 'sum_price')},
+           round(min(l_quantity), 6) AS min_qty,
+           round(max(l_quantity), 6) AS max_qty,
+           {davg('l_discount', 'avg_disc')},
+           count(DISTINCT l_partkey) AS n_parts
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table aggregate, one output row — filemap's `awk` totals pass.
+    Partial aggregation reduces each partition to one row before the single
+    final-merge task, so this is shuffle-free at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.expr(dsum("l_extendedprice", "sum_price")),
+        F.round(F.min("l_quantity"), 6).alias("min_qty"),
+        F.round(F.max("l_quantity"), 6).alias("max_qty"),
+        F.expr(davg("l_discount", "avg_disc")),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct — filemap `sort -u | wc -l` per key; Spark plans a
+    two-phase expand + aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+@query("agg_approx_count_distinct")  # rows-only: sketches differ per engine
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct-user estimate per event_type. Not oracle-graded (HLL
+    implementations differ); tests/test_aggregates.py asserts ±5% of exact.
+    At 100 TB this replaces the exact expand+shuffle with a fixed-size sketch
+    mergeable in the partial agg."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders FROM orders
+    GROUP BY o_custkey HAVING count(*) >= 15 ORDER BY o_custkey
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter — filemap `uniq -c | awk '$1>=N'`."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= 15)
+        .orderBy("o_custkey")
+    )
+
+
+_STAR_FROM = """
+    FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT r_name, n_name, count(*) AS n_orders, {dsum('o_totalprice', 'sum_price')}
+    {_STAR_FROM}
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals — the reference would re-run the whole pipeline at
+    each granularity [K]; ROLLUP computes all three in one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_orders"), F.expr(dsum("o_totalprice", "sum_price")))
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows, {dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), F.expr(dsum("l_quantity", "sum_qty")))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           cast(grouping(l_returnflag) AS int) AS g_flag,
+           cast(grouping(l_linestatus) AS int) AS g_status,
+           count(*) AS n_rows, {dsum('l_extendedprice', 'sum_price')}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets with grouping() provenance markers — SQL entry
+    point over the registered views (SURVEY §3.2 entry point 2)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               cast(grouping(l_returnflag) AS int) AS g_flag,
+               cast(grouping(l_linestatus) AS int) AS g_status,
+               count(*) AS n_rows, {dsum('l_extendedprice', 'sum_price')}
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT event_type,
+           round(stddev_samp(value), 4) AS sd_value,
+           round(var_samp(value), 4) AS var_value,
+           round(corr(value, cast(user_id AS double)), 4) AS corr_vu,
+           round(covar_samp(value, cast(user_id AS double)), 4) AS covar_vu
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates. Rounded to 4dp (not 6): variance-family
+    accumulations are one-pass vs two-pass across engines and carry ~1e-6
+    absolute noise at this magnitude."""
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+            F.round(F.var_samp("value"), 4).alias("var_value"),
+            F.round(F.corr(F.col("value"), uid), 4).alias("corr_vu"),
+            F.round(F.covar_samp(F.col("value"), uid), 4).alias("covar_vu"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles — filemap `sort -n | awk NR`-style.
+    Spark `percentile` and DuckDB `quantile_cont` share the linear
+    interpolation definition. Exact percentile requires per-group sorting —
+    at 100 TB prefer approx_percentile (t-digest) for sketchable accuracy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+            F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_min_by_max_by",
+    oracle="""
+    SELECT o_custkey,
+           max_by(o_orderkey, o_totalprice) AS best_order,
+           min_by(o_orderkey, o_totalprice) AS worst_order,
+           round(max(o_totalprice), 6) AS best_price
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin per key — filemap `sort | tail -1` per bucket.
+    (o_custkey, o_totalprice) pairs are verified duplicate-free in the
+    contract data, so the selection is deterministic without a tiebreak."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.expr("max_by(o_orderkey, o_totalprice)").alias("best_order"),
+            F.expr("min_by(o_orderkey, o_totalprice)").alias("worst_order"),
+            F.round(F.max("o_totalprice"), 6).alias("best_price"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT user_id, list_sort(array_agg(event_type)) AS types
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-to-array per key (filemap: all lines of a bucket in one file);
+    sorting the array makes the value hash deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("event_type")).alias("types"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "distinct_rows",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT — filemap `sort -u`; planned as a hash aggregate."""
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "dedup_by_key",
+    oracle=EVENTS_NORM_SQL
+    + """
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+    ORDER BY user_id
+    """,
+)
+def dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first-per-key — deterministic via row_number over a total order
+    (NOT dropDuplicates, which keeps an arbitrary row). filemap idiom:
+    `sort | awk '!seen[$1]++'`."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts_us")
+        .orderBy("user_id")
     )
