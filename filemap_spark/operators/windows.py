@@ -1,1 +1,233 @@
-"""Placeholder — populated in a later milestone."""
+"""§2.5 Window functions.
+
+No filemap analogue — the reference would sort a bucket file and walk it with
+awk state (SURVEY §2.5 [K]). Spark windows shuffle once on the partition key
+and then evaluate all frames in a single sorted pass per partition; at scale
+the thing to avoid is a window with no partitionBy (single-task sort), which
+only `win_percent_rank_cume` does here — deliberately, on a 15k-row dim.
+
+Determinism: every orderBy carries a full tiebreak chain (FIXTURES.md trap
+#4); running double sums round at 6dp with per-frame magnitudes far below
+the accumulation-noise threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from filemap_spark.io import EVENTS_NORM_SQL, load_table
+from filemap_spark.registry import query
+
+
+@query(
+    "win_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS o_totalprice, rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3 ORDER BY o_custkey, rn
+    """,
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the canonical per-group top-k."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 6).alias("o_totalprice"), "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "win_rank_dense",
+    oracle="""
+    SELECT p_partkey, p_brand, p_size,
+           rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS rnk,
+           dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS drnk
+    FROM part ORDER BY p_brand, p_partkey
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank vs dense_rank with real ties (p_size is a small int domain);
+    rank values depend only on the sort key, so ties stay deterministic."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_size")
+    return part.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    ).orderBy("p_brand", "p_partkey")
+
+
+@query(
+    "win_ntile",
+    oracle="""
+    SELECT c_custkey, round(c_acctbal, 6) AS c_acctbal,
+           ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing by account balance (full tiebreak → deterministic)."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey",
+        F.round("c_acctbal", 6).alias("c_acctbal"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "win_lag_lead",
+    oracle=EVENTS_NORM_SQL
+    + """
+    SELECT event_id, user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap via lag; next event type via lead. Gaps are
+    integer microseconds (bigint) to dodge float/timestamp formatting."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "win_running_sum",
+    oracle=EVENTS_NORM_SQL
+    + """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 6) AS running_value
+    FROM events ORDER BY user_id, event_id
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-user sum (ROWS UNBOUNDED PRECEDING)."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 6).alias("running_value")
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "win_moving_avg",
+    oracle=EVENTS_NORM_SQL
+    + """
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS avg7
+    FROM events ORDER BY user_id, event_id
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average per user."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(-6, 0)
+    return ev.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("avg7")
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT event_id, user_id, round(value, 6) AS value,
+           count(*) OVER w AS n_in_band,
+           round(sum(value) OVER w, 6) AS sum_in_band
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value
+                 RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric RANGE frame (value-band aggregation). RANGE peers are defined
+    by the value alone, so no tiebreak is needed for determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value").rangeBetween(-10, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("value"),
+        F.count("*").over(w).alias("n_in_band"),
+        F.round(F.sum("value").over(w), 6).alias("sum_in_band"),
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS cheapest_order,
+           last_value(o_orderkey) OVER w AS priciest_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with the explicit full frame — the classic trap
+    is last_value over the default frame (ends at CURRENT ROW); both engines
+    share it, fixed identically with UNBOUNDED FOLLOWING."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("cheapest_order"),
+        F.last("o_orderkey").over(w).alias("priciest_order"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "win_percent_rank_cume",
+    oracle="""
+    SELECT c_custkey,
+           round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
+           round(cume_dist() OVER (ORDER BY c_acctbal, c_custkey), 6) AS cume,
+           ntile(100) OVER (ORDER BY c_acctbal, c_custkey) AS centile
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranks over the whole table — an unpartitioned window is a
+    single-task sort, acceptable only on dimension-sized inputs (documented
+    scale hazard; shard via percentile_approx at fact scale)."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(100).over(w).alias("centile"),
+    ).orderBy("c_custkey")
