@@ -1,1 +1,212 @@
-"""Placeholder — populated in a later milestone."""
+"""§2.9 Streaming / time-series over the events table.
+
+filemap's streaming model is incremental arrival of new files in a dataset
+directory (SURVEY §1.1 [K]); Spark's Structured Streaming file source is the
+same model with exactly-once bookkeeping. Contract strategy (SURVEY §2.9):
+every op here is the BATCH-equivalent form (oracle-gradable); the真
+micro-batch execution of the same logic — availableNow triggers, watermarks,
+late-data drops, stateful accumulation — runs in tests/test_streaming.py via
+filemap_spark.streaming.harness and must converge to these batch results.
+
+Scale: windowed aggs shuffle on (window, key); session windows shuffle on
+user_id; state store size is bounded by watermarking. All group keys here
+are low-cardinality or per-user — the skew-safe layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filemap_spark.io import EVENTS_NORM_SQL, load_table
+from filemap_spark.registry import query
+
+
+@query(
+    "stream_tumbling_window",
+    oracle=EVENTS_NORM_SQL
+    + """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 6) AS sum_value
+    FROM events GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling count+sum per event_type — epoch-aligned windows, so
+    window.start ≡ date_trunc('hour')."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "stream_sliding_window",
+    oracle=EVENTS_NORM_SQL
+    + """
+    SELECT make_timestamp(cast(floor(epoch(ts) / 900) AS bigint) * 900000000
+                          - cast(k AS bigint) * 900000000) AS window_start,
+           event_type, count(*) AS n
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 min — each event lands in exactly 4
+    overlapping windows; the oracle materializes the same 4 via 15-min
+    bucket-shift arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle=EVENTS_NORM_SQL
+    + """
+    , marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, epoch_us(min(ts)) AS session_start_us, count(*) AS n_events,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessionization per user via F.session_window (native
+    session merging — works in batch groupBy too). Boundary semantics: a gap
+    of exactly 30:00 starts a NEW session (Spark sessions are half-open
+    [start, last+gap)), encoded as >= in the oracle's lag form."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        )
+        .select("user_id", "session_start_us", "n_events", "duration_us")
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+@query(
+    "stream_watermark_late",
+    oracle=EVENTS_NORM_SQL
+    + """
+    SELECT event_type,
+           cast(sum(CASE WHEN ts >= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
+                         THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+           cast(sum(CASE WHEN ts < (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
+                         THEN 1 ELSE 0 END) AS bigint) AS n_late
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark arithmetic in batch form: horizon = max(ts) − 10 min; rows
+    behind it classify as late. The true arrival-order drop (a second
+    micro-batch delivering an event older than the advanced watermark) is
+    asserted in tests/test_streaming.py::test_late_data_dropped."""
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg((F.max("ts") - F.expr("INTERVAL 10 MINUTE")).alias("h"))
+    return (
+        ev.crossJoin(F.broadcast(horizon))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("ts") >= F.col("h"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("ts") < F.col("h"), 1).otherwise(0)).cast("bigint").alias("n_late"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle=EVENTS_NORM_SQL
+    + """
+    , doubled AS (
+      SELECT * FROM events UNION ALL SELECT * FROM events
+    ), kept AS (
+      SELECT event_type, event_id
+      FROM doubled
+      QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts) = 1
+    )
+    SELECT event_type, count(*) AS n_unique FROM kept
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once by event_id over an at-least-once (doubled) feed — batch
+    form of dropDuplicatesWithinWatermark (streaming twin in tests)."""
+    ev = load_table(spark, sf_dir, "events")
+    doubled = ev.unionAll(ev)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_id").orderBy("ts")
+    return (
+        doubled.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "stream_stateful_final",
+    oracle=EVENTS_NORM_SQL
+    + """
+    SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def stream_stateful_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user totals — the batch ground truth the stateful
+    streaming path (applyInPandasWithState accumulation in tests) must
+    converge to."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_events
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream(events) ⋈ static(customer) — in streaming the static side is
+    re-broadcast per micro-batch; batch form grades the join itself (ts not
+    projected, so no precision normalization needed)."""
+    ev = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(customer), ev.user_id == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("c_mktsegment")
+    )

@@ -1,0 +1,166 @@
+"""Streaming semantics tests (SURVEY §2.9): the batch-equivalent graded
+queries must equal the真 micro-batch execution — availableNow drains, file-at-
+a-time triggers, watermark late-drops, and stateful accumulation."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from filemap_spark.streaming.harness import (
+    make_stream_input,
+    read_stream,
+    run_available_now,
+)
+from filemap_spark.testing import canonical_rows
+
+
+def _tumbling(df):
+    return (
+        df.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir):
+    input_dir, schema = make_stream_input(spark, sf_dir, n_files=4)
+    stream = read_stream(spark, input_dir, schema)
+    got = run_available_now(spark, stream, _tumbling, output_mode="complete")
+    batch = _tumbling(spark.read.parquet(input_dir))
+    assert canonical_rows(got.toPandas()) == canonical_rows(batch.toPandas())
+
+
+def test_multi_batch_equals_single_batch(spark, sf_dir):
+    """File-at-a-time micro-batches (filemap's incremental arrival) converge
+    to the same final state as one big batch."""
+    input_dir, schema = make_stream_input(spark, sf_dir, n_files=4)
+    stream = read_stream(spark, input_dir, schema, max_files_per_trigger=1)
+    got = run_available_now(spark, stream, _tumbling, output_mode="complete")
+    batch = _tumbling(spark.read.parquet(input_dir))
+    assert canonical_rows(got.toPandas()) == canonical_rows(batch.toPandas())
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir):
+    """Doubled (at-least-once) feed deduped by event_id exactly-once."""
+    input_dir, schema = make_stream_input(spark, sf_dir, n_files=2)
+    # second copy of the same events = redelivery
+    dup_dir = os.path.join(os.path.dirname(input_dir), "input2")
+    ev = spark.read.parquet(input_dir)
+    ev.write.mode("overwrite").parquet(dup_dir)
+    for f in os.listdir(dup_dir):
+        if f.endswith(".parquet"):
+            os.rename(
+                os.path.join(dup_dir, f), os.path.join(input_dir, "redelivered_" + f)
+            )
+    stream = read_stream(spark, input_dir, schema)
+
+    def dedup(df):
+        return (
+            df.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_unique"))
+        )
+
+    got = run_available_now(spark, stream, dedup, output_mode="complete")
+    expect = ev.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+    assert canonical_rows(got.toPandas()) == canonical_rows(expect.toPandas())
+
+
+def test_late_data_dropped(spark, sf_dir):
+    """True watermark semantics: an event arriving in a later micro-batch,
+    behind the advanced watermark, is dropped from its (closed) window."""
+    base = tempfile.mkdtemp(prefix="filemap_late_")
+    input_dir = os.path.join(base, "in")
+    os.makedirs(input_dir)
+    mk = lambda ts, eid: (eid, pd.Timestamp(ts), 1, "click", 1.0, "{}")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    batch1 = pd.DataFrame(
+        [mk("2024-01-01 00:10:00", 1), mk("2024-01-01 03:00:00", 2)], columns=cols
+    )
+    sdf1 = spark.createDataFrame(batch1)
+    sdf1.write.mode("append").parquet(input_dir)
+    schema = sdf1.schema
+
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="filemap_late_ckpt_")
+    agg = (
+        spark.readStream.schema(schema)
+        .parquet(input_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # watermark advances to 02:50
+        # late event for the long-closed 00:00 window + a fresh event
+        batch2 = pd.DataFrame(
+            [mk("2024-01-01 00:20:00", 3), mk("2024-01-01 05:00:00", 4)], columns=cols
+        )
+        spark.createDataFrame(batch2).write.mode("append").parquet(input_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["ws"].strftime("%H:%M"): r["n"] for r in spark.table(name).collect()}
+    # the 00:00 window was finalized with exactly 1 event; the late one dropped
+    assert rows.get("00:00") == 1
+
+
+def test_stateful_final_equals_batch(spark, sf_dir):
+    """applyInPandasWithState running count/sum per user over file-at-a-time
+    micro-batches; final emitted state == batch groupBy (stream_stateful_final)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    input_dir, schema = make_stream_input(spark, sf_dir, n_files=3)
+    stream = read_stream(spark, input_dir, schema, max_files_per_trigger=1)
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    def transform(df):
+        return df.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    got = run_available_now(spark, stream, transform, output_mode="update")
+    # update-mode sink keeps every emission; final state = last per user
+    final = (
+        got.toPandas()
+        .sort_index()
+        .groupby("user_id", as_index=False)
+        .last()
+    )
+    ev = spark.read.parquet(input_dir)
+    expect = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .toPandas()
+    )
+    assert canonical_rows(final) == canonical_rows(expect)
