@@ -1,0 +1,82 @@
+"""Dataset memoization — filemap's signature feature re-expressed for Spark
+(SURVEY §4.1/§4.3.1).
+
+The reference caches every dataset-directory output keyed by
+(input files, command) and re-executes only work whose inputs or command
+changed — "make for map-reduce" [K]. Catalyst has no cross-session result
+cache, so this layer provides one: a content-addressed parquet warehouse
+keyed by sha256(canonical optimized plan + input-file fingerprints).
+
+- The plan string comes from Catalyst's OPTIMIZED logical plan, so two
+  syntactically different but plan-equivalent queries share a cache entry.
+- Input fingerprints are (path, size, mtime_ns) of every file under the
+  registered input paths — touching an input invalidates, exactly like the
+  reference's make-semantics.
+- Materialization is a plain parquet write: on a cluster the warehouse is
+  any shared path (HDFS/S3); hits replace the whole subtree with a scan,
+  which also restores predicate pushdown over the cached result.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_DEFAULT_WAREHOUSE = os.path.join(tempfile.gettempdir(), "filemap_warehouse")
+
+
+def _input_fingerprint(paths: Iterable[str]) -> str:
+    parts: list[str] = []
+    for root in sorted(paths):
+        if os.path.isfile(root):
+            st = os.stat(root)
+            parts.append(f"{root}:{st.st_size}:{st.st_mtime_ns}")
+            continue
+        for dirpath, _dirnames, filenames in sorted(os.walk(root)):
+            for fname in sorted(filenames):
+                fpath = os.path.join(dirpath, fname)
+                st = os.stat(fpath)
+                parts.append(f"{fpath}:{st.st_size}:{st.st_mtime_ns}")
+    return "\n".join(parts)
+
+
+def plan_key(df: DataFrame, input_paths: Iterable[str]) -> str:
+    """Content address = sha256(canonical optimized plan ⊕ input fingerprints).
+
+    Catalyst allocates fresh expression IDs (`col#123`) per plan
+    construction; they are erased so plan-equivalent queries share a key.
+    """
+    import re
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    plan = re.sub(r"#\d+L?", "#", plan)
+    digest = hashlib.sha256()
+    digest.update(plan.encode())
+    digest.update(b"\x00")
+    digest.update(_input_fingerprint(input_paths).encode())
+    return digest.hexdigest()
+
+
+def cached(
+    spark: SparkSession,
+    df: DataFrame,
+    input_paths: Iterable[str],
+    warehouse: str | None = None,
+) -> tuple[DataFrame, bool]:
+    """Memoize df's result. Returns (result_df, was_hit).
+
+    Miss: materialize to warehouse/<key> and return a scan over it.
+    Hit: return the scan without touching the computation.
+    """
+    warehouse = warehouse or os.environ.get("FILEMAP_WAREHOUSE", _DEFAULT_WAREHOUSE)
+    key = plan_key(df, input_paths)
+    out = os.path.join(warehouse, key)
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return spark.read.parquet(out), True
+    df.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out), False
