@@ -35,6 +35,7 @@ _MODULES = (
     "filemap_spark.operators.text",
     "filemap_spark.operators.similarity",
     "filemap_spark.operators.pipeline",
+    "filemap_spark.operators.multimodal",
 )
 
 
