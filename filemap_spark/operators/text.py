@@ -463,14 +463,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # rows-only: bit-sig construction is engine-specific
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit signatures + near-dup pairs at Hamming distance ≤ 8.
-    Signature: sign-sum over token hashes per bit. Pair generation uses the
-    4-block pigeonhole trick (dist ≤ 8 with 4 blocks ⇒ wait, ≤ 3 blocks
-    differ ⇒ at least 1 of 4 16-bit blocks equal) — block-equality join, not
-    a cross join, so it scales like LSH. Tests assert signature stability
-    and that fingerprint-cluster docs land within the threshold."""
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc: sign-sum over xxhash64(token) bits —
+    deterministic, shared by the pair query and the mechanism tests."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     h = F.xxhash64("word")
@@ -482,7 +477,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(64)
         ]
     )
-    sig = bit_sums.select(
+    return bit_sums.select(
         "doc_id",
         sum(
             [
@@ -494,26 +489,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
         ).alias("simhash"),
     )
+
+
+@query("dedup_simhash")  # rows-only: bit-sig construction is engine-specific
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance ≤ 7. Pair generation uses
+    the block-pigeonhole guarantee: with 8 blocks of 8 bits, any pair with
+    ≤ 7 differing bits must agree on at least one whole block, so a
+    block-equality join (scales like LSH, no cross product) has PERFECT
+    recall at the threshold — verified against brute-force all-pairs in
+    tests/test_quality.py."""
+    sig = simhash_signatures(spark, sf_dir)
+    n_blocks = 8
     blocks = sig.select(
         "doc_id",
         "simhash",
         *[
-            F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"blk{b}")
-            for b in range(4)
+            F.shiftright("simhash", b * 8).bitwiseAND(F.lit(0xFF)).alias(f"blk{b}")
+            for b in range(n_blocks)
         ],
     )
     a = blocks.alias("a")
     b = blocks.alias("b")
-    same_block = (
-        (F.col("a.blk0") == F.col("b.blk0"))
-        | (F.col("a.blk1") == F.col("b.blk1"))
-        | (F.col("a.blk2") == F.col("b.blk2"))
-        | (F.col("a.blk3") == F.col("b.blk3"))
-    )
+    same_block = None
+    for i in range(n_blocks):
+        clause = F.col(f"a.blk{i}") == F.col(f"b.blk{i}")
+        same_block = clause if same_block is None else (same_block | clause)
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & same_block)
-        .where(hamming <= 8)
+        .where(hamming <= 7)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

@@ -1,0 +1,79 @@
+"""Physical-plan shape assertions (SURVEY §4.2): the scale properties —
+pushdown, pruning, broadcast strategy, top-k collapse, codegen — are graded
+behavior, not accidents. These tests freeze them against regressions.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from filemap_spark import all_queries
+
+QUERIES = all_queries()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filter_range")
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # range predicate pushed
+    assert "GreaterThanOrEqual(l_quantity,10.0)" in plan
+    # column pruning: only the 5 projected columns leave the scan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert read.count(":") - 1 == 5
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "scan_projection")
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "p_partkey" in read and "p_size" in read
+    assert "p_name" not in read and "p_retailprice" not in read
+
+
+def test_star_join_is_all_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_multiway_star")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan  # fact table must not shuffle for dims
+
+
+def test_broadcast_hint_respected(spark, sf_dir):
+    assert "BroadcastHashJoin" in plan_of(spark, sf_dir, "join_broadcast")
+
+
+def test_topk_collapses_to_take_ordered(spark, sf_dir):
+    assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, "topk_global")
+
+
+def test_pricing_summary_stays_in_codegen(spark, sf_dir):
+    df = QUERIES["agg_pricing_summary"](spark, sf_dir)
+    df.collect()  # let AQE finalize so codegen stages materialize
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in simple  # whole-stage codegen stage markers
+    plan = plan_of(spark, sf_dir, "agg_pricing_summary")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_semi_anti_plan_as_joins(spark, sf_dir):
+    assert "LeftSemi" in plan_of(spark, sf_dir, "join_left_semi")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "join_left_anti")
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["agg_pricing_summary", "join_multiway_star", "text_wordcount", "win_topk_per_group"],
+)
+def test_headline_queries_have_no_python_stage(spark, sf_dir, name):
+    """Hot-path queries must stay JVM-side (no Python UDF eval nodes)."""
+    plan = plan_of(spark, sf_dir, name)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan

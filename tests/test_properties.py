@@ -1,0 +1,70 @@
+"""Property-based differential testing (SURVEY §5.2): hypothesis generates
+random filter/group/agg combinations over lineitem; the SAME SQL text runs on
+Spark (via registered views) and DuckDB, and canonical results must match.
+
+The generated SQL is restricted to the dialect intersection (plain
+comparisons, IN lists, count / exact scaled sums), which is exactly the
+surface the engine's determinism rules guarantee."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from filemap_spark.functions.numeric import davg, dsum
+from filemap_spark.io import register_views
+from filemap_spark.testing import canonical_rows, duck_connect
+
+GROUP_KEYS = st.lists(
+    st.sampled_from(["l_returnflag", "l_linestatus", "l_linenumber"]),
+    min_size=1,
+    max_size=2,
+    unique=True,
+)
+AGGS = st.sampled_from(
+    [
+        "count(*) AS n",
+        dsum("l_extendedprice", "s"),
+        davg("l_quantity", "a"),
+        "cast(min(l_orderkey) AS bigint) AS mn",
+        "cast(max(l_linenumber) AS int) AS mx",
+    ]
+)
+
+
+@st.composite
+def random_query(draw) -> str:
+    keys = draw(GROUP_KEYS)
+    agg = draw(AGGS)
+    qty_lo = draw(st.integers(min_value=1, max_value=25))
+    qty_hi = qty_lo + draw(st.integers(min_value=0, max_value=25))
+    flags = draw(
+        st.lists(st.sampled_from(["A", "N", "R"]), min_size=1, max_size=3, unique=True)
+    )
+    flag_list = ", ".join(f"'{f}'" for f in flags)
+    year = draw(st.integers(min_value=1995, max_value=2001))
+    keylist = ", ".join(keys)
+    return (
+        f"SELECT {keylist}, {agg} FROM lineitem "
+        f"WHERE l_quantity BETWEEN {qty_lo} AND {qty_hi} "
+        f"AND l_returnflag IN ({flag_list}) "
+        f"AND l_shipdate < TIMESTAMP '{year}-07-01 00:00:00' "
+        f"GROUP BY {keylist} ORDER BY {keylist}"
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=random_query())
+def test_random_agg_matches_duckdb(spark, sf_dir, sql):
+    register_views(spark, sf_dir)
+    got = spark.sql(sql).toPandas()
+    con = duck_connect(sf_dir)
+    try:
+        expect = con.execute(sql).df()
+    finally:
+        con.close()
+    assert canonical_rows(got) == canonical_rows(expect), sql

@@ -1,0 +1,86 @@
+"""Accuracy bounds for the approximate (rows-only) operators — the checks
+the DuckDB oracle can't express (SURVEY §2.4/§2.11)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from filemap_spark import all_queries
+from filemap_spark.io import load_table
+
+QUERIES = all_queries()
+
+
+def test_approx_count_distinct_within_5pct(spark, sf_dir):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["agg_approx_count_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for etype, n in exact.items():
+        assert abs(approx[etype] - n) <= max(1, 0.05 * n), (etype, approx[etype], n)
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
+    """128-hash/32-band LSH with exact verification recovers every true
+    ≥0.8-Jaccard pair on the contract corpus (banding threshold ~0.6)."""
+    exact = {(r["doc_a"], r["doc_b"]) for r in QUERIES["dedup_near_jaccard"](spark, sf_dir).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]) for r in QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()}
+    assert exact, "contract corpus must contain near-duplicate pairs"
+    assert lsh == exact
+
+
+def test_ivf_mechanism_is_exact_within_probed_cells(spark, sf_dir):
+    """The IVF path must return EXACTLY the brute-force top-5 restricted to
+    its probed cells (mechanism correctness). Absolute recall vs global
+    brute force is a property of the data (isotropic vectors ⇒ low), so it
+    only gets a sanity floor."""
+    import numpy as np
+
+    from filemap_spark.operators.similarity import ivf_index
+
+    ids, assign, mat, cents = ivf_index(spark, sf_dir)
+    expected = set()
+    for i, qid in enumerate(ids):
+        probes = np.argsort(-(mat[i] @ cents.T), kind="stable")[:2]
+        mask = np.isin(assign, probes) & (ids != qid)
+        cand_ids = ids[mask]
+        sims = np.round(mat[mask] @ mat[i], 6)
+        order = np.lexsort((cand_ids, -sims))[:5]
+        expected |= {(int(qid), int(cand_ids[j])) for j in order}
+    approx = QUERIES["sim_ann_ivf"](spark, sf_dir).collect()
+    found = {(r["vec_id"], r["nbr_id"]) for r in approx}
+    assert found == expected
+
+    truth = {
+        (r["vec_id"], r["nbr_id"]) for r in QUERIES["sim_cosine_topk"](spark, sf_dir).collect()
+    }
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.15, f"IVF recall collapsed: {recall:.3f}"
+
+
+def test_simhash_block_join_has_perfect_recall(spark, sf_dir):
+    """The 8×8-bit block-pigeonhole join must find EXACTLY the pairs a
+    brute-force all-pairs hamming scan of the same signatures finds at
+    distance ≤ 7 (no recall loss from the banding)."""
+    from filemap_spark.operators.text import simhash_signatures
+
+    sigs = simhash_signatures(spark, sf_dir).collect()
+    ids = [r["doc_id"] for r in sigs]
+    vals = [r["simhash"] & 0xFFFFFFFFFFFFFFFF for r in sigs]
+    brute = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if (vals[i] ^ vals[j]).bit_count() <= 7:
+                a, b = ids[i], ids[j]
+                brute.add((min(a, b), max(a, b)))
+    got = {(r["doc_a"], r["doc_b"]) for r in QUERIES["dedup_simhash"](spark, sf_dir).collect()}
+    assert got == brute
+    assert brute, "contract corpus should contain simhash-close pairs"
