@@ -173,6 +173,56 @@ def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(
+             list_transform(a.embedding, x -> cast(x AS double)),
+             list_transform(b.embedding, x -> cast(x AS double))), 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(
+             list_transform(a.embedding, x -> cast(x AS double)),
+             list_transform(b.embedding, x -> cast(x AS double))), 6) >= 0.4
+    ORDER BY vec_a, vec_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a < b, rounded sim >= t).
+
+    The training-pipeline dedup primitive for semantic duplicates. The
+    contract embeddings are isotropic (measured max pairwise cosine ~0.51),
+    so t=0.4 is data-tuned to exercise the operator; production text dedup
+    uses t~0.95. Same broadcast-matrix + blocked-matmul layout as the top-k
+    path: each Arrow batch of query vectors does one numpy matmul against
+    the broadcast index and emits only its upper-triangle (a < b) hits, so
+    the pair blow-up never materializes JVM-side. At index sizes beyond
+    executor memory, sim_ann_ivf's cell partitioning bounds each matmul."""
+    threshold = 0.4
+    emb = load_table(spark, sf_dir, "embeddings")
+    index_pdf = emb.select("vec_id", "embedding").toPandas()
+    ids, mat = _normalized_matrix(index_pdf)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        index_ids, index_mat = bc.value
+        for pdf_b in batches:
+            if pdf_b.empty:
+                continue
+            q_ids, q_mat = _normalized_matrix(pdf_b)
+            sims = np.round(q_mat @ index_mat.T, 6)
+            qi, bi = np.nonzero((sims >= threshold) & (q_ids[:, None] < index_ids[None, :]))
+            yield pd.DataFrame(
+                {"vec_a": q_ids[qi], "vec_b": index_ids[bi], "sim": sims[qi, bi]}
+            )
+
+    return (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(pairs, schema="vec_a long, vec_b long, sim double")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def ivf_index(
     spark: SparkSession, sf_dir: str, n_cells: int = 8, n_iters: int = 5
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
