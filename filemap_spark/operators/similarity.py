@@ -52,39 +52,100 @@ def _normalized_matrix(df_pandas: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]
     return ids, mat / norms
 
 
+# Index matrices are deterministic per dataset dir; rebuilding one per query
+# call would re-run a Spark collect each time. Keyed by (sf_dir, file state).
+_INDEX_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _load_index(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, normalized matrix) for the embeddings table, cached per dataset.
+
+    The cache key includes the parquet files' (name, size, mtime) so a
+    rewritten dataset invalidates — same make-style rule as the memoization
+    layer (SURVEY §4.3.1)."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    stat: list[tuple] = []
+    for root, _, files in os.walk(path):
+        for f in sorted(files):
+            st = os.stat(os.path.join(root, f))
+            stat.append((f, st.st_size, st.st_mtime_ns))
+    if os.path.isfile(path):
+        st = os.stat(path)
+        stat.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
+    key = (sf_dir, tuple(stat))
+    if key not in _INDEX_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _INDEX_CACHE[key] = _normalized_matrix(emb.select("vec_id", "embedding").toPandas())
+    return _INDEX_CACHE[key]
+
+
+def _topk_against_index(
+    q_ids: np.ndarray,
+    q_mat: np.ndarray,
+    index_ids: np.ndarray,
+    index_mat: np.ndarray,
+    k: int,
+) -> pd.DataFrame:
+    """Vectorized top-k by (rounded sim DESC, nbr_id ASC), self excluded.
+
+    No per-row Python loop: ranking uses one integer composite key
+    `sim_micro * N - id_rank` (6dp sim scaled to int64; id_rank = position
+    in id-ascending order so smaller id wins ties) and a single
+    np.argpartition + sort over the whole batch."""
+    n = len(index_ids)
+    kk = min(k, n - 1)
+    # candidates ordered by id ascending → id_rank = column position
+    id_order = np.argsort(index_ids, kind="stable")
+    sorted_ids = index_ids[id_order]
+    sims = np.round(q_mat @ index_mat[id_order].T, 6)
+    # negated key: smaller = better (sim DESC, then id_rank ASC); self → +inf
+    # (never negate an int64 key — -iinfo.min overflows back to itself)
+    key = np.rint(sims * -1_000_000.0).astype(np.int64) * np.int64(n + 1) + np.arange(
+        n, dtype=np.int64
+    )
+    # exclude self: every query vector is also in the index
+    self_col = np.searchsorted(sorted_ids, q_ids)
+    hit = (self_col < n) & (sorted_ids[np.clip(self_col, 0, n - 1)] == q_ids)
+    key[np.nonzero(hit)[0], self_col[hit]] = np.iinfo(np.int64).max
+    top = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+    rows = np.arange(len(q_ids))[:, None]
+    order = np.argsort(key[rows, top], axis=1, kind="stable")
+    top = top[rows, order]
+    return pd.DataFrame(
+        {
+            "vec_id": np.repeat(q_ids, kk),
+            "nbr_id": sorted_ids[top].ravel(),
+            "sim": sims[rows, top].ravel(),
+        }
+    )
+
+
 def _cosine_topk_frame(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     """Top-k cosine neighbors per vector via broadcast matrix + blocked numpy
-    matmul inside mapInPandas (Arrow-batched; no per-row Python)."""
+    matmul inside mapInPandas (Arrow-batched; no per-row Python).
+
+    The query side is repartitioned to the session's parallelism when the
+    source arrives as a single file split, so the matmul fans out across
+    executor cores instead of serializing through one Python worker."""
     emb = load_table(spark, sf_dir, "embeddings")
-    index_pdf = emb.select("vec_id", "embedding").toPandas()
-    ids, mat = _normalized_matrix(index_pdf)
+    ids, mat = _load_index(spark, sf_dir)
     bc = spark.sparkContext.broadcast((ids, mat))
 
     def topk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         index_ids, index_mat = bc.value
-        order_ids = np.argsort(index_ids, kind="stable")
         for pdf in batches:
             if pdf.empty:
                 continue
             q_ids, q_mat = _normalized_matrix(pdf)
-            sims = q_mat @ index_mat.T  # (batch, N) float64 blocked matmul
-            sims = np.round(sims, 6)
-            out_vec, out_nbr, out_sim = [], [], []
-            for row_idx, qid in enumerate(q_ids):
-                row = sims[row_idx]
-                mask = index_ids != qid  # exclude self
-                cand_sim = row[mask]
-                cand_ids = index_ids[mask]
-                # rank by (-sim, nbr_id): lexsort keys are last-key-primary
-                order = np.lexsort((cand_ids, -cand_sim))[:k]
-                out_vec.extend([qid] * len(order))
-                out_nbr.extend(cand_ids[order])
-                out_sim.extend(cand_sim[order])
-            yield pd.DataFrame(
-                {"vec_id": out_vec, "nbr_id": out_nbr, "sim": out_sim}
-            )
+            yield _topk_against_index(q_ids, q_mat, index_ids, index_mat, k)
 
-    return emb.select("vec_id", "embedding").mapInPandas(
+    queries_df = emb.select("vec_id", "embedding")
+    target = spark.sparkContext.defaultParallelism
+    if queries_df.rdd.getNumPartitions() < max(2, target // 4):
+        queries_df = queries_df.repartition(target)
+    return queries_df.mapInPandas(
         topk_batches, schema="vec_id long, nbr_id long, sim double"
     )
 
@@ -200,8 +261,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor memory, sim_ann_ivf's cell partitioning bounds each matmul."""
     threshold = 0.4
     emb = load_table(spark, sf_dir, "embeddings")
-    index_pdf = emb.select("vec_id", "embedding").toPandas()
-    ids, mat = _normalized_matrix(index_pdf)
+    ids, mat = _load_index(spark, sf_dir)
     bc = spark.sparkContext.broadcast((ids, mat))
 
     def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -233,13 +293,9 @@ def ivf_index(
     NOTE: the embeddings table's `label` column is NOT a geometric cluster
     (measured: top-5 neighbors share the query's label ~10% ≈ chance at
     every SF), so the quantizer must be learned from the vectors."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
-    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    mat = mat / norms
+    raw_ids, raw_mat = _load_index(spark, sf_dir)
+    order = np.argsort(raw_ids, kind="stable")
+    ids, mat = raw_ids[order], raw_mat[order]
     cents = mat[:n_cells].copy()
     for _ in range(n_iters):
         assign = np.argmax(mat @ cents.T, axis=1)
