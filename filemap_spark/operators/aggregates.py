@@ -354,3 +354,102 @@ def dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "ts_us")
         .orderBy("user_id")
     )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_ALIAS = {
+    "1-URGENT": "n_urgent",
+    "2-HIGH": "n_high",
+    "3-MEDIUM": "n_medium",
+    "4-NOT SPECIFIED": "n_not_specified",
+    "5-LOW": "n_low",
+}
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT c.c_mktsegment,
+           cast(sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS bigint) AS n_urgent,
+           cast(sum(CASE WHEN o.o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS bigint) AS n_high,
+           cast(sum(CASE WHEN o.o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS bigint) AS n_medium,
+           cast(sum(CASE WHEN o.o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS bigint) AS n_not_specified,
+           cast(sum(CASE WHEN o.o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS bigint) AS n_low
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per market segment × priority (wide form).
+
+    Pivot values are EXPLICIT (the 5 known priorities) — an unlisted-values
+    pivot needs an extra distinct-collect job and yields nondeterministic
+    column order; listing them keeps it a single pass. The pivot itself is
+    one partial+final hash agg on the group key; the 5 columns are
+    conditional counts, no extra shuffle vs a plain groupBy. Nulls from
+    empty cells coalesce to 0 to match the CASE-sum oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    wide = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    return wide.select(
+        "c_mktsegment",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(_PRIORITY_ALIAS[p])
+            for p in _PRIORITIES
+        ],
+    ).orderBy("c_mktsegment")
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_retailprice' AS metric, round(cast(p_retailprice AS double), 6) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size' AS metric, round(cast(p_size AS double), 6) AS value
+    FROM part
+    ORDER BY p_partkey, metric
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide columns into (id, metric, value) long form —
+    Spark's native `unpivot` (SQL UNPIVOT/stack equivalent). Shuffle-free:
+    each input row expands to k output rows in the same task."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
+            F.col("p_size").cast("double").alias("p_size"),
+        )
+        .unpivot(["p_partkey"], ["p_retailprice", "p_size"], "metric", "raw")
+        .select("p_partkey", "metric", F.round("raw", 6).alias("value"))
+        .orderBy("p_partkey", "metric")
+    )
+
+
+@query("agg_approx_percentile")  # rows-only: sketch outputs are engine-specific
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90 of l_extendedprice per returnflag
+    (`percentile_approx`, accuracy 10000). The 100 TB percentile path: the
+    sketch is mergeable, so it aggregates partially per partition like any
+    hash agg — no global sort, unlike exact percentiles. Accuracy vs the
+    exact interpolated percentile is asserted in tests/test_quality.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", [0.5, 0.9], 10000).alias("pcts"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("pcts")[0], 6).alias("p50_approx"),
+            F.round(F.col("pcts")[1], 6).alias("p90_approx"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -89,6 +89,16 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(nation.schema).json(out)
 
 
+@query("scan_orc_roundtrip", oracle="SELECT * FROM nation")
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip — the other columnar format Spark ships natively;
+    lossless like parquet (typed footer schema, no inference)."""
+    out = os.path.join(_tmpdir("orc"), "nation")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
 @query("scan_text_gzip", oracle="SELECT count(*) AS n_lines FROM documents")
 def scan_text_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """filemap handles compressed text transparently (`zcat | wc -l`); Spark

@@ -84,3 +84,24 @@ def test_simhash_block_join_has_perfect_recall(spark, sf_dir):
     got = {(r["doc_a"], r["doc_b"]) for r in QUERIES["dedup_simhash"](spark, sf_dir).collect()}
     assert got == brute
     assert brute, "contract corpus should contain simhash-close pairs"
+
+
+def test_approx_percentile_within_1pct(spark, sf_dir):
+    approx = {
+        r["l_returnflag"]: (r["p50_approx"], r["p90_approx"])
+        for r in QUERIES["agg_approx_percentile"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p90"])
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for flag, (p50, p90) in exact.items():
+        assert abs(approx[flag][0] - p50) <= 0.01 * p50, (flag, approx[flag][0], p50)
+        assert abs(approx[flag][1] - p90) <= 0.01 * p90, (flag, approx[flag][1], p90)
