@@ -1,0 +1,207 @@
+"""Subqueries, deterministic sampling, and iterative graph dedup.
+
+Subqueries are declared in their Spark-idiomatic *decorrelated* form (a
+broadcast join against a tiny aggregate) while the oracle keeps the classic
+correlated-SQL spelling — proving the two are equivalent is exactly the
+rewrite Catalyst's subquery decorrelation performs (SURVEY §4.2).
+
+Sampling ops are the training-pipeline primitives: stratified systematic
+sampling (every k-th record per key — one window, scale-safe) and
+content-hash Bernoulli sampling (md5-based, so the sample is stable across
+engines, reruns, and cluster sizes — the property a reproducible data
+pipeline needs; seeds of `df.sample` are partitioning-dependent).
+
+Connected components turns near-dup *pairs* into dedup *clusters* — the
+step after any LSH/Jaccard pass. Spark side: min-label propagation to a
+fixpoint (O(graph diameter) joins; the 100 TB upgrade is the
+large-star/small-star algorithm which converges in O(log n) rounds and
+keeps every intermediate keyed by node). Oracle: DuckDB recursive CTE
+transitive closure — small graphs only, which the contract corpus is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from filemap_spark.io import EVENTS_NORM_SQL, load_table
+from filemap_spark.operators.text import JACCARD_PAIR_CTES
+from filemap_spark.registry import query
+
+
+@query(
+    "subq_scalar",
+    oracle="""
+    SELECT p_partkey, p_name, round(cast(p_retailprice AS double), 6) AS price
+    FROM part
+    WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+    ORDER BY p_partkey
+    """,
+)
+def subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: parts priced above the global average.
+
+    Spark form: the 1-row aggregate is cross-joined with an explicit
+    broadcast — the same plan Catalyst builds for an uncorrelated scalar
+    subquery (one tiny job, then a pushed-down filter)."""
+    part = load_table(spark, sf_dir, "part")
+    bar = part.agg(F.avg("p_retailprice").alias("bar"))
+    return (
+        part.crossJoin(F.broadcast(bar))
+        .where(F.col("p_retailprice") > F.col("bar"))
+        .select(
+            "p_partkey",
+            "p_name",
+            F.round(F.col("p_retailprice").cast("double"), 6).alias("price"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "subq_correlated",
+    oracle="""
+    SELECT c_custkey, c_nationkey, round(cast(c_acctbal AS double), 6) AS acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    ORDER BY c_custkey
+    """,
+)
+def subq_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated aggregate subquery: customers above their nation's average
+    balance — declared hand-decorrelated (per-nation aggregate, broadcast
+    equi-join back), the shape the optimizer rewrites the correlated SQL
+    into. One shuffle for the small aggregate, zero for the fact side."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation_avg = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.avg("c_acctbal").alias("nation_avg")
+    )
+    return (
+        cust.join(F.broadcast(nation_avg), cust.c_nationkey == nation_avg.nk)
+        .where(F.col("c_acctbal") > F.col("nation_avg"))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(F.col("c_acctbal").cast("double"), 6).alias("acctbal"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle=EVENTS_NORM_SQL
+    + """
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us
+    FROM events
+    QUALIFY (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) % 5 = 0
+    ORDER BY user_id, ts_us, event_id
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified systematic sample: every 5th event per user in time order
+    (keeps each user's 1st, 6th, 11th, ...). One window shuffle on the
+    stratum key; per-stratum output is guaranteed non-empty, the property
+    uniform row sampling lacks."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") - 1) % 5 == 0)
+        .select("user_id", "event_id", "ts_us")
+        .orderBy("user_id", "ts_us", "event_id")
+    )
+
+
+@query(
+    "sample_content_hash",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 5 = 0
+    ORDER BY doc_id
+    """,
+)
+def sample_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% Bernoulli sample keyed by md5(doc_id) — identical
+    membership on any engine, any partitioning, any rerun (md5 is the
+    portable hash; Spark's xxhash64/rand are not). This is how a
+    reproducible training pipeline carves held-out splits."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+    return (
+        docs.where(bucket.cast("long") % 5 == 0)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {JACCARD_PAIR_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jac_pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM jac_pairs
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a)
+    SELECT d.doc_id,
+           coalesce(least(c.component, d.doc_id), d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters from near-dup pairs: every doc labeled with the min
+    doc_id of its ≥0.8-Jaccard connected component (singletons label
+    themselves) — the survivor map a dedup pipeline applies after pair
+    generation.
+
+    Min-label propagation to a fixpoint: each round every node takes the
+    min of its own label and its neighbors' labels; rounds = graph
+    diameter (near-dup clusters are shallow). localCheckpoint truncates
+    the growing lineage each round; the convergence check is a 1-row agg,
+    not a collect of the labels."""
+    from filemap_spark.operators.text import dedup_near_jaccard
+
+    pairs = dedup_near_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint()
+    for _ in range(20):  # >= diameter of any near-dup cluster in practice
+        nbr_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "component", F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.orderBy("doc_id")

@@ -289,27 +289,37 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_near_jaccard",
-    oracle="""
-    WITH sh AS (
+# Shared CTE block: word-5-gram shingles → exact-Jaccard ≥ 0.8 pairs.
+# Reused by dedup_near_jaccard and the connected-components oracle
+# (operators/relational.py).
+JACCARD_PAIR_CTES = """
+    sh AS (
       SELECT DISTINCT doc_id,
              concat_ws(' ', w[pos], w[pos+1], w[pos+2], w[pos+3], w[pos+4]) AS shingle
       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS pos
             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
     ), counts AS (
       SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-    ), pairs AS (
+    ), inters AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY doc_a, doc_b
+    ), jac_pairs AS (
+      SELECT doc_a, doc_b,
+             round(cast(inter AS double) / (ca.n + cb.n - inter), 6) AS jaccard
+      FROM inters
+        JOIN counts ca ON doc_a = ca.doc_id
+        JOIN counts cb ON doc_b = cb.doc_id
+      WHERE cast(inter AS double) / (ca.n + cb.n - inter) >= 0.8
     )
-    SELECT doc_a, doc_b,
-           round(cast(inter AS double) / (ca.n + cb.n - inter), 6) AS jaccard
-    FROM pairs
-      JOIN counts ca ON doc_a = ca.doc_id
-      JOIN counts cb ON doc_b = cb.doc_id
-    WHERE cast(inter AS double) / (ca.n + cb.n - inter) >= 0.8
+"""
+
+
+@query(
+    "dedup_near_jaccard",
+    oracle=f"""
+    WITH {JACCARD_PAIR_CTES}
+    SELECT doc_a, doc_b, jaccard FROM jac_pairs
     ORDER BY doc_a, doc_b
     """,
 )

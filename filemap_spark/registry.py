@@ -36,6 +36,7 @@ _MODULES = (
     "filemap_spark.operators.similarity",
     "filemap_spark.operators.pipeline",
     "filemap_spark.operators.multimodal",
+    "filemap_spark.operators.relational",
 )
 
 
