@@ -68,3 +68,119 @@ def test_random_agg_matches_duckdb(spark, sf_dir, sql):
     finally:
         con.close()
     assert canonical_rows(got) == canonical_rows(expect), sql
+
+
+@st.composite
+def random_join_query(draw) -> str:
+    agg = draw(
+        st.sampled_from(
+            ["count(*) AS n", dsum("o_totalprice", "s"), davg("c_acctbal", "a")]
+        )
+    )
+    bal_lo = draw(st.integers(min_value=-999, max_value=5000))
+    bal_hi = bal_lo + draw(st.integers(min_value=100, max_value=9000))
+    prios = draw(
+        st.lists(
+            st.sampled_from(
+                ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+            ),
+            min_size=1,
+            max_size=3,
+            unique=True,
+        )
+    )
+    prio_list = ", ".join(f"'{p}'" for p in prios)
+    return (
+        f"SELECT c_mktsegment, {agg} "
+        f"FROM orders JOIN customer ON o_custkey = c_custkey "
+        f"WHERE c_acctbal BETWEEN {bal_lo} AND {bal_hi} "
+        f"AND o_orderpriority IN ({prio_list}) "
+        f"GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=random_join_query())
+def test_random_join_agg_matches_duckdb(spark, sf_dir, sql):
+    register_views(spark, sf_dir)
+    got = spark.sql(sql).toPandas()
+    con = duck_connect(sf_dir)
+    try:
+        expect = con.execute(sql).df()
+    finally:
+        con.close()
+    assert canonical_rows(got) == canonical_rows(expect), sql
+
+
+@st.composite
+def random_window_query(draw) -> str:
+    fn = draw(st.sampled_from(["row_number()", "rank()", "dense_rank()"]))
+    k = draw(st.integers(min_value=1, max_value=5))
+    price = draw(st.integers(min_value=0, max_value=300000))
+    direction = draw(st.sampled_from(["ASC", "DESC"]))
+    return (
+        f"SELECT o_custkey, o_orderkey, rn FROM ("
+        f"  SELECT o_custkey, o_orderkey, {fn} OVER ("
+        f"    PARTITION BY o_custkey ORDER BY o_totalprice {direction}, o_orderkey"
+        f"  ) AS rn FROM orders WHERE o_totalprice > {price}"
+        f") t WHERE rn <= {k} ORDER BY o_custkey, rn, o_orderkey"
+    )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=random_window_query())
+def test_random_window_matches_duckdb(spark, sf_dir, sql):
+    register_views(spark, sf_dir)
+    got = spark.sql(sql).toPandas()
+    con = duck_connect(sf_dir)
+    try:
+        expect = con.execute(sql).df()
+    finally:
+        con.close()
+    assert canonical_rows(got) == canonical_rows(expect), sql
+
+
+@st.composite
+def random_setop_query(draw) -> str:
+    op = draw(st.sampled_from(["UNION", "INTERSECT", "EXCEPT", "UNION ALL"]))
+    t1, t2 = draw(
+        st.lists(
+            st.sampled_from(["click", "view", "purchase", "signup", "error"]),
+            min_size=2,
+            max_size=2,
+            unique=True,
+        )
+    )
+    lo = draw(st.integers(min_value=0, max_value=500))
+    return (
+        f"SELECT user_id FROM ("
+        f"SELECT user_id FROM events WHERE event_type = '{t1}' AND user_id >= {lo} "
+        f"{op} "
+        f"SELECT user_id FROM events WHERE event_type = '{t2}' AND user_id >= {lo}"
+        f") t ORDER BY user_id"
+    )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=random_setop_query())
+def test_random_setop_matches_duckdb(spark, sf_dir, sql):
+    register_views(spark, sf_dir)
+    got = spark.sql(sql).toPandas()
+    con = duck_connect(sf_dir)
+    try:
+        expect = con.execute(sql).df()
+    finally:
+        con.close()
+    assert canonical_rows(got) == canonical_rows(expect), sql
