@@ -384,10 +384,11 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pivot values are EXPLICIT (the 5 known priorities) — an unlisted-values
     pivot needs an extra distinct-collect job and yields nondeterministic
-    column order; listing them keeps it a single pass. The pivot itself is
-    one partial+final hash agg on the group key; the 5 columns are
-    conditional counts, no extra shuffle vs a plain groupBy. Nulls from
-    empty cells coalesce to 0 to match the CASE-sum oracle."""
+    column order; listing them keeps it a single pass. Spark plans this as
+    two cascaded hash aggs (counts per (segment, priority), then the pivot
+    itself); the first is partial+final so the second shuffle carries at
+    most |segments|x|priorities| rows — constant-size at any data scale.
+    Nulls from empty cells coalesce to 0 to match the CASE-sum oracle."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     wide = (
@@ -452,4 +453,28 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("pcts")[1], 6).alias("p90_approx"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_bitwise",
+    oracle="""
+    SELECT event_type,
+           bit_and(user_id) AS band, bit_or(user_id) AS bor, bit_xor(user_id) AS bxor
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates per key — commutative/associative, so partial
+    aggregation applies like any sum (used in practice for permission masks
+    and bloom-style bit accumulation)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bit_and("user_id").alias("band"),
+            F.bit_or("user_id").alias("bor"),
+            F.bit_xor("user_id").alias("bxor"),
+        )
+        .orderBy("event_type")
     )

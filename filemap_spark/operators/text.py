@@ -536,3 +536,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g')) AS norm_text,
+           len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+                               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS n_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization — the pipeline pre-tokenization pass: lowercase,
+    strip non-alphanumerics, collapse whitespace, plus the resulting token
+    count. Pure JVM column expressions (regex dialect restricted to the
+    Spark/DuckDB-identical subset; Spark's regexp_replace is global by
+    default = DuckDB's 'g' flag)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return (
+        docs.select(
+            "doc_id",
+            norm.alias("norm_text"),
+            F.size(F.split(norm, " ")).alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
