@@ -77,3 +77,23 @@ def test_headline_queries_have_no_python_stage(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_correlated_subquery_decorrelates_to_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "subq_correlated")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_content_hash_sample_filter_stays_jvm(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sample_content_hash")
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+
+
+def test_pivot_is_two_stage_constant_size_agg(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "agg_pivot")
+    # first agg must be partial+final so the second shuffle carries only
+    # |segments| x |priorities| rows
+    assert plan.count("HashAggregate") >= 4
+    assert "BroadcastHashJoin" in plan  # customer dim never shuffles orders
