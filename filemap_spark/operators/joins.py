@@ -305,3 +305,107 @@ def join_self_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.l_linenumber").alias("ln_b"),
         F.round(F.col("a.l_extendedprice") + F.col("b.l_extendedprice"), 6).alias("pair_price"),
     )
+
+
+@query(
+    "join_snowflake_q5",
+    oracle=f"""
+    SELECT n_name, {dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           cast(count(*) AS bigint) AS n_lines
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE c_nationkey = s_nationkey AND r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def join_snowflake_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier revenue per nation — the 6-table
+    snowflake (two independent dim chains meeting at the fact table plus
+    the customer-nation = supplier-nation residual).
+
+    Scale: every true dim chain (supplier→nation→region, customer) is an
+    explicit broadcast; orders is left UNHINTED — Catalyst auto-broadcasts
+    it under the threshold at test scale, and at 100 TB AQE plans the
+    lineitem⋈orders sort-merge on o_orderkey, the only unavoidable
+    fact-fact shuffle. The region filter prunes before any join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              (li.l_suppkey == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.expr(dsum("l_extendedprice * (1 - l_discount)", "revenue")),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "join_interval_events",
+    oracle=EVENTS_NORM_SQL
+    + """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND epoch_us(p.ts) > epoch_us(c.ts)
+     AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+    ORDER BY c.user_id, click_id, purchase_id
+    """,
+)
+def join_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: click→purchase attribution pairs where the
+    purchase lands within 30 minutes after the click, per user.
+
+    The equi-key (user_id) carries the shuffle; the time range is a
+    residual predicate on the joined pairs, so the plan is a plain
+    hash/sort-merge join per user — never a cross product. This batch form
+    is exactly Spark's stream-stream inner join shape (equi key +
+    event-time range), where the range bound doubles as the watermark
+    state-eviction rule."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts_us").alias("c_us")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("p_us"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_us") > F.col("c_us"))
+            & (F.col("p_us") <= F.col("c_us") + 1_800_000_000),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            (F.col("p_us") - F.col("c_us")).alias("lag_us"),
+        )
+        .orderBy("user_id", "click_id", "purchase_id")
+    )
