@@ -478,3 +478,34 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT event_type, cast(floor(value / 50.0) AS int) AS bucket,
+           cast(count(*) AS bigint) AS n,
+           round(cast(min(value) AS double), 6) AS lo,
+           round(cast(max(value) AS double), 6) AS hi
+    FROM events
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per key (width 50) — one hash agg on
+    (key, bucket); the bucket expression is identical row-level IEEE
+    arithmetic in both engines, so assignment is deterministic. This is
+    the scalable histogram: bucket count is fixed, so shuffle volume is
+    O(keys x buckets) regardless of row count."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 50.0).cast("int")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value").cast("double"), 6).alias("lo"),
+            F.round(F.max("value").cast("double"), 6).alias("hi"),
+        )
+        .orderBy("event_type", "bucket")
+    )

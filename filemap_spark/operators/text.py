@@ -569,3 +569,49 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_chunk_overlap",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (SELECT unnest(generate_series(0, 20)) AS i)
+    SELECT doc_id, cast(i AS int) AS chunk_idx,
+           array_to_string(w[(i*20)+1 : (i*20)+30], ' ') AS chunk_text,
+           cast(len(w[(i*20)+1 : (i*20)+30]) AS int) AS n_tokens
+    FROM d, g
+    WHERE i*20 < len(w)
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the RAG/context-prep primitive:
+    30-token chunks with stride 20 (10-token overlap), emitted as
+    (doc_id, chunk_idx, chunk_text, n_tokens).
+
+    Shuffle-free: tokens stay an array column, chunk indices come from an
+    exploded `sequence`, and the slice happens per row — each input doc
+    expands to ceil(n/stride) rows in the same task at any corpus size."""
+    size, stride = 30, 20
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ").alias("w"))
+    n = F.size("w")
+    return (
+        d.select(
+            "doc_id",
+            "w",
+            F.posexplode(
+                F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int"))
+            ).alias("pos", "i"),
+        )
+        .where(F.col("i") * stride < F.size("w"))
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice("w", F.col("i") * stride + 1, size)).alias(
+                "chunk_text"
+            ),
+            F.size(F.slice("w", F.col("i") * stride + 1, size)).alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
