@@ -509,3 +509,29 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+           cast(count(DISTINCT c_mktsegment) AS bigint) AS n_segments
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (listagg) — deterministic via sort-before-join:
+    Spark's collect_set is unordered, so the array is sorted before
+    array_join; the oracle's ORDER BY inside string_agg is the same rule."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias(
+                "segments"
+            ),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -341,3 +341,48 @@ def fn_hash_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("text_sha256"),
         F.substring(F.md5(F.concat_ws(":", "lang", "source")), 1, 8).alias("bucket_hash"),
     )
+
+
+@query(
+    "fn_struct_map",
+    oracle="""
+    SELECT o_orderkey,
+           struct_pack(prio := o_orderpriority, price := round(cast(o_totalprice AS double), 6)).prio AS prio,
+           round(struct_pack(prio := o_orderpriority, price := round(cast(o_totalprice AS double), 6)).price, 6) AS price,
+           (map(['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'],
+                [1,2,3,4,5])[o_orderpriority])[1] AS prio_rank
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def fn_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type scalar surface: pack a struct, read its fields back, and
+    look a key up in a map literal (DuckDB map access yields a 1-element
+    list, unwrapped with [1] in the oracle; Spark element_at returns the
+    scalar directly). The contract parquet has no struct/map columns
+    (SURVEY §1.3), so this op exercises construction + access."""
+    orders = load_table(spark, sf_dir, "orders")
+    info = F.struct(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice").cast("double"), 6).alias("price"),
+    )
+    rank_map = F.create_map(
+        *[
+            x
+            for pair in [
+                (F.lit(p), F.lit(i + 1))
+                for i, p in enumerate(
+                    ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+                )
+            ]
+            for x in pair
+        ]
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            info.getField("prio").alias("prio"),
+            F.round(info.getField("price"), 6).alias("price"),
+            F.element_at(rank_map, F.col("o_orderpriority")).alias("prio_rank"),
+        )
+        .orderBy("o_orderkey")
+    )

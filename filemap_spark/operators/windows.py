@@ -231,3 +231,47 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(100).over(w).alias("centile"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "win_gaps_islands",
+    oracle=EVENTS_NORM_SQL
+    + """
+    , days AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_num FROM events
+    ), marked AS (
+      SELECT user_id, day_num,
+             day_num - row_number() OVER (PARTITION BY user_id ORDER BY day_num) AS island
+      FROM days
+    )
+    SELECT user_id, cast(min(day_num) AS bigint) AS start_day,
+           cast(max(day_num) AS bigint) AS end_day,
+           cast(count(*) AS bigint) AS n_days
+    FROM marked GROUP BY user_id, island
+    ORDER BY user_id, start_day
+    """,
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: runs of consecutive active days per user (classic
+    sessionization-by-calendar). day_num − row_number is constant within a
+    consecutive run, so one window + one agg finds every island — no
+    self-join, one shuffle on the user key."""
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            "user_id", (F.unix_micros("ts") / 86_400_000_000).cast("long").alias("day_num")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_num")
+    marked = days.withColumn("island", F.col("day_num") - F.row_number().over(w))
+    return (
+        marked.groupBy("user_id", "island")
+        .agg(
+            F.min("day_num").alias("start_day"),
+            F.max("day_num").alias("end_day"),
+            F.count("*").alias("n_days"),
+        )
+        .select("user_id", "start_day", "end_day", "n_days")
+        .orderBy("user_id", "start_day")
+    )
