@@ -24,18 +24,31 @@ _SCALE = 1_000_000
 
 
 def dsum(expr: str, alias: str) -> str:
-    """Order-independent 6dp-exact sum of a double expression (int64-scaled)."""
+    """Order-independent 6dp-exact sum of a double expression (int64-scaled).
+
+    Descale via DECIMAL division, NOT `round(double/1e6, 6)`: the scaled
+    sum lands EXACTLY on a 6-decimal boundary, so the double division sits
+    1 ulp from a rounding tie where Spark (BigDecimal HALF_UP on the exact
+    binary expansion) and DuckDB (multiply-round-divide) systematically
+    disagree — observed at sf0.1 (4373995120.140000 vs .140001). The
+    decimal path is exact and converts to the identical nearest double in
+    both engines. Runs once per group, so the per-row hot path (int64
+    scale + sum, whole-stage codegen) is unchanged."""
     return (
-        f"round(cast(sum(cast(round(({expr}) * {_SCALE}) as bigint)) as double)"
-        f" / {_SCALE}, 6) as {alias}"
+        f"cast(cast(sum(cast(round(({expr}) * {_SCALE}) as bigint)) as decimal(38,6))"
+        f" / {_SCALE} as double) as {alias}"
     )
 
 
 def davg(expr: str, alias: str, count_expr: str = "count(*)") -> str:
-    """Order-independent 6dp-rounded mean (exact scaled sum / count)."""
+    """Order-independent 6dp-rounded mean (exact scaled sum / count).
+
+    The exact-decimal descaled sum converts to an identical double in both
+    engines (see dsum); dividing by the identical count and rounding a
+    generic (non-boundary) double is then engine-stable."""
     return (
-        f"round(cast(sum(cast(round(({expr}) * {_SCALE}) as bigint)) as double)"
-        f" / {_SCALE} / {count_expr}, 6) as {alias}"
+        f"round(cast(cast(sum(cast(round(({expr}) * {_SCALE}) as bigint)) as decimal(38,6))"
+        f" / {_SCALE} as double) / {count_expr}, 6) as {alias}"
     )
 
 
