@@ -409,3 +409,43 @@ def join_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "click_id", "purchase_id")
     )
+
+
+@query(
+    "join_fuzzy_levenshtein",
+    oracle="""
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+           cast(levenshtein(a.c_name, b.c_name) AS int) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY cust_a, cust_b
+    """,
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join: near-identical customer names (edit distance ≤ 1)
+    within a blocking key (nation). The equi-key carries the shuffle and
+    bounds the candidate set to block-size² — the standard scalable
+    fuzzy-matching layout (at 100 TB the block key is a cheap canopy like
+    a name prefix or phonetic code); levenshtein runs JVM-side only on
+    in-block pairs, never the global cross product."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_name"
+    )
+    a = cust.alias("a")
+    b = cust.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+            & (dist <= 1),
+        )
+        .select(
+            F.col("a.c_custkey").alias("cust_a"),
+            F.col("b.c_custkey").alias("cust_b"),
+            dist.cast("int").alias("dist"),
+        )
+        .orderBy("cust_a", "cust_b")
+    )
