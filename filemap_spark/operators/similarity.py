@@ -348,3 +348,57 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(probe, schema="vec_id long, nbr_id long, sim double")
         .orderBy("vec_id", F.desc("sim"), "nbr_id")
     )
+
+
+@query(
+    "emb_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS e
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) AS scale
+      FROM v
+    )
+    SELECT vec_id, round(scale, 6) AS scale,
+           cast(list_max(list_transform(e, x -> floor(abs(x) / scale * 127 + 0.5))) AS int)
+             AS max_q,
+           round(list_max(list_transform(e,
+             x -> abs(x - floor(x / scale * 127 + 0.5) * scale / 127))), 6) AS max_err
+    FROM s ORDER BY vec_id
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization — the 4x storage compression a
+    100 TB vector corpus ships with: per-vector scale = max|x|, code =
+    floor(x/scale*127 + 0.5), plus the max reconstruction error.
+
+    Quantization uses floor(x + 0.5) instead of round() everywhere: floor
+    is a single IEEE operation with identical results in Spark and DuckDB,
+    while round() half-way handling is engine-specific (the dsum lesson,
+    functions/numeric.py). Pure higher-order array expressions, no UDF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("e")
+    )
+    s = v.select(
+        "vec_id", "e", F.expr("array_max(transform(e, x -> abs(x)))").alias("scale")
+    )
+    return (
+        s.select(
+            "vec_id",
+            F.round("scale", 6).alias("scale"),
+            F.expr(
+                "cast(array_max(transform(e, x -> floor(abs(x) / scale * 127 + 0.5))) AS int)"
+            ).alias("max_q"),
+            F.round(
+                F.expr(
+                    "array_max(transform(e,"
+                    " x -> abs(x - floor(x / scale * 127 + 0.5) * scale / 127)))"
+                ),
+                6,
+            ).alias("max_err"),
+        )
+        .orderBy("vec_id")
+    )
