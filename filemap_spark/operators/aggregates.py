@@ -535,3 +535,28 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "agg_bool",
+    oracle="""
+    SELECT event_type,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(value > 400) AS any_large,
+           cast(count(*) FILTER (WHERE value > 400) AS bigint) AS n_large
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any) + a filtered count — predicate
+    summaries per key, partial-agg friendly like any AND/OR fold."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.every(F.col("value") >= 0).alias("all_nonneg"),
+            F.some(F.col("value") > 400).alias("any_large"),
+            F.count_if(F.col("value") > 400).alias("n_large"),
+        )
+        .orderBy("event_type")
+    )

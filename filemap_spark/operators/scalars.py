@@ -386,3 +386,33 @@ def fn_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "fn_try_arith",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice / nullif(o_custkey % 10, 0), 6) AS safe_div,
+           try_cast(o_orderpriority AS INT) AS bad_cast,
+           try_cast(substr(o_orderpriority, 1, 1) AS INT) AS good_cast
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic surface: try_divide (NULL on /0, matching the
+    oracle's nullif form) and try_cast (NULL on malformed input instead of
+    an ANSI error) — the fault-tolerant posture a pipeline over dirty
+    100 TB data needs, with failures surfacing as NULLs that flow through
+    aggregation instead of killing the job."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.round(F.try_divide("o_totalprice", F.col("o_custkey") % 10), 6).alias(
+                "safe_div"
+            ),
+            F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+            F.substring("o_orderpriority", 1, 1).try_cast("int").alias("good_cast"),
+        )
+        .orderBy("o_orderkey")
+    )
