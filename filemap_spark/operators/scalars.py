@@ -416,3 +416,29 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "fn_base64",
+    oracle="""
+    SELECT doc_id,
+           base64(cast(substr(text, 1, 24) AS BLOB)) AS b64,
+           cast(from_base64(base64(cast(substr(text, 1, 24) AS BLOB))) AS VARCHAR) AS roundtrip
+    FROM documents ORDER BY doc_id
+    """,
+)
+def fn_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """base64 encode/decode round-trip over a text prefix — the binary
+    transport encoding for opaque payloads (multimodal columns travel
+    through JSON/CSV sinks this way)."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring("text", 1, 24)
+    b64 = F.base64(prefix.cast("binary"))
+    return (
+        docs.select(
+            "doc_id",
+            b64.alias("b64"),
+            F.unbase64(b64).cast("string").alias("roundtrip"),
+        )
+        .orderBy("doc_id")
+    )

@@ -107,3 +107,34 @@ def scan_text_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     docs.select("text").write.mode("overwrite").option("compression", "gzip").text(out)
     return spark.read.text(out).agg(F.count("*").alias("n_lines"))
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CAST(NULL AS VARCHAR) AS n_comment_v2
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_name, 'v2:' || n_name AS n_comment_v2
+    FROM nation
+    ORDER BY n_nationkey, n_comment_v2 NULLS FIRST
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: two parquet generations of one dataset directory —
+    v1 without, v2 with a new column — read as one table via mergeSchema;
+    v1 rows surface NULL for the added column. This is how a 100 TB
+    append-only dataset gains columns without rewriting history."""
+    out = _tmpdir("evolve")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation.write.mode("overwrite").parquet(os.path.join(out, "gen=1"))
+    nation.withColumn(
+        "n_comment_v2", F.concat(F.lit("v2:"), F.col("n_name"))
+    ).write.mode("overwrite").parquet(os.path.join(out, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "gen=1"), os.path.join(out, "gen=2")
+    )
+    return merged.select("n_nationkey", "n_name", "n_comment_v2").orderBy(
+        "n_nationkey", F.col("n_comment_v2").asc_nulls_first()
+    )
