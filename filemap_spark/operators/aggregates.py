@@ -560,3 +560,32 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_topn_array",
+    oracle="""
+    SELECT o_custkey,
+           (array_agg(o_totalprice ORDER BY o_totalprice DESC, o_orderkey))[1:3]
+             AS top3_prices,
+           cast(count(*) AS bigint) AS n_orders
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def agg_topn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N values as an array per group WITHOUT a window: collect, sort
+    descending, slice. At scale this beats the window form when N is small
+    and groups are many (one agg, no per-group sort of full partitions —
+    though collect_list holds each group's values, so it suits bounded
+    groups; the window form is the unbounded-group fallback)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "slice(reverse(array_sort(collect_list(o_totalprice))), 1, 3)"
+            ).alias("top3_prices"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )

@@ -205,3 +205,44 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.orderBy("doc_id")
+
+
+@query(
+    "dedup_apply_survivors",
+    oracle=f"""
+    WITH RECURSIVE {JACCARD_PAIR_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jac_pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM jac_pairs
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+    labeled AS (
+      SELECT d.doc_id,
+             coalesce(least(c.component, d.doc_id), d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT component AS survivor_id, cast(count(*) AS bigint) AS cluster_size,
+           cast(count(*) - 1 AS bigint) AS n_removed
+    FROM labeled GROUP BY component ORDER BY survivor_id
+    """,
+)
+def dedup_apply_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's OUTPUT step: collapse each ≥0.8-Jaccard
+    connected component to its min-doc_id survivor, reporting cluster size
+    and rows removed — what a corpus-dedup job actually materializes
+    (composition of dedup_connected_components + one aggregate)."""
+    labels = dedup_connected_components(spark, sf_dir)
+    return (
+        labels.groupBy(F.col("component").alias("survivor_id"))
+        .agg(
+            F.count("*").alias("cluster_size"),
+            (F.count("*") - 1).alias("n_removed"),
+        )
+        .orderBy("survivor_id")
+    )
