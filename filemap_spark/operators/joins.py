@@ -449,3 +449,57 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust_a", "cust_b")
     )
+
+
+@query(
+    "join_shipping_priority_q3",
+    oracle=f"""
+    SELECT l_orderkey, {dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           epoch_us(o_orderdate) AS orderdate_us, o_orderpriority
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '2000-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def join_shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped orders by revenue for one market
+    segment — opposing date predicates on orders (placed before the cutoff)
+    and lineitem (shipped after it), both pushed to their scans; the
+    filtered customer segment broadcasts so lineitem only shuffles for the
+    orders equi-join, and the top-10 collapses to TakeOrderedAndProject."""
+    cutoff = F.lit("2000-03-15").cast("timestamp_ntz")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.expr(dsum("l_extendedprice * (1 - l_discount)", "revenue")))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
