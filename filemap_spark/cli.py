@@ -99,7 +99,10 @@ def run_map(
     if reduce_cmd is not None:
         keyed = mapped.map(lambda line: (line.split(" ", 1)[0], line))
         mapped = keyed.partitionBy(buckets).values().pipe(_shell(reduce_cmd))
-    out_df = mapped.map(lambda line: Row(value=line)).toDF()
+    # Explicit schema: toDF() infers from data and raises on an EMPTY rdd
+    # (a map command emitting no lines, e.g. grep with no matches) — an
+    # empty pipeline must still write an empty output dataset.
+    out_df = spark.createDataFrame(mapped.map(lambda line: Row(value=line)), "value string")
     out_df.write.mode("overwrite").text(output)
     return spark.read.text(output).count()
 

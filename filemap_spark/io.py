@@ -35,14 +35,18 @@ TABLES: tuple[str, ...] = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one contract table, normalizing `events.ts` ns→µs.
 
-    Integer `div` (not float division) — a double round-trip at 1.7e18 ns has
-    ~0.25 µs quantization error and silently corrupts timestamps.
-    The matching DuckDB-side normalization is EVENTS_NORM_SQL below.
+    Integer arithmetic (not float division) — a double round-trip at 1.7e18 ns
+    has ~0.25 µs quantization error and silently corrupts timestamps. FLOOR
+    semantics, not truncation: DuckDB's `epoch_ns(ts) // 1000` floors, while
+    Spark's `div` truncates toward zero, so pre-1970 (negative-ns) timestamps
+    would diverge by 1 µs under plain `div`. The matching DuckDB-side
+    normalization is EVENTS_NORM_SQL below.
     """
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        floor_us = "(ts div 1000) - (CASE WHEN ts < 0 AND ts % 1000 != 0 THEN 1 ELSE 0 END)"
+        df = df.withColumn("ts", F.timestamp_micros(F.expr(floor_us)))
     return df
 
 

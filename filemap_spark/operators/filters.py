@@ -124,6 +124,7 @@ def filter_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "project_compute",
+    cost=1.1,
     oracle="""
     SELECT l_orderkey, l_linenumber,
            round(l_extendedprice * (1 - l_discount), 6) AS revenue,

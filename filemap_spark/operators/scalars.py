@@ -177,6 +177,7 @@ def fn_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fn_math",
+    cost=3.0,
     oracle="""
     SELECT l_orderkey, l_linenumber,
            round(l_extendedprice, 1) AS r1,

@@ -166,6 +166,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_knn_label",
+    cost=1.5,
     oracle=_COSINE_ORACLE_CORE
     + """
     , votes AS (
@@ -209,7 +210,9 @@ def sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), means AS (
       SELECT label, pos, round(avg(v), 6) AS m FROM elems GROUP BY label, pos
     )
-    SELECT label, array_agg(m ORDER BY pos) AS centroid
+    SELECT label,
+           array_to_string(list_transform(array_agg(m ORDER BY pos),
+                                          x -> printf('%.6f', x)), ',') AS centroid
     FROM means GROUP BY label ORDER BY label
     """,
 )
@@ -217,7 +220,11 @@ def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean vector per label — posexplode to (label, pos, v), mean per
     coordinate, re-assemble ordered by position. Stays fully distributed
     (no vector ever materializes on the driver); ~200-value coordinate means
-    are far below 6dp accumulation noise."""
+    are far below 6dp accumulation noise.
+
+    The centroid is emitted as a comma-joined 6dp-formatted STRING rather
+    than array<double>: grading canonicalizers hash scalar cells and crash
+    on raw array columns; the fixed formatting keeps engine parity exact."""
     emb = load_table(spark, sf_dir, "embeddings")
     elems = emb.select(
         "label", F.posexplode("embedding").alias("pos", "v")
@@ -226,9 +233,10 @@ def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         means.groupBy("label")
         .agg(
-            F.expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").alias(
-                "centroid"
-            )
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(pos, m))),"
+                " x -> format_string('%.6f', x.m)), ',')"
+            ).alias("centroid")
         )
         .orderBy("label")
     )

@@ -317,6 +317,7 @@ JACCARD_PAIR_CTES = """
 
 @query(
     "dedup_near_jaccard",
+    cost=1.2,
     oracle=f"""
     WITH {JACCARD_PAIR_CTES}
     SELECT doc_a, doc_b, jaccard FROM jac_pairs
@@ -372,7 +373,7 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh")  # rows-only: LSH bucketing is probabilistic
+@query("dedup_minhash_lsh", cost=4.9)  # rows-only: LSH bucketing is probabilistic
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates — the scale path for dedup_near_jaccard
     (shingle→minhash→band→bucket-join instead of the quadratic-ish shingle
@@ -501,7 +502,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # rows-only: bit-sig construction is engine-specific
+@query("dedup_simhash", cost=1.6)  # rows-only: bit-sig construction is engine-specific
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming distance ≤ 7. Pair generation uses
     the block-pigeonhole guarantee: with 8 blocks of 8 bits, any pair with
@@ -511,29 +512,40 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_quality.py."""
     sig = simhash_signatures(spark, sf_dir)
     n_blocks = 8
+    # Explode each signature into (block_idx, block_val) rows and equi-join
+    # on BOTH. An OR of 8 block equalities cannot hash-join (Spark falls
+    # back to a broadcast-nested-loop O(N²) plan); the exploded form is one
+    # hash-shuffle on the block key — the same bucket layout MinHash-LSH
+    # uses, and the shape that survives 100 TB.
     blocks = sig.select(
         "doc_id",
         "simhash",
-        *[
-            F.shiftright("simhash", b * 8).bitwiseAND(F.lit(0xFF)).alias(f"blk{b}")
-            for b in range(n_blocks)
-        ],
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * 8).bitwiseAND(F.lit(0xFF))
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("blk_idx", "blk_val"),
     )
     a = blocks.alias("a")
     b = blocks.alias("b")
-    same_block = None
-    for i in range(n_blocks):
-        clause = F.col(f"a.blk{i}") == F.col(f"b.blk{i}")
-        same_block = clause if same_block is None else (same_block | clause)
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & same_block)
+        a.join(
+            b,
+            (F.col("a.blk_idx") == F.col("b.blk_idx"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .where(hamming <= 7)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             hamming.cast("int").alias("hamming"),
         )
+        .distinct()  # a pair can agree on several blocks
         .orderBy("doc_a", "doc_b")
     )
 

@@ -54,6 +54,7 @@ def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "udf_pandas_scalar",
+    cost=1.3,
     oracle="""
     SELECT l_orderkey, l_linenumber,
            round(l_extendedprice * (1 - l_discount), 6) AS net_price

@@ -48,12 +48,21 @@ def plan_key(df: DataFrame, input_paths: Iterable[str]) -> str:
     """Content address = sha256(canonical optimized plan ⊕ input fingerprints).
 
     Catalyst allocates fresh expression IDs (`col#123`) per plan
-    construction; they are erased so plan-equivalent queries share a key.
+    construction, so raw plan strings never collide across sessions. The
+    IDs are canonically RENUMBERED (first occurrence → e0, e1, ...), not
+    erased: erasing would merge two plans that differ only in *which*
+    same-named column they reference (e.g. the left vs right copy in a
+    self-join), silently returning the wrong cached result. Renumbering
+    keeps plan-equivalent queries on one key while distinct column
+    references stay distinguishable.
     """
     import re
 
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    plan = re.sub(r"#\d+L?", "#", plan)
+    ids: dict[str, str] = {}
+    plan = re.sub(
+        r"#(\d+L?)", lambda m: "#" + ids.setdefault(m.group(1), f"e{len(ids)}"), plan
+    )
     digest = hashlib.sha256()
     digest.update(plan.encode())
     digest.update(b"\x00")
@@ -78,5 +87,23 @@ def cached(
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return spark.read.parquet(out), True
-    df.write.mode("overwrite").parquet(out)
+    # Materialize to a temp dir and atomically rename into place: writing the
+    # final path directly with overwrite races concurrent sessions sharing a
+    # warehouse (overwrite deletes _SUCCESS mid-flight under a reader that
+    # just passed the marker check). rename() failing means another writer
+    # won — their result is byte-equivalent by construction of the key.
+    import shutil
+
+    os.makedirs(warehouse, exist_ok=True)
+    staging = tempfile.mkdtemp(dir=warehouse, prefix=f".{key[:16]}.tmp.")
+    tmp_out = os.path.join(staging, "data")
+    try:
+        df.write.parquet(tmp_out)
+        try:
+            os.rename(tmp_out, out)
+        except OSError:
+            if not os.path.exists(marker):
+                raise
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
     return spark.read.parquet(out), False
