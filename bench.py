@@ -31,7 +31,30 @@ HEADLINE = (
 )
 
 
+def _prev_round_timings(here: str, sf: float | None) -> dict[str, float]:
+    """Per-query warm timings from the newest committed BENCH_r{N}.json at
+    the same scale factor — the regression baseline for this run."""
+    import glob
+
+    best: tuple[int, dict[str, float]] | None = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            parsed = json.load(open(path)).get("parsed") or {}
+        except Exception:
+            continue
+        if not parsed or parsed.get("sf") != sf:
+            continue
+        n = int(m.group(1))
+        if best is None or n > best[0]:
+            best = (n, parsed.get("queries") or {})
+    return best[1] if best else {}
+
+
 def main() -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(match.group(1)) if match else None
@@ -50,6 +73,15 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    # Mechanical regression guard: this_round / prev_round per query
+    # (>1.0 = slower than the previous committed round).
+    prev = _prev_round_timings(here, sf)
+    vs_prev = {
+        name: round(t / prev[name], 3)
+        for name, t in timings.items()
+        if prev.get(name)
+    }
+
     print(
         json.dumps(
             {
@@ -58,6 +90,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "vs_prev": vs_prev,
             }
         )
     )

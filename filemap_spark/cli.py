@@ -5,6 +5,8 @@ over directories of text files), re-expressed on Spark.
     python -m filemap_spark map  INPUT OUTPUT --cmd "grep foo"
     python -m filemap_spark mapreduce INPUT OUTPUT \
         --cmd "tr ' ' '\\n'" --reduce "sort | uniq -c" [--buckets 32]
+    python -m filemap_spark pipeline INPUT OUTPUT \
+        --cmd "tr ' ' '\\n'" --reduce "sort | uniq -c" --cmd "grep -v '^1 '"
     python -m filemap_spark query OUTPUT_TABLE "SELECT ..."   # SQL over views
 
 Semantics preserved from the reference:
@@ -18,6 +20,13 @@ Semantics preserved from the reference:
   already produced OUTPUT is skipped — filemap's make-like rule. The
   fingerprint covers input file names/sizes/mtimes and both command
   strings.
+- pipelines: the `pipeline` verb chains ANY number of --cmd / --reduce
+  stages in the order given on the command line (filemap's multi-stage
+  dataset DAG). Each stage materializes its own dataset directory
+  (OUTPUT/stage00, stage01, ... and OUTPUT/final) and carries its own memo
+  fingerprint (that stage's input files + command), so with `--memo` a
+  re-run recomputes ONLY the stages whose inputs or command changed —
+  make-semantics per stage, exactly the reference's cached-dataset chain.
 - incremental: with `--stream`, the input is consumed through a
   Structured-Streaming file source with `trigger(availableNow=True)` —
   re-running after new files appear processes ONLY the new files
@@ -107,6 +116,69 @@ def run_map(
     return spark.read.text(output).count()
 
 
+def run_stage(
+    spark: SparkSession,
+    input_path: str,
+    output: str,
+    kind: str,
+    cmd: str,
+    buckets: int = 32,
+    partitions: int | None = None,
+) -> int:
+    """One pipeline stage: `map` pipes every partition's lines through the
+    shell command; `reduce` first shuffles lines into hash buckets by their
+    leading whitespace-delimited field, then pipes each bucket."""
+    lines = spark.read.text(input_path).rdd.map(lambda r: r[0])
+    if partitions:
+        lines = lines.repartition(partitions)
+    if kind == "reduce":
+        keyed = lines.map(lambda line: (line.split(" ", 1)[0], line))
+        lines = keyed.partitionBy(buckets).values()
+    piped = lines.pipe(_shell(cmd))
+    out_df = spark.createDataFrame(piped.map(lambda line: Row(value=line)), "value string")
+    out_df.write.mode("overwrite").text(output)
+    return spark.read.text(output).count()
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    output: str,
+    stages: list[tuple[str, str]],
+    buckets: int = 32,
+    partitions: int | None = None,
+    memo: bool = False,
+) -> int:
+    """Chain (kind, cmd) stages through per-stage dataset directories.
+
+    Stage i reads stage i-1's directory (stage 0 reads INPUT) and writes
+    OUTPUT/stage{i:02d}; the last stage writes OUTPUT/final. With `memo`,
+    each stage is skipped when its own (input files, command) fingerprint
+    matches the marker in its directory — and because the fingerprint
+    covers the PREVIOUS stage's output files, invalidation cascades
+    downstream exactly like make: touch the input or edit stage 2's
+    command and stages 2..n rerun while 0..1 are reused."""
+    if not stages:
+        raise ValueError("pipeline needs at least one --cmd/--reduce stage")
+    cur = input_path
+    n = 0
+    for i, (kind, cmd) in enumerate(stages):
+        is_last = i == len(stages) - 1
+        stage_out = os.path.join(output, "final" if is_last else f"stage{i:02d}")
+        fp = _fingerprint(cur, [f"{kind}\x00{cmd}"])
+        if memo and _memo_hit(stage_out, fp):
+            print(f"memo hit: stage {i} ({kind}) up to date", file=sys.stderr)
+            n = spark.read.text(stage_out).count()
+        else:
+            n = run_stage(
+                spark, cur, stage_out, kind, cmd, buckets=buckets, partitions=partitions
+            )
+            if memo:
+                _write_memo(stage_out, fp)
+        cur = stage_out
+    return n
+
+
 def run_map_stream(
     spark: SparkSession, input_path: str, output: str, cmd: str
 ) -> int:
@@ -136,6 +208,15 @@ def run_map_stream(
     return spark.read.text(data_dir).count()
 
 
+class _StageAction(argparse.Action):
+    """Collect repeated --cmd/--reduce flags as an ORDERED stage list."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        stages = getattr(namespace, "stages", None) or []
+        stages.append(("map" if option_string == "--cmd" else "reduce", values))
+        namespace.stages = stages
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="filemap_spark", description=__doc__)
     sub = ap.add_subparsers(dest="verb", required=True)
@@ -152,7 +233,31 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--memo", action="store_true")
         p.add_argument("--stream", action="store_true")
 
+    p = sub.add_parser("pipeline", help="chain --cmd/--reduce stages in CLI order")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--cmd", action=_StageAction, help="append a map stage")
+    p.add_argument("--reduce", action=_StageAction, dest="stages", help="append a reduce stage")
+    p.add_argument("--buckets", type=int, default=32)
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--memo", action="store_true")
+
     args = ap.parse_args(argv)
+    if args.verb == "pipeline":
+        from filemap_spark.session import get_spark
+
+        spark = get_spark("filemap-cli")
+        n = run_pipeline(
+            spark,
+            args.input,
+            args.output,
+            getattr(args, "stages", None) or [],
+            buckets=args.buckets,
+            partitions=args.partitions,
+            memo=args.memo,
+        )
+        print(f"{n} lines -> {os.path.join(args.output, 'final')}", file=sys.stderr)
+        return 0
     from filemap_spark.session import get_spark
 
     spark = get_spark("filemap-cli")

@@ -1,21 +1,34 @@
 """§2.11 Embedding similarity — cosine top-k, k-NN labeling, per-label
-centroids, and an IVF-style ANN path (north-star LLM-pipeline additions).
+centroids, embedding near-dup pairs, and an IVF-style ANN path (north-star
+LLM-pipeline additions).
 
-Architecture (SURVEY §4.3.3): the graded cosine top-k runs as a
-`mapInPandas` + numpy blocked matmul against a broadcast float64 matrix —
-the BASELINE-mandated fast path (pure SQL higher-order form measured 34.5 s
-vs ≤5 s target at sf0.1). Numeric parity with DuckDB's
-`list_cosine_similarity` on DOUBLE[] holds because both sides compute in
-float64 and rank by the 6dp-rounded similarity with vec_id tiebreaks.
+Architecture (SURVEY §4.3.3), round-2 revision — nothing index-shaped ever
+materializes on the driver:
 
-Scale: broadcast works while the index side fits an executor (~GBs = tens of
-millions of 64-d vectors); beyond that, sim_ann_ivf shows the
-cluster-pruned layout (coarse quantizer → per-cell join) that replaces the
-full cross product.
+- The brute-force top-k path runs as `mapInPandas` + numpy blocked matmul.
+  Each PYTHON WORKER reads the index parquet itself (pyarrow) and caches it
+  per dataset version — replacing round 1's driver `.toPandas()` +
+  broadcast, which was the one 100×-scale bottleneck in the module. On a
+  cluster the path is a shared-filesystem/object-store URI, readable from
+  executors exactly like the driver.
+- The IVF path is fully distributed: the coarse quantizer is trained on a
+  BOUNDED deterministic sample (TakeOrdered by content hash, never a full
+  collect), cell assignment runs in `mapInPandas` against the tiny
+  broadcast centroid matrix, the index stays hash-partitioned by cell, and
+  queries cogroup-join only their probed cells.
+- `dedup_embedding_cosine` generates candidate pairs per cell with an
+  EXACT ball-pruning bound (triangle inequality on angles), so it keeps
+  hash-matching the all-pairs oracle while doing only the per-cell matmuls
+  the bound cannot exclude.
+
+Numeric parity with DuckDB's `list_cosine_similarity` on DOUBLE[] holds
+because both sides compute in float64 and compare the 6dp-rounded
+similarity with vec_id tiebreaks.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -52,33 +65,45 @@ def _normalized_matrix(df_pandas: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]
     return ids, mat / norms
 
 
-# Index matrices are deterministic per dataset dir; rebuilding one per query
-# call would re-run a Spark collect each time. Keyed by (sf_dir, file state).
-_INDEX_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
-
-
-def _load_index(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    """(ids, normalized matrix) for the embeddings table, cached per dataset.
-
-    The cache key includes the parquet files' (name, size, mtime) so a
-    rewritten dataset invalidates — same make-style rule as the memoization
-    layer (SURVEY §4.3.1)."""
-    import os
-
+def _index_location(sf_dir: str) -> tuple[str, tuple]:
+    """(path, file-state fingerprint) of the embeddings table. The
+    fingerprint ((name, size, mtime_ns) per file) rides into worker
+    closures so a rewritten dataset invalidates executor-side caches —
+    the same make-style rule as the memoization layer (SURVEY §4.3.1)."""
     path = os.path.join(sf_dir, "embeddings.parquet")
     stat: list[tuple] = []
-    for root, _, files in os.walk(path):
-        for f in sorted(files):
-            st = os.stat(os.path.join(root, f))
-            stat.append((f, st.st_size, st.st_mtime_ns))
-    if os.path.isfile(path):
+    if os.path.isdir(path):
+        for root, _, files in os.walk(path):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                stat.append((f, st.st_size, st.st_mtime_ns))
+    elif os.path.isfile(path):
         st = os.stat(path)
         stat.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
-    key = (sf_dir, tuple(stat))
-    if key not in _INDEX_CACHE:
-        emb = load_table(spark, sf_dir, "embeddings")
-        _INDEX_CACHE[key] = _normalized_matrix(emb.select("vec_id", "embedding").toPandas())
-    return _INDEX_CACHE[key]
+    return path, tuple(stat)
+
+
+# Per-PYTHON-WORKER cache of the normalized index: executor memory, not
+# driver memory. Bounded to the single latest (path, fingerprint) entry —
+# long-lived workers serving many datasets never accumulate stale copies.
+_WORKER_INDEX: dict[str, object] = {}
+
+
+def _worker_index(path: str, fingerprint: tuple) -> tuple[np.ndarray, np.ndarray]:
+    """Read the index parquet ON THE EXECUTOR and cache it per worker.
+
+    This is the side-input pattern: the driver ships only (path,
+    fingerprint); each Python worker pulls the columns it needs with
+    pyarrow directly from shared storage, once per dataset version. The
+    driver never holds a vector. Reads happen where the flops happen."""
+    key = (path, fingerprint)
+    if _WORKER_INDEX.get("key") != key:
+        import pyarrow.parquet as pq
+
+        pdf = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
+        _WORKER_INDEX["key"] = key
+        _WORKER_INDEX["value"] = _normalized_matrix(pdf)
+    return _WORKER_INDEX["value"]  # type: ignore[return-value]
 
 
 def _topk_against_index(
@@ -123,18 +148,17 @@ def _topk_against_index(
 
 
 def _cosine_topk_frame(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
-    """Top-k cosine neighbors per vector via broadcast matrix + blocked numpy
-    matmul inside mapInPandas (Arrow-batched; no per-row Python).
+    """Top-k cosine neighbors per vector: executor-side index read + blocked
+    numpy matmul inside mapInPandas (Arrow-batched; no per-row Python).
 
     The query side is repartitioned to the session's parallelism when the
     source arrives as a single file split, so the matmul fans out across
     executor cores instead of serializing through one Python worker."""
     emb = load_table(spark, sf_dir, "embeddings")
-    ids, mat = _load_index(spark, sf_dir)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    path, fingerprint = _index_location(sf_dir)
 
     def topk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        index_ids, index_mat = bc.value
+        index_ids, index_mat = _worker_index(path, fingerprint)
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -152,6 +176,7 @@ def _cosine_topk_frame(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFram
 
 @query(
     "sim_cosine_topk",
+    cost=2.6,
     oracle=_COSINE_ORACLE_CORE
     + """
     SELECT vec_id, nbr_id, sim FROM ranked WHERE rn <= 5
@@ -242,8 +267,81 @@ def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _train_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = 8,
+    n_iters: int = 5,
+    max_sample: int = 4096,
+) -> np.ndarray:
+    """Coarse IVF quantizer trained on a BOUNDED deterministic sample.
+
+    The sample is the max_sample rows with the smallest content hash
+    (TakeOrdered — an O(N) scan with per-partition top-k, never a full
+    collect or shuffle), so driver memory is capped at max_sample × dim
+    float64 regardless of corpus size. Init = first n_cells sample vectors
+    in vec_id order; Lloyd iterations on cosine similarity. Deterministic
+    end to end, so tests and operators recompute identical centroids.
+
+    NOTE: the embeddings table's `label` column is NOT a geometric cluster
+    (measured: top-5 neighbors share the query's label ~10% ≈ chance at
+    every SF), so the quantizer must be learned from the vectors."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sample_pdf = (
+        emb.orderBy(F.xxhash64(F.col("vec_id").cast("string")), "vec_id")
+        .limit(max_sample)
+        .toPandas()
+    )
+    raw_ids, raw_mat = _normalized_matrix(sample_pdf)
+    order = np.argsort(raw_ids, kind="stable")
+    mat = raw_mat[order]
+    cents = mat[:n_cells].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(n_cells):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    return cents
+
+
+def _cell_index(spark: SparkSession, sf_dir: str, cents: np.ndarray) -> DataFrame:
+    """(vec_id, cell, angle, embedding): distributed nearest-centroid
+    assignment in one mapInPandas pass against the tiny broadcast centroid
+    matrix. `embedding` is the row-NORMALIZED float64 vector (cosine of
+    normalized vectors = dot product downstream); `angle` = arccos of the
+    similarity to the assigned centroid, used for ball-pruning radii."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, mat = _normalized_matrix(pdf)
+            sims = mat @ c.T
+            cell = np.argmax(sims, axis=1)
+            best = sims[np.arange(len(ids)), cell]
+            angle = np.arccos(np.clip(best, -1.0, 1.0))
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cell": cell.astype(np.int32),
+                    "angle": angle,
+                    "embedding": list(mat),
+                }
+            )
+
+    return emb.mapInPandas(
+        assign, schema="vec_id long, cell int, angle double, embedding array<double>"
+    )
+
+
 @query(
     "dedup_embedding_cosine",
+    cost=1.2,
     oracle="""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_cosine_similarity(
@@ -257,103 +355,181 @@ def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: (a < b, rounded sim >= t).
+    """Embedding-cosine near-duplicate pairs: (a < b, rounded sim >= t) —
+    the training-pipeline dedup primitive for semantic duplicates.
 
-    The training-pipeline dedup primitive for semantic duplicates. The
-    contract embeddings are isotropic (measured max pairwise cosine ~0.51),
-    so t=0.4 is data-tuned to exercise the operator; production text dedup
-    uses t~0.95. Same broadcast-matrix + blocked-matmul layout as the top-k
-    path: each Arrow batch of query vectors does one numpy matmul against
-    the broadcast index and emits only its upper-triangle (a < b) hits, so
-    the pair blow-up never materializes JVM-side. At index sizes beyond
-    executor memory, sim_ann_ivf's cell partitioning bounds each matmul."""
+    Cell-bucketed EXACT pair generation (round-2 rewrite of the all-pairs
+    broadcast matmul): vectors are assigned to IVF cells; each cell keeps
+    its max member-to-centroid angle R_c; a query q probes every cell c
+    with angle(q, c) <= arccos(t) + R_c. By the triangle inequality any
+    pair within the threshold shares a (query, probed-cell-of-partner)
+    route, so recall is 100% BY CONSTRUCTION — the oracle stays the exact
+    all-pairs SQL — while the matmul work drops to the per-cell blocks the
+    ball bound cannot exclude. Each unordered pair is emitted exactly once
+    (from the smaller id probing the larger id's cell; same-cell pairs
+    self-probe), so no distinct pass is needed. On clustered corpora the
+    bound prunes most cells; on adversarially isotropic data it degrades
+    toward all-pairs, which any exact algorithm must. At 100 TB, n_cells
+    scales with corpus size so per-cell blocks stay executor-sized, and
+    the cogroup shuffles each vector nprobe-ish times — never N².
+
+    The contract embeddings are isotropic (measured max pairwise cosine
+    ~0.51), so t=0.4 is data-tuned to exercise the operator; production
+    text dedup uses t~0.95 where the ball bound prunes hard."""
     threshold = 0.4
-    emb = load_table(spark, sf_dir, "embeddings")
-    ids, mat = _load_index(spark, sf_dir)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    cents = _train_centroids(spark, sf_dir)
+    index = _cell_index(spark, sf_dir, cents)
+    # n_cells rows — a tiny, justified driver action (like a collected dim)
+    radii_rows = index.groupBy("cell").agg(F.max("angle").alias("radius")).collect()
+    radii = np.zeros(len(cents))
+    for r in radii_rows:
+        radii[r["cell"]] = r["radius"]
+    # margin covers 6dp rounding of sims (t - 1e-6) and float64 angle error
+    max_angle = float(np.arccos(threshold - 1e-6)) + 1e-9
+    bc = spark.sparkContext.broadcast((cents, radii))
 
-    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        index_ids, index_mat = bc.value
-        for pdf_b in batches:
-            if pdf_b.empty:
+    def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c, rad = bc.value
+        for pdf in batches:
+            if pdf.empty:
                 continue
-            q_ids, q_mat = _normalized_matrix(pdf_b)
-            sims = np.round(q_mat @ index_mat.T, 6)
-            qi, bi = np.nonzero((sims >= threshold) & (q_ids[:, None] < index_ids[None, :]))
+            ids, mat = _normalized_matrix(pdf)
+            ang = np.arccos(np.clip(mat @ c.T, -1.0, 1.0))
+            qi, ci = np.nonzero(ang <= max_angle + rad[None, :])
             yield pd.DataFrame(
-                {"vec_a": q_ids[qi], "vec_b": index_ids[bi], "sim": sims[qi, bi]}
+                {
+                    "vec_id": ids[qi],
+                    "cell": ci.astype(np.int32),
+                    "embedding": list(mat[qi]),
+                }
             )
 
-    return (
-        emb.select("vec_id", "embedding")
-        .mapInPandas(pairs, schema="vec_a long, vec_b long, sim double")
-        .orderBy("vec_a", "vec_b")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q_df = emb.mapInPandas(probes, schema="vec_id long, cell int, embedding array<double>")
+
+    def pair_fn(q_pdf: pd.DataFrame, i_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []})
+        if q_pdf.empty or i_pdf.empty:
+            return empty
+        q_ids = q_pdf["vec_id"].to_numpy(dtype=np.int64)
+        q_mat = np.vstack(q_pdf["embedding"].to_numpy())
+        i_ids = i_pdf["vec_id"].to_numpy(dtype=np.int64)
+        i_mat = np.vstack(i_pdf["embedding"].to_numpy())
+        sims = np.round(q_mat @ i_mat.T, 6)
+        qi, bi = np.nonzero((sims >= threshold) & (q_ids[:, None] < i_ids[None, :]))
+        return pd.DataFrame(
+            {"vec_a": q_ids[qi], "vec_b": i_ids[bi], "sim": sims[qi, bi]}
+        )
+
+    pairs = (
+        q_df.groupby("cell")
+        .cogroup(index.groupby("cell"))
+        .applyInPandas(pair_fn, schema="vec_a long, vec_b long, sim double")
+    )
+    return pairs.orderBy("vec_a", "vec_b")
+
+
+def _cell_topk(
+    q_ids: np.ndarray,
+    q_mat: np.ndarray,
+    i_ids: np.ndarray,
+    i_mat: np.ndarray,
+    k: int,
+) -> pd.DataFrame:
+    """Per-cell top-k by (rounded sim DESC, nbr_id ASC). Unlike
+    _topk_against_index, a query may or may not be a member of the cell, so
+    self-exclusion is handled per row via the +inf key and a validity mask
+    (the +inf self entry can only surface when the cell has <= k members,
+    and is dropped there)."""
+    n = len(i_ids)
+    order = np.argsort(i_ids, kind="stable")
+    si, sm = i_ids[order], i_mat[order]
+    sims = np.round(q_mat @ sm.T, 6)
+    key = np.rint(sims * -1_000_000.0).astype(np.int64) * np.int64(n + 1) + np.arange(
+        n, dtype=np.int64
+    )
+    pos = np.searchsorted(si, q_ids)
+    hit = (pos < n) & (si[np.clip(pos, 0, n - 1)] == q_ids)
+    sentinel = np.iinfo(np.int64).max
+    key[np.nonzero(hit)[0], pos[hit]] = sentinel
+    kk = min(k, n)
+    if kk < n:
+        top = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+    else:
+        top = np.tile(np.arange(n), (len(q_ids), 1))
+    rows = np.arange(len(q_ids))[:, None]
+    order_k = np.argsort(key[rows, top], axis=1, kind="stable")
+    top = top[rows, order_k]
+    flat_key = key[rows, top].ravel()
+    valid = flat_key != sentinel
+    return pd.DataFrame(
+        {
+            "vec_id": np.repeat(q_ids, kk)[valid],
+            "nbr_id": si[top].ravel()[valid],
+            "sim": sims[rows, top].ravel()[valid],
+        }
     )
 
 
-def ivf_index(
-    spark: SparkSession, sf_dir: str, n_cells: int = 8, n_iters: int = 5
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """(ids, cell_assignment, normalized matrix, centroids): a coarse IVF
-    quantizer learned with deterministic k-means (init = first n_cells
-    vectors in vec_id order; Lloyd iterations on cosine similarity).
-
-    NOTE: the embeddings table's `label` column is NOT a geometric cluster
-    (measured: top-5 neighbors share the query's label ~10% ≈ chance at
-    every SF), so the quantizer must be learned from the vectors."""
-    raw_ids, raw_mat = _load_index(spark, sf_dir)
-    order = np.argsort(raw_ids, kind="stable")
-    ids, mat = raw_ids[order], raw_mat[order]
-    cents = mat[:n_cells].copy()
-    for _ in range(n_iters):
-        assign = np.argmax(mat @ cents.T, axis=1)
-        for c in range(n_cells):
-            members = mat[assign == c]
-            if len(members):
-                cents[c] = members.mean(axis=0)
-        cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-    assign = np.argmax(mat @ cents.T, axis=1)
-    return ids, assign, mat, cents
-
-
-@query("sim_ann_ivf")  # rows-only: ANN recall is approximate by design
+@query("sim_ann_ivf", cost=1.2)  # rows-only: ANN recall is approximate by design
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate top-5: k-means coarse quantizer (ivf_index),
-    then search only the nprobe=2 nearest cells per query instead of the
-    full index.
+    """IVF-style approximate top-5, fully distributed (round-2 rewrite):
+    sample-trained coarse quantizer (_train_centroids — bounded driver
+    memory), mapInPandas cell assignment, index hash-partitioned by cell,
+    queries exploded to their nprobe=2 nearest cells and cogroup-joined to
+    exactly those index partitions; per-cell vectorized top-5 then a global
+    window top-5 over the <= nprobe*k survivors per query.
 
-    This is the 100 TB layout: centroids are a tiny broadcast table, the
-    index is hash-partitioned by cell, and each query joins only its probed
-    cells — cost drops from O(N) to O(N · nprobe / n_cells) per query.
-    Not oracle-graded: tests assert the MECHANISM is exact (output ≡
+    This is the 100 TB layout: no full-index broadcast, no driver k-means —
+    cost per query is O(N * nprobe / n_cells) flops inside the probed
+    cells and the shuffle carries each vector nprobe+1 times. Not
+    oracle-graded: tests assert the MECHANISM is exact (output ≡
     brute-force restricted to probed cells); absolute recall is a data
     property (isotropic vectors ⇒ modest recall at nprobe=2, by design)."""
-    ids, assign, mat, cents = ivf_index(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
-    bc = spark.sparkContext.broadcast((ids, assign, mat, np.arange(len(cents)), cents))
+    nprobe, k = 2, 5
+    cents = _train_centroids(spark, sf_dir)
+    index = _cell_index(spark, sf_dir, cents)
+    bc = spark.sparkContext.broadcast(cents)
 
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        index_ids, index_cells, index_mat, cell_ids, cell_mat = bc.value
-        for pdf_b in batches:
-            if pdf_b.empty:
+    def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if pdf.empty:
                 continue
-            q_ids, q_mat = _normalized_matrix(pdf_b)
-            cell_sims = q_mat @ cell_mat.T
-            out = {"vec_id": [], "nbr_id": [], "sim": []}
-            for i, qid in enumerate(q_ids):
-                probes = cell_ids[np.argsort(-cell_sims[i], kind="stable")[:2]]
-                mask = np.isin(index_cells, probes) & (index_ids != qid)
-                cand_ids = index_ids[mask]
-                sims = np.round(index_mat[mask] @ q_mat[i], 6)
-                order = np.lexsort((cand_ids, -sims))[:5]
-                out["vec_id"].extend([qid] * len(order))
-                out["nbr_id"].extend(cand_ids[order])
-                out["sim"].extend(sims[order])
-            yield pd.DataFrame(out)
+            ids, mat = _normalized_matrix(pdf)
+            sims = mat @ c.T
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, nprobe),
+                    "cell": top.ravel().astype(np.int32),
+                    "embedding": list(np.repeat(mat, nprobe, axis=0)),
+                }
+            )
 
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q_df = emb.mapInPandas(probes, schema="vec_id long, cell int, embedding array<double>")
+
+    def cell_topk_fn(q_pdf: pd.DataFrame, i_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": [], "nbr_id": [], "sim": []})
+        if q_pdf.empty or i_pdf.empty:
+            return empty
+        q_ids = q_pdf["vec_id"].to_numpy(dtype=np.int64)
+        q_mat = np.vstack(q_pdf["embedding"].to_numpy())
+        i_ids = i_pdf["vec_id"].to_numpy(dtype=np.int64)
+        i_mat = np.vstack(i_pdf["embedding"].to_numpy())
+        return _cell_topk(q_ids, q_mat, i_ids, i_mat, k)
+
+    cands = (
+        q_df.groupby("cell")
+        .cogroup(index.groupby("cell"))
+        .applyInPandas(cell_topk_fn, schema="vec_id long, nbr_id long, sim double")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
     return (
-        emb.select("vec_id", "embedding")
-        .mapInPandas(probe, schema="vec_id long, nbr_id long, sim double")
+        cands.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("vec_id", "nbr_id", "sim")
         .orderBy("vec_id", F.desc("sim"), "nbr_id")
     )
 

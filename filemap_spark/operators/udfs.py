@@ -102,6 +102,7 @@ def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "udf_grouped_map",
+    cost=1.9,
     oracle="""
     SELECT event_id, user_id,
            round((value - avg(value) OVER (PARTITION BY user_id))
@@ -218,6 +219,7 @@ def udf_pipe_shell(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipe_map_reduce",
+    cost=2.5,
     oracle="""
     SELECT word, count(*) AS n
     FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

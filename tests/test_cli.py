@@ -6,7 +6,15 @@ from __future__ import annotations
 
 import os
 
-from filemap_spark.cli import _fingerprint, _memo_hit, _write_memo, run_map, run_map_stream
+from filemap_spark.cli import (
+    _fingerprint,
+    _memo_hit,
+    _write_memo,
+    main,
+    run_map,
+    run_map_stream,
+    run_pipeline,
+)
 
 
 def _write_lines(path: str, lines: list[str]) -> None:
@@ -58,6 +66,77 @@ def test_memo_fingerprint_tracks_inputs_and_commands(tmp_path):
     # input change -> miss
     _write_lines(str(src / "b.txt"), ["y"])
     assert not _memo_hit(out, _fingerprint(str(src), ["grep x"]))
+
+
+def test_pipeline_chains_stages_with_per_stage_memo(spark, tmp_path, capsys):
+    """3-stage chained pipeline (map → reduce → map) in ONE invocation, each
+    stage a memoized dataset dir; a re-run with --memo reuses every stage,
+    and editing a mid-pipeline command recomputes only that stage onward."""
+    src = tmp_path / "in"
+    _write_lines(str(src / "a.txt"), ["a b a", "b a c"])
+    _write_lines(str(src / "b.txt"), ["c a"])
+    out = str(tmp_path / "out")
+    stages = [
+        ("map", "tr ' ' '\\n'"),
+        ("reduce", "sort | uniq -c | awk '{print $2, $1}'"),
+        ("map", "grep -v '^c '"),  # stage-2 filter: drop the word "c"
+    ]
+    n = run_pipeline(spark, str(src), out, stages, buckets=4, memo=True)
+    final = os.path.join(out, "final")
+    got = dict(r["value"].split(" ") for r in spark.read.text(final).collect())
+    assert got == {"a": "4", "b": "2"}
+    assert n == 2
+    # stage dirs materialized with memo markers
+    assert os.path.exists(os.path.join(out, "stage00", "_filemap_memo.json"))
+    assert os.path.exists(os.path.join(out, "stage01", "_filemap_memo.json"))
+    assert os.path.exists(os.path.join(final, "_filemap_memo.json"))
+
+    # full re-run: every stage is a memo hit (outputs untouched)
+    mtimes = {
+        d: os.path.getmtime(os.path.join(out, d, "_SUCCESS"))
+        for d in ("stage00", "stage01", "final")
+    }
+    n2 = run_pipeline(spark, str(src), out, stages, buckets=4, memo=True)
+    assert n2 == 2
+    for d, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, d, "_SUCCESS")) == t, d
+
+    # change the LAST stage's command: stages 0-1 reuse, final recomputes
+    stages2 = stages[:2] + [("map", "grep -v '^a '")]
+    n3 = run_pipeline(spark, str(src), out, stages2, buckets=4, memo=True)
+    got3 = dict(r["value"].split(" ") for r in spark.read.text(final).collect())
+    assert got3 == {"b": "2", "c": "2"}
+    assert n3 == 2
+    for d in ("stage00", "stage01"):
+        assert os.path.getmtime(os.path.join(out, d, "_SUCCESS")) == mtimes[d], d
+    assert os.path.getmtime(os.path.join(final, "_SUCCESS")) != mtimes["final"]
+
+
+def test_pipeline_cli_verb_orders_stages(tmp_path):
+    """`pipeline` verb collects --cmd/--reduce in command-line order."""
+    src = tmp_path / "in"
+    _write_lines(str(src / "a.txt"), ["b a", "a a"])
+    out = str(tmp_path / "out")
+    rc = main(
+        [
+            "pipeline",
+            str(src),
+            out,
+            "--cmd",
+            "tr ' ' '\\n'",
+            "--reduce",
+            "sort | uniq -c | awk '{print $2, $1}'",
+            "--buckets",
+            "2",
+        ]
+    )
+    assert rc == 0
+    import glob
+
+    lines = set()
+    for f in glob.glob(os.path.join(out, "final", "part-*")):
+        lines |= {ln for ln in open(f).read().splitlines() if ln}
+    assert lines == {"a 3", "b 1"}
 
 
 def test_stream_processes_only_new_files(spark, tmp_path):

@@ -41,12 +41,23 @@ def test_ivf_mechanism_is_exact_within_probed_cells(spark, sf_dir):
     """The IVF path must return EXACTLY the brute-force top-5 restricted to
     its probed cells (mechanism correctness). Absolute recall vs global
     brute force is a property of the data (isotropic vectors ⇒ low), so it
-    only gets a sanity floor."""
+    only gets a sanity floor.
+
+    The expected set is rebuilt test-side from the same deterministic
+    sample-trained quantizer the operator uses (_train_centroids) plus a
+    test-only collect of the embeddings — the OPERATOR never collects."""
     import numpy as np
 
-    from filemap_spark.operators.similarity import ivf_index
+    from filemap_spark.operators.similarity import _normalized_matrix, _train_centroids
 
-    ids, assign, mat, cents = ivf_index(spark, sf_dir)
+    cents = _train_centroids(spark, sf_dir)
+    pdf = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    ids, mat = _normalized_matrix(pdf)
+    assign = np.argmax(mat @ cents.T, axis=1)
     expected = set()
     for i, qid in enumerate(ids):
         probes = np.argsort(-(mat[i] @ cents.T), kind="stable")[:2]
