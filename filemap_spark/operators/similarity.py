@@ -341,7 +341,7 @@ def _cell_index(spark: SparkSession, sf_dir: str, cents: np.ndarray) -> DataFram
 
 @query(
     "dedup_embedding_cosine",
-    cost=1.2,
+    cost=3.4,
     oracle="""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_cosine_similarity(
@@ -471,7 +471,7 @@ def _cell_topk(
     )
 
 
-@query("sim_ann_ivf", cost=1.2)  # rows-only: ANN recall is approximate by design
+@query("sim_ann_ivf", cost=1.5)  # rows-only: ANN recall is approximate by design
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-5, fully distributed (round-2 rewrite):
     sample-trained coarse quantizer (_train_centroids — bounded driver

@@ -348,6 +348,10 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("w4").isNotNull())
         .select("doc_id", "shingle")
         .distinct()
+        # materialized once: counts and BOTH self-join sides scan this frame,
+        # and Spark does not dedupe common subplans — without this the
+        # window+distinct stage runs three times per query
+        .localCheckpoint()
     )
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
@@ -405,6 +409,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("w4").isNotNull())
         .select("doc_id", "shingle")
         .distinct()
+        # materialized once: the signature agg, the candidate verify join
+        # (both sides), and the shingle counts all rescan this frame
+        .localCheckpoint()
     )
     # 128 seeded hash slots: minhash_i = min over shingles of xxhash64(shingle, i)
     sigs = shingles.select(
@@ -502,7 +509,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash", cost=1.6)  # rows-only: bit-sig construction is engine-specific
+@query("dedup_simhash", cost=2.9)  # rows-only: bit-sig construction is engine-specific
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming distance ≤ 7. Pair generation uses
     the block-pigeonhole guarantee: with 8 blocks of 8 bits, any pair with
@@ -510,7 +517,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     block-equality join (scales like LSH, no cross product) has PERFECT
     recall at the threshold — verified against brute-force all-pairs in
     tests/test_quality.py."""
-    sig = simhash_signatures(spark, sf_dir)
+    # materialized once: both self-join sides scan the 64-column
+    # signature aggregate
+    sig = simhash_signatures(spark, sf_dir).localCheckpoint()
     n_blocks = 8
     # Explode each signature into (block_idx, block_val) rows and equi-join
     # on BOTH. An OR of 8 block equalities cannot hash-join (Spark falls

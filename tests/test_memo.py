@@ -49,6 +49,40 @@ def test_different_plan_different_key(spark, sf_dir):
     assert plan_key(a, inputs) != plan_key(b, inputs)
 
 
+def test_self_join_left_vs_right_projection_distinct_keys(spark, sf_dir):
+    """Round-2 regression (ADVICE): erasing exprIds collided a self-join
+    projecting the LEFT copy of a column with one projecting the RIGHT copy
+    — canonical renumbering must keep those keys distinct while staying
+    stable for plan-equivalent queries."""
+    inputs = [f"{sf_dir}/nation.parquet"]
+    n = load_table(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    joined = a.join(b, F.col("a.n_nationkey") == F.col("b.n_nationkey"))
+    left = joined.select(F.col("a.n_name").alias("nm"), F.col("a.n_regionkey").alias("rk"))
+    right = joined.select(F.col("b.n_name").alias("nm"), F.col("a.n_regionkey").alias("rk"))
+    assert plan_key(left, inputs) != plan_key(right, inputs)
+    # and re-deriving the same side still shares a key (fresh exprIds)
+    n2 = load_table(spark, sf_dir, "nation")
+    a2, b2 = n2.alias("a"), n2.alias("b")
+    joined2 = a2.join(b2, F.col("a.n_nationkey") == F.col("b.n_nationkey"))
+    left2 = joined2.select(
+        F.col("a.n_name").alias("nm"), F.col("a.n_regionkey").alias("rk")
+    )
+    assert plan_key(left, inputs) == plan_key(left2, inputs)
+
+
+def test_materialization_leaves_no_staging_dirs(spark, sf_dir):
+    """The atomic temp-dir + rename path must clean its staging dirs on
+    success and leave exactly the keyed dataset behind."""
+    wh = tempfile.mkdtemp(prefix="memo_wh_")
+    inputs = [f"{sf_dir}/nation.parquet"]
+    _r, hit = cached(spark, _agg(spark, sf_dir), inputs, warehouse=wh)
+    assert hit is False
+    entries = sorted(os.listdir(wh))
+    assert len(entries) == 1 and not entries[0].startswith("."), entries
+    assert os.path.exists(os.path.join(wh, entries[0], "_SUCCESS"))
+
+
 def test_input_change_invalidates(spark, sf_dir):
     """make-semantics: touching an input file changes the key."""
     wh = tempfile.mkdtemp(prefix="memo_wh_")
