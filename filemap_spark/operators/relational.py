@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from filemap_spark.io import EVENTS_NORM_SQL, load_table
-from filemap_spark.operators.text import JACCARD_PAIR_CTES
+from filemap_spark.operators.text import JACCARD_PAIR_CTES, SHINGLE_CTE
 from filemap_spark.registry import query
 
 
@@ -306,4 +306,94 @@ def dedup_apply_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - 1).alias("n_removed"),
         )
         .orderBy("survivor_id")
+    )
+
+
+@query(
+    "dedup_cross_split",
+    cost=1.5,
+    oracle=f"""
+    WITH {SHINGLE_CTE},
+    split AS (
+      SELECT doc_id, shingle,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 10 AS b
+      FROM sh
+    ),
+    train_sh AS (SELECT DISTINCT shingle FROM split WHERE b <> 0),
+    held AS (SELECT doc_id, shingle FROM split WHERE b = 0),
+    held_n AS (SELECT doc_id, count(*) AS n_shingles FROM held GROUP BY doc_id),
+    hits AS (
+      SELECT h.doc_id, count(*) AS n_shared
+      FROM held h JOIN train_sh t USING (shingle)
+      GROUP BY h.doc_id HAVING count(*) >= 5
+    )
+    SELECT hits.doc_id AS heldout_doc,
+           cast(hits.n_shared AS bigint) AS n_shared,
+           cast(held_n.n_shingles AS bigint) AS n_shingles,
+           round(cast(hits.n_shared AS double) / held_n.n_shingles, 6) AS overlap
+    FROM hits JOIN held_n ON hits.doc_id = held_n.doc_id
+    ORDER BY heldout_doc
+    """,
+)
+def dedup_cross_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION — the eval-integrity primitive every
+    training pipeline runs (the GPT-3-style n-gram overlap rule): split
+    the corpus into train (90%) and held-out (10%) with the same
+    engine-stable md5(doc_id) rule as sample_content_hash, then flag every
+    held-out document sharing >= 5 distinct word-5-gram shingles with the
+    TRAIN SET AS A WHOLE, reporting the shared-shingle count and overlap
+    ratio.
+
+    Scale shape: the join key is the shingle (same layout as
+    dedup_near_jaccard, but against a DISTINCT train-shingle set — a
+    semi-join-sized build side, not doc×doc pairs); one shuffle on the
+    shingle for the join, one on doc_id for the count. At 100 TB the
+    shingle set is hash-partitioned and the held-out side is ~10% of the
+    corpus streaming through it."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                "word",
+                F.lead("word", 1).over(w),
+                F.lead("word", 2).over(w),
+                F.lead("word", 3).over(w),
+                F.lead("word", 4).over(w),
+            ).alias("shingle"),
+            F.lead("word", 4).over(w).alias("w4"),
+        )
+        .where(F.col("w4").isNotNull())
+        .select("doc_id", "shingle")
+        .distinct()
+        # scanned by train-distinct, held-out, and held-out-count branches
+        .localCheckpoint()
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 10
+    )
+    split = sh.withColumn("b", bucket)
+    train_sh = split.where(F.col("b") != 0).select("shingle").distinct()
+    held = split.where(F.col("b") == 0).select("doc_id", "shingle")
+    held_n = held.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        held.join(train_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 5)
+    )
+    return (
+        hits.join(held_n, "doc_id")
+        .select(
+            F.col("doc_id").alias("heldout_doc"),
+            "n_shared",
+            "n_shingles",
+            F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias("overlap"),
+        )
+        .orderBy("heldout_doc")
     )

@@ -378,7 +378,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     text dedup uses t~0.95 where the ball bound prunes hard."""
     threshold = 0.4
     cents = _train_centroids(spark, sf_dir)
-    index = _cell_index(spark, sf_dir, cents)
+    # materialized once: the radii aggregate AND the cogroup below both
+    # consume the assignment pass — without this it runs twice
+    index = _cell_index(spark, sf_dir, cents).localCheckpoint()
     # n_cells rows — a tiny, justified driver action (like a collected dim)
     radii_rows = index.groupBy("cell").agg(F.max("angle").alias("radius")).collect()
     radii = np.zeros(len(cents))

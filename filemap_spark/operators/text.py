@@ -289,16 +289,23 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared CTE block: word-5-gram shingles → exact-Jaccard ≥ 0.8 pairs.
-# Reused by dedup_near_jaccard and the connected-components oracle
+# Shared CTE: distinct word-5-gram shingles per doc. Reused by the Jaccard
+# pair block below and the cross-split decontamination oracle
 # (operators/relational.py).
-JACCARD_PAIR_CTES = """
+SHINGLE_CTE = """
     sh AS (
       SELECT DISTINCT doc_id,
              concat_ws(' ', w[pos], w[pos+1], w[pos+2], w[pos+3], w[pos+4]) AS shingle
       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS pos
             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
-    ), counts AS (
+    )
+"""
+
+# Shared CTE block: word-5-gram shingles → exact-Jaccard ≥ 0.8 pairs.
+# Reused by dedup_near_jaccard and the connected-components oracle
+# (operators/relational.py).
+JACCARD_PAIR_CTES = f"""
+    {SHINGLE_CTE.strip()}, counts AS (
       SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
     ), inters AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -635,4 +642,56 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.slice("w", F.col("i") * stride + 1, size)).alias("n_tokens"),
         )
         .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
+    "pack_token_budget",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, cast(len(string_split(text, ' ')) AS bigint) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tok,
+             sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT lang, cast(floor((cum - 1) / 2048) AS bigint) AS bin,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(sum(n_tok) AS bigint) AS tokens
+    FROM c GROUP BY lang, bin ORDER BY lang, bin
+    """,
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence PACKING for training-batch prep: assign documents (in
+    deterministic doc_id order, per language) to 2048-token context-window
+    bins via a running token cumsum — bin = floor((cumsum-1)/budget), the
+    streaming-greedy rule where a document straddling a boundary lands in
+    the bin its cumsum ends in. Reports docs and tokens per bin, the shape
+    a dataloader manifest needs.
+
+    Scale: one window shuffle on the pack key (lang) + one partial-agg
+    shuffle on (lang, bin); no Python anywhere. A 100 TB corpus packs per
+    (lang, shard) so no single window partition grows unbounded — the
+    shard key composes into partitionBy exactly like lang here."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.select(
+            "lang",
+            F.floor((F.col("cum") - 1) / 2048).alias("bin"),
+            "n_tok",
+        )
+        .groupBy("lang", "bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("tokens"))
+        .orderBy("lang", "bin")
     )

@@ -80,25 +80,32 @@ def _grading_order() -> list[str]:
       so expensive queries grade last and a time budget reaches the most
       queries before it runs out.
     """
+    def tier(name: str) -> int:
+        c = _META[name][2]
+        return 0 if c <= 1.0 else (1 if c <= 2.5 else 2)
+
     by_family: dict[str, list[str]] = {}
     for n, (family, _idx, _cost) in sorted(_META.items(), key=lambda kv: kv[1][1]):
         by_family.setdefault(family, []).append(n)
-    pools = list(by_family.values())
+    # within each family: cheapest tier first, registration order within tier
+    pools = [
+        sorted(names, key=lambda n: (tier(n), _META[n][1]))
+        for names in by_family.values()
+    ]
+    # phase 1: each family's single cheapest op — the first |families|
+    # registry entries span every family even under a tiny count cap
+    reps = sorted((pool[0] for pool in pools), key=lambda n: (tier(n), _META[n][1]))
+    # phase 2: the rest, round-robin across families, stable-sorted by tier
     interleaved: list[str] = []
-    depth = 0
+    depth = 1
     while True:
         layer = [pool[depth] for pool in pools if depth < len(pool)]
         if not layer:
             break
         interleaved.extend(layer)
         depth += 1
-
-    def tier(name: str) -> int:
-        c = _META[name][2]
-        return 0 if c <= 1.0 else (1 if c <= 2.5 else 2)
-
     interleaved.sort(key=tier)  # stable: keeps the interleave within tiers
-    return interleaved
+    return reps + interleaved
 
 
 def all_queries() -> dict[str, QueryFn]:
