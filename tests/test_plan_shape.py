@@ -97,3 +97,38 @@ def test_pivot_is_two_stage_constant_size_agg(spark, sf_dir):
     # |segments| x |priorities| rows
     assert plan.count("HashAggregate") >= 4
     assert "BroadcastHashJoin" in plan  # customer dim never shuffles orders
+
+
+def test_merge_reduce_has_single_shuffle(spark, sf_dir):
+    """reduce_sorted_runs: exactly ONE exchange (hash on the reduce key);
+    the sorted-runs property comes from sortWithinPartitions, not a second
+    shuffle, and the reducer is a single MapInPandas pass."""
+    plan = plan_of(spark, sf_dir, "reduce_sorted_runs")
+    import re
+
+    body = plan.split("== Physical Plan ==")[-1].split("===== Subqueries")[0]
+    # formatted explain prints each node in the tree AND a detail block —
+    # count only the numbered detail entries
+    exchanges = re.findall(r"^\(\d+\) Exchange", body, flags=re.M)
+    # one hash exchange for repartition(user_id) + the final orderBy's range
+    # exchange (contract output ordering) — nothing else
+    assert len(exchanges) <= 2, body
+    assert "hashpartitioning(user_id" in body
+    assert "MapInPandas" in body
+
+
+def test_pack_token_budget_is_window_plus_partial_agg(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "pack_token_budget")
+    assert "Window" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_split_decontamination_is_hash_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dedup_cross_split")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
