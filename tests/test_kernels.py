@@ -1,0 +1,165 @@
+"""Kernel-level differential tests for the round-2 vectorized/iterative
+cores: per-cell top-k vs brute force, star-rounds CC vs union-find, and the
+merge-reduce batch-boundary carry logic."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _brute_topk(q_ids, q_mat, i_ids, i_mat, k):
+    """Reference: per query, top-k candidates by (rounded sim DESC, id ASC),
+    self excluded."""
+    out = set()
+    sims = np.round(q_mat @ i_mat.T, 6)
+    for qi, qid in enumerate(q_ids):
+        cands = [
+            (-sims[qi, j], int(i_ids[j]))
+            for j in range(len(i_ids))
+            if i_ids[j] != qid
+        ]
+        cands.sort()
+        for negs, nid in cands[:k]:
+            out.add((int(qid), nid, -negs))
+    return out
+
+
+@pytest.mark.parametrize("n_index,n_query,seed", [(40, 25, 0), (3, 6, 1), (5, 5, 2), (1, 4, 3)])
+def test_cell_topk_matches_bruteforce(n_index, n_query, seed):
+    """_cell_topk must equal brute force for member AND non-member queries,
+    including cells smaller than k and heavy 6dp ties."""
+    from filemap_spark.operators.similarity import _cell_topk
+
+    rng = np.random.RandomState(seed)
+    dim = 8
+    i_mat = rng.randn(n_index, dim)
+    i_mat /= np.linalg.norm(i_mat, axis=1, keepdims=True)
+    i_ids = np.arange(100, 100 + n_index, dtype=np.int64)
+    # queries: half are index members (same vector -> sim 1.0 self to mask),
+    # half are fresh vectors
+    q_rows = []
+    q_ids = []
+    for qi in range(n_query):
+        if qi % 2 == 0 and qi // 2 < n_index:
+            q_rows.append(i_mat[qi // 2])
+            q_ids.append(i_ids[qi // 2])
+        else:
+            v = rng.randn(dim)
+            q_rows.append(v / np.linalg.norm(v))
+            q_ids.append(1000 + qi)
+    q_mat = np.vstack(q_rows)
+    q_ids = np.asarray(q_ids, dtype=np.int64)
+
+    got_pdf = _cell_topk(q_ids, q_mat, i_ids, i_mat, k=5)
+    got = {
+        (int(r.vec_id), int(r.nbr_id), float(r.sim))
+        for r in got_pdf.itertuples(index=False)
+    }
+    assert got == _brute_topk(q_ids, q_mat, i_ids, i_mat, 5)
+
+
+def _union_find(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # resolve to component minimum
+    return {x: find(x) for x in parent}
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(0, 30, 20), (1, 50, 60), (2, 12, 40)])
+def test_alternating_star_matches_union_find(spark, seed, n_nodes, n_edges):
+    from filemap_spark.operators.relational import alternating_star_components
+
+    rng = np.random.RandomState(seed)
+    edges = [
+        (int(rng.randint(n_nodes)), int(rng.randint(n_nodes))) for _ in range(n_edges)
+    ]
+    edges = [(u, v) for u, v in edges if u != v]
+    expected = _union_find(edges)
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {
+        r["node"]: r["component"]
+        for r in alternating_star_components(df).collect()
+    }
+    assert got == expected
+
+
+def test_merge_reduce_carries_state_across_arrow_batches(spark, tmp_path):
+    """Force 3-row Arrow batches so user runs straddle batch boundaries —
+    the carry/stitch path of reduce_sorted_runs must still produce exactly
+    the window-SQL answer."""
+    from filemap_spark.operators.sorts import reduce_sorted_runs
+
+    sf_dir = str(tmp_path)
+    rows = []
+    eid = 0
+    # user 1: 7 events (straddles multiple 3-row batches); users 2-4 small
+    for user, stamps in [(1, [0, 5, 9, 14, 30, 31, 32]), (2, [100]), (3, [7, 7]), (4, [50, 90])]:
+        for s in stamps:
+            rows.append((user, eid, s * 1000))  # ns
+            eid += 1
+    spark.createDataFrame(rows, "user_id long, event_id long, ts long").write.parquet(
+        f"{sf_dir}/events.parquet"
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+        got = {
+            r["user_id"]: (r["n_events"], r["first_us"], r["last_us"], r["max_gap_us"])
+            for r in reduce_sorted_runs(spark, sf_dir).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == {
+        1: (7, 0, 32, 16),  # max gap 30-14=16
+        2: (1, 100, 100, 0),
+        3: (2, 7, 7, 0),
+        4: (2, 50, 90, 40),
+    }
+
+
+def test_ball_pruning_bound_is_exhaustive(spark):
+    """The dedup_embedding_cosine probe rule must reach every pair >=
+    threshold: verified directly on the contract vectors — every oracle
+    pair's smaller-id side must probe the larger-id side's cell."""
+    from filemap_spark.operators.similarity import (
+        _normalized_matrix,
+        _train_centroids,
+    )
+    from filemap_spark.io import load_table
+
+    sf_dir = "/root/testdata/sf0.01"
+    threshold = 0.4
+    cents = _train_centroids(spark, sf_dir)
+    pdf = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").toPandas()
+    ids, mat = _normalized_matrix(pdf)
+    sims_c = mat @ cents.T
+    cell = np.argmax(sims_c, axis=1)
+    angle = np.arccos(np.clip(sims_c[np.arange(len(ids)), cell], -1, 1))
+    radii = np.zeros(len(cents))
+    for c in range(len(cents)):
+        if (cell == c).any():
+            radii[c] = angle[cell == c].max()
+    max_angle = float(np.arccos(threshold - 1e-6)) + 1e-9
+    ang_all = np.arccos(np.clip(sims_c, -1, 1))
+
+    sims = np.round(mat @ mat.T, 6)
+    ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+    assert len(ai) > 0
+    for a, b in zip(ai, bi):
+        lo, hi = (a, b) if ids[a] < ids[b] else (b, a)
+        assert ang_all[lo, cell[hi]] <= max_angle + radii[cell[hi]], (ids[lo], ids[hi])
