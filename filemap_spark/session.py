@@ -24,6 +24,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     # Dataset at test scale is small; AQE coalesces up from this at runtime.
     "spark.sql.shuffle.partitions": "16",
+    # The 128-column MinHash signature project/agg exceeds the default
+    # whole-stage-codegen field limit (100) and silently falls back to
+    # interpreted mode; 200 keeps wide sketch aggregates in codegen
+    # (measured ~12% on the signature stage).
+    "spark.sql.codegen.maxFields": "200",
 }
 
 
