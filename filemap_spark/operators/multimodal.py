@@ -149,3 +149,50 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("frame_no").cast("bigint") * 100).alias("byte_offset"),
         )
     )
+
+
+@query(
+    "mm_resize_batch",
+    oracle=r"""
+    WITH r AS (
+      SELECT doc_id, regexp_replace(text, '(.)(.{0,3})', '\1', 'g') AS resized
+      FROM documents
+    )
+    SELECT doc_id AS asset_id,
+           cast(octet_length(encode(resized)) AS bigint) AS out_bytes,
+           md5(resized) AS out_sha,
+           '1/4' AS scale
+    FROM r
+    """,
+)
+def mm_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch RESIZE plumbing: binary payload in → transformed binary out
+    via mapInPandas, with the new payload's size and content hash graded.
+    The 'resize' is a deterministic stand-in (every 4th byte — a 1/4
+    'resolution' subsample; a real deployment swaps PIL's thumbnail into
+    the same per-batch loop, see _real_decode_stub), which is exactly what
+    makes the byte-level transform oracle-checkable: the oracle reproduces
+    it with an every-4th-char regex over the ASCII payload.
+
+    Scale: payload-in/payload-out rides Arrow both ways, embarrassingly
+    parallel per batch; output bytes live in normal parquet binary columns
+    so the resized corpus is immediately scannable."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            resized = pdf["payload"].map(lambda b: bytes(b)[::4])
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "out_bytes": resized.map(len).astype("int64"),
+                    "out_sha": resized.map(lambda b: hashlib.md5(b).hexdigest()),
+                    "scale": "1/4",
+                }
+            )
+
+    return _binary_assets(spark, sf_dir).mapInPandas(
+        resize_batches,
+        schema="asset_id long, out_bytes long, out_sha string, scale string",
+    )
