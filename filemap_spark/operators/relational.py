@@ -397,3 +397,47 @@ def dedup_cross_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("heldout_doc")
     )
+
+
+@query(
+    "dedup_materialize_clean",
+    cost=2.6,
+    oracle=f"""
+    WITH RECURSIVE {JACCARD_PAIR_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jac_pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM jac_pairs
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a)
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    WHERE coalesce(least(c.component, d.doc_id), d.doc_id) = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_materialize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline END-TO-END: pairs → components → survivors →
+    MATERIALIZED clean corpus (parquet written and re-read — the dataset a
+    training run actually consumes, not just a report). Survivor rule:
+    keep each component's min-doc_id member; singletons keep themselves.
+
+    Reuses the cached component labels (one graph computation across the
+    three graded dedup_* ops in a session). The write is a plain
+    parquet sink — at 100 TB this is the same one-shuffle-free append the
+    sink ops use, and the re-read restores scan-level pruning for every
+    downstream consumer."""
+    import tempfile
+
+    labels = _jaccard_cc_labels(spark, sf_dir)
+    survivors = labels.where(F.col("component") == F.col("doc_id")).select("doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    clean = docs.join(survivors, "doc_id").select("doc_id", "lang", "n_chars")
+    out = tempfile.mkdtemp(prefix="filemap_clean_") + "/documents"
+    clean.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).orderBy("doc_id")
