@@ -61,6 +61,12 @@ def main() -> None:
     spark = get_spark("filemap-bench")
     queries = all_queries()
 
+    # Untimed warmup: JVM/JIT/codegen/Arrow initialization otherwise lands
+    # entirely on the first timed query (measured ~0.5 s of one-time cost).
+    first = queries.get(HEADLINE[0])
+    if first is not None:
+        first(spark, sf_dir).collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
