@@ -99,6 +99,10 @@ def cached(
     tmp_out = os.path.join(staging, "data")
     try:
         df.write.parquet(tmp_out)
+        if os.path.isdir(out) and not os.path.exists(marker):
+            # leftover from a writer that died mid-materialization — the
+            # marker is the commit point, so an unmarked dir is garbage
+            shutil.rmtree(out, ignore_errors=True)
         try:
             os.rename(tmp_out, out)
         except OSError:

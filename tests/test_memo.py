@@ -97,3 +97,18 @@ def test_input_change_invalidates(spark, sf_dir):
     os.utime(part)
     k2 = plan_key(df, [src])
     assert k1 != k2
+
+
+def test_crashed_writer_leftover_is_replaced(spark, sf_dir):
+    """A dataset dir WITHOUT the _SUCCESS marker (writer died mid-flight)
+    must be treated as garbage and replaced, not block materialization."""
+    wh = tempfile.mkdtemp(prefix="memo_wh_")
+    inputs = [f"{sf_dir}/nation.parquet"]
+    key = plan_key(_agg(spark, sf_dir), inputs)
+    stale = os.path.join(wh, key)
+    os.makedirs(stale)
+    open(os.path.join(stale, "part-junk.parquet"), "w").write("not parquet")
+    r, hit = cached(spark, _agg(spark, sf_dir), inputs, warehouse=wh)
+    assert hit is False
+    assert os.path.exists(os.path.join(stale, "_SUCCESS"))
+    assert canonical_rows(r.toPandas()) == canonical_rows(_agg(spark, sf_dir).toPandas())
