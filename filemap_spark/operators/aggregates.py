@@ -606,3 +606,63 @@ def agg_topn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "ts_hypertable_rollup",
+    oracle=EVENTS_NORM_SQL
+    + f"""
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+           count(*) AS n_events,
+           {dsum('value', 'sum_value')},
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM events
+    GROUP BY hour_us, event_type
+    ORDER BY hour_us, event_type
+    """,
+)
+def ts_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style CONTINUOUS-AGGREGATE rollup (the TimescaleDB
+    pattern): events are first bucketed to 1-MINUTE partial aggregates,
+    then the hour level is computed by MERGING the minute aggregates —
+    never re-touching raw rows. The oracle aggregates the raw table
+    directly at hour grain, so the hash-match PROVES the two-level merge
+    is lossless: counts add, int64-scaled sums add exactly (the dsum
+    discipline composes across levels because integer addition is
+    associative — a double sum-of-sums would NOT reproduce the direct
+    sum), min/max merge by min/max.
+
+    This is the 100 TB time-series layout: the minute layer is the
+    materialized continuous aggregate (tiny vs raw), every coarser
+    resolution derives from it with shuffle volume proportional to bucket
+    count, and late data only rewrites the buckets it lands in."""
+    ev = load_table(spark, sf_dir, "events")
+    scaled = "cast(round(value * 1000000) as bigint)"
+    minute = (
+        ev.groupBy(
+            F.date_trunc("minute", "ts").alias("minute_ts"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.expr(f"sum({scaled})").alias("s_scaled"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+    )
+    return (
+        minute.groupBy(
+            F.unix_micros(F.date_trunc("hour", "minute_ts")).alias("hour_us"),
+            "event_type",
+        )
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            F.expr(
+                "cast(cast(sum(s_scaled) as decimal(38,6)) / 1000000 as double)"
+            ).alias("sum_value"),
+            F.round(F.min("mn"), 6).alias("min_value"),
+            F.round(F.max("mx"), 6).alias("max_value"),
+        )
+        .orderBy("hour_us", "event_type")
+    )
