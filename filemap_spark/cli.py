@@ -244,6 +244,8 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
     if args.verb == "pipeline":
+        if not (getattr(args, "stages", None) or []):
+            p.error("pipeline needs at least one --cmd/--reduce stage")
         from filemap_spark.session import get_spark
 
         spark = get_spark("filemap-cli")

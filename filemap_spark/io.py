@@ -32,6 +32,26 @@ TABLES: tuple[str, ...] = (
 )
 
 
+def table_fingerprint(sf_dir: str, name: str) -> tuple:
+    """File-state fingerprint ((name, size, mtime_ns) per file) of one
+    contract table — the make-style freshness rule shared by every cache in
+    the engine (worker-side similarity indexes, the CC label cache, the memo
+    layer): a rewritten dataset changes the fingerprint and invalidates."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    stat: list[tuple] = []
+    if os.path.isdir(path):
+        for root, _, files in os.walk(path):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                stat.append((f, st.st_size, st.st_mtime_ns))
+    elif os.path.isfile(path):
+        st = os.stat(path)
+        stat.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
+    return tuple(stat)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one contract table, normalizing `events.ts` ns→µs.
 

@@ -155,7 +155,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_resize_batch",
     oracle=r"""
     WITH r AS (
-      SELECT doc_id, regexp_replace(text, '(.)(.{0,3})', '\1', 'g') AS resized
+      SELECT doc_id, regexp_replace(text, '(?s)(.)(.{0,3})', '\1', 'g') AS resized
       FROM documents
     )
     SELECT doc_id AS asset_id,
@@ -168,11 +168,14 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch RESIZE plumbing: binary payload in → transformed binary out
     via mapInPandas, with the new payload's size and content hash graded.
-    The 'resize' is a deterministic stand-in (every 4th byte — a 1/4
-    'resolution' subsample; a real deployment swaps PIL's thumbnail into
-    the same per-batch loop, see _real_decode_stub), which is exactly what
-    makes the byte-level transform oracle-checkable: the oracle reproduces
-    it with an every-4th-char regex over the ASCII payload.
+    The 'resize' is a deterministic stand-in (every 4th CHARACTER of the
+    utf-8 payload — a 1/4 'resolution' subsample; a real deployment swaps
+    PIL's thumbnail into the same per-batch loop, see _real_decode_stub),
+    which is exactly what makes the transform oracle-checkable: the oracle
+    reproduces it with a dotall every-4th-char regex. Character-level (not
+    byte-level) slicing keeps the two sides identical on any utf-8 text,
+    newlines included — byte slicing would shear multibyte sequences the
+    regex keeps whole.
 
     Scale: payload-in/payload-out rides Arrow both ways, embarrassingly
     parallel per batch; output bytes live in normal parquet binary columns
@@ -182,7 +185,9 @@ def mm_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            resized = pdf["payload"].map(lambda b: bytes(b)[::4])
+            resized = pdf["payload"].map(
+                lambda b: bytes(b).decode("utf-8")[::4].encode("utf-8")
+            )
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],

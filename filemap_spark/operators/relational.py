@@ -163,6 +163,7 @@ def alternating_star_components(edges: DataFrame) -> DataFrame:
         .localCheckpoint()
     )
     prev_sig: tuple | None = None
+    converged = False
     for _ in range(12):  # 2^12 nodes per component ≫ any near-dup cluster
         # large-star: every node u links its LARGER neighbors to
         # m = min(Γ(u) ∪ {u}).
@@ -197,8 +198,16 @@ def alternating_star_components(edges: DataFrame) -> DataFrame:
         ).first()
         sig = (sig_row["n"], sig_row["h"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # fail loudly: returning the non-star edge list as labels would be
+        # silently-wrong components
+        raise RuntimeError(
+            "alternating_star_components: no fixed point after 12 rounds "
+            "(component deeper than 2^12 nodes?)"
+        )
     # converged: e is a star per component — (component_min, member) edges
     return e.select(F.col("v").alias("node"), F.col("u").alias("component")).union(
         e.select(F.col("u").alias("node"), F.col("u").alias("component"))
@@ -208,12 +217,22 @@ def alternating_star_components(edges: DataFrame) -> DataFrame:
 # One-entry cache of the Jaccard-CC label frame: dedup_apply_survivors is a
 # strict composition of dedup_connected_components, and grading runs both —
 # without this the expensive pair generation + star rounds run twice.
-# Bounded (size 1) by construction; keyed by (session id, sf_dir).
+# Bounded (size 1) by construction; keyed by (application id, sf_dir, input
+# file-state fingerprint): a rewritten documents.parquet misses and
+# recomputes instead of serving stale labels, and applicationId — unlike
+# id(spark), which a GC'd session can recycle — can never pair a dead
+# localCheckpoint with a different live context.
 _CC_LABELS_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _jaccard_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    from filemap_spark.io import table_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_fingerprint(sf_dir, "documents"),
+    )
     if key not in _CC_LABELS_CACHE:
         from filemap_spark.operators.text import dedup_near_jaccard
 

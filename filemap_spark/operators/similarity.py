@@ -67,20 +67,13 @@ def _normalized_matrix(df_pandas: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]
 
 def _index_location(sf_dir: str) -> tuple[str, tuple]:
     """(path, file-state fingerprint) of the embeddings table. The
-    fingerprint ((name, size, mtime_ns) per file) rides into worker
-    closures so a rewritten dataset invalidates executor-side caches —
-    the same make-style rule as the memoization layer (SURVEY §4.3.1)."""
+    fingerprint (io.table_fingerprint) rides into worker closures so a
+    rewritten dataset invalidates executor-side caches — the same make-style
+    rule as the memoization layer (SURVEY §4.3.1)."""
+    from filemap_spark.io import table_fingerprint
+
     path = os.path.join(sf_dir, "embeddings.parquet")
-    stat: list[tuple] = []
-    if os.path.isdir(path):
-        for root, _, files in os.walk(path):
-            for f in sorted(files):
-                st = os.stat(os.path.join(root, f))
-                stat.append((f, st.st_size, st.st_mtime_ns))
-    elif os.path.isfile(path):
-        st = os.stat(path)
-        stat.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
-    return path, tuple(stat)
+    return path, table_fingerprint(sf_dir, "embeddings")
 
 
 # Per-PYTHON-WORKER cache of the normalized index: executor memory, not
@@ -276,10 +269,11 @@ def _train_centroids(
 ) -> np.ndarray:
     """Coarse IVF quantizer trained on a BOUNDED deterministic sample.
 
-    The sample is the max_sample rows with the smallest content hash
-    (TakeOrdered — an O(N) scan with per-partition top-k, never a full
-    collect or shuffle), so driver memory is capped at max_sample × dim
-    float64 regardless of corpus size. Init = first n_cells sample vectors
+    The sample is the max_sample rows with the smallest xxhash64(vec_id) —
+    an id hash, deterministic but indifferent to vector contents (TakeOrdered:
+    an O(N) scan with per-partition top-k, never a full collect or shuffle) —
+    so driver memory is capped at max_sample × dim float64 regardless of
+    corpus size. Init = first n_cells sample vectors
     in vec_id order; Lloyd iterations on cosine similarity. Deterministic
     end to end, so tests and operators recompute identical centroids.
 
