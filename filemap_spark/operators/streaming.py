@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from filemap_spark.io import EVENTS_NORM_SQL, load_table
 from filemap_spark.registry import query
@@ -74,13 +75,13 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=EVENTS_NORM_SQL
     + """
     , marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM marked
     )
@@ -91,17 +92,35 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """30-min-gap sessionization per user via F.session_window (native
-    session merging — works in batch groupBy too). Boundary semantics: a gap
-    of exactly 30:00 starts a NEW session (Spark sessions are half-open
-    [start, last+gap)), encoded as >= in the oracle's lag form."""
-    ev = load_table(spark, sf_dir, "events")
+    """30-min-gap sessionization per user, lag+cumsum form: mark each event
+    whose gap from its predecessor is >= 30:00 as a session start, running-sum
+    the marks into a session id, aggregate per (user, sid). Matches native
+    F.session_window semantics exactly (Spark sessions are half-open
+    [start, last+gap), hence >=) — asserted in tests/test_streaming.py, where
+    the native form remains the streaming-semantics twin.
+
+    Plan: ONE shuffle + ONE sort on (user_id · ts, event_id) serves both
+    window functions, and the (user_id, sid) hash-agg reuses the user_id
+    partitioning (no second exchange). The native session_window batch plan
+    adds an extra sort+merge pass over the grouped rows, which benched 2.3x
+    the baseline's lag+cumsum plan at sf0.1 — same results, one pass slower.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    marked = ev.withColumn(
+        "new_s",
+        F.when(F.col("ts_us") - F.lag("ts_us").over(w) >= gap_us, 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
     return (
-        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        sess.groupBy("user_id", "sid")
         .agg(
+            F.min("ts_us").alias("session_start_us"),
             F.count("*").alias("n_events"),
-            F.unix_micros(F.min("ts")).alias("session_start_us"),
-            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+            (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
         )
         .select("user_id", "session_start_us", "n_events", "duration_us")
         .orderBy("user_id", "session_start_us")

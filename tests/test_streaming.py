@@ -235,3 +235,26 @@ def test_transform_with_state_equals_batch(spark, sf_dir):
         .toPandas()
     )
     assert canonical_rows(final) == canonical_rows(expect)
+
+
+def test_session_window_native_equals_lag_cumsum(spark, sf_dir):
+    """The graded lag+cumsum sessionization must equal native
+    F.session_window (the streaming-capable form) row for row — this is the
+    semantics pin that lets the batch op use the cheaper plan."""
+    from filemap_spark.io import load_table
+    from filemap_spark.operators.streaming import stream_session_window
+
+    ev = load_table(spark, sf_dir, "events")
+    native = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_us"
+            ),
+        )
+        .select("user_id", "session_start_us", "n_events", "duration_us")
+    )
+    got = stream_session_window(spark, sf_dir)
+    assert canonical_rows(got.toPandas()) == canonical_rows(native.toPandas())
