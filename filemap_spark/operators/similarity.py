@@ -6,11 +6,12 @@ Architecture (SURVEY §4.3.3), round-2 revision — nothing index-shaped ever
 materializes on the driver:
 
 - The brute-force top-k path runs as `mapInPandas` + numpy blocked matmul.
-  Each PYTHON WORKER reads the index parquet itself (pyarrow) and caches it
-  per dataset version — replacing round 1's driver `.toPandas()` +
-  broadcast, which was the one 100×-scale bottleneck in the module. On a
-  cluster the path is a shared-filesystem/object-store URI, readable from
-  executors exactly like the driver.
+  Each PYTHON WORKER STREAMS the index parquet in row blocks with a running
+  top-k merge (round-3 rewrite of the round-2 per-worker full-index cache,
+  whose resident set scaled with corpus size): worker memory is bounded by
+  (query chunk x index block) at ANY index size. On a cluster the path is a
+  shared-filesystem/object-store URI, readable from executors exactly like
+  the driver.
 - The IVF path is fully distributed: the coarse quantizer is trained on a
   BOUNDED deterministic sample (TakeOrdered by content hash, never a full
   collect), cell assignment runs in `mapInPandas` against the tiny
@@ -76,87 +77,101 @@ def _index_location(sf_dir: str) -> tuple[str, tuple]:
     return path, table_fingerprint(sf_dir, "embeddings")
 
 
-# Per-PYTHON-WORKER cache of the normalized index: executor memory, not
-# driver memory. Bounded to the single latest (path, fingerprint) entry —
-# long-lived workers serving many datasets never accumulate stale copies.
-_WORKER_INDEX: dict[str, object] = {}
+# Streaming brute-force geometry: worker memory is bounded by
+# _QUERY_CHUNK_ROWS x (_INDEX_BLOCK_ROWS + k) float64 (~70 MB of sims at
+# these settings) AT ANY INDEX SIZE — the index is never materialized whole
+# anywhere, driver or worker.
+_INDEX_BLOCK_ROWS = 16384
+_QUERY_CHUNK_ROWS = 512
 
 
-def _worker_index(path: str, fingerprint: tuple) -> tuple[np.ndarray, np.ndarray]:
-    """Read the index parquet ON THE EXECUTOR and cache it per worker.
-
-    This is the side-input pattern: the driver ships only (path,
-    fingerprint); each Python worker pulls the columns it needs with
-    pyarrow directly from shared storage, once per dataset version. The
-    driver never holds a vector. Reads happen where the flops happen."""
-    key = (path, fingerprint)
-    if _WORKER_INDEX.get("key") != key:
-        import pyarrow.parquet as pq
-
-        pdf = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
-        _WORKER_INDEX["key"] = key
-        _WORKER_INDEX["value"] = _normalized_matrix(pdf)
-    return _WORKER_INDEX["value"]  # type: ignore[return-value]
-
-
-def _topk_against_index(
+def _stream_topk_chunk(
     q_ids: np.ndarray,
     q_mat: np.ndarray,
-    index_ids: np.ndarray,
-    index_mat: np.ndarray,
+    path: str,
     k: int,
+    block_rows: int = _INDEX_BLOCK_ROWS,
 ) -> pd.DataFrame:
-    """Vectorized top-k by (rounded sim DESC, nbr_id ASC), self excluded.
+    """Exact top-k by (rounded sim DESC, nbr_id ASC) for one query chunk,
+    STREAMING the index parquet block-by-block with a running top-k merge —
+    round 3's replacement for the full-index-per-worker cache, whose resident
+    set scaled with corpus size (the one 100x memory killer in the module).
 
-    No per-row Python loop: ranking uses one integer composite key
-    `sim_micro * N - id_rank` (6dp sim scaled to int64; id_rank = position
-    in id-ascending order so smaller id wins ties) and a single
-    np.argpartition + sort over the whole batch."""
-    n = len(index_ids)
-    kk = min(k, n - 1)
-    # candidates ordered by id ascending → id_rank = column position
-    id_order = np.argsort(index_ids, kind="stable")
-    sorted_ids = index_ids[id_order]
-    sims = np.round(q_mat @ index_mat[id_order].T, 6)
-    # negated key: smaller = better (sim DESC, then id_rank ASC); self → +inf
-    # (never negate an int64 key — -iinfo.min overflows back to itself)
-    key = np.rint(sims * -1_000_000.0).astype(np.int64) * np.int64(n + 1) + np.arange(
-        n, dtype=np.int64
-    )
-    # exclude self: every query vector is also in the index
-    self_col = np.searchsorted(sorted_ids, q_ids)
-    hit = (self_col < n) & (sorted_ids[np.clip(self_col, 0, n - 1)] == q_ids)
-    key[np.nonzero(hit)[0], self_col[hit]] = np.iinfo(np.int64).max
-    top = np.argpartition(key, kk - 1, axis=1)[:, :kk]
-    rows = np.arange(len(q_ids))[:, None]
-    order = np.argsort(key[rows, top], axis=1, kind="stable")
-    top = top[rows, order]
+    Per block: a composite int64 key (6dp sim scaled; block-local id-rank as
+    tiebreak — valid because block columns are id-sorted) selects the block's
+    best k per query via argpartition. Cross-block merge then re-ranks the
+    (running ∪ block) candidates with a row-wise np.lexsort on the REAL
+    (−sim, nbr_id) — block-local ranks never leak across blocks. Self matches
+    are pinned to sim −2.0 (below any cosine) and dropped at the end, so a
+    query emits min(k, N−1) rows exactly as the all-pairs oracle does."""
+    import pyarrow.dataset as pads
+
+    n_q = len(q_ids)
+    rows = np.arange(n_q)[:, None]
+    run_sims = np.full((n_q, 0), -2.0)
+    run_ids = np.zeros((n_q, 0), dtype=np.int64)
+    dataset = pads.dataset(path, format="parquet")
+    for rb in dataset.to_batches(
+        batch_size=block_rows, columns=["vec_id", "embedding"]
+    ):
+        if rb.num_rows == 0:
+            continue
+        i_ids, i_mat = _normalized_matrix(rb.to_pandas())
+        order = np.argsort(i_ids, kind="stable")
+        si, sm = i_ids[order], i_mat[order]
+        nb = len(si)
+        sims = np.round(q_mat @ sm.T, 6)
+        pos = np.searchsorted(si, q_ids)
+        hit = (pos < nb) & (si[np.clip(pos, 0, nb - 1)] == q_ids)
+        sims[np.nonzero(hit)[0], pos[hit]] = -2.0  # self: below any cosine
+        kk = min(k, nb)
+        if kk < nb:
+            key = np.rint(sims * -1_000_000.0).astype(np.int64) * np.int64(
+                nb + 1
+            ) + np.arange(nb, dtype=np.int64)
+            top = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+        else:
+            top = np.tile(np.arange(nb), (n_q, 1))
+        cand_sims = np.concatenate([run_sims, sims[rows, top]], axis=1)
+        cand_ids = np.concatenate([run_ids, si[top]], axis=1)
+        keep = min(k, cand_sims.shape[1])
+        perm = np.lexsort((cand_ids, -cand_sims), axis=-1)[:, :keep]
+        run_sims = np.take_along_axis(cand_sims, perm, axis=1)
+        run_ids = np.take_along_axis(cand_ids, perm, axis=1)
+    valid = (run_sims > -1.5).ravel()
     return pd.DataFrame(
         {
-            "vec_id": np.repeat(q_ids, kk),
-            "nbr_id": sorted_ids[top].ravel(),
-            "sim": sims[rows, top].ravel(),
+            "vec_id": np.repeat(q_ids, run_sims.shape[1])[valid],
+            "nbr_id": run_ids.ravel()[valid],
+            "sim": run_sims.ravel()[valid],
         }
     )
 
 
 def _cosine_topk_frame(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
-    """Top-k cosine neighbors per vector: executor-side index read + blocked
-    numpy matmul inside mapInPandas (Arrow-batched; no per-row Python).
+    """Top-k cosine neighbors per vector: executor-side STREAMED index read +
+    blocked numpy matmul inside mapInPandas (Arrow-batched; no per-row
+    Python; no whole-index materialization on driver or worker).
 
-    The query side is repartitioned to the session's parallelism when the
-    source arrives as a single file split, so the matmul fans out across
-    executor cores instead of serializing through one Python worker."""
+    The driver ships only the index path; each Python worker scans the
+    columns it needs with pyarrow dataset streaming directly from shared
+    storage — reads happen where the flops happen, in O(block) memory. The
+    query side is repartitioned to the session's parallelism when the source
+    arrives as a single file split, so the matmul fans out across executor
+    cores instead of serializing through one Python worker."""
     emb = load_table(spark, sf_dir, "embeddings")
-    path, fingerprint = _index_location(sf_dir)
+    path, _fingerprint = _index_location(sf_dir)
 
     def topk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        index_ids, index_mat = _worker_index(path, fingerprint)
         for pdf in batches:
             if pdf.empty:
                 continue
             q_ids, q_mat = _normalized_matrix(pdf)
-            yield _topk_against_index(q_ids, q_mat, index_ids, index_mat, k)
+            for lo in range(0, len(q_ids), _QUERY_CHUNK_ROWS):
+                hi = lo + _QUERY_CHUNK_ROWS
+                out = _stream_topk_chunk(q_ids[lo:hi], q_mat[lo:hi], path, k)
+                if len(out):
+                    yield out
 
     queries_df = emb.select("vec_id", "embedding")
     target = spark.sparkContext.defaultParallelism
@@ -433,7 +448,7 @@ def _cell_topk(
     k: int,
 ) -> pd.DataFrame:
     """Per-cell top-k by (rounded sim DESC, nbr_id ASC). Unlike
-    _topk_against_index, a query may or may not be a member of the cell, so
+    _stream_topk_chunk, a query may or may not be a member of the cell, so
     self-exclusion is handled per row via the +inf key and a validity mask
     (the +inf self entry can only surface when the cell has <= k members,
     and is dropped there)."""

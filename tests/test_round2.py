@@ -60,21 +60,25 @@ def test_ns_timestamp_normalization_floors_pre_epoch(spark, tmp_path):
     assert got == expected
 
 
-def test_worker_index_cache_is_bounded_to_one_entry(spark):
-    """The executor-side index cache must hold only the latest dataset
-    version — long-lived workers serving many datasets must not leak."""
+def test_stream_topk_is_block_size_invariant(spark):
+    """The streaming top-k merge must produce IDENTICAL results whatever the
+    index block size — including pathological 7-row blocks where every merge
+    straddles block boundaries and ties must re-rank by real nbr_id. This is
+    the exactness proof that lets the worker hold O(block) memory instead of
+    the whole index (round-3 rewrite)."""
+    import pyarrow.parquet as pq
+
     from filemap_spark.operators.similarity import (
-        _WORKER_INDEX,
         _index_location,
-        _worker_index,
+        _normalized_matrix,
+        _stream_topk_chunk,
     )
 
-    loc_a = _index_location("/root/testdata/sf0.001")
-    loc_b = _index_location("/root/testdata/sf0.01")
-    ids_a, mat_a = _worker_index(*loc_a)
-    assert _WORKER_INDEX["key"] == loc_a
-    ids_b, _ = _worker_index(*loc_b)
-    assert _WORKER_INDEX["key"] == loc_b
-    assert len(_WORKER_INDEX) == 2  # exactly {key, value} — one cached entry
-    assert len(ids_a) > 0 and len(ids_b) > 0
-    assert mat_a.shape[1] == 64
+    path, _ = _index_location("/root/testdata/sf0.001")
+    pdf = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
+    q_ids, q_mat = _normalized_matrix(pdf.head(40))
+    reference = _stream_topk_chunk(q_ids, q_mat, path, k=5, block_rows=1 << 20)
+    assert len(reference) == 40 * 5
+    for block_rows in (7, 64, 250):
+        got = _stream_topk_chunk(q_ids, q_mat, path, k=5, block_rows=block_rows)
+        assert got.to_dict("list") == reference.to_dict("list"), block_rows
