@@ -384,22 +384,11 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh", cost=4.9)  # rows-only: LSH bucketing is probabilistic
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates — the scale path for dedup_near_jaccard
-    (shingle→minhash→band→bucket-join instead of the quadratic-ish shingle
-    self-join). Deterministic seeded permutations; banded signature join;
-    candidates then exact-verified with true Jaccard. Not oracle-graded
-    (banding recall is probabilistic); tests assert parity with the exact op
-    on the contract corpus.
-
-    At 100 TB: signatures are 128 ints/doc regardless of doc size, and the
-    band-bucket join shuffles only signature fragments — this is the
-    standard web-scale dedup layout."""
-    docs = load_table(spark, sf_dir, "documents")
-    n_hashes, n_bands = 128, 32  # r = 4 rows/band → catches jaccard ≥ ~0.6
+def _shingle_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle): DISTINCT word-5-gram shingles — the Spark twin of
+    SHINGLE_CTE, shared by the LSH family (minhash, incremental)."""
     w = Window.partitionBy("doc_id").orderBy("pos")
-    shingles = (
+    return (
         docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
         .select(
             "doc_id",
@@ -416,53 +405,59 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("w4").isNotNull())
         .select("doc_id", "shingle")
         .distinct()
-        # materialized once: the signature agg, the candidate verify join
-        # (both sides), and the shingle counts all rescan this frame
-        .localCheckpoint()
     )
-    # 128 seeded hash slots: minhash_i = min over shingles of xxhash64(shingle, i)
+
+
+# LSH geometry shared by dedup_minhash_lsh and the incremental ingest:
+# r = 4 rows/band over 128 deterministic permutations → catches jaccard ≥ ~0.6
+_LSH_HASHES, _LSH_BANDS = 128, 32
+
+
+def _band_buckets(shingles: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket): banded MinHash signature, stacked one row per
+    band. minhash_i = min over shingles of xxhash64(shingle, i) — seeded,
+    deterministic, so signatures computed in different ingest batches (or
+    rounds) are comparable; bucket = hash of the band's 4 signature slots."""
     sigs = shingles.select(
         "doc_id",
         *[
             F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"h{i}")
-            for i in range(n_hashes)
+            for i in range(_LSH_HASHES)
         ],
     ).groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(n_hashes)]
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(_LSH_HASHES)]
     )
-    rows_per_band = n_hashes // n_bands
+    rows_per_band = _LSH_HASHES // _LSH_BANDS
     band_cols = [
         F.hash(*[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
             f"band{b}"
         )
-        for b in range(n_bands)
+        for b in range(_LSH_BANDS)
     ]
-    banded = sigs.select("doc_id", *band_cols)
-    # candidate pairs: same bucket in ANY band
-    stacked = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
-    a = stacked.alias("a")
-    b = stacked.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    return (
+        sigs.select("doc_id", *band_cols)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket")
+                        )
+                        for b in range(_LSH_BANDS)
+                    ]
+                )
+            ).alias("bb"),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .select("doc_id", "bb.band", "bb.bucket")
     )
-    # exact-verify candidates with true Jaccard (cheap: few candidates)
+
+
+def _jaccard_verify(
+    candidates: DataFrame, shingles: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Exact-verify (doc_a, doc_b) candidate pairs with true shingle Jaccard;
+    keeps pairs ≥ threshold. Cheap: joins only candidates' shingle rows."""
     counts = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = shingles.alias("sa")
     sb = shingles.alias("sb")
@@ -482,10 +477,156 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
         .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
-        .where(jac >= 0.8)
+        .where(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
     )
+
+
+@query("dedup_minhash_lsh", cost=4.9)  # rows-only: LSH bucketing is probabilistic
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates — the scale path for dedup_near_jaccard
+    (shingle→minhash→band→bucket-join instead of the quadratic-ish shingle
+    self-join). Deterministic seeded permutations; banded signature join;
+    candidates then exact-verified with true Jaccard. Not oracle-graded
+    (banding recall is probabilistic); tests assert parity with the exact op
+    on the contract corpus.
+
+    At 100 TB: signatures are 128 ints/doc regardless of doc size, and the
+    band-bucket join shuffles only signature fragments — this is the
+    standard web-scale dedup layout."""
+    docs = load_table(spark, sf_dir, "documents")
+    # materialized once: the signature agg, the candidate verify join
+    # (both sides), and the shingle counts all rescan this frame
+    shingles = _shingle_frame(docs).localCheckpoint()
+    stacked = _band_buckets(shingles)
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _jaccard_verify(candidates, shingles).orderBy("doc_a", "doc_b")
+
+
+def incremental_lsh_ingest(
+    spark: SparkSession,
+    docs: DataFrame,
+    state_dir: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Ingest a document batch into a PERSISTED LSH index and return the
+    exact-verified duplicate pairs the batch introduces — filemap's
+    make-semantics applied to web-scale dedup: when new files arrive, only
+    the new documents are shingled, minhashed, and banded; the existing
+    corpus contributes through the persisted index, never recomputed.
+
+    State layout under `state_dir` (all normal parquet, appendable):
+      ingested.parquet  (doc_id)                 — the make ledger
+      shingles.parquet  (doc_id, shingle)        — for exact verification
+      bands.parquet     (doc_id, band, bucket)   — the LSH index proper
+
+    Returns (doc_a, doc_b, jaccard), doc_a < doc_b, jaccard >= threshold,
+    where at least one side is in THIS batch ((new, old) via the band-bucket
+    probe against the persisted index, (new, new) via self-probe). Ingesting
+    the same docs again is a no-op (anti-join on the ledger) and an empty
+    delta costs one empty scan — the only-new-docs-work property is pinned
+    in tests/test_quality.py.
+
+    Scale: per batch the shuffles touch O(|new docs|) signature fragments
+    plus the probed buckets of the index; the index itself is an appended
+    columnar table that never rewrites. Deterministic seeded permutations
+    make signatures from different batches comparable by construction."""
+    import os
+
+    os.makedirs(state_dir, exist_ok=True)
+    ing_path = os.path.join(state_dir, "ingested.parquet")
+    sh_path = os.path.join(state_dir, "shingles.parquet")
+    band_path = os.path.join(state_dir, "bands.parquet")
+    have_state = os.path.exists(ing_path)
+
+    new_docs = docs.select("doc_id", "text")
+    if have_state:
+        ledger = spark.read.parquet(ing_path).select("doc_id")
+        new_docs = new_docs.join(ledger, "doc_id", "left_anti")
+    # pin the delta: the ledger append below must not flip the anti-join
+    new_docs = new_docs.localCheckpoint()
+
+    new_sh = _shingle_frame(new_docs).localCheckpoint()
+    new_bands = _band_buckets(new_sh).localCheckpoint()
+
+    if have_state:
+        all_bands = spark.read.parquet(band_path).unionByName(new_bands)
+        all_sh = spark.read.parquet(sh_path).unionByName(new_sh)
+    else:
+        all_bands = new_bands
+        all_sh = new_sh
+
+    a = new_bands.alias("a")
+    b = all_bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    pairs = _jaccard_verify(candidates, all_sh, threshold).localCheckpoint()
+
+    # commit the batch AFTER the pairs are materialized (append-only)
+    new_docs.select("doc_id").write.mode("append").parquet(ing_path)
+    new_sh.write.mode("append").parquet(sh_path)
+    new_bands.write.mode("append").parquet(band_path)
+    return pairs
+
+
+@query(
+    "dedup_incremental_lsh",
+    cost=6.0,
+    oracle=f"""
+    WITH {JACCARD_PAIR_CTES}
+    SELECT doc_a, doc_b, jaccard FROM jac_pairs
+    WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded batch form of the incremental dedup path: ingest the corpus
+    sans every-10th doc as the existing index, then ingest the arriving
+    split (doc_id % 10 == 0) and return the delta pairs that second ingest
+    surfaces. Equals the exact all-pairs Jaccard oracle restricted to pairs
+    touching the delta — (new, old) pairs come from band-bucket probes of
+    the persisted index, (new, new) from self-probes, and every candidate is
+    exact-verified, so the LSH mechanics are graded against exact SQL.
+
+    (Banding at r=4,b=32 misses a true jaccard-0.8 pair with p < 1e-7; on
+    the deterministic contract corpus the parity is exact — also pinned
+    directly in tests/test_quality.py.)"""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    state_dir = tempfile.mkdtemp(prefix="lsh_incr_")
+    try:
+        incremental_lsh_ingest(spark, docs.where(F.col("doc_id") % 10 != 0), state_dir)
+        delta = incremental_lsh_ingest(
+            spark, docs.where(F.col("doc_id") % 10 == 0), state_dir
+        )
+        # localCheckpointed by ingest → safe to drop the parquet state
+        return delta.orderBy("doc_a", "doc_b")
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -119,6 +119,7 @@ _PRIORITY_R3 = (
     "dedup_exact_text",
     "dedup_near_jaccard",
     "dedup_minhash_lsh",
+    "dedup_incremental_lsh",
     "dedup_simhash",
     "dedup_connected_components",
     "dedup_apply_survivors",
@@ -161,8 +162,8 @@ _PRIORITY_R3 = (
     "fn_json",
     "fn_array_higher_order",
     "fn_hash_stable",
-    "fn_struct_map",
     # --- 50-op window boundary: the tail below grades in round 4 ---
+    "fn_struct_map",
     "fn_date_arith",
     "fn_date_format",
     "fn_conditional",

@@ -116,3 +116,57 @@ def test_approx_percentile_within_1pct(spark, sf_dir):
     for flag, (p50, p90) in exact.items():
         assert abs(approx[flag][0] - p50) <= 0.01 * p50, (flag, approx[flag][0], p50)
         assert abs(approx[flag][1] - p90) <= 0.01 * p90, (flag, approx[flag][1], p90)
+
+
+def test_incremental_lsh_delta_equals_exact_pairs(spark, sf_dir, tmp_path):
+    """Base-then-delta ingest must surface exactly the true >=0.8-Jaccard
+    pairs that touch the delta split — same exactness contract as the
+    graded oracle."""
+    from filemap_spark.operators.text import incremental_lsh_ingest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    state = str(tmp_path / "lsh_state")
+    base_pairs = incremental_lsh_ingest(spark, docs.where(F.col("doc_id") % 10 != 0), state)
+    delta_pairs = incremental_lsh_ingest(spark, docs.where(F.col("doc_id") % 10 == 0), state)
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["dedup_near_jaccard"](spark, sf_dir).collect()
+    }
+    got_delta = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in delta_pairs.collect()}
+    want_delta = {p: j for p, j in exact.items() if p[0] % 10 == 0 or p[1] % 10 == 0}
+    assert got_delta == want_delta
+    # base + delta together cover the full corpus's pairs exactly once
+    got_base = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in base_pairs.collect()}
+    assert not set(got_base) & set(got_delta)
+    assert {**got_base, **got_delta} == exact
+
+
+def test_incremental_lsh_only_new_docs_do_work(spark, sf_dir, tmp_path):
+    """The make property: a second ingest hashes ONLY unseen docs (persisted
+    band rows grow by exactly the delta's), re-ingesting already-seen docs
+    is a no-op, and an empty delta yields an empty result."""
+    import os
+
+    from filemap_spark.operators.text import _LSH_BANDS, incremental_lsh_ingest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    # docs with >= 5 words produce a signature (one stacked row per band)
+    def n_sigworthy(df):
+        return df.where(F.size(F.split("text", " ")) >= 5).count()
+
+    state = str(tmp_path / "lsh_state")
+    band_path = os.path.join(state, "bands.parquet")
+    incremental_lsh_ingest(spark, base, state)
+    rows_after_base = spark.read.parquet(band_path).count()
+    assert rows_after_base == n_sigworthy(base) * _LSH_BANDS
+
+    incremental_lsh_ingest(spark, delta, state)
+    rows_after_delta = spark.read.parquet(band_path).count()
+    assert rows_after_delta - rows_after_base == n_sigworthy(delta) * _LSH_BANDS
+
+    # re-ingesting the SAME docs: ledger anti-join leaves no work, no growth
+    again = incremental_lsh_ingest(spark, docs, state)
+    assert again.count() == 0
+    assert spark.read.parquet(band_path).count() == rows_after_delta

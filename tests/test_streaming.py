@@ -258,3 +258,44 @@ def test_session_window_native_equals_lag_cumsum(spark, sf_dir):
     )
     got = stream_session_window(spark, sf_dir)
     assert canonical_rows(got.toPandas()) == canonical_rows(native.toPandas())
+
+
+def test_incremental_lsh_stream_converges_to_exact_pairs(spark, sf_dir, tmp_path):
+    """filemap's signature incremental model applied to LLM dedup: documents
+    arrive as a file stream; each availableNow micro-batch ingests only its
+    new docs into the persisted LSH index via foreachBatch. The union of
+    per-batch delta pairs must equal the exact all-pairs >=0.8-Jaccard set —
+    no pair missed across batch boundaries, none emitted twice."""
+    from filemap_spark import all_queries
+    from filemap_spark.io import load_table
+    from filemap_spark.operators.text import incremental_lsh_ingest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    input_dir = str(tmp_path / "docs_in")
+    docs.repartition(3).write.parquet(input_dir)
+    schema = spark.read.parquet(input_dir).schema
+
+    state = str(tmp_path / "lsh_state")
+    seen: list[tuple] = []
+
+    def sink(batch_df, _batch_id):
+        pairs = incremental_lsh_ingest(spark, batch_df, state)
+        seen.extend((r["doc_a"], r["doc_b"]) for r in pairs.collect())
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in all_queries()["dedup_near_jaccard"](spark, sf_dir).collect()
+    }
+    assert len(seen) == len(set(seen)), "a pair was emitted by two batches"
+    assert set(seen) == exact
