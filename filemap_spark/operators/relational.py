@@ -214,6 +214,63 @@ def alternating_star_components(edges: DataFrame) -> DataFrame:
     ).distinct()
 
 
+def merge_component_labels(labels: DataFrame, delta_pairs: DataFrame) -> DataFrame:
+    """Delta connected components: fold a batch of NEW duplicate pairs into
+    an existing (doc_id, component) labeling without re-running CC on the
+    whole graph — the companion to text.incremental_lsh_ingest, completing
+    the incremental dedup path (new docs → delta pairs → delta CC → updated
+    survivors).
+
+    Only AFFECTED components recompute: the components touched by a delta
+    endpoint are identified with one semi-join, their label edges
+    (component → member, already star-shaped) union the delta pairs, and
+    alternating_star_components contracts that subgraph — converging in
+    very few rounds since the old part is pre-contracted. Untouched rows
+    pass through with an anti-join. Cost scales with the size of the merged
+    components, not the corpus: at 100 TB a batch touching k docs reads the
+    label table via two hash joins and contracts a graph of
+    O(k · avg-component) edges.
+
+    Delta docs not present in `labels` (brand-new arrivals) label
+    themselves through the star contraction directly. Equality with a full
+    recompute over (old ∪ delta) pairs is pinned in tests/test_kernels.py."""
+    pairs = delta_pairs.select(
+        F.least("doc_a", "doc_b").alias("u"), F.greatest("doc_a", "doc_b").alias("v")
+    ).where(F.col("u") != F.col("v")).distinct()
+    endpoints = (
+        pairs.select(F.col("u").alias("doc_id"))
+        .union(pairs.select(F.col("v").alias("doc_id")))
+        .distinct()
+    )
+    # components containing any delta endpoint (new docs have no label row)
+    touched = (
+        labels.join(endpoints, "doc_id")
+        .select("component")
+        .distinct()
+    )
+    affected = labels.join(touched, "component")  # all members, not just endpoints
+    # old star edges (component → member) carry the prior connectivity
+    old_edges = affected.where(F.col("doc_id") != F.col("component")).select(
+        F.col("component").alias("u"), F.col("doc_id").alias("v")
+    )
+    merged = alternating_star_components(old_edges.union(pairs))
+    updated = (
+        affected.select("doc_id")
+        .union(endpoints)
+        .distinct()
+        .join(merged, F.col("doc_id") == merged.node, "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("component")
+        )
+    )
+    untouched = labels.join(
+        updated.select(F.col("doc_id").alias("d")),
+        labels.doc_id == F.col("d"),
+        "left_anti",
+    )
+    return untouched.unionByName(updated)
+
+
 # One-entry cache of the Jaccard-CC label frame: dedup_apply_survivors is a
 # strict composition of dedup_connected_components, and grading runs both —
 # without this the expensive pair generation + star rounds run twice.

@@ -163,3 +163,46 @@ def test_ball_pruning_bound_is_exhaustive(spark):
     for a, b in zip(ai, bi):
         lo, hi = (a, b) if ids[a] < ids[b] else (b, a)
         assert ang_all[lo, cell[hi]] <= max_angle + radii[cell[hi]], (ids[lo], ids[hi])
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_old,n_delta", [(0, 40, 25, 15), (1, 60, 10, 50), (2, 25, 0, 30)])
+def test_merge_component_labels_equals_full_recompute(spark, seed, n_nodes, n_old, n_delta):
+    """Delta CC must equal a from-scratch CC over (old ∪ delta) pairs —
+    including chains where a delta pair merges two old components, delta
+    pairs among brand-new (unlabeled) nodes, and an empty old graph."""
+    from filemap_spark.operators.relational import (
+        alternating_star_components,
+        merge_component_labels,
+    )
+
+    rng = np.random.RandomState(seed)
+
+    def rand_pairs(n, hi):
+        raw = [(int(rng.randint(hi)), int(rng.randint(hi))) for _ in range(n)]
+        return [(u, v) for u, v in raw if u != v]
+
+    # old graph lives on the lower half of the id space; delta pairs span the
+    # full space so some touch old components, some are new-new
+    old_edges = rand_pairs(n_old, n_nodes // 2)
+    delta_edges = rand_pairs(n_delta, n_nodes)
+    all_ids = list(range(n_nodes))
+
+    def full_labels(edges):
+        base = {x: x for x in all_ids}
+        if edges:
+            df = spark.createDataFrame(edges, "u long, v long")
+            base.update(
+                {r["node"]: r["component"] for r in alternating_star_components(df).collect()}
+            )
+        return base
+
+    old_labels_map = full_labels(old_edges)
+    old_labels = spark.createDataFrame(
+        list(old_labels_map.items()), "doc_id long, component long"
+    )
+    delta_df = spark.createDataFrame(delta_edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in merge_component_labels(old_labels, delta_df).collect()
+    }
+    assert got == full_labels(old_edges + delta_edges)
