@@ -140,6 +140,22 @@ def main() -> None:
         "agg_pricing_summary_ratio_same_rig": round(ours_best / base_best, 3),
     }
 
+    # Wordcount methodology calibration: BASELINE.md table 2's "warm" was the
+    # 2nd run, which for sub-second queries re-collects the SAME DataFrame and
+    # reuses its shuffle stages — a ~0.1-0.15 s floor no fresh query can hit.
+    # Reproduce that recorded methodology here (same rig, same session) next
+    # to the honest rebuild number so the ratio is apples-to-apples: if
+    # `text_wordcount_2ndrun_same_df` lands at ~the recorded 0.16 s while the
+    # rebuild number sits near the fresh-plan floor, the headline gap is
+    # measurement methodology, not plan speed.
+    wc_fn = queries["text_wordcount"]
+    wc_df = wc_fn(spark, sf_dir)
+    wc_df.collect()  # 1st run materializes the shuffle
+    t0 = time.time()
+    wc_df.collect()  # 2nd run = BASELINE.md's recorded "warm" methodology
+    calibration["text_wordcount_2ndrun_same_df"] = round(time.time() - t0, 3)
+    calibration["text_wordcount_rebuild"] = timings.get("text_wordcount")
+
     # Mechanical regression guard: this_round / prev_round per query
     # (>1.0 = slower than the previous committed round).
     prev = _prev_round_timings(here, sf)
