@@ -137,6 +137,50 @@ def sample_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sample_domain_mix",
+    cost=0.5,
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS lang_n FROM documents GROUP BY lang),
+    m AS (SELECT min(lang_n) AS min_n FROM c)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN c USING (lang) CROSS JOIN m
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            * c.lang_n < m.min_n * 4294967296
+    ORDER BY d.doc_id
+    """,
+)
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing: downsample every language domain to ~the size
+    of the smallest one, the way a pretraining mixture rebalances
+    over-represented domains (the contract corpus is ~43% `en`; `source` is
+    uniform by construction, so `lang` is the imbalanced dimension here).
+    Membership is decided by md5(doc_id) against a per-domain keep-rate
+    (min_count/count), so the sample is engine-, partitioning-, and
+    rerun-stable — rerunning after ingest only ADDS docs, it never flips
+    prior members (the property weighted `df.sample` lacks).
+
+    The keep test is pure integer math (`hash32 * lang_n < min_n * 2^32`) —
+    no FP division to diverge between engines. Scale: per-domain counts are
+    a tiny broadcast dim (domains ≪ docs); the fact table is filtered in one
+    pushdown-friendly scan, no shuffle of the corpus at all. At corpus sizes
+    past ~2^31 docs per domain, widen the product to DECIMAL or drop to a
+    16-bit hash to keep `hash32 * lang_n` inside int64."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnts = docs.groupBy("lang").agg(F.count("*").alias("lang_n"))
+    min_n = cnts.agg(F.min("lang_n").alias("min_n"))
+    h32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(cnts), "lang")
+        .crossJoin(F.broadcast(min_n))
+        .where(h32 * F.col("lang_n") < F.col("min_n") * F.lit(4294967296))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 def alternating_star_components(edges: DataFrame) -> DataFrame:
     """Connected components by alternating large-star/small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —

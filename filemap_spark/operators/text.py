@@ -219,6 +219,89 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition_stats",
+    cost=1.0,
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, count(*) AS n_tokens, count(DISTINCT word) AS n_uniq
+      FROM toks GROUP BY doc_id
+    ), big AS (
+      SELECT doc_id,
+             word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+      FROM toks
+    ), bc AS (
+      SELECT doc_id, bigram, count(*) AS c FROM big
+      WHERE bigram IS NOT NULL GROUP BY doc_id, bigram
+    ), per_doc AS (
+      SELECT doc_id, max(c) AS top_big, sum(c) AS n_bigrams FROM bc GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           cast(t.n_tokens AS bigint) AS n_tokens,
+           round(cast(t.n_uniq AS double) / t.n_tokens, 6) AS uniq_token_ratio,
+           round(coalesce(cast(p.top_big AS double) / p.n_bigrams, 0.0), 6)
+             AS top_bigram_frac
+    FROM tok t LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: lexical
+    diversity (distinct/total tokens) and the fraction of bigram occurrences
+    taken by the single most frequent bigram — the standard screens for
+    boilerplate loops and keyword-stuffed spam in a pretraining corpus.
+
+    Token stats come straight off the split array (JVM, no extra scan
+    branch); only the bigram frequency needs relational machinery: explode
+    (doc_id, pos, word), lead() within doc, then two keyed aggregations.
+    Every shuffle is on doc_id or (doc_id, bigram) — the natural corpus
+    partitioning — so the plan is the one you'd run at 100 TB: no all-pairs,
+    no driver state, group sizes bounded by document length."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("n_uniq"),
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    per_doc = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", "word", F.lead("word").over(w)).alias("bigram"),
+            F.lead("word").over(w).alias("nxt"),
+        )
+        .where(F.col("nxt").isNotNull())
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_big"), F.sum("c").alias("n_bigrams"))
+    )
+    return (
+        tok.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("n_uniq").cast("double") / F.col("n_tokens"), 6).alias(
+                "uniq_token_ratio"
+            ),
+            F.round(
+                F.coalesce(
+                    F.col("top_big").cast("double") / F.col("n_bigrams"), F.lit(0.0)
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "text_unigram_logprob",
     oracle=f"""
     WITH toks AS (

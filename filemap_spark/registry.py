@@ -171,6 +171,8 @@ _PRIORITY_R3 = (
     "fn_try_arith",
     "fn_base64",
     "text_unigram_logprob",  # round-3 addition — graded when the tail is
+    "text_repetition_stats",  # round-3 addition
+    "sample_domain_mix",  # round-3 addition
 )
 
 

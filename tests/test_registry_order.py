@@ -43,10 +43,9 @@ def test_window_leaves_at_most_a_trivial_tail():
     could not displace a never-graded op (the sacrificial tail)."""
     order = list(all_queries())
     tail = [n for n in order[WINDOW:] if n not in _DRIVER_GREEN_R1R2]
-    assert len(tail) <= 8, tail
-    assert all(
-        n.startswith("fn_") or n == "text_unigram_logprob" for n in tail
-    ), tail
+    assert len(tail) <= 10, tail
+    late_r3 = {"text_unigram_logprob", "text_repetition_stats", "sample_domain_mix"}
+    assert all(n.startswith("fn_") or n in late_r3 for n in tail), tail
 
 
 def test_green_tail_cost_tiers_nondecreasing():
