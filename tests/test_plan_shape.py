@@ -169,3 +169,29 @@ def test_session_window_single_data_shuffle(spark, sf_dir):
     assert nodes.count("Sort") == 1, nodes
     assert "hashpartitioning(user_id" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_repetition_stats_single_token_shuffle(spark, sf_dir):
+    """Round 3: one hashpartitioning(doc_id) exchange on the exploded token
+    relation must feed the lead() window AND both downstream aggregations
+    (groupBy(doc_id, bigram), then groupBy(doc_id) — hash on doc_id
+    satisfies both clustered distributions). The only other exchange is the
+    final presentation sort."""
+    plan = plan_of(spark, sf_dir, "text_repetition_stats")
+    nodes = _tree_nodes(plan)
+    data_exchanges = [n for n in nodes if n == "Exchange"]
+    assert len(data_exchanges) == 2, nodes  # token shuffle + final range sort
+    assert plan.count("hashpartitioning(doc_id") == 1, plan
+    assert nodes.count("Window") == 1, nodes
+
+
+def test_domain_mix_corpus_never_shuffles(spark, sf_dir):
+    """Round 3: the per-domain counts are broadcast dims; the corpus branch
+    is a pruned, filter-pushed scan with NO hash exchange — only the tiny
+    lang-count aggregations shuffle."""
+    plan = plan_of(spark, sf_dir, "sample_domain_mix")
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "doc_id" in read and "lang" in read and "text" not in read
+    assert "PushedFilters: [IsNotNull(lang), IsNotNull(doc_id)]" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(doc_id" not in plan  # corpus rows never shuffle
