@@ -610,6 +610,39 @@ def agg_topn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_hll_rollup", cost=0.8)  # rows-only: sketch bytes are engine-specific
+def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — `ts_hypertable_rollup`'s distinct-count
+    sibling: per-minute HLL sketches of active users, hour grain computed
+    by UNIONING the minute sketches (`hll_union_agg`), never re-touching
+    raw rows. HLL union is lossless by construction (register-wise max), so
+    merged-then-estimated EXACTLY equals estimated-direct — pinned in
+    pytest (tests/test_quality.py), alongside a ±5% accuracy check vs the
+    exact distinct count.
+
+    This is how a 100 TB pipeline serves distinct-count dashboards: the
+    minute layer persists as the continuous aggregate (one small binary
+    column per bucket), every coarser grain is a cheap sketch merge with
+    shuffle volume proportional to bucket count, and late data only
+    rewrites the buckets it lands in. Rows-only: the estimate is
+    Datasketches-specific, not an ANSI-SQL value."""
+    ev = load_table(spark, sf_dir, "events")
+    minute = ev.groupBy(F.date_trunc("minute", "ts").alias("minute_ts")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        minute.groupBy(
+            F.unix_micros(F.date_trunc("hour", "minute_ts")).alias("hour_us")
+        )
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("bigint")
+            .alias("est_users")
+        )
+        .orderBy("hour_us")
+    )
+
+
 @query(
     "ts_hypertable_rollup",
     oracle=EVENTS_NORM_SQL

@@ -545,6 +545,100 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Random-hyperplane LSH geometry: T tables of B sign-bits each. B trades
+# candidate density against selectivity (collision prob for angle θ is
+# (1-θ/π)^B per table); T tables OR the candidate sets together. At corpus
+# scale raise B (keeps buckets shard-sized) and T (recovers recall) —
+# cost grows linearly in T, bucket work shrinks geometrically in B.
+_LSH_TABLES = 8
+_LSH_BITS = 6
+_LSH_SEED = 0x5EED
+
+
+def _lsh_planes(dim: int) -> np.ndarray:
+    """Deterministic (T*B, dim) Gaussian hyperplanes — same on every
+    driver/worker/rerun (seeded PCG64; numpy guarantees stream stability)."""
+    return np.random.default_rng(_LSH_SEED).standard_normal(
+        (_LSH_TABLES * _LSH_BITS, dim)
+    )
+
+
+def _lsh_signature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, table_id, bucket, embedding) — each vector exploded to its
+    T (table, bucket) keys, embedding row-normalized. Signatures are
+    computed in Arrow batches against broadcast planes; nothing is
+    collected."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    bc = spark.sparkContext.broadcast(_lsh_planes(dim))
+
+    def sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = bc.value
+        weights = 1 << np.arange(_LSH_BITS, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, mat = _normalized_matrix(pdf)
+            bits = (mat @ planes.T) >= 0.0
+            bits = bits.reshape(len(ids), _LSH_TABLES, _LSH_BITS)
+            buckets = (bits * weights).sum(axis=2).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, _LSH_TABLES),
+                    "table_id": np.tile(
+                        np.arange(_LSH_TABLES, dtype=np.int32), len(ids)
+                    ),
+                    "bucket": buckets.ravel(),
+                    "embedding": list(np.repeat(mat, _LSH_TABLES, axis=0)),
+                }
+            )
+
+    return emb.mapInPandas(
+        sigs, schema="vec_id long, table_id int, bucket long, embedding array<double>"
+    )
+
+
+@query("sim_ann_lsh", cost=1.5)  # rows-only: ANN recall is approximate by design
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH approximate top-5 — the bucket-join ANN family
+    member next to IVF (`sim_ann_ivf`): T=8 tables of B=6 sign-bits, vectors
+    sharing a (table, bucket) key become candidates, exact cosine inside
+    each bucket (`_cell_topk`, self-excluded), candidates OR-merged across
+    tables (groupBy max — sims are identical up to 6dp rounding), then a
+    per-query window top-5.
+
+    The 100 TB layout: no trained model, no driver state, no broadcast of
+    anything but the (T*B x dim) plane matrix; the only shuffle keys are
+    (table, bucket) — bucket sizes concentrate around N/2^B per table, and a
+    hot bucket is splittable by raising B. Not oracle-graded: the mechanism
+    test pins output ≡ brute-force restricted to each query's candidate set
+    (tests/test_quality.py); absolute recall is a data property (isotropic
+    corpus ⇒ modest by design)."""
+    k = 5
+    sig = _lsh_signature_frame(spark, sf_dir)
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_id": [], "nbr_id": [], "sim": []})
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.vstack(pdf["embedding"].to_numpy())
+        return _cell_topk(ids, mat, ids, mat, k)
+
+    cands = (
+        sig.groupBy("table_id", "bucket")
+        .applyInPandas(bucket_topk, schema="vec_id long, nbr_id long, sim double")
+        .groupBy("vec_id", "nbr_id")
+        .agg(F.max("sim").alias("sim"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("vec_id", "nbr_id", "sim")
+        .orderBy("vec_id", F.desc("sim"), "nbr_id")
+    )
+
+
 @query(
     "emb_quantize_int8",
     oracle="""

@@ -129,6 +129,7 @@ _PRIORITY_R3 = (
     "sim_cosine_topk",
     "sim_knn_label",
     "sim_ann_ivf",
+    "sim_ann_lsh",  # round-3 addition, placed in-window with its family
     "text_normalize",
     "text_quality_score",
     "text_token_count",
@@ -173,6 +174,7 @@ _PRIORITY_R3 = (
     "text_unigram_logprob",  # round-3 addition — graded when the tail is
     "text_repetition_stats",  # round-3 addition
     "sample_domain_mix",  # round-3 addition
+    "agg_hll_rollup",  # round-3 addition
 )
 
 

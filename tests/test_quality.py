@@ -77,6 +77,73 @@ def test_ivf_mechanism_is_exact_within_probed_cells(spark, sf_dir):
     assert recall >= 0.15, f"IVF recall collapsed: {recall:.3f}"
 
 
+def test_hll_rollup_merge_is_lossless_and_accurate(spark, sf_dir):
+    """HLL union is register-wise max, so minute-sketches merged to hour
+    must estimate EXACTLY what a direct hour-grain sketch estimates; and
+    both must sit within 5% of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    merged = {
+        r["hour_us"]: r["est_users"]
+        for r in QUERIES["agg_hll_rollup"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us")
+    direct = {
+        r["hour_us"]: r["est"]
+        for r in ev.groupBy(hour)
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("bigint").alias("est"))
+        .collect()
+    }
+    exact = {
+        r["hour_us"]: r["n"]
+        for r in ev.groupBy(hour).agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert merged == direct  # lossless merge, bucket for bucket
+    for h, n in exact.items():
+        assert abs(merged[h] - n) <= max(1, 0.05 * n), (h, merged[h], n)
+
+
+def test_lsh_ann_mechanism_is_exact_within_buckets(spark, sf_dir):
+    """sim_ann_lsh must return EXACTLY the brute-force top-5 restricted to
+    each query's candidate set (vectors sharing >= 1 (table, bucket) key) —
+    the same mechanism pin as IVF. Candidate sets are rebuilt test-side from
+    the same deterministic planes the operator broadcasts."""
+    import numpy as np
+
+    from filemap_spark.operators.similarity import (
+        _LSH_BITS,
+        _LSH_TABLES,
+        _lsh_planes,
+        _normalized_matrix,
+    )
+
+    pdf = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    ids, mat = _normalized_matrix(pdf)
+    planes = _lsh_planes(mat.shape[1])
+    bits = (mat @ planes.T >= 0.0).reshape(len(ids), _LSH_TABLES, _LSH_BITS)
+    weights = 1 << np.arange(_LSH_BITS, dtype=np.int64)
+    buckets = (bits * weights).sum(axis=2)  # (n, T)
+    expected = set()
+    for i, qid in enumerate(ids):
+        mask = (buckets == buckets[i]).any(axis=1) & (ids != qid)
+        cand_ids = ids[mask]
+        if not len(cand_ids):
+            continue
+        sims = np.round(mat[mask] @ mat[i], 6)
+        order = np.lexsort((cand_ids, -sims))[:5]
+        expected |= {(int(qid), int(cand_ids[j])) for j in order}
+    found = {
+        (r["vec_id"], r["nbr_id"])
+        for r in QUERIES["sim_ann_lsh"](spark, sf_dir).collect()
+    }
+    assert found == expected
+
+
 def test_simhash_block_join_has_perfect_recall(spark, sf_dir):
     """The 8×8-bit block-pigeonhole join must find EXACTLY the pairs a
     brute-force all-pairs hamming scan of the same signatures finds at
