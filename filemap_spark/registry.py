@@ -162,8 +162,10 @@ _PRIORITY_R3 = (
     "fn_math",
     "fn_json",
     "fn_array_higher_order",
-    "fn_hash_stable",
     # --- 50-op window boundary: the tail below grades in round 4 ---
+    # (fn_hash_stable ceded its slot to sim_ann_lsh so the whole
+    # similarity family grades together this round)
+    "fn_hash_stable",
     "fn_struct_map",
     "fn_date_arith",
     "fn_date_format",
