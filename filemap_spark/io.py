@@ -64,9 +64,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        floor_us = "(ts div 1000) - (CASE WHEN ts < 0 AND ts % 1000 != 0 THEN 1 ELSE 0 END)"
-        df = df.withColumn("ts", F.timestamp_micros(F.expr(floor_us)))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            floor_us = "(ts div 1000) - (CASE WHEN ts < 0 AND ts % 1000 != 0 THEN 1 ELSE 0 END)"
+            df = df.withColumn("ts", F.timestamp_micros(F.expr(floor_us)))
+        elif ts_type == "timestamp_ntz":
+            # µs-precision naive timestamps (isAdjustedToUTC=false parquet).
+            # Session tz is pinned to UTC (session.py), so NTZ→TIMESTAMP is an
+            # exact identity on the underlying µs value; downstream operators
+            # (unix_micros, window functions) expect the LTZ type.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
