@@ -701,3 +701,52 @@ def ts_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_us", "event_type")
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    SELECT c_mktsegment, o_orderpriority AS modal_priority,
+           cast(count(*) AS bigint) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, o_orderpriority
+    QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+                               ORDER BY count(*) DESC, o_orderpriority) = 1
+    ORDER BY c_mktsegment
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group MODE: the most frequent o_orderpriority per
+    market segment, with its count. Deliberately NOT Spark's builtin
+    `F.mode` — its tie rule is unspecified (and DuckDB's `mode()` breaks
+    ties differently), so the graded form is the explicit count + window
+    row_number with a total-order tiebreak (count DESC, value ASC), which
+    both engines execute identically.
+
+    Scale: the candidate relation after the first agg is
+    |groups| x |distinct values| rows (25 here; bounded at any corpus size
+    by the enum domain), so the window runs on a tiny intermediate — the
+    expensive work is the partial+final hash agg, one shuffle on the
+    composite key, dims broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    counts = (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("modal_priority"),
+            "n",
+        )
+        .orderBy("c_mktsegment")
+    )

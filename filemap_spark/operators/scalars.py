@@ -443,3 +443,50 @@ def fn_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/'
+             || cast(doc_id AS varchar) || '?lang=' || lang || '&v=2' AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, 'https://([^/]+)', 1) AS host,
+           regexp_extract(url, 'https://[^/]+([^?]+)', 1) AS path,
+           regexp_extract(url, 'lang=([a-z]+)', 1) AS lang_param
+    FROM u ORDER BY doc_id
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL structural parsing — host / path / query-parameter extraction,
+    the first step of web-corpus domain analysis (sample_domain_mix's
+    upstream in a real CommonCrawl-style pipeline). URLs are manufactured
+    deterministically from (source, doc_id, lang) since the contract
+    corpus has no URL column. Spark side uses the native `parse_url`
+    (java.net.URI-backed, JVM codegen); the oracle spells the same
+    extraction as anchored regexes — both total on this URL shape.
+
+    Scale: per-row JVM expressions, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?lang="),
+            F.col("lang"),
+            F.lit("&v=2"),
+        ).alias("url"),
+    )
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    ).orderBy("doc_id")

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from filemap_spark.functions.numeric import davg
+from filemap_spark.functions.numeric import davg, dsum
 from filemap_spark.io import load_table
 from filemap_spark.registry import query
 
@@ -975,4 +975,150 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "bin")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("tokens"))
         .orderBy("lang", "bin")
+    )
+
+
+@query(
+    "text_token_entropy",
+    oracle=f"""
+    WITH wc AS (
+      SELECT doc_id, cast(count(*) AS double) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY doc_id, word
+    ), s AS (
+      SELECT doc_id,
+             cast(sum(cast(c AS bigint)) AS bigint) AS n_tokens,
+             cast(count(*) AS bigint) AS n_distinct,
+             {dsum('c * ln(c)', 's_clnc')}
+      FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           round(ln(cast(n_tokens AS double)) - s_clnc / n_tokens, 6) AS entropy
+    FROM s ORDER BY doc_id
+    """,
+    cost=0.5,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the doc's OWN unigram distribution —
+    the quality signal orthogonal to text_unigram_logprob (which scores
+    against the corpus LM): low entropy = repetitive/keyword-stuffed text,
+    high = diverse vocabulary. Uses the algebraic form
+    H = ln(n) - (1/n) * sum(c * ln(c)) so the per-(doc,word) term is one
+    libm call on identical doubles in both engines, and the sum runs
+    through the scaled-int64 exact-sum machinery (functions/numeric.dsum)
+    — summation order cannot move the 6th decimal.
+
+    Scale: explode partitions by doc_id; both aggs are partial+final hash
+    aggs keyed by doc_id — one shuffle, no Python, no window. At 100 TB
+    this is the same layout as wordcount-per-doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        _tokens(docs)
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    s = wc.groupBy("doc_id").agg(
+        F.expr("cast(sum(cast(c AS bigint)) AS bigint)").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.expr(dsum("c * ln(c)", "s_clnc")),
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.expr(
+            "round(ln(cast(n_tokens AS double)) - s_clnc / n_tokens, 6) AS entropy"
+        ),
+    ).orderBy("doc_id")
+
+
+# PII patterns — deliberately the shared Java-regex/RE2 subset (character
+# classes + bounded repetition only; no lookaround, no \b) so the identical
+# pattern string runs in Spark's regexp_* and DuckDB's RE2 functions.
+_PII_EMAIL = "[a-z0-9]+@[a-z0-9.]+"
+_PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+_PII_TEL = "555-[0-9]{4}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 > 0
+                     THEN ' mail user' || cast(doc_id AS varchar) || '@example.com'
+                     ELSE '' END
+             || ' ip 10.0.' || cast(doc_id % 256 AS varchar) || '.7'
+             || repeat(' tel 555-' || lpad(cast(doc_id % 10000 AS varchar), 4, '0'),
+                       cast(doc_id % 2 + 1 AS int)) AS payload
+      FROM documents
+    )
+    SELECT doc_id,
+           cast(len(regexp_extract_all(payload, '{_PII_EMAIL}')) AS bigint) AS n_email,
+           cast(len(regexp_extract_all(payload, '{_PII_IP}')) AS bigint) AS n_ip,
+           cast(len(regexp_extract_all(payload, '{_PII_TEL}')) AS bigint) AS n_tel,
+           md5(regexp_replace(regexp_replace(regexp_replace(payload,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_TEL}', '<TEL>', 'g')) AS clean_md5
+    FROM p ORDER BY doc_id
+    """,
+    cost=0.4,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance pass every training corpus runs before
+    tokenization: detect and mask emails, IPv4 addresses, and phone numbers,
+    reporting per-doc match counts plus the md5 of the scrubbed text (pinning
+    the exact redacted output, not just the counts). The contract corpus is
+    PII-free by construction (FIXTURES.md: lowercase alpha bag-of-words), so
+    the query deterministically MANUFACTURES a payload per doc — an email on
+    2/3 of docs, one IP, one-or-two phone numbers keyed by doc_id parity —
+    exercising 0-match, 1-match and multi-match paths on both engines.
+
+    Scale: pure per-row JVM regexp chain — no shuffle at all (the ORDER BY
+    is presentation only); whole-stage codegen end-to-end. Redaction order
+    is fixed (email -> ip -> tel) so overlapping matches resolve
+    identically everywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 > 0,
+            F.concat(
+                F.lit(" mail user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(""),
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+        F.repeat(
+            F.concat(
+                F.lit(" tel 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+            (F.col("doc_id") % 2 + 1).cast("int"),
+        ),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("payload"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IP,
+            "<IP>",
+        ),
+        _PII_TEL,
+        "<TEL>",
+    )
+    return (
+        docs.select("doc_id", payload.alias("payload"))
+        .select(
+            "doc_id",
+            F.regexp_count("payload", F.lit(_PII_EMAIL)).cast("long").alias("n_email"),
+            F.regexp_count("payload", F.lit(_PII_IP)).cast("long").alias("n_ip"),
+            F.regexp_count("payload", F.lit(_PII_TEL)).cast("long").alias("n_tel"),
+            F.md5(clean).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
     )

@@ -177,6 +177,10 @@ _PRIORITY_R3 = (
     "text_repetition_stats",  # round-3 addition
     "sample_domain_mix",  # round-3 addition
     "agg_hll_rollup",  # round-3 addition
+    "text_token_entropy",  # round-3 addition (late session)
+    "text_pii_scrub",  # round-3 addition (late session)
+    "agg_mode",  # round-3 addition (late session)
+    "fn_url_parse",  # round-3 addition (late session)
 )
 
 
