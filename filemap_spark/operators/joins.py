@@ -503,3 +503,69 @@ def join_shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
+
+
+@query(
+    "join_range_bucket",
+    oracle=EVENTS_NORM_SQL
+    + """
+    SELECT a.event_id AS click_id,
+           b.event_id AS purchase_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+    FROM events a JOIN events b
+      ON epoch_us(b.ts) > epoch_us(a.ts)
+     AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    ORDER BY click_id, purchase_id
+    """,
+    cost=1.2,
+)
+def join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed RANGE join — the interval join with NO equi key (any click →
+    any purchase within the next 30 minutes, across all users). Without a
+    key, Spark's only native plan is a broadcast-nested-loop cross product —
+    O(n·m) comparisons, the classic 100 TB killer. The scalable rewrite
+    quantizes time into buckets the width of the range (30 min): a match
+    can only land in the click's own bucket or the next one, so the probe
+    side explodes to exactly those two bucket ids and the join becomes a
+    plain hash equi-join on bucket, with the precise bound as a residual
+    filter. 2x probe duplication buys an O(n+m) shuffle layout; each
+    (click, purchase) pair survives in exactly one bucket cell, so no
+    dedup pass is needed.
+
+    Scale: shuffle keys are time buckets — at 100 TB add a coarse salt
+    within hot buckets (functions/skew.salted_join composes) or widen the
+    bucket to keep cells executor-sized; the plan stays a two-table hash
+    join either way."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    width = 1_800_000_000  # 30 min in microseconds
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("ts_us").alias("c_us"))
+        .withColumn("c_bucket", F.floor(F.col("c_us") / width))
+        .select(
+            "click_id",
+            "c_us",
+            F.explode(
+                F.array(F.col("c_bucket"), F.col("c_bucket") + 1)
+            ).alias("bucket"),
+        )
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), F.col("ts_us").alias("p_us"))
+        .withColumn("bucket", F.floor(F.col("p_us") / width))
+    )
+    return (
+        clicks.join(purchases, "bucket")
+        .where(
+            (F.col("p_us") > F.col("c_us"))
+            & (F.col("p_us") <= F.col("c_us") + width)
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            (F.col("p_us") - F.col("c_us")).alias("lag_us"),
+        )
+        .orderBy("click_id", "purchase_id")
+    )

@@ -181,6 +181,7 @@ _PRIORITY_R3 = (
     "text_pii_scrub",  # round-3 addition (late session)
     "agg_mode",  # round-3 addition (late session)
     "fn_url_parse",  # round-3 addition (late session)
+    "join_range_bucket",  # round-3 addition (late session)
 )
 
 

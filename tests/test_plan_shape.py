@@ -195,3 +195,14 @@ def test_domain_mix_corpus_never_shuffles(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(lang), IsNotNull(doc_id)]" in plan
     assert "BroadcastHashJoin" in plan
     assert "hashpartitioning(doc_id" not in plan  # corpus rows never shuffle
+
+
+def test_range_bucket_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The keyless interval join must plan as a hash equi-join on the time
+    bucket — never the broadcast-nested-loop / cartesian product a naive
+    theta join degenerates to (the O(n*m) 100 TB killer this op exists to
+    avoid)."""
+    plan = plan_of(spark, sf_dir, "join_range_bucket")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
