@@ -750,3 +750,68 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# Count-min sketch geometry: depth 4 (independent hash rows), width 512
+# cells. Expected per-cell collision noise is N/width tokens; taking the
+# MIN across 4 rows drives the overestimate toward zero while never
+# underestimating — the standard CMS guarantee.
+_CMS_DEPTH = 4
+_CMS_WIDTH = 512
+
+
+def _cms_buckets(word_col: str):
+    """The (row, bucket) pairs a word increments — one xxhash64 per depth
+    row, salted by row index so the rows are independent."""
+    return F.posexplode(
+        F.array(
+            *[
+                F.pmod(
+                    F.xxhash64(F.concat(F.lit(f"cms{i}:"), F.col(word_col))),
+                    F.lit(_CMS_WIDTH),
+                )
+                for i in range(_CMS_DEPTH)
+            ]
+        )
+    )
+
+
+def cms_sketch(toks: DataFrame) -> DataFrame:
+    """Count-min sketch of a (word) token relation: (i, bucket, c) with
+    exactly depth x width cells at most. Cell-wise ADDITION merges two
+    sketches losslessly (integer counts), which is what makes this the
+    heavy-hitter analog of the HLL rollup: shard-local sketches union
+    into a corpus sketch without reshuffling tokens."""
+    return (
+        toks.select("word", _cms_buckets("word").alias("i", "bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+@query("agg_cms_topk", cost=0.8)  # rows-only: bucket hashes are engine-specific
+def agg_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch: estimate every vocabulary
+    word's count from the depth x width (4 x 512 = at most 2,048-cell)
+    sketch instead of a full exact count, then take the top 20 by
+    estimate. The point at 100 TB: the sketch is CONSTANT-size whatever
+    the corpus, mergeable cell-wise across shards/time (cf.
+    agg_hll_rollup), so heavy-hitter tracking costs one broadcast-sized
+    state object rather than a vocabulary-sized shuffle per window.
+
+    Rows-only op (xxhash64 bucketing is engine-specific);
+    tests/test_quality.py pins the CMS guarantees against exact counts:
+    never underestimates, overestimate bounded by collision noise, and
+    shard-sketch merge identical to the corpus sketch."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    sketch = cms_sketch(toks)
+    vocab = toks.distinct()
+    return (
+        vocab.select("word", _cms_buckets("word").alias("i", "bucket"))
+        .join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("word")
+        .agg(F.min("c").cast("bigint").alias("est_count"))
+        .orderBy(F.desc("est_count"), F.asc("word"))
+        .limit(20)
+    )

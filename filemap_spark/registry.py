@@ -182,6 +182,7 @@ _PRIORITY_R3 = (
     "agg_mode",  # round-3 addition (late session)
     "fn_url_parse",  # round-3 addition (late session)
     "join_range_bucket",  # round-3 addition (late session)
+    "agg_cms_topk",  # round-3 addition (late session)
 )
 
 

@@ -237,3 +237,49 @@ def test_incremental_lsh_only_new_docs_do_work(spark, sf_dir, tmp_path):
     again = incremental_lsh_ingest(spark, docs, state)
     assert again.count() == 0
     assert spark.read.parquet(band_path).count() == rows_after_delta
+
+
+def test_cms_never_underestimates_and_merges_losslessly(spark, sf_dir):
+    """Count-min guarantees, pinned against exact counts: (a) every
+    estimate >= the true count (min of non-negative-noise cells); (b) the
+    overestimate is bounded by collision noise (generous 8x the expected
+    N/width per-cell load, min over 4 independent rows makes the slack
+    huge); (c) two shard sketches ADDED cell-wise equal the corpus sketch
+    exactly — the merge that makes CMS a streaming/rollup-safe state
+    object."""
+    from pyspark.sql import functions as F
+
+    from filemap_spark.operators.aggregates import _CMS_WIDTH, cms_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    exact = {
+        r["word"]: r["n"]
+        for r in toks.groupBy("word").agg(F.count("*").alias("n")).collect()
+    }
+    n_tokens = sum(exact.values())
+    est = {
+        r["word"]: r["est_count"]
+        for r in QUERIES["agg_cms_topk"](spark, sf_dir).collect()
+    }
+    assert len(est) == 20
+    slack = 8 * n_tokens / _CMS_WIDTH
+    for word, e in est.items():
+        assert e >= exact[word], (word, e, exact[word])
+        assert e - exact[word] <= slack, (word, e, exact[word], slack)
+
+    full = {
+        (r["i"], r["bucket"]): r["c"] for r in cms_sketch(toks).collect()
+    }
+    halves = [
+        {
+            (r["i"], r["bucket"]): r["c"]
+            for r in cms_sketch(toks.where(f"doc_id % 2 = {p}")).collect()
+        }
+        for p in (0, 1)
+    ]
+    merged: dict = {}
+    for h in halves:
+        for cell, c in h.items():
+            merged[cell] = merged.get(cell, 0) + c
+    assert merged == full
