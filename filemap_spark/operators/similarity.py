@@ -691,3 +691,33 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query("sim_recall_eval", cost=6.0)  # rows-only: scores ANN internals, no SQL twin
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality EVALUATION harness — recall@5 of both approximate paths
+    (IVF coarse-quantizer and random-hyperplane LSH) against the exact
+    brute-force top-5, as a first-class queryable result: the number every
+    index-tuning loop watches. One row per method with the query count and
+    mean recall.
+
+    Determinism: every input operator is deterministic (stable tiebreaks,
+    seeded planes/centroids), and the mean is computed as an integer ratio
+    sum(hits) / (k * n_queries) rounded once — no float accumulation
+    order anywhere.
+
+    Scale: the exact baseline is the block-streamed matmul (bounded worker
+    memory); the intersections are hash joins on (vec_id, nbr_id). In
+    production this runs on a SAMPLED query set (add .sample upstream of
+    the exact pass) — the harness shape is unchanged."""
+    k = 5
+    exact = _cosine_topk_frame(spark, sf_dir, k=k).select("vec_id", "nbr_id")
+    n_queries = load_table(spark, sf_dir, "embeddings").count()
+    evals = []
+    for method, fn in (("ivf", sim_ann_ivf), ("lsh", sim_ann_lsh)):
+        ann = fn(spark, sf_dir).select("vec_id", "nbr_id")
+        hits = ann.join(exact, ["vec_id", "nbr_id"], "left_semi").count()
+        evals.append((method, int(n_queries), round(hits / (k * n_queries), 6)))
+    return spark.createDataFrame(
+        evals, "method string, n_queries bigint, recall_at_5 double"
+    ).orderBy("method")

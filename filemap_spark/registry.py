@@ -183,6 +183,7 @@ _PRIORITY_R3 = (
     "fn_url_parse",  # round-3 addition (late session)
     "join_range_bucket",  # round-3 addition (late session)
     "agg_cms_topk",  # round-3 addition (late session)
+    "sim_recall_eval",  # round-3 addition (late session)
 )
 
 

@@ -283,3 +283,19 @@ def test_cms_never_underestimates_and_merges_losslessly(spark, sf_dir):
         for cell, c in h.items():
             merged[cell] = merged.get(cell, 0) + c
     assert merged == full
+
+
+def test_recall_eval_scores_both_ann_paths(spark, sf_dir):
+    """The eval harness must score both ANN methods against the exact
+    top-5 with sane, reproducible numbers: recall in (0, 1], IVF's
+    2-probe recall comfortably above the LSH OR-merge's on this corpus
+    (measured ~0.51 vs ~0.33 at every SF), and a second run identical
+    (fully deterministic pipeline)."""
+    rows = {r["method"]: r for r in QUERIES["sim_recall_eval"](spark, sf_dir).collect()}
+    assert set(rows) == {"ivf", "lsh"}
+    for r in rows.values():
+        assert 0.0 < r["recall_at_5"] <= 1.0
+    assert rows["ivf"]["recall_at_5"] >= 0.4
+    assert rows["lsh"]["recall_at_5"] >= 0.25
+    again = {r["method"]: r for r in QUERIES["sim_recall_eval"](spark, sf_dir).collect()}
+    assert again == rows
