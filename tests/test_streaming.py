@@ -1,5 +1,5 @@
 """Streaming semantics tests (SURVEY §2.9): the batch-equivalent graded
-queries must equal the真 micro-batch execution — availableNow drains, file-at-
+queries must equal the true micro-batch execution — availableNow drains, file-at-
 a-time triggers, watermark late-drops, and stateful accumulation."""
 
 from __future__ import annotations
@@ -299,3 +299,48 @@ def test_incremental_lsh_stream_converges_to_exact_pairs(spark, sf_dir, tmp_path
     }
     assert len(seen) == len(set(seen)), "a pair was emitted by two batches"
     assert set(seen) == exact
+
+
+def test_cms_stream_state_merges_to_batch_sketch(spark, sf_dir, tmp_path):
+    """The count-min sketch as STREAMING state: documents arrive in
+    micro-batches; foreachBatch sketches ONLY the batch's docs and merges
+    into the running state by cell-wise addition — old batches are never
+    re-read. The merged state must equal the one-shot batch sketch cell
+    for cell: the property that makes constant-size heavy-hitter state
+    possible on an unbounded 100 TB ingest (agg_cms_topk's streaming
+    deployment form)."""
+    from filemap_spark.io import load_table
+    from filemap_spark.operators.aggregates import cms_sketch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    input_dir = str(tmp_path / "docs_in")
+    docs.repartition(3).write.parquet(input_dir)
+    schema = spark.read.parquet(input_dir).schema
+
+    state: dict = {}
+    batches = []
+
+    def sink(batch_df, batch_id):
+        toks = batch_df.select(F.explode(F.split("text", " ")).alias("word"))
+        for r in cms_sketch(toks).collect():
+            cell = (r["i"], r["bucket"])
+            state[cell] = state.get(cell, 0) + r["c"]
+        batches.append(batch_id)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batches) >= 2, "stream must actually run multiple micro-batches"
+
+    toks = spark.read.parquet(input_dir).select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    full = {(r["i"], r["bucket"]): r["c"] for r in cms_sketch(toks).collect()}
+    assert state == full
