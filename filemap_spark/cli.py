@@ -7,7 +7,8 @@ over directories of text files), re-expressed on Spark.
         --cmd "tr ' ' '\\n'" --reduce "sort | uniq -c" [--buckets 32]
     python -m filemap_spark pipeline INPUT OUTPUT \
         --cmd "tr ' ' '\\n'" --reduce "sort | uniq -c" --cmd "grep -v '^1 '"
-    python -m filemap_spark query OUTPUT_TABLE "SELECT ..."   # SQL over views
+    python -m filemap_spark query SF_DIR "SELECT ..."   # SQL over views
+    python -m filemap_spark dedup SF_DIR OUTPUT --method near  # clean corpus
 
 Semantics preserved from the reference:
 - dataset = a directory (or glob) of text files; `.gz` handled transparently
@@ -208,6 +209,64 @@ def run_map_stream(
     return spark.read.text(data_dir).count()
 
 
+def run_query(
+    spark, sf_dir: str, sql: str, output: str | None = None, limit: int = 100
+) -> int:
+    """SQL entry point over the registered contract-table views (SURVEY
+    §3.2 entry point (2)): every table in sf_dir becomes a temp view and
+    the query plans through the same Catalyst path as the DataFrame ops.
+    Prints up to `limit` rows as TSV, or writes the full result to parquet
+    when `output` is given (dataset-out, so results chain into further
+    runs)."""
+    from filemap_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    df = spark.sql(sql)
+    if output:
+        df.write.mode("overwrite").parquet(output)
+        return spark.read.parquet(output).count()
+    rows = df.take(limit)
+    print("\t".join(df.columns))
+    for r in rows:
+        print("\t".join("" if v is None else str(v) for v in r))
+    return len(rows)
+
+
+def run_dedup(
+    spark, input_dir: str, output: str, method: str = "exact"
+) -> tuple[int, int]:
+    """Materialize a survivors-only corpus from INPUT/documents.parquet —
+    LLM-pipeline dedup as a one-command dataset-in/dataset-out step.
+    `exact` keeps the min-doc_id member of each identical-text group (the
+    dedup_exact_text survivor rule); `near` runs the shingle Jaccard>=0.8
+    pair graph through connected components and keeps each component's min
+    member (dedup_materialize_clean's rule). The output directory gets
+    `documents.parquet`, so it is itself a valid corpus dir — dedup output
+    feeds straight into any other verb or operator."""
+    from pyspark.sql.window import Window
+
+    from filemap_spark.io import load_table
+
+    docs = load_table(spark, input_dir, "documents")
+    n_total = docs.count()
+    if method == "exact":
+        w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        clean = (
+            docs.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")
+        )
+    else:
+        from filemap_spark.operators.relational import _jaccard_cc_labels
+
+        labels = _jaccard_cc_labels(spark, input_dir)
+        survivors = labels.where(F.col("component") == F.col("doc_id")).select(
+            "doc_id"
+        )
+        clean = docs.join(survivors, "doc_id")
+    out = os.path.join(output, "documents.parquet")
+    clean.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).count(), n_total
+
+
 class _StageAction(argparse.Action):
     """Collect repeated --cmd/--reduce flags as an ORDERED stage list."""
 
@@ -242,7 +301,36 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--memo", action="store_true")
 
+    p = sub.add_parser("query", help="SQL over the contract-table views in SF_DIR")
+    p.add_argument("sf_dir")
+    p.add_argument("sql")
+    p.add_argument(
+        "--output", default=None, help="write result parquet here instead of printing"
+    )
+    p.add_argument("--limit", type=int, default=100)
+
+    p = sub.add_parser(
+        "dedup", help="materialize a survivors-only corpus from INPUT/documents.parquet"
+    )
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--method", choices=("exact", "near"), default="exact")
+
     args = ap.parse_args(argv)
+    if args.verb == "query":
+        from filemap_spark.session import get_spark
+
+        spark = get_spark("filemap-cli")
+        n = run_query(spark, args.sf_dir, args.sql, output=args.output, limit=args.limit)
+        print(f"{n} rows", file=sys.stderr)
+        return 0
+    if args.verb == "dedup":
+        from filemap_spark.session import get_spark
+
+        spark = get_spark("filemap-cli")
+        kept, total = run_dedup(spark, args.input, args.output, args.method)
+        print(f"kept {kept}/{total} docs -> {args.output}", file=sys.stderr)
+        return 0
     if args.verb == "pipeline":
         if not (getattr(args, "stages", None) or []):
             p.error("pipeline needs at least one --cmd/--reduce stage")

@@ -151,3 +151,55 @@ def test_stream_processes_only_new_files(spark, tmp_path):
     assert n2 == 3
     vals = sorted(r["value"] for r in spark.read.text(os.path.join(out, "data")).collect())
     assert vals == ["one", "three", "two"]
+
+
+def test_query_verb_runs_sql_over_views(spark, sf_dir, tmp_path, capsys):
+    """`query` registers the contract tables as views and executes SQL
+    through the same Catalyst path; --output materializes the result as a
+    parquet dataset instead of printing."""
+    from filemap_spark.cli import run_query
+
+    n = run_query(
+        spark,
+        sf_dir,
+        "SELECT r_name, count(*) AS n FROM region GROUP BY r_name ORDER BY r_name",
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    assert n == 5 and len(out) == 6  # header + 5 regions
+    assert out[0] == "r_name\tn"
+
+    dest = str(tmp_path / "res")
+    n2 = run_query(spark, sf_dir, "SELECT * FROM nation", output=dest)
+    assert n2 == 25
+    assert spark.read.parquet(dest).count() == 25
+
+
+def test_dedup_verb_materializes_survivor_corpus(spark, sf_dir, tmp_path):
+    """`dedup` writes a survivors-only documents.parquet whose membership
+    matches the graded operators' survivor rules, and its output directory
+    is itself a readable corpus dir (dataset chaining)."""
+    from filemap_spark import all_queries
+    from filemap_spark.cli import run_dedup
+    from filemap_spark.io import load_table
+
+    out_near = str(tmp_path / "near")
+    kept, total = run_dedup(spark, sf_dir, out_near, method="near")
+    assert total == load_table(spark, sf_dir, "documents").count()
+    expected = {
+        r["doc_id"]
+        for r in all_queries()["dedup_materialize_clean"](spark, sf_dir).collect()
+    }
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out_near, "documents.parquet")).collect()
+    }
+    assert got == expected and kept == len(expected)
+
+    # exact: contract texts are all distinct, so exact dedup keeps everything
+    out_exact = str(tmp_path / "exact")
+    kept_e, total_e = run_dedup(spark, sf_dir, out_exact, method="exact")
+    assert kept_e == total_e == total
+
+    # chaining: the output dir is a valid corpus dir for another pass
+    kept2, total2 = run_dedup(spark, out_near, str(tmp_path / "near2"), method="exact")
+    assert total2 == kept and kept2 == kept
