@@ -275,3 +275,55 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "start_day", "end_day", "n_days")
         .orderBy("user_id", "start_day")
     )
+
+
+# Shared Spark/DuckDB lambda body for the EWMA fold — literals cast to
+# double explicitly so neither engine routes a step through DECIMAL.
+_EWMA_STEP = "(acc, x) -> acc * cast(0.8 as double) + x * cast(0.2 as double)"
+
+
+@query(
+    "win_ewma",
+    oracle=EVENTS_NORM_SQL
+    + f"""
+    SELECT user_id,
+           cast(count(*) AS bigint) AS n_events,
+           round(list_reduce(
+             list_prepend(0.0, list_transform(
+               array_agg(value ORDER BY ts, event_id),
+               v -> cast(v AS double))),
+             {_EWMA_STEP}), 6) AS ewma
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    cost=0.6,
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of `value` (final
+    state, alpha=0.2) — the canonical RECURSIVE per-key computation that no
+    SQL window frame can express (each step depends on the previous
+    accumulator, not on a fixed frame of rows). Expressed as a sequential
+    array fold: collect the user's events in total (ts, event_id) order,
+    then `aggregate` left-folds the identical double arithmetic in both
+    engines — bit-reproducible because the fold order is total and every
+    step is the same two IEEE ops on the same operands.
+
+    Scale: one shuffle on user_id; state per group is the user's event
+    array (bounded by per-user activity — the same bound every per-user
+    window op here carries). For keys whose history can't sit in one
+    array, the same fold runs as an applyInPandas running state or the
+    streaming applyInPandasWithState form (tests/test_streaming.py) —
+    fold semantics unchanged."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.expr(
+                "round(aggregate(transform(array_sort("
+                "collect_list(struct(ts_us, event_id, value))),"
+                " s -> cast(s.value as double)), cast(0.0 as double), "
+                f"{_EWMA_STEP}), 6)"
+            ).alias("ewma"),
+        )
+        .orderBy("user_id")
+    )

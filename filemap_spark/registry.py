@@ -184,6 +184,7 @@ _PRIORITY_R3 = (
     "join_range_bucket",  # round-3 addition (late session)
     "agg_cms_topk",  # round-3 addition (late session)
     "sim_recall_eval",  # round-3 addition (late session)
+    "win_ewma",  # round-3 addition (late session)
 )
 
 
