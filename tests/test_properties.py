@@ -184,3 +184,44 @@ def test_random_setop_matches_duckdb(spark, sf_dir, sql):
     finally:
         con.close()
     assert canonical_rows(got) == canonical_rows(expect), sql
+
+
+# --- ground-truth check of the exact-sum descale (functions/numeric) ------
+# The random-agg properties above prove ENGINE AGREEMENT; this one proves
+# both engines agree with an INDEPENDENT exact-rational oracle, on inputs
+# that land exactly on 6-decimal boundaries — the class where the old
+# double-division descale was observed to diverge by 1 ulp (see
+# numeric.dsum's docstring: 4373995120.140000 vs .140001 at sf0.1).
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ks=st.lists(
+        st.integers(min_value=-(10**11), max_value=10**11),
+        min_size=1,
+        max_size=200,
+    ),
+    nparts=st.integers(min_value=1, max_value=8),
+)
+def test_dsum_descale_matches_exact_rational(spark, ks, nparts):
+    from fractions import Fraction
+
+    vals = [k * 1e-6 for k in ks]  # exactly-6dp doubles: round(x*1e6) == k
+    expected = float(Fraction(sum(ks), 10**6))
+
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double").repartition(nparts)
+    sdf.createOrReplaceTempView("dsum_prop")
+    got_spark = spark.sql(f"SELECT {dsum('x', 's')} FROM dsum_prop").collect()[0]["s"]
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    got_duck = con.execute(f"SELECT {dsum('x', 's')} FROM t").fetchone()[0]
+    con.close()
+
+    assert got_spark == expected, (got_spark, expected)
+    assert got_duck == expected, (got_duck, expected)
