@@ -561,3 +561,86 @@ def dedup_materialize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="filemap_clean_") + "/documents"
     clean.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out).orderBy("doc_id")
+
+
+def pagerank_undirected(
+    edges: DataFrame, damping: float = 0.85, iters: int = 20
+) -> DataFrame:
+    """PageRank over an undirected edge list (`u`,`v` — one row per pair),
+    restricted to edge-incident nodes: symmetrize, then `iters` rounds of
+    rank = (1-d)/n + d * sum(rank_nbr / deg_nbr). A FIXED iteration count
+    (no convergence test) keeps the result reproducible run to run and
+    rig to rig.
+
+    Scale: each round is one hash join on node + one keyed agg — the same
+    join-per-round layout as alternating-star CC, with localCheckpoint
+    every 5 rounds so the plan/lineage stays O(1) instead of O(iters).
+    Shuffle volume per round is O(edges); state is O(nodes)."""
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    nodes = deg.select(F.col("u").alias("node")).localCheckpoint()
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iters):
+        contrib = (
+            sym.join(deg, "u")
+            .join(ranks, sym.u == ranks.node)
+            .select(
+                F.col("v").alias("node"), (F.col("rank") / F.col("deg")).alias("c")
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base) + F.lit(damping) * F.coalesce("csum", F.lit(0.0))
+            ).alias("rank"),
+        )
+        if (i + 1) % 5 == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+@query("dedup_survivor_pagerank", cost=4.0)  # rows-only: iterative fixpoint
+def dedup_survivor_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CENTRALITY-based survivor selection — the alternative to
+    dedup_apply_survivors' min-id rule: within each near-duplicate
+    component, keep the highest-PageRank member (the doc most connected to
+    the rest of its cluster = the most representative copy, the rule a
+    curation pipeline wants when near-dup clusters chain A~B~C and the
+    min-id doc sits at the chain's edge). Singleton components are their
+    own survivors and are excluded here (no rank defined on isolated
+    nodes); output is one row per multi-doc component with the survivor,
+    its rank, and the cluster size.
+
+    Rows-only (iterative fixpoint — not SQL-expressible);
+    tests/test_kernels.py pins pagerank_undirected against a numpy power
+    iteration on random seeded graphs, and the survivor-pick rule against
+    an independent recomputation."""
+    from filemap_spark.operators.text import dedup_near_jaccard
+
+    edges = dedup_near_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    ranks = pagerank_undirected(edges)
+    labels = _jaccard_cc_labels(spark, sf_dir)
+    sizes = labels.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    ranked = ranks.join(labels, ranks.node == labels.doc_id).join(
+        F.broadcast(sizes), "component"
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("rank"), F.asc("doc_id"))
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "component",
+            F.col("doc_id").alias("survivor"),
+            F.round("rank", 6).alias("rank"),
+            "cluster_size",
+        )
+        .orderBy("component")
+    )

@@ -185,6 +185,7 @@ _PRIORITY_R3 = (
     "agg_cms_topk",  # round-3 addition (late session)
     "sim_recall_eval",  # round-3 addition (late session)
     "win_ewma",  # round-3 addition (late session)
+    "dedup_survivor_pagerank",  # round-3 addition (late session)
 )
 
 

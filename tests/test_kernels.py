@@ -206,3 +206,63 @@ def test_merge_component_labels_equals_full_recompute(spark, seed, n_nodes, n_ol
         for r in merge_component_labels(old_labels, delta_df).collect()
     }
     assert got == full_labels(old_edges + delta_edges)
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(7, 12, 20), (21, 30, 55), (5, 8, 9)])
+def test_pagerank_matches_numpy_power_iteration(spark, seed, n_nodes, n_edges):
+    """pagerank_undirected must match a dense numpy power iteration with the
+    identical formula, damping, and iteration count on random seeded graphs
+    (self-loops excluded, parallel edges deduped)."""
+    import numpy as np
+
+    from filemap_spark.operators.relational import pagerank_undirected
+
+    rng = np.random.default_rng(seed)
+    pairs = set()
+    while len(pairs) < n_edges:
+        u, v = rng.integers(0, n_nodes, size=2)
+        if u != v:
+            pairs.add((min(int(u), int(v)), max(int(u), int(v))))
+    edges = spark.createDataFrame(sorted(pairs), "u long, v long")
+
+    got = {
+        r["node"]: r["rank"] for r in pagerank_undirected(edges, iters=20).collect()
+    }
+
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {nid: i for i, nid in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for u, v in pairs:
+        A[idx[v], idx[u]] = 1.0
+        A[idx[u], idx[v]] = 1.0
+    deg = A.sum(axis=0)
+    M = A / deg  # column-stochastic: M[v,u] = 1/deg(u) for each edge
+    r = np.full(n, 1.0 / n)
+    for _ in range(20):
+        r = (1 - 0.85) / n + 0.85 * (M @ r)
+
+    assert set(got) == set(nodes)
+    for nid in nodes:
+        assert abs(got[nid] - r[idx[nid]]) < 1e-9, (nid, got[nid], r[idx[nid]])
+
+
+def test_pagerank_survivor_is_max_rank_per_component(spark, sf_dir):
+    """The survivor op must pick exactly the max-rank (tiebreak min doc_id)
+    member of every multi-doc near-dup component, with the component's true
+    size attached."""
+    from filemap_spark import all_queries
+
+    rows = all_queries()["dedup_survivor_pagerank"](spark, sf_dir).collect()
+    labels = {
+        r["doc_id"]: r["component"]
+        for r in all_queries()["dedup_connected_components"](spark, sf_dir).collect()
+    }
+    from collections import Counter
+
+    sizes = Counter(labels.values())
+    multi = {c for c, n in sizes.items() if n > 1}
+    assert {r["component"] for r in rows} == multi
+    for r in rows:
+        assert sizes[r["component"]] == r["cluster_size"]
+        assert labels[r["survivor"]] == r["component"]
