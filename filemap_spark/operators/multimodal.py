@@ -201,3 +201,133 @@ def mm_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_batches,
         schema="asset_id long, out_bytes long, out_sha string, scale string",
     )
+
+
+# Shared Spark/DuckDB fragments for the manufactured PPM image: dimensions
+# derive from n_chars (small: w<=19, h<=15), the pixel buffer is the doc's
+# text repeated to fill w*h*3 bytes. Both dialects accept the identical
+# text, so construction is provably the same on both sides; only the
+# DECODER differs (numpy here, SQL reconstruction in the oracle).
+_PPM_W = "cast(n_chars % 16 + 4 AS int)"
+_PPM_H = "cast(floor(n_chars / 7) % 12 + 4 AS int)"
+_PPM_PIX = (
+    "substr(repeat(text, cast(ceil((w * h * 3.0) / n_chars) AS int)), 1, w * h * 3)"
+)
+
+
+def _parse_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL (not stubbed) decode of a binary P6 PPM: magic check, header
+    parse, pixel-section isolation. maxsplit=3 keeps any newline BYTES in
+    the pixel payload intact — only the three header lines split."""
+    magic, dims, maxval_s, pix = payload.split(b"\n", 3)
+    if magic != b"P6":
+        raise ValueError(f"not a P6 ppm: {magic!r}")
+    w, h = (int(t) for t in dims.split())
+    return w, h, int(maxval_s), pix
+
+
+@query(
+    "mm_decode_ppm",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, text, n_chars,
+             cast(n_chars % 16 + 4 AS int) AS w,
+             cast(floor(n_chars / 7) % 12 + 4 AS int) AS h
+      FROM documents
+    ), buf AS (
+      SELECT doc_id, w, h,
+             substr(repeat(text, cast(ceil((w * h * 3.0) / n_chars) AS int)),
+                    1, w * h * 3) AS pix
+      FROM dims
+    ), thumb AS (
+      SELECT b.doc_id,
+             string_agg(substr(b.pix, (r * b.w + c) * 3 + 1, 3), ''
+                        ORDER BY r, c) AS tpix
+      FROM buf b,
+           (SELECT unnest(generate_series(0, 14, 2)) AS r) rs,
+           (SELECT unnest(generate_series(0, 18, 2)) AS c) cs
+      WHERE r < b.h AND c < b.w
+      GROUP BY b.doc_id
+    )
+    SELECT b.doc_id AS asset_id,
+           b.w AS width, b.h AS height, 255 AS maxval,
+           md5(b.pix) AS pixel_sha,
+           cast(floor((b.w + 1) / 2.0) AS int) AS thumb_w,
+           cast(floor((b.h + 1) / 2.0) AS int) AS thumb_h,
+           md5(t.tpix) AS thumb_sha
+    FROM buf b JOIN thumb t ON b.doc_id = t.doc_id
+    ORDER BY asset_id
+    """,
+    cost=0.6,
+)
+def mm_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, no codec library needed: each doc is rendered as
+    a genuine binary P6 PPM (header + raw RGB bytes), and the Arrow-batched
+    decoder actually PARSES it — magic check, header dims, pixel-section
+    isolation, numpy (h, w, 3) reshape — then computes a stride-2 thumbnail
+    from the real pixel array. The oracle reconstructs the same image in
+    SQL and takes md5 of the pixel and thumbnail buffers, so a decoder that
+    misparses the header, shears a row, or strides wrong hash-mismatches.
+    This upgrades the mm family's decode story from 'stub' to 'real for
+    container-representable formats' (JPEG/PNG still need codecs — see
+    _real_decode_stub; the decoder signature is the swap-in point).
+
+    Scale: construction is JVM string ops; decode is embarrassingly
+    parallel per Arrow batch with numpy strided views (no copy until
+    tobytes) — the same shape a PIL/ffmpeg deployment has."""
+    docs = load_table(spark, sf_dir, "documents")
+    buf = docs.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.expr(_PPM_W).alias("w"),
+        F.expr(_PPM_H).alias("h"),
+    ).select("doc_id", "w", "h", F.expr(_PPM_PIX).alias("pix"))
+    assets = buf.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(
+            F.expr(
+                "concat('P6\\n', cast(w AS string), ' ', cast(h AS string), "
+                "'\\n255\\n', pix)"
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {
+                "asset_id": [], "width": [], "height": [], "maxval": [],
+                "pixel_sha": [], "thumb_w": [], "thumb_h": [], "thumb_sha": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, maxval, pix = _parse_ppm(bytes(payload))
+                arr = np.frombuffer(pix, dtype=np.uint8)[: w * h * 3].reshape(
+                    h, w, 3
+                )
+                thumb = arr[::2, ::2, :]
+                out["asset_id"].append(aid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["maxval"].append(maxval)
+                out["pixel_sha"].append(hashlib.md5(arr.tobytes()).hexdigest())
+                out["thumb_w"].append(thumb.shape[1])
+                out["thumb_h"].append(thumb.shape[0])
+                out["thumb_sha"].append(hashlib.md5(thumb.tobytes()).hexdigest())
+            pdf_out = pd.DataFrame(out)
+            pdf_out["width"] = pdf_out["width"].astype("int32")
+            pdf_out["height"] = pdf_out["height"].astype("int32")
+            pdf_out["maxval"] = pdf_out["maxval"].astype("int32")
+            pdf_out["thumb_w"] = pdf_out["thumb_w"].astype("int32")
+            pdf_out["thumb_h"] = pdf_out["thumb_h"].astype("int32")
+            yield pdf_out
+
+    return assets.mapInPandas(
+        decode_batches,
+        schema="asset_id long, width int, height int, maxval int, "
+        "pixel_sha string, thumb_w int, thumb_h int, thumb_sha string",
+    ).orderBy("asset_id")

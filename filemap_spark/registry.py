@@ -186,6 +186,7 @@ _PRIORITY_R3 = (
     "sim_recall_eval",  # round-3 addition (late session)
     "win_ewma",  # round-3 addition (late session)
     "dedup_survivor_pagerank",  # round-3 addition (late session)
+    "mm_decode_ppm",  # round-3 addition (late session)
 )
 
 
