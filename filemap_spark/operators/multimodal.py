@@ -331,3 +331,109 @@ def mm_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="asset_id long, width int, height int, maxval int, "
         "pixel_sha string, thumb_w int, thumb_h int, thumb_sha string",
     ).orderBy("asset_id")
+
+
+@query(
+    "mm_decode_wav",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             (unicode(substr(text, cast(i AS int), 1)) - 100) * 256 AS smp
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, n_chars)) AS i
+            FROM documents)
+    )
+    SELECT doc_id AS asset_id,
+           cast(8000 AS int) AS sample_rate,
+           cast(1 AS int) AS channels,
+           cast(count(*) AS bigint) AS n_samples,
+           cast(count(*) * 125 AS bigint) AS duration_us,
+           cast(sum(smp) AS bigint) AS s_sum,
+           cast(sum(smp * smp) AS bigint) AS s_sqsum
+    FROM s GROUP BY doc_id ORDER BY asset_id
+    """,
+    cost=0.8,
+)
+def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, no codec library needed: each doc is rendered as
+    a genuine RIFF/WAVE file (16-bit mono PCM at 8 kHz, one sample per
+    text character) by a hand-rolled struct.pack builder, then decoded by
+    the STDLIB `wave` parser — a deliberately DIFFERENT implementation, so
+    a symmetric builder/parser bug cannot cancel out. The decoder reports
+    format fields from the parsed header and exact integer sample
+    statistics (sum, sum of squares) from the recovered PCM; the oracle
+    recomputes both from the text formula, so any header-offset,
+    endianness, or width mistake in the recovered samples mismatches.
+
+    Scale: same Arrow-batched payload-in/stats-out shape as the image
+    path; at 100 TB the builder stage is replaced by reading real WAV
+    bytes from storage — the decode stage is unchanged."""
+    import io as _io
+    import struct
+    import wave
+
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = []
+            for text in pdf["text"]:
+                b = np.frombuffer(text.encode("ascii"), dtype=np.uint8).astype(
+                    np.int64
+                )
+                pcm = ((b - 100) * 256).astype("<i2").tobytes()
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(pcm))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(pcm))
+                )
+                payloads.append(hdr + pcm)
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {
+                "asset_id": [], "sample_rate": [], "channels": [],
+                "n_samples": [], "duration_us": [], "s_sum": [], "s_sqsum": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                with wave.open(_io.BytesIO(bytes(payload)), "rb") as wf:
+                    rate = wf.getframerate()
+                    n = wf.getnframes()
+                    nch = wf.getnchannels()
+                    assert wf.getsampwidth() == 2
+                    samples = np.frombuffer(
+                        wf.readframes(n), dtype="<i2"
+                    ).astype(np.int64)
+                rows["asset_id"].append(aid)
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(nch)
+                rows["n_samples"].append(n)
+                rows["duration_us"].append(n * 1_000_000 // rate)
+                rows["s_sum"].append(int(samples.sum()))
+                rows["s_sqsum"].append(int((samples**2).sum()))
+            out = pd.DataFrame(rows)
+            out["sample_rate"] = out["sample_rate"].astype("int32")
+            out["channels"] = out["channels"].astype("int32")
+            yield out
+
+    assets = docs.mapInPandas(
+        build_batches, schema="asset_id long, payload binary"
+    )
+    return assets.mapInPandas(
+        decode_batches,
+        schema="asset_id long, sample_rate int, channels int, n_samples bigint, "
+        "duration_us bigint, s_sum bigint, s_sqsum bigint",
+    ).orderBy("asset_id")

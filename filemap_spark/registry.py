@@ -187,6 +187,7 @@ _PRIORITY_R3 = (
     "win_ewma",  # round-3 addition (late session)
     "dedup_survivor_pagerank",  # round-3 addition (late session)
     "mm_decode_ppm",  # round-3 addition (late session)
+    "mm_decode_wav",  # round-3 addition (late session)
 )
 
 
