@@ -188,6 +188,7 @@ _PRIORITY_R3 = (
     "dedup_survivor_pagerank",  # round-3 addition (late session)
     "mm_decode_ppm",  # round-3 addition (late session)
     "mm_decode_wav",  # round-3 addition (late session)
+    "mm_decode_y4m",  # round-3 addition (late session)
 )
 
 
