@@ -1122,3 +1122,67 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_quality_tiers",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), wc AS (
+      SELECT word, count(*) AS c FROM toks GROUP BY word
+    ), tot AS (SELECT count(*) AS n FROM toks), scored AS (
+      SELECT doc_id,
+             {davg('ln(cast(n AS double)) - ln(cast(c AS double))', 'avg_neg_logp')}
+      FROM toks JOIN wc USING (word) CROSS JOIN tot
+      GROUP BY doc_id
+    )
+    SELECT doc_id, avg_neg_logp,
+           CASE ntile(3) OVER (ORDER BY avg_neg_logp, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
+    FROM scored ORDER BY doc_id
+    """,
+    cost=0.6,
+)
+def text_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality TIERING (Wenzek et al., the public CommonCrawl
+    curation recipe): score every doc with the corpus-LM perplexity proxy
+    (text_unigram_logprob's avg negative log-likelihood), then split the
+    corpus into head / middle / tail terciles — the partition a pretraining
+    mix samples from at different rates. The tier boundary is an ntile over
+    a TOTAL order (score, then doc_id), so ties at a boundary land
+    identically in both engines.
+
+    Scale: scoring is the unigram-logprob layout (broadcast LM join, one
+    doc-keyed agg); the global ntile is a single window over one row per
+    DOC (not per token) — at 100 TB that is still the corpus row count, so
+    the production form samples score quantile CUTOFFS (percentile_approx)
+    and assigns tiers with a broadcast range lookup instead of a global
+    sort; semantics identical, demonstrated here in the exact form."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    wc = toks.groupBy("word").agg(F.count("*").alias("c"))
+    tot = toks.agg(F.count("*").alias("n"))
+    scored = (
+        toks.join(F.broadcast(wc), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                davg("ln(cast(n AS double)) - ln(cast(c AS double))", "avg_neg_logp")
+            )
+        )
+    )
+    w = Window.orderBy("avg_neg_logp", "doc_id")
+    return (
+        scored.withColumn("nt", F.ntile(3).over(w))
+        .select(
+            "doc_id",
+            "avg_neg_logp",
+            F.when(F.col("nt") == 1, "head")
+            .when(F.col("nt") == 2, "middle")
+            .otherwise("tail")
+            .alias("tier"),
+        )
+        .orderBy("doc_id")
+    )
