@@ -644,3 +644,63 @@ def dedup_survivor_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+@query(
+    "dedup_cluster_stats",
+    cost=2.4,
+    oracle=f"""
+    WITH RECURSIVE {JACCARD_PAIR_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jac_pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM jac_pairs
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+    labels AS (
+      SELECT d.doc_id,
+             coalesce(least(c.component, d.doc_id), d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ),
+    sizes AS (SELECT component, count(*) AS cluster_size FROM labels GROUP BY component)
+    SELECT cast(cluster_size AS bigint) AS cluster_size,
+           cast(count(*) AS bigint) AS n_clusters,
+           cast(cluster_size * count(*) AS bigint) AS n_docs,
+           cast((cluster_size - 1) * count(*) AS bigint) AS docs_removed
+    FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """,
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health REPORT over the near-dup graph: the cluster-size
+    histogram — how many singletons, pairs, triples…, how many docs each
+    bin holds, and how many docs dedup would remove per bin (size-1 per
+    cluster). This is the first number a curation run reports ('dedup
+    removed X% concentrated in clusters of size k'), and the input to
+    choosing between min-id and centrality survivor rules.
+
+    Reuses the session-cached component labels (one graph computation
+    across every graded dedup_* op); the histogram itself is two keyed
+    aggs over one row per doc then one row per component — O(corpus) then
+    O(clusters) shuffle, nothing new at 100 TB."""
+    labels = _jaccard_cc_labels(spark, sf_dir)
+    sizes = labels.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("docs_removed"),
+        )
+        .orderBy("cluster_size")
+    )

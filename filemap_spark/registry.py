@@ -190,6 +190,7 @@ _PRIORITY_R3 = (
     "mm_decode_wav",  # round-3 addition (late session)
     "mm_decode_y4m",  # round-3 addition (late session)
     "text_quality_tiers",  # round-3 addition (late session)
+    "dedup_cluster_stats",  # round-3 addition (late session)
 )
 
 
