@@ -569,3 +569,75 @@ def join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_id", "purchase_id")
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle=EVENTS_NORM_SQL
+    + """
+    , sig AS (SELECT user_id, epoch_us(ts) AS s_us FROM events
+              WHERE event_type = 'signup'),
+    e AS (SELECT user_id, event_id, epoch_us(ts) AS e_us FROM events
+          WHERE event_type <> 'signup')
+    SELECT e.user_id, e.event_id,
+           s_us AS nearest_signup_us,
+           abs(e_us - s_us) AS abs_lag_us
+    FROM e JOIN sig USING (user_id)
+    QUALIFY row_number() OVER (PARTITION BY e.user_id, e.event_id
+                               ORDER BY abs(e_us - s_us), s_us) = 1
+    ORDER BY user_id, event_id
+    """,
+    cost=0.7,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIDIRECTIONAL as-of join: each non-signup event matched to its
+    temporally NEAREST same-user signup, before OR after (join_asof is the
+    backward-only variant; 'nearest' is what feature pipelines want for
+    enrichment around an anchor event). Tie rule: equidistant signups
+    resolve to the earlier one.
+
+    The Spark plan is the union-tag window trick run in BOTH directions —
+    conditional `last(ignorenulls)` up to the current row gives the prior
+    signup, conditional `first(ignorenulls)` from the current row the next
+    one; a CASE picks the nearer. One shuffle on user, one sort, zero
+    join — O(n log n) however dense the signups. The oracle deliberately
+    takes the OTHER plan (quadratic per-user join + QUALIFY), so the two
+    sides share no structure — a real differential check of the window
+    encoding, including the equal-timestamp and equidistant edge cases."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    sig_ts = F.when(F.col("event_type") == "signup", F.col("ts_us"))
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_prior = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_next = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_us",
+        F.last(sig_ts, ignorenulls=True).over(w_prior).alias("prior_us"),
+        F.first(sig_ts, ignorenulls=True).over(w_next).alias("next_us"),
+    )
+    pick_prior = F.col("prior_us").isNotNull() & (
+        F.col("next_us").isNull()
+        | (
+            (F.col("ts_us") - F.col("prior_us"))
+            <= (F.col("next_us") - F.col("ts_us"))
+        )
+    )
+    nearest = F.when(pick_prior, F.col("prior_us")).otherwise(F.col("next_us"))
+    return (
+        tagged.where(F.col("event_type") != "signup")
+        .select(
+            "user_id",
+            "event_id",
+            nearest.alias("nearest_signup_us"),
+            F.abs(F.col("ts_us") - nearest).alias("abs_lag_us"),
+        )
+        .where(F.col("nearest_signup_us").isNotNull())
+        .orderBy("user_id", "event_id")
+    )

@@ -191,6 +191,7 @@ _PRIORITY_R3 = (
     "mm_decode_y4m",  # round-3 addition (late session)
     "text_quality_tiers",  # round-3 addition (late session)
     "dedup_cluster_stats",  # round-3 addition (late session)
+    "join_asof_nearest",  # round-3 addition (late session)
 )
 
 
