@@ -815,3 +815,66 @@ def agg_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_count"), F.asc("word"))
         .limit(20)
     )
+
+
+@query(
+    "agg_funnel",
+    oracle=EVENTS_NORM_SQL
+    + """
+    , t1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+             WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+           FROM events e JOIN t1 USING (user_id)
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t1
+           GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+           FROM events e JOIN t2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t2
+           GROUP BY e.user_id)
+    SELECT cast((SELECT count(*) FROM t1) AS bigint) AS n_view,
+           cast((SELECT count(*) FROM t2) AS bigint) AS n_view_click,
+           cast((SELECT count(*) FROM t3) AS bigint) AS n_view_click_purchase
+    """,
+    cost=0.7,
+)
+def agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion FUNNEL — the product-analytics staple: how many
+    users viewed, then clicked strictly AFTER their first view, then
+    purchased strictly after that first qualifying click. Each stage
+    anchors on the earliest qualifying event of the previous stage, so a
+    click-before-any-view does not count — the ordering constraint is the
+    whole point (a bare per-type count has no funnel semantics).
+
+    Scale: three per-user hash aggs over progressively shrinking stage
+    sets, each joined back on user_id — the stage frames are one row per
+    qualifying user (≪ events), so AQE broadcasts them when they fit and
+    falls back to a keyed shuffle join when a 100 TB user dimension does
+    not; the events fact is scanned with a pushed-down event_type filter
+    per stage."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    t1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    return (
+        t1.agg(F.count("*").alias("n_view"))
+        .crossJoin(t2.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(t3.agg(F.count("*").alias("n_view_click_purchase")))
+    )

@@ -192,6 +192,7 @@ _PRIORITY_R3 = (
     "text_quality_tiers",  # round-3 addition (late session)
     "dedup_cluster_stats",  # round-3 addition (late session)
     "join_asof_nearest",  # round-3 addition (late session)
+    "agg_funnel",  # round-3 addition (late session)
 )
 
 
