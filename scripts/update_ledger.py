@@ -6,7 +6,7 @@ Reads every /root/repo/CORRECTNESS_r0*.json, classifies each graded op
 recorded and err in (None, 'no_oracle')), and prints:
 
   1. the new cumulative GREEN frozenset body (paste into
-     registry._DRIVER_GREEN_R1R2, renaming it for the round),
+     registry._DRIVER_GREEN),
   2. ops graded but NOT green (these go FIRST in the next priority block),
   3. registered ops never graded by any round (next in the block),
   4. a drift check against the live registry.
