@@ -1,0 +1,106 @@
+"""Distributed global ranking without a single-partition window.
+
+`ntile(k) OVER (ORDER BY ...)` (no PARTITION BY) makes Spark's WindowExec
+move EVERY row to one partition — a driver-killer at corpus scale. But the
+ntile index is pure arithmetic on (global rank, total count), and the exact
+global rank decomposes:
+
+    global_rank(row) = offset(partition-of-row) + local_rank(row)
+
+after a RANGE repartition on the order key: each partition holds a
+contiguous slice of the total order, so a partition-LOCAL row_number plus
+the cumulative row count of all earlier partitions IS the exact global
+rank. The per-partition counts are a bounded relation (numPartitions rows —
+cluster config, not data size), so the offset cumsum is a legitimately tiny
+single-partition window and the offset join is a legitimate broadcast.
+
+The ranged relation feeds two consumers (the count branch and the main
+branch), so it is lazily persisted: the first action materializes it once
+and both branches read the same blocks — this also pins the
+`spark_partition_id()` assignment both sides key on (recomputes would
+re-read the same shuffle files, so the ids are stable even under cache
+eviction). Semantics are IDENTICAL to the window form (equivalence pytest
+in tests/test_kernels.py), so oracle SQL can keep using plain
+`ntile() OVER (ORDER BY ...)`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark import StorageLevel
+from pyspark.sql.window import Window
+
+_PID = "__fsr_pid"
+_LOCAL = "__fsr_local_rn"
+_OFF = "__fsr_offset"
+_TOTAL = "__fsr_total"
+_RANK = "__fsr_rank"
+
+
+def with_global_rank(
+    df: DataFrame, *order_cols: str, rank_col: str = "global_rank",
+    total_col: str | None = None, num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global row_number over ORDER BY `order_cols`, computed
+    distributed (range exchange + bounded offset join). `order_cols` must be
+    a TOTAL order (include a unique tiebreak column) for a deterministic
+    result. Optionally emits the total row count as `total_col`."""
+    if num_partitions is None:
+        nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    else:
+        nparts = num_partitions
+    ranged = (
+        df.repartitionByRange(nparts, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = ranged.groupBy(_PID).agg(F.count("*").alias("__fsr_pc"))
+    # numPartitions rows: the unpartitioned window + broadcast are bounded.
+    offs = counts.select(
+        _PID,
+        F.coalesce(
+            F.sum("__fsr_pc").over(
+                Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias(_OFF),
+        F.sum("__fsr_pc").over(
+            Window.orderBy(_PID).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias(_TOTAL),
+    )
+    local = Window.partitionBy(_PID).orderBy(*order_cols)
+    out = (
+        ranged.withColumn(_LOCAL, F.row_number().over(local))
+        .join(F.broadcast(offs), _PID)
+        .withColumn(rank_col, (F.col(_OFF) + F.col(_LOCAL)).cast("long"))
+    )
+    keep = [c for c in df.columns] + [rank_col]
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col(_TOTAL).cast("long"))
+        keep.append(total_col)
+    return out.select(*keep)
+
+
+def with_global_ntile(
+    df: DataFrame, n_tiles: int, *order_cols: str, tile_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact `ntile(n_tiles) OVER (ORDER BY order_cols)` without a
+    single-partition window. SQL-standard tile sizing: with n rows the
+    first n % n_tiles tiles get one extra row (ceil-sized tiles first)."""
+    ranked = with_global_rank(
+        df, *order_cols, rank_col=_RANK, total_col=_TOTAL,
+        num_partitions=num_partitions,
+    )
+    t = F.lit(n_tiles).cast("long")
+    n, r = F.col(_TOTAL), F.col(_RANK)
+    q = (n / t).cast("long")  # floor tile size
+    rem = n % t  # number of (q+1)-sized leading tiles
+    big_span = (q + 1) * rem  # rows covered by the big tiles
+    tile = F.when(
+        r <= big_span, F.ceil(r / (q + 1))
+    ).otherwise(rem + F.ceil((r - big_span) / q))
+    return ranked.withColumn(tile_col, tile.cast("int")).drop(_RANK, _TOTAL)

@@ -279,7 +279,11 @@ def mm_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: construction is JVM string ops; decode is embarrassingly
     parallel per Arrow batch with numpy strided views (no copy until
-    tobytes) — the same shape a PIL/ffmpeg deployment has."""
+    tobytes) — the same shape a PIL/ffmpeg deployment has.
+
+    Contract: documents.text is single-byte ASCII (FIXTURES.md) — the SQL
+    builder counts CHARS while the decoder counts BYTES, so the decoder
+    hard-fails (clear ValueError, no silent divergence) on multibyte text."""
     docs = load_table(spark, sf_dir, "documents")
     buf = docs.select(
         "doc_id",
@@ -311,9 +315,15 @@ def mm_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 w, h, maxval, pix = _parse_ppm(bytes(payload))
-                arr = np.frombuffer(pix, dtype=np.uint8)[: w * h * 3].reshape(
-                    h, w, 3
-                )
+                if len(pix) != w * h * 3:
+                    raise ValueError(
+                        f"mm_decode_ppm: {len(pix)} pixel bytes for {w}x{h}x3 "
+                        "— documents.text must be single-byte (ASCII, the "
+                        "FIXTURES.md contract); multibyte text makes the "
+                        "char-counted SQL construction diverge from the "
+                        "byte-counted decode"
+                    )
+                arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
                 thumb = arr[::2, ::2, :]
                 out["asset_id"].append(aid)
                 out["width"].append(w)
@@ -372,7 +382,11 @@ def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: same Arrow-batched payload-in/stats-out shape as the image
     path; at 100 TB the builder stage is replaced by reading real WAV
-    bytes from storage — the decode stage is unchanged."""
+    bytes from storage — the decode stage is unchanged.
+
+    Contract: documents.text is single-byte ASCII (FIXTURES.md); non-ASCII
+    raises a clear ValueError in the builder rather than diverging from
+    the char-counted oracle."""
     import io as _io
     import struct
     import wave
@@ -387,9 +401,17 @@ def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             payloads = []
             for text in pdf["text"]:
-                b = np.frombuffer(text.encode("ascii"), dtype=np.uint8).astype(
-                    np.int64
-                )
+                try:
+                    eb = text.encode("ascii")
+                except UnicodeEncodeError as e:
+                    raise ValueError(
+                        "mm_decode_wav: documents.text must be ASCII (the "
+                        "FIXTURES.md contract) — the one-sample-per-char "
+                        "rendering and the char-counted oracle both assume "
+                        "single-byte text; use octet-based construction for "
+                        "general corpora"
+                    ) from e
+                b = np.frombuffer(eb, dtype=np.uint8).astype(np.int64)
                 pcm = ((b - 100) * 256).astype("<i2").tobytes()
                 hdr = (
                     b"RIFF"
@@ -492,7 +514,12 @@ def mm_decode_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: same embarrassingly-parallel Arrow decode as the image/audio
     paths; frame rows explode BEFORE the shuffle so downstream work
-    partitions on (asset_id, frame_no)."""
+    partitions on (asset_id, frame_no).
+
+    Contract: documents.text is single-byte ASCII (FIXTURES.md) — on
+    multibyte text the char-counted construction misaligns and the parser
+    hard-fails (FRAME-marker / plane-length ValueError), never silently
+    diverging from the oracle."""
     import numpy as np  # noqa: F401  (parity with sibling decoders)
 
     docs = load_table(spark, sf_dir, "documents")
@@ -553,7 +580,16 @@ def mm_decode_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if stream[pos : pos + 6] != b"FRAME\n":
                         raise ValueError(f"missing FRAME marker at {pos}")
                     pos += 6
-                    frames.append(stream[pos : pos + plane])  # luma plane
+                    luma = stream[pos : pos + plane]
+                    if len(luma) != plane:
+                        raise ValueError(
+                            f"mm_decode_y4m: truncated luma plane "
+                            f"({len(luma)}/{plane} bytes) — documents.text "
+                            "must be single-byte (ASCII, the FIXTURES.md "
+                            "contract); multibyte text misaligns the "
+                            "char-counted frame construction"
+                        )
+                    frames.append(luma)
                     pos += plane * 3  # skip all three C444 planes
                     frame_no += 1
                 for f in range(0, frame_no, 2):

@@ -569,8 +569,10 @@ def pagerank_undirected(
     """PageRank over an undirected edge list (`u`,`v` — one row per pair),
     restricted to edge-incident nodes: symmetrize, then `iters` rounds of
     rank = (1-d)/n + d * sum(rank_nbr / deg_nbr). A FIXED iteration count
-    (no convergence test) keeps the result reproducible run to run and
-    rig to rig.
+    (no convergence test) keeps the result structurally reproducible; the
+    low-order bits of each rank still carry partial-aggregation combine
+    order, so consumers must round before comparing or ordering on rank
+    (dedup_survivor_pagerank rounds to 9dp at its survivor pick).
 
     Scale: each round is one hash join on node + one keyed agg — the same
     join-per-round layout as alternating-star CC, with localCheckpoint
@@ -629,10 +631,18 @@ def dedup_survivor_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank_undirected(edges)
     labels = _jaccard_cc_labels(spark, sf_dir)
     sizes = labels.groupBy("component").agg(F.count("*").alias("cluster_size"))
-    ranked = ranks.join(labels, ranks.node == labels.doc_id).join(
-        F.broadcast(sizes), "component"
+    # no broadcast hint on `sizes`: one row per dup-component grows with the
+    # corpus — AQE broadcasts while it is small, shuffles when it is not
+    ranked = ranks.join(labels, ranks.node == labels.doc_id).join(sizes, "component")
+    # Order by the rank ROUNDED to 9dp, not the raw double: the per-round
+    # contribution sums are partial-aggregation order-dependent in their
+    # low bits, so near-tied cluster members could otherwise flip the
+    # survivor pick across runs/rigs. 9dp is far above the FP wobble
+    # (~1e-15 relative) and far below any real rank separation; doc_id
+    # stays the deterministic tiebreak.
+    w = Window.partitionBy("component").orderBy(
+        F.desc(F.round("rank", 9)), F.asc("doc_id")
     )
-    w = Window.partitionBy("component").orderBy(F.desc("rank"), F.asc("doc_id"))
     return (
         ranked.withColumn("rn", F.row_number().over(w))
         .where("rn = 1")

@@ -215,12 +215,14 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Majority label among the 5 nearest neighbors (tiebreaks: votes DESC,
-    label ASC) — composition of the top-k frame with a broadcast label join."""
+    label ASC) — composition of the top-k frame with an AQE-decided label join."""
     emb = load_table(spark, sf_dir, "embeddings")
     topk = _cosine_topk_frame(spark, sf_dir, k=5)
+    # no broadcast hint on `labels`: one row per corpus vector — AQE
+    # broadcasts while small, falls back to a shuffled join at scale
     labels = emb.select(F.col("vec_id").alias("nbr_id"), "label")
     votes = (
-        topk.join(F.broadcast(labels), "nbr_id")
+        topk.join(labels, "nbr_id")
         .groupBy("vec_id", "label")
         .agg(F.count("*").alias("n_votes"))
     )
@@ -712,12 +714,16 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact pass) — the harness shape is unchanged."""
     k = 5
     exact = _cosine_topk_frame(spark, sf_dir, k=k).select("vec_id", "nbr_id")
+    # denominator = the ACTUAL exact-neighbor count, not k * n_queries: on
+    # a corpus with fewer than k+1 vectors (or any upstream top-k shorter
+    # than k) the fixed product would understate recall and cap it < 1.0
+    n_exact = exact.count()
     n_queries = load_table(spark, sf_dir, "embeddings").count()
     evals = []
     for method, fn in (("ivf", sim_ann_ivf), ("lsh", sim_ann_lsh)):
         ann = fn(spark, sf_dir).select("vec_id", "nbr_id")
         hits = ann.join(exact, ["vec_id", "nbr_id"], "left_semi").count()
-        evals.append((method, int(n_queries), round(hits / (k * n_queries), 6)))
+        evals.append((method, int(n_queries), round(hits / n_exact, 6)))
     return spark.createDataFrame(
         evals, "method string, n_queries bigint, recall_at_5 double"
     ).orderBy("method")

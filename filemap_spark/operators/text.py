@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from filemap_spark.functions.numeric import davg, dsum
+from filemap_spark.functions.ranks import with_global_ntile
 from filemap_spark.io import load_table
 from filemap_spark.registry import query
 
@@ -335,21 +336,28 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the same layout as tf-idf. At 100 TB the LM table is a few GB of
     (word, count) parquet, still broadcastable after a frequency floor."""
     docs = load_table(spark, sf_dir, "documents")
+    return _unigram_scored(docs, with_count=True).orderBy("doc_id")
+
+
+def _unigram_scored(docs: DataFrame, with_count: bool = False) -> DataFrame:
+    """(doc_id[, n_tokens], avg_neg_logp) — the corpus-unigram-LM perplexity
+    proxy shared by text_unigram_logprob and text_quality_tiers.
+
+    The vocabulary join carries NO broadcast hint: vocab grows ~Heaps-law
+    with corpus size, so a forced broadcast of the full (word, count) table
+    is an executor OOM at 100 TB. AQE broadcasts it when it is actually
+    small (pinned by tests/test_plan_shape.py); a shuffled hash/merge join
+    on `word` is the correct fallback at scale. The token-total frame is a
+    single row — always broadcast."""
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     wc = toks.groupBy("word").agg(F.count("*").alias("c"))
     tot = toks.agg(F.count("*").alias("n"))
-    return (
-        toks.join(F.broadcast(wc), "word")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_tokens"),
-            F.expr(
-                davg("ln(cast(n AS double)) - ln(cast(c AS double))", "avg_neg_logp")
-            ),
-        )
-        .orderBy("doc_id")
-    )
+    aggs = [
+        F.expr(davg("ln(cast(n AS double)) - ln(cast(c AS double))", "avg_neg_logp"))
+    ]
+    if with_count:
+        aggs.insert(0, F.count("*").cast("bigint").alias("n_tokens"))
+    return toks.join(wc, "word").crossJoin(F.broadcast(tot)).groupBy("doc_id").agg(*aggs)
 
 
 @query(
@@ -1153,30 +1161,19 @@ def text_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     a TOTAL order (score, then doc_id), so ties at a boundary land
     identically in both engines.
 
-    Scale: scoring is the unigram-logprob layout (broadcast LM join, one
-    doc-keyed agg); the global ntile is a single window over one row per
-    DOC (not per token) — at 100 TB that is still the corpus row count, so
-    the production form samples score quantile CUTOFFS (percentile_approx)
-    and assigns tiers with a broadcast range lookup instead of a global
-    sort; semantics identical, demonstrated here in the exact form."""
+    Scale: scoring is the unigram-logprob layout (AQE-decided LM join, one
+    doc-keyed agg). The tercile split is EXACT ntile semantics but computed
+    DISTRIBUTED (functions/ranks.with_global_ntile: range exchange +
+    partition-local row_number + bounded offset join) — no single-partition
+    WindowExec anywhere in the plan (pinned by tests/test_plan_shape.py),
+    so the same plan survives a 100 TB corpus. The cheaper approximate form
+    (percentile_approx cutoffs + broadcast range lookup) is
+    quality_tier_cutoffs(); tier_agreement_eval measures their agreement."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    wc = toks.groupBy("word").agg(F.count("*").alias("c"))
-    tot = toks.agg(F.count("*").alias("n"))
-    scored = (
-        toks.join(F.broadcast(wc), "word")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id")
-        .agg(
-            F.expr(
-                davg("ln(cast(n AS double)) - ln(cast(c AS double))", "avg_neg_logp")
-            )
-        )
-    )
-    w = Window.orderBy("avg_neg_logp", "doc_id")
+    scored = _unigram_scored(docs)
+    tiled = with_global_ntile(scored, 3, "avg_neg_logp", "doc_id", tile_col="nt")
     return (
-        scored.withColumn("nt", F.ntile(3).over(w))
-        .select(
+        tiled.select(
             "doc_id",
             "avg_neg_logp",
             F.when(F.col("nt") == 1, "head")
@@ -1185,4 +1182,76 @@ def text_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tier"),
         )
         .orderBy("doc_id")
+    )
+
+
+def quality_tier_cutoffs(scored: DataFrame, accuracy: int = 10_000) -> DataFrame:
+    """Approximate tier assignment: sample the 1/3 and 2/3 score quantiles
+    with percentile_approx (one pass, mergeable sketch) and assign tiers by
+    comparing against the two cutoffs via a broadcast 1-row join — the
+    production path when even the doc-level range exchange is worth
+    skipping. Divergence vs the exact form is confined to docs whose score
+    ties a sampled boundary (the cutoff cannot see the doc_id tiebreak) or
+    sits within the sketch's rank-error of it; tier_agreement_eval reports
+    the realized agreement so an operator can decide when the approx path
+    is trustworthy."""
+    cuts = scored.agg(
+        F.percentile_approx(
+            "avg_neg_logp", F.array(F.lit(1.0 / 3.0), F.lit(2.0 / 3.0)),
+            F.lit(accuracy),
+        ).alias("cuts")
+    ).select(F.col("cuts")[0].alias("c1"), F.col("cuts")[1].alias("c2"))
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "avg_neg_logp",
+        F.when(F.col("avg_neg_logp") <= F.col("c1"), "head")
+        .when(F.col("avg_neg_logp") <= F.col("c2"), "middle")
+        .otherwise("tail")
+        .alias("tier"),
+    )
+
+
+@query("tier_agreement_eval", oracle=None, cost=0.8)
+def tier_agreement_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVAL harness (pairs with sim_recall_eval): before trusting the
+    cutoff-based tier path on a 100 TB corpus, measure how often it agrees
+    with the exact ntile assignment. One row: corpus size, per-tier doc
+    counts under the exact form, the agreement count, and the agreement
+    rate. Rows-only by design — the number it reports is about the APPROX
+    path, which a SQL oracle cannot reproduce (DuckDB's quantile sketch
+    differs); the exact side is already oracle-graded via
+    text_quality_tiers. The agreement floor is pinned in tests/test_quality.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _unigram_scored(docs)
+    exact = with_global_ntile(scored, 3, "avg_neg_logp", "doc_id", tile_col="nt")
+    approx = quality_tier_cutoffs(scored).select(
+        "doc_id", F.col("tier").alias("tier_approx")
+    )
+    exact = exact.select(
+        "doc_id",
+        F.when(F.col("nt") == 1, "head")
+        .when(F.col("nt") == 2, "middle")
+        .otherwise("tail")
+        .alias("tier_exact"),
+    )
+    joined = exact.join(approx, "doc_id")
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("tier_exact") == "head", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_head_exact"),
+        F.sum(F.when(F.col("tier_exact") == "middle", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_middle_exact"),
+        F.sum(F.when(F.col("tier_exact") == "tail", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tail_exact"),
+        F.sum(F.when(F.col("tier_exact") == F.col("tier_approx"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree"),
+        F.round(
+            F.sum(F.when(F.col("tier_exact") == F.col("tier_approx"), 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("agreement_rate"),
     )

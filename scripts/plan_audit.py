@@ -36,6 +36,8 @@ SKIP_PREFIX = (
     "dedup_materialize",
     "dedup_incremental",
     "dedup_embedding",
+    "dedup_survivor",  # builder eagerly runs 20 pagerank rounds
+    "dedup_cluster",  # builder eagerly computes CC labels
     "pipeline_",
     "emb_",
 )

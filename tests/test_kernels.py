@@ -266,3 +266,52 @@ def test_pagerank_survivor_is_max_rank_per_component(spark, sf_dir):
     for r in rows:
         assert sizes[r["component"]] == r["cluster_size"]
         assert labels[r["survivor"]] == r["component"]
+
+
+@pytest.mark.parametrize("n_rows,n_tiles", [(1, 3), (2, 3), (7, 3), (9, 3), (100, 3), (100, 7), (5, 8)])
+def test_distributed_ntile_equals_window_ntile(spark, n_rows, n_tiles):
+    """functions/ranks.with_global_ntile must reproduce ntile() OVER
+    (ORDER BY score, id) EXACTLY — including n < n_tiles, n not divisible
+    by n_tiles, and duplicate scores resolved by the id tiebreak — while
+    keeping the data off a single-partition window."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from filemap_spark.functions.ranks import with_global_ntile
+
+    rows = [(i, float((i * 7) % 13)) for i in range(n_rows)]  # dup scores
+    df = spark.createDataFrame(rows, "id long, score double").repartition(8)
+    got = {
+        r["id"]: r["tile"]
+        for r in with_global_ntile(df, n_tiles, "score", "id").collect()
+    }
+    w = Window.orderBy("score", "id")
+    want = {
+        r["id"]: r["t"]
+        for r in df.withColumn("t", F.ntile(n_tiles).over(w)).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("nparts", [1, 3, 32])
+def test_distributed_ntile_partition_invariant(spark, nparts):
+    """Tile assignment must not depend on the range-exchange partition
+    count (the knob a cluster tunes independently of data)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from filemap_spark.functions.ranks import with_global_ntile
+
+    rows = [(i, float((i * 31) % 17)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, score double")
+    got = {
+        r["id"]: r["tile"]
+        for r in with_global_ntile(
+            df, 4, "score", "id", num_partitions=nparts
+        ).collect()
+    }
+    w = Window.orderBy("score", "id")
+    want = {
+        r["id"]: r["t"] for r in df.withColumn("t", F.ntile(4).over(w)).collect()
+    }
+    assert got == want

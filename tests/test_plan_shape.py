@@ -206,3 +206,37 @@ def test_range_bucket_join_is_equi_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_quality_tiers_has_no_single_partition_window(spark, sf_dir):
+    """Round 4 (VERDICT r3 task 2): the tercile split must be the
+    distributed exact-ntile (range exchange + partition-local row_number +
+    bounded offset join) — no ntile node, no WindowExec over an empty
+    partition spec on the DATA path. The only unpartitioned window allowed
+    is the offset cumsum over the numPartitions-row count relation."""
+    plan = plan_of(spark, sf_dir, "text_quality_tiers")
+    assert "ntile" not in plan
+    # every window spec either partitions by the range-partition id (the
+    # data-side row_number) or aggregates the numPartitions-row count
+    # relation (the bounded offset cumsum)
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert specs, plan
+    for spec in specs:
+        assert "windowspecdefinition(__fsr_pid" in spec or "sum(__fsr_pc" in spec, spec
+    assert any("row_number() windowspecdefinition(__fsr_pid" in s for s in specs)
+    # the ranged relation is persisted so the two consumers share one
+    # materialization instead of recomputing the scoring pipeline
+    assert "InMemory" in plan
+
+
+def test_unigram_vocab_join_not_hint_forced(spark, sf_dir):
+    """With autoBroadcastJoinThreshold=-1 a HINT-forced broadcast would
+    still plan as BroadcastHashJoin; the vocab join must fall back to a
+    shuffled join, proving the unbounded relation carries no hint."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, sf_dir, "text_unigram_logprob")
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

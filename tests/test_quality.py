@@ -299,3 +299,16 @@ def test_recall_eval_scores_both_ann_paths(spark, sf_dir):
     assert rows["lsh"]["recall_at_5"] >= 0.25
     again = {r["method"]: r for r in QUERIES["sim_recall_eval"](spark, sf_dir).collect()}
     assert again == rows
+
+
+def test_tier_cutoff_agreement_floor(spark, sf_dir):
+    """The percentile_approx-cutoff tier path must agree with the exact
+    distributed ntile on ≥95% of docs (at test SFs the sketch is exact, so
+    the only divergence is boundary ties the cutoff cannot split)."""
+    from filemap_spark import all_queries
+
+    row = all_queries()["tier_agreement_eval"](spark, sf_dir).collect()[0]
+    assert row["n_docs"] == (
+        row["n_head_exact"] + row["n_middle_exact"] + row["n_tail_exact"]
+    )
+    assert row["agreement_rate"] >= 0.95, row.asDict()
