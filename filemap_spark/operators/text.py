@@ -1255,3 +1255,99 @@ def tier_agreement_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("agreement_rate"),
     )
+
+
+_PARA_TOKENS = 10  # aligned paragraph granularity (tokens per pseudo-paragraph)
+
+
+@query(
+    "dedup_paragraph_jaccard",
+    cost=1.2,
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      FROM documents
+    ), paras AS (
+      SELECT doc_id, pos // {_PARA_TOKENS} AS pidx,
+             string_agg(word, ' ' ORDER BY pos) AS para
+      FROM toks GROUP BY doc_id, pos // {_PARA_TOKENS}
+    ), ph AS (SELECT DISTINCT doc_id, md5(para) AS h FROM paras),
+    np AS (SELECT doc_id, count(*) AS n FROM ph GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM ph a JOIN ph b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, cast(n_shared AS bigint) AS n_shared,
+           cast(x.n AS bigint) AS n_para_a, cast(y.n AS bigint) AS n_para_b,
+           round(n_shared * 1.0 / least(x.n, y.n), 6) AS containment
+    FROM pairs JOIN np x ON doc_a = x.doc_id JOIN np y ON doc_b = y.doc_id
+    WHERE n_shared * 1.0 / least(x.n, y.n) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_paragraph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAGRAPH-granularity near-dup detection — the standard public-corpus
+    recipe (e.g. the C4/RefinedWeb line-level dedup step): hash each
+    paragraph exactly, then flag doc pairs whose CONTAINMENT — shared
+    paragraphs over the smaller doc's paragraph count — clears 0.5. This
+    catches partially-copied boilerplate that whole-doc Jaccard misses
+    (a doc that embeds half of another scores low on doc-level shingles
+    but 0.5+ here). The contract corpus has no newlines, so a "paragraph"
+    is an ALIGNED 10-token chunk (floor(pos/10)) — deterministic and
+    SQL-expressible in both engines; on a real corpus the front end is
+    split(text, '\\n\\n') with the identical downstream plan.
+
+    Scale: blocking is the exact paragraph-hash equi-join — cost is
+    bounded by hash-bucket sizes, never the doc-pair cross product. The
+    100 TB caveat is boilerplate paragraphs shared by millions of docs
+    (quadratic inside one bucket): production drops hashes with document
+    frequency above a cap first (they carry no dedup signal — the same
+    stopword logic as vocab pruning), which is one extra groupBy-filter
+    in front of the self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return paragraph_containment_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+def paragraph_containment_pairs(
+    docs: DataFrame, para_tokens: int = _PARA_TOKENS, threshold: float = 0.5
+) -> DataFrame:
+    """Core of dedup_paragraph_jaccard on an arbitrary (doc_id, text) frame
+    — separated so tests can drive manufactured paragraph-dup fixtures."""
+    paras = (
+        _tokens(docs)
+        .groupBy("doc_id", (F.col("pos") / para_tokens).cast("long").alias("pidx"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s.word,
+                ),
+                " ",
+            ).alias("para")
+        )
+    )
+    ph = paras.select("doc_id", F.md5("para").alias("h")).distinct().localCheckpoint()
+    np_ = ph.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = ph.alias("a"), ph.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    na, nb = np_.alias("na"), np_.alias("nb")
+    cont = F.col("n_shared") / F.least(F.col("na.n"), F.col("nb.n"))
+    return (
+        pairs.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .where(cont >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("na.n").cast("bigint").alias("n_para_a"),
+            F.col("nb.n").cast("bigint").alias("n_para_b"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )

@@ -315,3 +315,57 @@ def test_distributed_ntile_partition_invariant(spark, nparts):
         r["id"]: r["t"] for r in df.withColumn("t", F.ntile(4).over(w)).collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_paragraph_containment_matches_bruteforce(spark, seed):
+    """paragraph_containment_pairs must equal an independent brute-force
+    recomputation (python sets over aligned chunks) on random corpora
+    manufactured to contain partial copies — including a doc embedding
+    half of another, which whole-doc Jaccard misses but containment flags."""
+    import random
+
+    from filemap_spark.operators.text import paragraph_containment_pairs
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    K = 4  # small paragraphs so fixtures stay readable
+    base = [rng.choice(vocab) for _ in range(K * 6)]
+    docs = {0: base}
+    # partial copy: first half of doc 0 + fresh tail
+    docs[1] = base[: K * 3] + [rng.choice(vocab) for _ in range(K * 3)]
+    # full copy with one paragraph edited
+    edited = list(base)
+    edited[K * 2] = "mutant"
+    docs[2] = edited
+    # unrelated docs
+    for i in range(3, 8):
+        docs[i] = [rng.choice(vocab) for _ in range(K * rng.randint(3, 7))]
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["n_shared"], r["n_para_a"], r["n_para_b"], r["containment"]
+        )
+        for r in paragraph_containment_pairs(df, para_tokens=K).collect()
+    }
+
+    def chunks(ws):
+        return {" ".join(ws[i : i + K]) for i in range(0, len(ws), K)}
+
+    want = {}
+    ids = sorted(docs)
+    for x in ids:
+        for y in ids:
+            if x >= y:
+                continue
+            ca, cb = chunks(docs[x]), chunks(docs[y])
+            shared = len(ca & cb)
+            if shared and shared / min(len(ca), len(cb)) >= 0.5:
+                want[(x, y)] = (
+                    shared, len(ca), len(cb),
+                    round(shared / min(len(ca), len(cb)), 6),
+                )
+    assert got == want
+    assert (0, 1) in want and (0, 2) in want  # the manufactured cases fired
