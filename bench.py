@@ -39,6 +39,16 @@ HEADLINE = (
     "sim_cosine_topk",
 )
 
+# Round-4 LLM-pipeline additions (BASELINE.md Table 3): reported separately
+# so the 8-query `value` total stays comparable across rounds. The
+# incremental-LSH entry times the DELTA ingest only (fresh copy of a
+# pre-built index per run) — the number a production ingest loop pays.
+LLM_HEADLINE = (
+    "dedup_near_jaccard",
+    "dedup_paragraph_jaccard",
+    "text_unigram_logprob",
+)
+
 
 def _prev_round_timings(here: str, sf: float | None) -> dict[str, float]:
     """Per-query warm timings from the newest committed BENCH_r{N}.json at
@@ -58,7 +68,8 @@ def _prev_round_timings(here: str, sf: float | None) -> dict[str, float]:
             continue
         n = int(m.group(1))
         if best is None or n > best[0]:
-            best = (n, parsed.get("queries") or {})
+            best = (n, {**(parsed.get("queries") or {}),
+                        **(parsed.get("llm_queries") or {})})
     return best[1] if best else {}
 
 
@@ -86,6 +97,42 @@ def _baseline_pricing_form(spark, sf_dir: str):
             F.count("*").alias("count_order"),
         )
     )
+
+
+def _time_incremental_delta(spark, sf_dir: str, n: int = 3) -> float:
+    """Warm timing of the incremental-LSH DELTA ingest: build the base
+    index once (untimed), then per run hand a fresh COPY of that state to
+    the ingest of the arriving split — re-ingesting into the same state
+    would hit the seen-docs ledger and time an empty no-op instead."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from filemap_spark.io import load_table
+    from filemap_spark.operators.text import incremental_lsh_ingest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base_dir = tempfile.mkdtemp(prefix="lsh_bench_base_")
+    try:
+        incremental_lsh_ingest(
+            spark, docs.where(F.col("doc_id") % 10 != 0), base_dir
+        ).collect()
+        delta_docs = docs.where(F.col("doc_id") % 10 == 0)
+        best = float("inf")
+        for _ in range(n):
+            run_dir = tempfile.mkdtemp(prefix="lsh_bench_run_")
+            shutil.rmtree(run_dir, ignore_errors=True)
+            shutil.copytree(base_dir, run_dir)
+            try:
+                t0 = time.time()
+                incremental_lsh_ingest(spark, delta_docs, run_dir).collect()
+                best = min(best, time.time() - t0)
+            finally:
+                shutil.rmtree(run_dir, ignore_errors=True)
+        return round(best, 3)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
 
 
 def _time_best(fn, spark, sf_dir: str, n: int = 3) -> float:
@@ -121,6 +168,16 @@ def main() -> None:
         if fn is None:
             continue
         timings[name] = _time_best(fn, spark, sf_dir)
+
+    llm_timings: dict[str, float] = {}
+    for name in LLM_HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        llm_timings[name] = _time_best(fn, spark, sf_dir)
+    llm_timings["dedup_incremental_lsh_delta"] = _time_incremental_delta(
+        spark, sf_dir
+    )
 
     # Same-rig calibration, ALTERNATING runs so both forms see identical JVM
     # warmth (a sequential tail measurement hands the later form a fully-JIT'd
@@ -161,7 +218,7 @@ def main() -> None:
     prev = _prev_round_timings(here, sf)
     vs_prev = {
         name: round(t / prev[name], 3)
-        for name, t in timings.items()
+        for name, t in {**timings, **llm_timings}.items()
         if prev.get(name)
     }
 
@@ -172,6 +229,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "llm_queries": llm_timings,
                 "sf": sf,
                 "vs_prev": vs_prev,
                 "calibration": calibration,
