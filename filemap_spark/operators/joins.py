@@ -641,3 +641,48 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("nearest_signup_us").isNotNull())
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "join_skew_salted",
+    cost=0.8,
+    oracle=f"""
+    SELECT p.p_brand,
+           cast(count(*) AS bigint) AS n_items,
+           cast(sum(l.l_quantity) AS bigint) AS sum_qty,
+           {dsum('l.l_extendedprice', 'sum_price')}
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand ORDER BY p.p_brand
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact-to-dim equi-join as a GRADED operator: the fact side
+    scatters across 8 salt sub-keys by a deterministic row-content hash
+    and the dim side replicates once per salt (functions/skew.salted_join)
+    — turning one hot-key reducer into 8 evenly-loaded ones when a key
+    floods a shuffled join. The oracle is the PLAIN join + aggregate:
+    salting must be invisible in the result (row multiset identical), so
+    an off-by-one in salt replication or a dropped sub-key mismatches.
+
+    Scale: the trade is a salts× blow-up of the DIM side only — the
+    standard move when the dim is too big (or the join type wrong) for a
+    broadcast and one fact key dominates; AQE's skew-join split only
+    covers sort-merge joins, so the pre-planned salt stays relevant.
+    tests/test_skew.py pins the helper's multiset equality; the plan test
+    pins the salt replication shape."""
+    from filemap_spark.functions.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_quantity", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(li, part, "p_partkey", salts=8)
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            F.expr(dsum("l_extendedprice", "sum_price")),
+        )
+        .orderBy("p_brand")
+    )

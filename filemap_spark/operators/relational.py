@@ -714,3 +714,89 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@query(
+    "sample_reservoir_per_key",
+    oracle="""
+    SELECT lang, doc_id, n_chars
+    FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY lang
+      ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT),
+               doc_id
+    ) <= 20
+    ORDER BY lang, doc_id
+    """,
+)
+def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size (k=20) uniform sample PER KEY — the distributed
+    equivalent of a per-key reservoir. A literal reservoir is sequential
+    and arrival-order-dependent; the order-free form ranks each row by a
+    deterministic content hash (md5(doc_id), the portable-hash discipline
+    of sample_content_hash) and keeps the k smallest per key — the same
+    uniform-without-replacement distribution, but reproducible across
+    engines, partitionings, and reruns.
+
+    Scale: one shuffle on the key for the rank window. A hot key
+    concentrates its rows on one reducer; the 100 TB refinement is a local
+    top-k per input partition first (k rows per partition per key survive
+    the map side) — semantically identical because the k global minima
+    are a subset of every partition's k local minima."""
+    docs = load_table(spark, sf_dir, "documents")
+    hk = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    )
+    w = Window.partitionBy("lang").orderBy(hk.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@query(
+    "sample_split_train_test",
+    oracle="""
+    WITH tagged AS (
+      SELECT lang, n_chars,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 10 < 8
+                  THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 10 = 8
+                  THEN 'val' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang, count(*) AS n_docs,
+           cast(sum(n_chars) AS bigint) AS total_chars
+    FROM tagged GROUP BY split, lang ORDER BY split, lang
+    """,
+)
+def sample_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content hash — THE
+    split rule a reproducible training pipeline needs: membership depends
+    only on doc_id (portable md5, identical on any engine/partitioning),
+    never on row order or a seed, so re-running ingest can never leak a
+    test doc into train. Emits the per-(split, lang) audit counts a
+    pipeline records next to the split.
+
+    Scale: pure map-side tagging (no shuffle to assign membership) + one
+    keyed agg over ~|splits × langs| groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 10
+    )
+    return (
+        docs.withColumn(
+            "split",
+            F.when(b < 8, "train").when(b == 8, "val").otherwise("test"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )

@@ -727,3 +727,96 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         evals, "method string, n_queries bigint, recall_at_5 double"
     ).orderBy("method")
+
+
+_PCA_COMPONENTS = 8
+
+
+def pca_components(emb: DataFrame, dim: int = 64) -> tuple[np.ndarray, np.ndarray]:
+    """(mean[dim], components[dim, k]) of the embedding column, computed
+    with ONE distributed pass: each Arrow batch emits its partial
+    (n, sum[dim], X'X[dim*dim]) — a bounded row per batch — and the
+    dim×dim Gram matrix is assembled and eigendecomposed on the driver
+    (64×64 — microseconds, independent of corpus size). Deterministic:
+    partials are summed in float64 after a lexsort by batch-min vec_id,
+    and each eigenvector's sign is fixed by its largest-|coordinate|
+    entry."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "min_id": [int(pdf["vec_id"].min())],
+                    "n": [len(mat)],
+                    "s": [mat.sum(axis=0)],
+                    "xtx": [(mat.T @ mat).ravel()],
+                }
+            )
+
+    rows = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(
+            partials,
+            schema="min_id long, n long, s array<double>, xtx array<double>",
+        )
+        .collect()  # bounded: one row per Arrow batch, dim*dim values each
+    )
+    rows.sort(key=lambda r: r["min_id"])
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    xtx = np.sum([np.asarray(r["xtx"]) for r in rows], axis=0).reshape(dim, dim)
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(vals)[::-1][:_PCA_COMPONENTS]
+    comps = vecs[:, order]
+    # sign convention: largest-|coordinate| entry of each component positive
+    for j in range(comps.shape[1]):
+        i = int(np.abs(comps[:, j]).argmax())
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    return mean, comps
+
+
+@query("emb_pca_project", cost=1.0)  # rows-only: eigendecomposition, not SQL
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus to its top-8 principal
+    components — the standard dimensionality-reduction front end for
+    cheap ANN, clustering, and drift dashboards. Fit is one distributed
+    pass (per-batch Gram partials; see pca_components) + a driver-side
+    64×64 eigh; projection is a second distributed pass against the
+    broadcast (mean, components) pair.
+
+    Not oracle-graded (eigendecomposition is not SQL-expressible);
+    tests/test_kernels.py pins mean/components/projection against a
+    direct numpy PCA of the full collected matrix.
+
+    Scale: driver state is dim² floats regardless of corpus size; the
+    projection broadcast is dim×(k+1) floats; both passes are
+    embarrassingly parallel Arrow batches — no shuffle at all."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps = pca_components(emb)
+    b_mean = emb.sparkSession.sparkContext.broadcast(mean)
+    b_comps = emb.sparkSession.sparkContext.broadcast(comps)
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            proj = (mat - b_mean.value) @ b_comps.value
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "pc": list(np.round(proj, 6)),
+                }
+            )
+
+    return (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(project, schema="vec_id long, pc array<double>")
+        .orderBy("vec_id")
+    )

@@ -369,3 +369,38 @@ def test_paragraph_containment_matches_bruteforce(spark, seed):
                 )
     assert got == want
     assert (0, 1) in want and (0, 2) in want  # the manufactured cases fired
+
+
+def test_pca_matches_numpy_direct(spark, sf_dir):
+    """pca_components' one-pass distributed Gram partials + driver eigh
+    must reproduce a direct numpy PCA of the fully collected matrix, and
+    emb_pca_project's projections must match to 6dp."""
+    from filemap_spark import all_queries
+    from filemap_spark.io import load_table
+    from filemap_spark.operators.similarity import pca_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    mat = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+
+    mean, comps = pca_components(emb)
+    assert np.allclose(mean, mat.mean(axis=0), atol=1e-9)
+
+    cov = np.cov(mat, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][: comps.shape[1]]
+    want = vecs[:, order]
+    for j in range(want.shape[1]):
+        i = int(np.abs(want[:, j]).argmax())
+        if want[i, j] < 0:
+            want[:, j] = -want[:, j]
+    assert np.allclose(comps, want, atol=1e-6), np.abs(comps - want).max()
+
+    got = {
+        r["vec_id"]: np.asarray(r["pc"])
+        for r in all_queries()["emb_pca_project"](spark, sf_dir).collect()
+    }
+    proj = (mat - mat.mean(axis=0)) @ want
+    for i, r in enumerate(rows):
+        assert np.allclose(got[r["vec_id"]], np.round(proj[i], 6), atol=2e-6)
