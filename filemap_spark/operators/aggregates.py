@@ -934,3 +934,108 @@ def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "age_days")
     )
+
+
+@query(
+    "ts_interpolate_gaps",
+    cost=0.6,
+    oracle=EVENTS_NORM_SQL
+    + f"""
+    , hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             {dsum('value', 'v')}
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), spine AS (
+      SELECT event_type,
+             unnest(generate_series(min(hour_ts), max(hour_ts),
+                                    INTERVAL 1 HOUR)) AS hour_ts
+      FROM hourly GROUP BY event_type
+    ), joined AS (
+      SELECT s.event_type, s.hour_ts, h.v FROM spine s
+      LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hour_ts = h.hour_ts
+    ), ctx AS (
+      SELECT event_type, hour_ts, v,
+             last_value(v IGNORE NULLS) OVER w_prev AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN hour_ts END IGNORE NULLS)
+               OVER w_prev AS ph,
+             first_value(v IGNORE NULLS) OVER w_next AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN hour_ts END IGNORE NULLS)
+               OVER w_next AS nh
+      FROM joined
+      WINDOW w_prev AS (PARTITION BY event_type ORDER BY hour_ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w_next AS (PARTITION BY event_type ORDER BY hour_ts
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, epoch_us(hour_ts) AS hour_us,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      ELSE pv + (nv - pv)
+                           * (epoch(hour_ts) - epoch(ph))
+                           / (epoch(nh) - epoch(ph)) END, 6) AS value_filled,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_interpolated
+    FROM ctx ORDER BY event_type, hour_us
+    """,
+)
+def ts_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series GAP FILL with linear interpolation — the hypertable
+    companion every monitoring/feature pipeline needs: hourly exact sums
+    per event_type, a dense hour spine from each type's first to last
+    active hour (sequence + explode — no driver loop), and missing hours
+    filled by interpolating between the nearest real neighbors
+    (ignore-nulls last_value/first_value windows). Both engines compute
+    the identical float64 expression on identical 6dp inputs and integer
+    hour distances, so the interpolated values hash-match.
+
+    Scale: one shuffle on (type, hour) for the rollup, one on type for
+    the spine + fill windows — partitioned by event_type, never a global
+    window. Bucket counts (not raw rows) bound every post-rollup stage."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.expr(dsum("value", "v")))
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("hour_ts"),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "hour_ts"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked = F.when(F.col("v").isNotNull(), F.col("hour_ts"))
+    ctx = joined.select(
+        "event_type",
+        "hour_ts",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(marked, ignorenulls=True).over(w_prev).alias("ph"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(marked, ignorenulls=True).over(w_next).alias("nh"),
+    )
+    frac = (
+        (F.unix_timestamp("hour_ts") - F.unix_timestamp("ph")).cast("double")
+        / (F.unix_timestamp("nh") - F.unix_timestamp("ph")).cast("double")
+    )
+    return ctx.select(
+        "event_type",
+        F.unix_micros("hour_ts").alias("hour_us"),
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+                F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+            ),
+            6,
+        ).alias("value_filled"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("is_interpolated"),
+    ).orderBy("event_type", "hour_us")

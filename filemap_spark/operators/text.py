@@ -1351,3 +1351,129 @@ def paragraph_containment_pairs(
             F.round(cont, 6).alias("containment"),
         )
     )
+
+
+@query(
+    "sample_quality_mix",
+    cost=0.8,
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), wc AS (
+      SELECT word, count(*) AS c FROM toks GROUP BY word
+    ), tot AS (SELECT count(*) AS n FROM toks), scored AS (
+      SELECT doc_id,
+             {davg('ln(cast(n AS double)) - ln(cast(c AS double))', 'avg_neg_logp')}
+      FROM toks JOIN wc USING (word) CROSS JOIN tot
+      GROUP BY doc_id
+    ), tiered AS (
+      SELECT doc_id,
+             CASE ntile(3) OVER (ORDER BY avg_neg_logp, doc_id)
+                  WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
+      FROM scored
+    )
+    SELECT doc_id, tier FROM tiered
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 10
+          < CASE tier WHEN 'head' THEN 10 WHEN 'middle' THEN 5 ELSE 1 END
+    ORDER BY doc_id
+    """,
+)
+def sample_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED downsampling — the step after tiering in the CCNet
+    recipe: keep 100% of head, 50% of middle, 10% of tail, so the curated
+    mix over-represents high-quality text without discarding the tail
+    outright. Tier assignment is the exact distributed ntile
+    (text_quality_tiers' plan); keep/drop is the md5(doc_id) keep-rate
+    rule (sample_content_hash's portable-hash discipline), so membership
+    is engine-, partitioning-, and rerun-stable — rerunning curation can
+    only extend, never flip, prior keeps.
+
+    Scale: tiering is the range-exchange ntile (no single-partition
+    window); the keep test is map-side on the tiered rows — no extra
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _unigram_scored(docs)
+    tiered = with_global_ntile(scored, 3, "avg_neg_logp", "doc_id", tile_col="nt")
+    tier = (
+        F.when(F.col("nt") == 1, "head")
+        .when(F.col("nt") == 2, "middle")
+        .otherwise("tail")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 10
+    )
+    rate = (
+        F.when(F.col("tier") == "head", 10)
+        .when(F.col("tier") == "middle", 5)
+        .otherwise(1)
+    )
+    return (
+        tiered.select("doc_id", tier.alias("tier"))
+        .where(bucket < rate)
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_curation_pipeline",
+    cost=0.8,
+    oracle="""
+    WITH survivors AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ), kept AS (
+      SELECT d.doc_id, d.source, d.lang,
+             len(string_split(d.text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(d.text, ' '))) AS n_distinct
+      FROM documents d JOIN survivors s ON d.doc_id = s.doc_id
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           cast(sum(n_tokens) AS bigint) AS total_tokens,
+           count(DISTINCT lang) AS n_langs
+    FROM kept
+    WHERE n_tokens >= 20 AND cast(n_distinct AS double) / n_tokens > 0.3
+    GROUP BY source ORDER BY source
+    """,
+)
+def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pass — the composed pipeline a corpus run
+    actually executes, graded as one operator so the STAGE WIRING (not
+    just each stage) is under oracle: exact-dedup survivors (min doc_id
+    per content hash, dedup_exact_text's rule) → heuristic quality gate
+    (length + distinct-token ratio, text_quality_score's keep rule) →
+    per-source audit rollup (doc counts, token totals, language spread) —
+    the summary a curation job publishes next to its output dataset.
+
+    Scale: one shuffle on the content hash (dedup), a semi-join back
+    (AQE picks the build side), map-side quality predicates, and a
+    |sources|-cell final agg. No stage touches more than one corpus-wide
+    shuffle; nothing is collected."""
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    w = F.split("text", " ")
+    kept = (
+        docs.join(survivors.select("doc_id"), "doc_id", "left_semi")
+        .select(
+            "source",
+            "lang",
+            F.size(w).alias("n_tokens"),
+            F.size(F.array_distinct(w)).alias("n_distinct"),
+        )
+        .where(
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_distinct").cast("double") / F.col("n_tokens") > 0.3)
+        )
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )

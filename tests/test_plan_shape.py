@@ -240,3 +240,15 @@ def test_unigram_vocab_join_not_hint_forced(spark, sf_dir):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_skew_salted_join_replicates_dim_not_fact(spark, sf_dir):
+    """join_skew_salted must plan the salt as an explode(sequence) on the
+    DIM side only and join on (key, salt) — the fact side is tagged
+    map-side (pmod of a hash), never replicated."""
+    plan = plan_of(spark, sf_dir, "join_skew_salted")
+    # Catalyst constant-folds sequence(0,7) to the literal salt array
+    assert "explode([0,1,2,3,4,5,6,7])" in plan
+    assert "pmod(xxhash64(" in plan  # fact side tagged map-side, not replicated
+    assert plan.count("__fm_salt") >= 2  # both join keys carry the salt
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
