@@ -74,3 +74,34 @@ def test_oracle_iteration_matches_query_order():
     q = list(all_queries())
     o = list(all_oracle())
     assert o == [n for n in q if n in set(o)]
+
+
+def test_survey_and_readme_counts_match_registry():
+    """VERDICT r3 task 8: SURVEY §2's inventory totals and README's round
+    status line must track the live registry — the drift guard covers the
+    registry itself; this pins the documented counts to it."""
+    import os
+    import re
+
+    from filemap_spark import all_oracle
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    n_ops = len(_META)
+    n_oracle = len(all_oracle())
+    n_rows_only = n_ops - n_oracle
+
+    survey = open(os.path.join(repo, "SURVEY.md")).read()
+    m = re.search(
+        r"Inventory totals: (\d+) registered ops, (\d+) oracle-graded, "
+        r"(\d+) rows-only",
+        survey,
+    )
+    assert m, "SURVEY.md inventory-totals line missing"
+    assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == (
+        n_ops, n_oracle, n_rows_only,
+    ), f"SURVEY.md says {m.groups()}, registry has {(n_ops, n_oracle, n_rows_only)}"
+
+    readme = open(os.path.join(repo, "README.md")).read()
+    m = re.search(r"\*\*Round-\d+ status[^*]*:\*\* (\d+) operators", readme)
+    assert m, "README.md round-status line missing"
+    assert int(m.group(1)) == n_ops, f"README says {m.group(1)}, registry has {n_ops}"
