@@ -1039,3 +1039,38 @@ def ts_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value_filled"),
         F.when(F.col("v").isNull(), 1).otherwise(0).alias("is_interpolated"),
     ).orderBy("event_type", "hour_us")
+
+
+@query(
+    "agg_distinct_multi",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           cast(count(*) AS bigint) AS n_rows,
+           {dsum('l_extendedprice', 'sum_price')}
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE distinct aggregates in one pass — the shape that forces
+    Spark's Expand-based plan: each input row fans out once per distinct
+    column (tagged null patterns), one partial/final aggregate pair per
+    phase, so two count-distincts cost one extra projection, never two
+    full scans or a driver merge. The plain count and exact sum ride the
+    same Expand unchanged.
+
+    Scale: the Expand multiplies shuffle rows by the number of distinct
+    columns (2 here) — the documented trade vs approx_count_distinct,
+    which `agg_approx_count_distinct` covers when exactness can yield."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.expr(dsum("l_extendedprice", "sum_price")),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -138,3 +138,45 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("n_nationkey", "n_name", "n_comment_v2").orderBy(
         "n_nationkey", F.col("n_comment_v2").asc_nulls_first()
     )
+
+
+@query(
+    "sink_bucketed_table",
+    oracle="""
+    SELECT l_orderkey, count(*) AS n_items,
+           cast(sum(l_quantity) AS bigint) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING count(*) >= 4 ORDER BY l_orderkey
+    """,
+    cost=1.5,
+)
+def sink_bucketed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table sink + bucket-aware re-read — THE repeated-join/agg
+    layout at 100 TB: `bucketBy(8, l_orderkey).sortBy` pays the shuffle
+    ONCE at write time; every later join or aggregation on the bucket key
+    reads pre-clustered buckets with no exchange
+    (tests/test_bucketing.py pins the no-Exchange join plan for two
+    bucketed facts). Graded by aggregating the re-read table on the bucket
+    key against the plain-table oracle, so bucket routing must place
+    every row exactly (a mis-bucketed or dropped row mismatches).
+
+    Scale: bucket count is the deployment knob (buckets ≈ cluster write
+    parallelism; 8 here for the test rig); bucket pruning additionally
+    skips buckets on point predicates."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    (
+        li.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("filemap_li_bucketed")
+    )
+    back = spark.table("filemap_li_bucketed")
+    return (
+        back.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        )
+        .where(F.col("n_items") >= 4)
+        .orderBy("l_orderkey")
+    )
