@@ -312,3 +312,65 @@ def test_tier_cutoff_agreement_floor(spark, sf_dir):
         row["n_head_exact"] + row["n_middle_exact"] + row["n_tail_exact"]
     )
     assert row["agreement_rate"] >= 0.95, row.asDict()
+
+
+def test_train_test_split_is_partition_and_hash_stable(spark, sf_dir):
+    """The three splits must partition the corpus exactly (disjoint,
+    complete, ~80/10/10) and membership must be a pure function of doc_id
+    — recomputing on a repartitioned input yields identical counts."""
+    from filemap_spark import all_queries
+
+    fn = all_queries()["sample_split_train_test"]
+    rows = fn(spark, sf_dir).collect()
+    total = sum(r["n_docs"] for r in rows)
+    from filemap_spark.io import load_table
+
+    assert total == load_table(spark, sf_dir, "documents").count()
+    by_split = {}
+    for r in rows:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    assert set(by_split) == {"train", "val", "test"}
+    assert by_split["train"] > by_split["val"] + by_split["test"]
+    rows2 = fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_reservoir_per_key_is_exactly_k_or_all(spark, sf_dir):
+    """Each key yields min(k, group size) rows and membership is stable
+    across runs (hash-rank, not a seeded sample)."""
+    from filemap_spark import all_queries
+    from filemap_spark.io import load_table
+
+    fn = all_queries()["sample_reservoir_per_key"]
+    rows = fn(spark, sf_dir).collect()
+    from collections import Counter
+
+    per_key = Counter(r["lang"] for r in rows)
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    for lang, n in sizes.items():
+        assert per_key[lang] == min(20, n), (lang, per_key[lang], n)
+    assert sorted((r["lang"], r["doc_id"]) for r in rows) == sorted(
+        (r["lang"], r["doc_id"]) for r in fn(spark, sf_dir).collect()
+    )
+
+
+def test_quality_mix_respects_tier_keep_rates(spark, sf_dir):
+    """Every kept doc's tier must agree with text_quality_tiers, head docs
+    are all kept, and middle/tail keep-counts match the md5 rule exactly."""
+    from filemap_spark import all_queries
+
+    q = all_queries()
+    tiers = {r["doc_id"]: r["tier"] for r in q["text_quality_tiers"](spark, sf_dir).collect()}
+    kept = {r["doc_id"]: r["tier"] for r in q["sample_quality_mix"](spark, sf_dir).collect()}
+    assert all(tiers[d] == t for d, t in kept.items())
+    import hashlib
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 10
+
+    rate = {"head": 10, "middle": 5, "tail": 1}
+    want = {d for d, t in tiers.items() if bucket(d) < rate[t]}
+    assert set(kept) == want
