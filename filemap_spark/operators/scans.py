@@ -163,7 +163,16 @@ def sink_bucketed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: bucket count is the deployment knob (buckets ≈ cluster write
     parallelism; 8 here for the test rig); bucket pruning additionally
     skips buckets on point predicates."""
+    import shutil
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    # A FRESH session (new metastore) can find the old managed-table dir on
+    # disk without a catalog entry, and saveAsTable refuses the location —
+    # drop both the entry and any stale directory first.
+    spark.sql("DROP TABLE IF EXISTS filemap_li_bucketed")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh_path = wh.removeprefix("file:")
+    shutil.rmtree(os.path.join(wh_path, "filemap_li_bucketed"), ignore_errors=True)
     (
         li.write.bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey")
