@@ -1074,3 +1074,35 @@ def agg_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           round(cast(cast(sum(cast(round(l_extendedprice * l_quantity * 1000000)
+                                    AS bigint)) AS decimal(38,6)) / 1000000 AS double)
+                 / sum(l_quantity), 6) AS wavg_price,
+           cast(sum(l_quantity) AS bigint) AS total_weight
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean per group — sum(w·x)/sum(w) with the numerator under
+    the exact scaled-int64 sum discipline (functions/numeric: FP sums are
+    combine-order-dependent past 6dp at contract row counts) and an
+    integer-exact denominator, so the single final division rounds
+    engine-stably. One codegen'd hash aggregate; partial combine map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "round(cast(cast(sum(cast(round(l_extendedprice * l_quantity "
+                "* 1000000) AS bigint)) AS decimal(38,6)) / 1000000 AS double)"
+                " / sum(l_quantity), 6) AS wavg_price"
+            ),
+            F.sum("l_quantity").cast("bigint").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )

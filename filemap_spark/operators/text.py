@@ -1477,3 +1477,80 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_bigram_pmi",
+    cost=0.6,
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ), uni AS (
+      SELECT word, count(*) AS c FROM toks GROUP BY word
+    ), n_uni AS (SELECT count(*) AS n FROM toks),
+    big AS (
+      SELECT word AS w1,
+             lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM toks
+    ), bc AS (
+      SELECT w1, w2, count(*) AS cb FROM big WHERE w2 IS NOT NULL GROUP BY w1, w2
+    ), n_big AS (SELECT sum(cb) AS m FROM bc)
+    SELECT w1, w2, cast(cb AS bigint) AS n_pair,
+           round(ln((cast(cb AS double) / m)
+                    / ((cast(u1.c AS double) / n) * (cast(u2.c AS double) / n))),
+                 6) AS pmi
+    FROM bc JOIN uni u1 ON bc.w1 = u1.word JOIN uni u2 ON bc.w2 = u2.word
+    CROSS JOIN n_uni CROSS JOIN n_big
+    WHERE cb >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining via pointwise mutual information — the classic
+    phrase-detection pass (word2vec-style phrase merging, tokenizer vocab
+    candidates): PMI = ln(p(w1w2) / (p(w1)·p(w2))) over within-doc
+    bigrams, floor of 5 occurrences, top-50. Each PMI is a single ln()
+    on a ratio of exact integer counts — identical doubles both engines.
+
+    Scale: unigram/bigram counts are the wordcount layout (explode + two
+    keyed aggs); the PMI join keys on the unigram table twice (AQE
+    broadcasts while the vocab is small — same no-hint discipline as
+    text_unigram_logprob); top-50 collapses to TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    uni = toks.groupBy("word").agg(F.count("*").alias("c"))
+    n_uni = toks.agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bc = (
+        toks.select(F.col("word").alias("w1"), F.lead("word").over(w).alias("w2"))
+        .where(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+    )
+    n_big = bc.agg(F.sum("cb").alias("m"))
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("cb").cast("double") / F.col("m"))
+            / (
+                (F.col("c1").cast("double") / F.col("n"))
+                * (F.col("c2").cast("double") / F.col("n"))
+            )
+        ),
+        6,
+    )
+    return (
+        bc.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .where(F.col("cb") >= 5)
+        .select(
+            "w1", "w2", F.col("cb").cast("bigint").alias("n_pair"), pmi.alias("pmi")
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(50)
+    )
