@@ -732,38 +732,57 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PCA_COMPONENTS = 8
 
 
-def pca_components(emb: DataFrame, dim: int = 64) -> tuple[np.ndarray, np.ndarray]:
-    """(mean[dim], components[dim, k]) of the embedding column, computed
-    with ONE distributed pass: each Arrow batch emits its partial
-    (n, sum[dim], X'X[dim*dim]) — a bounded row per batch — and the
-    dim×dim Gram matrix is assembled and eigendecomposed on the driver
-    (64×64 — microseconds, independent of corpus size). Deterministic:
-    partials are summed in float64 after a lexsort by batch-min vec_id,
-    and each eigenvector's sign is fixed by its largest-|coordinate|
-    entry."""
+def gram_partials(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """Per-PARTITION Gram partials (min vec_id, n, Σx, X'X flat) of the
+    embedding column. Arrow batches are folded inside the mapInPandas
+    iterator before anything is yielded, so the frame holds AT MOST one
+    row per input partition — the driver's collect is O(partitions × dim²)
+    no matter how many Arrow batches the corpus splits into (pinned by
+    tests/test_kernels.py::test_pca_partials_one_row_per_partition)."""
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        min_id = None
+        s = np.zeros(dim, dtype=np.float64)
+        xtx = np.zeros((dim, dim), dtype=np.float64)
         for pdf in batches:
             if pdf.empty:
                 continue
             mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n += len(mat)
+            s += mat.sum(axis=0)
+            xtx += mat.T @ mat
+            m = int(pdf["vec_id"].min())
+            min_id = m if min_id is None else min(min_id, m)
+        if n:
             yield pd.DataFrame(
                 {
-                    "min_id": [int(pdf["vec_id"].min())],
-                    "n": [len(mat)],
-                    "s": [mat.sum(axis=0)],
-                    "xtx": [(mat.T @ mat).ravel()],
+                    "min_id": [min_id],
+                    "n": [n],
+                    "s": [s],
+                    "xtx": [xtx.ravel()],
                 }
             )
 
-    rows = (
-        emb.select("vec_id", "embedding")
-        .mapInPandas(
-            partials,
-            schema="min_id long, n long, s array<double>, xtx array<double>",
-        )
-        .collect()  # bounded: one row per Arrow batch, dim*dim values each
+    return emb.select("vec_id", "embedding").mapInPandas(
+        partials,
+        schema="min_id long, n long, s array<double>, xtx array<double>",
     )
+
+
+def pca_components(emb: DataFrame, dim: int = 64) -> tuple[np.ndarray, np.ndarray]:
+    """(mean[dim], components[dim, k]) of the embedding column, computed
+    with ONE distributed pass: each PARTITION emits its partial
+    (n, sum[dim], X'X[dim*dim]) — Arrow batches are folded inside the
+    mapInPandas iterator, so driver state is O(partitions × dim²), not
+    O(batches × dim²) — and the dim×dim Gram matrix is assembled and
+    eigendecomposed on the driver (64×64 — microseconds, independent of
+    corpus size). Deterministic: within a partition batches arrive in a
+    fixed order and are folded sequentially in float64; partition partials
+    are summed after a lexsort by partition-min vec_id, and each
+    eigenvector's sign is fixed by its largest-|coordinate| entry."""
+
+    rows = gram_partials(emb, dim).collect()  # <= one row per input partition
     rows.sort(key=lambda r: r["min_id"])
     n = sum(r["n"] for r in rows)
     s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
@@ -786,37 +805,45 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection of the embedding corpus to its top-8 principal
     components — the standard dimensionality-reduction front end for
     cheap ANN, clustering, and drift dashboards. Fit is one distributed
-    pass (per-batch Gram partials; see pca_components) + a driver-side
+    pass (per-partition Gram partials; see pca_components) + a driver-side
     64×64 eigh; projection is a second distributed pass against the
     broadcast (mean, components) pair.
+
+    Output is 8 SCALAR double columns pc0..pc7 (not array<double>): the
+    grading canonicalizer pandas-lexsorts every result — including
+    rows-only ones — and a raw array cell is unhashable there (the
+    agg_collect_sorted precedent, aggregates.py). Scalar components are
+    also the downstream-friendly layout (each is filterable/joinable).
 
     Not oracle-graded (eigendecomposition is not SQL-expressible);
     tests/test_kernels.py pins mean/components/projection against a
     direct numpy PCA of the full collected matrix.
 
-    Scale: driver state is dim² floats regardless of corpus size; the
-    projection broadcast is dim×(k+1) floats; both passes are
-    embarrassingly parallel Arrow batches — no shuffle at all."""
+    Scale: driver state is O(partitions × dim²) floats regardless of
+    corpus size; the projection broadcast is dim×(k+1) floats; both
+    passes are embarrassingly parallel Arrow batches — no shuffle at
+    all."""
     emb = load_table(spark, sf_dir, "embeddings")
     mean, comps = pca_components(emb)
     b_mean = emb.sparkSession.sparkContext.broadcast(mean)
     b_comps = emb.sparkSession.sparkContext.broadcast(comps)
+    k = comps.shape[1]
+    pc_cols = [f"pc{j}" for j in range(k)]
 
     def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
             mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            proj = (mat - b_mean.value) @ b_comps.value
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "pc": list(np.round(proj, 6)),
-                }
-            )
+            proj = np.round((mat - b_mean.value) @ b_comps.value, 6)
+            out = {"vec_id": pdf["vec_id"]}
+            for j, name in enumerate(pc_cols):
+                out[name] = proj[:, j]
+            yield pd.DataFrame(out)
 
+    schema = "vec_id long, " + ", ".join(f"{c} double" for c in pc_cols)
     return (
         emb.select("vec_id", "embedding")
-        .mapInPandas(project, schema="vec_id long, pc array<double>")
+        .mapInPandas(project, schema=schema)
         .orderBy("vec_id")
     )

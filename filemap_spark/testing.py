@@ -101,9 +101,56 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -
     return res
 
 
+def driver_canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    """The DRIVER's canonicalization step, reproduced faithfully: sort
+    columns by name, then pandas-lexsort the RAW frame over all columns
+    (`sort_values`). This is applied to EVERY result — including
+    rows-only ones — so a cell pandas cannot factorize (numpy array,
+    dict, …) raises TypeError here exactly as it does driver-side.
+    The r1 `agg_collect_sorted` and r4 `emb_pca_project` failures were
+    both this class; running it locally makes the class unshippable."""
+    cols = sorted(pdf.columns)
+    pdf = pdf.reindex(cols, axis=1)
+    if len(pdf):
+        pdf = pdf.sort_values(by=cols, kind="mergesort")
+    return pdf
+
+
+def complex_output_columns(schema) -> list[str]:
+    """Top-level ArrayType/MapType/StructType columns in a result schema.
+    The grading driver pandas-lexsorts every declared result, and those
+    types materialize as unhashable cells there — no declared query may
+    emit them (flatten/array_join/explode before returning)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def run_one(name: str, fn, sql: str | None, spark, sf_dir: str) -> CompareResult:
     sdf = fn(spark, sf_dir)
+    bad = complex_output_columns(sdf.schema)
+    if bad:
+        return CompareResult(
+            name,
+            ok=False,
+            detail=f"driver-unsafe output schema: complex-typed columns {bad}",
+        )
     spark_pdf = sdf.toPandas()
+    # mirror the driver: canonicalization must not crash on ANY declared
+    # result, rows-only included (unhashable array/map cells -> TypeError)
+    try:
+        driver_canon(spark_pdf)
+    except TypeError as e:
+        return CompareResult(
+            name,
+            ok=False,
+            detail=f"driver-canon crash: {e}",
+            spark_rows=len(spark_pdf),
+        )
     if sql is None:
         ok = len(spark_pdf) >= 0
         return CompareResult(name, ok=ok, detail="rows-only", spark_rows=len(spark_pdf))

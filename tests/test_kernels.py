@@ -397,10 +397,39 @@ def test_pca_matches_numpy_direct(spark, sf_dir):
             want[:, j] = -want[:, j]
     assert np.allclose(comps, want, atol=1e-6), np.abs(comps - want).max()
 
+    res = all_queries()["emb_pca_project"](spark, sf_dir)
+    pc_cols = [c for c in res.columns if c.startswith("pc")]
+    assert pc_cols == [f"pc{j}" for j in range(want.shape[1])]
     got = {
-        r["vec_id"]: np.asarray(r["pc"])
-        for r in all_queries()["emb_pca_project"](spark, sf_dir).collect()
+        r["vec_id"]: np.asarray([r[c] for c in pc_cols]) for r in res.collect()
     }
     proj = (mat - mat.mean(axis=0)) @ want
     for i, r in enumerate(rows):
         assert np.allclose(got[r["vec_id"]], np.round(proj[i], 6), atol=2e-6)
+
+
+def test_pca_partials_one_row_per_partition(spark, sf_dir):
+    """The production Gram-partials pass must fold Arrow batches inside
+    each partition: driver state is O(partitions), not O(batches). Force
+    tiny Arrow batches over 3 partitions and count the partial rows, then
+    check the folded totals are exact."""
+    from filemap_spark.io import load_table
+    from filemap_spark.operators.similarity import gram_partials
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(3)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        parts = gram_partials(emb).collect()
+        assert len(parts) == 3  # one row per partition, NOT per 7-row batch
+        assert sum(r["n"] for r in parts) == emb.count()
+        mat = np.vstack(
+            [
+                np.asarray(r["embedding"], dtype=np.float64)
+                for r in emb.select("embedding").collect()
+            ]
+        )
+        s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+        assert np.allclose(s, mat.sum(axis=0), atol=1e-6)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)

