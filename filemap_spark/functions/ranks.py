@@ -37,6 +37,37 @@ _OFF = "__fsr_offset"
 _TOTAL = "__fsr_total"
 _RANK = "__fsr_rank"
 
+# Ranged relations persisted by with_global_rank, in creation order. The
+# returned DataFrame is lazy, so the function itself can never know when it
+# is safe to unpersist; the blocks therefore live until the session ends or
+# a caller that has materialized its results calls release_rank_cache().
+# Deliberate, bounded leak: one relation per with_global_rank call, each
+# sized like its input slice — acceptable for query-at-a-time grading runs,
+# releasable for long-lived sessions.
+_PERSISTED: list[DataFrame] = []
+
+
+def release_rank_cache() -> int:
+    """Unpersist every relation cached by prior with_global_rank calls.
+    Call ONLY after all DataFrames derived from those calls have been
+    materialized (collected/written) — unpersisting earlier forfeits the
+    stable spark_partition_id assignment the rank join depends on. Returns
+    the number of relations released."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
+
+
+def _shuffle_partitions(df: DataFrame) -> int:
+    """spark.sql.shuffle.partitions as an int, falling back to the input's
+    current partition count when the conf is non-numeric (e.g. "auto" on
+    managed distros)."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return max(df.rdd.getNumPartitions(), 1)
+
 
 def with_global_rank(
     df: DataFrame, *order_cols: str, rank_col: str = "global_rank",
@@ -45,9 +76,13 @@ def with_global_rank(
     """Exact 1-based global row_number over ORDER BY `order_cols`, computed
     distributed (range exchange + bounded offset join). `order_cols` must be
     a TOTAL order (include a unique tiebreak column) for a deterministic
-    result. Optionally emits the total row count as `total_col`."""
+    result, and every order column must be NON-NULL: Spark's ascending sort
+    places NULLS FIRST while DuckDB's `ntile(ORDER BY ...)` defaults to
+    NULLS LAST, so a nullable order key would silently diverge from the
+    oracles (normalize with coalesce() upstream if nulls are possible).
+    Optionally emits the total row count as `total_col`."""
     if num_partitions is None:
-        nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        nparts = _shuffle_partitions(df)
     else:
         nparts = num_partitions
     ranged = (
@@ -55,6 +90,7 @@ def with_global_rank(
         .withColumn(_PID, F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _PERSISTED.append(ranged)
     counts = ranged.groupBy(_PID).agg(F.count("*").alias("__fsr_pc"))
     # numPartitions rows: the unpartitioned window + broadcast are bounded.
     offs = counts.select(

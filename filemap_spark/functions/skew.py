@@ -30,11 +30,24 @@ def salted_join(
     blow-up of the SMALL side only — the standard trade when the small side
     is dim-sized but too big (or the join type wrong) for a broadcast.
 
-    Result is column-identical to `big.join(small, key, how)` (salt columns
-    are internal); row multiset equality is pinned by tests/test_skew.py.
+    Result is column-identical to `big.join(small, key, how)` for the
+    SUPPORTED join types (salt columns are internal); row multiset equality
+    is pinned by tests/test_skew.py. Only inner/left/left_semi/left_anti
+    (big side preserved) are supported: in a right or full outer join an
+    unmatched small-side row would surface once PER SALT REPLICA — a
+    multiset-wrong result — so those types raise instead of silently
+    corrupting.
     """
     if salts < 1:
         raise ValueError(f"salts must be >= 1, got {salts}")
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
+            "replicating the small side per salt would emit unmatched "
+            "small-side rows once per replica under right/full outer"
+        )
     big_s = big.withColumn(
         SALT_COL, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salts))
     )

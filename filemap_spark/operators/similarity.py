@@ -723,7 +723,10 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     for method, fn in (("ivf", sim_ann_ivf), ("lsh", sim_ann_lsh)):
         ann = fn(spark, sf_dir).select("vec_id", "nbr_id")
         hits = ann.join(exact, ["vec_id", "nbr_id"], "left_semi").count()
-        evals.append((method, int(n_queries), round(hits / n_exact, 6)))
+        # degenerate corpus (no exact neighbors to recall): vacuous 1.0,
+        # never a ZeroDivisionError
+        recall = round(hits / n_exact, 6) if n_exact else 1.0
+        evals.append((method, int(n_queries), recall))
     return spark.createDataFrame(
         evals, "method string, n_queries bigint, recall_at_5 double"
     ).orderBy("method")

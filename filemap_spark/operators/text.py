@@ -1249,10 +1249,16 @@ def tier_agreement_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("tier_exact") == F.col("tier_approx"), 1).otherwise(0))
         .cast("bigint")
         .alias("n_agree"),
-        F.round(
-            F.sum(F.when(F.col("tier_exact") == F.col("tier_approx"), 1).otherwise(0))
-            / F.count("*"),
-            6,
+        # empty corpus: 0/0 would be NULL — report a vacuous 1.0 instead
+        F.coalesce(
+            F.round(
+                F.sum(
+                    F.when(F.col("tier_exact") == F.col("tier_approx"), 1).otherwise(0)
+                )
+                / F.count("*"),
+                6,
+            ),
+            F.lit(1.0),
         ).alias("agreement_rate"),
     )
 

@@ -374,3 +374,47 @@ def test_quality_mix_respects_tier_keep_rates(spark, sf_dir):
     rate = {"head": 10, "middle": 5, "tail": 1}
     want = {d for d, t in tiers.items() if bucket(d) < rate[t]}
     assert set(kept) == want
+
+
+def test_release_rank_cache_unpersists(spark, sf_dir):
+    """with_global_rank persists its ranged relation for the lifetime of
+    the session (documented leak); release_rank_cache must drop every
+    tracked relation once callers have materialized their results."""
+    from filemap_spark.functions import ranks
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    ranks.release_rank_cache()  # drain anything earlier tests cached
+    out = ranks.with_global_rank(df, "k")
+    assert out.count() == 100
+    assert len(ranks._PERSISTED) >= 1
+    released = ranks.release_rank_cache()
+    assert released >= 1
+    assert not ranks._PERSISTED
+
+
+def test_with_global_rank_tolerates_non_numeric_shuffle_conf(spark):
+    """Managed distros can surface spark.sql.shuffle.partitions as a
+    non-integer (e.g. "auto") through their conf layer; the rank helper's
+    partition-count resolution must fall back to the input's partition
+    count instead of raising ValueError. (Stock Spark refuses conf.set of
+    a non-int here, so the fallback is pinned on a conf stub.)"""
+    from filemap_spark.functions.ranks import _shuffle_partitions
+
+    df = spark.range(50).repartition(5).withColumnRenamed("id", "k")
+
+    class _FakeConf:
+        def get(self, key):
+            return "auto"
+
+    class _FakeSession:
+        conf = _FakeConf()
+
+    class _FakeDF:
+        sparkSession = _FakeSession()
+        rdd = df.rdd
+
+    assert _shuffle_partitions(_FakeDF()) == 5
+    # and the numeric path still reads the real conf
+    assert _shuffle_partitions(df) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )

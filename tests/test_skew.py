@@ -78,3 +78,17 @@ def test_salt_is_deterministic_across_builds(spark):
 def test_aqe_skew_join_enabled_in_session(spark):
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_salted_join_rejects_outer_types(spark):
+    """right/full outer would surface unmatched small-side rows once per
+    salt replica — the helper must refuse rather than silently corrupt."""
+    import pytest
+
+    big, small = _skewed_frames(spark)
+    for how in ("right", "full", "outer", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "k", salts=4, how=how)
+    # the preserved-big-side types still build a plan
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        salted_join(big, small, "k", salts=4, how=how).schema
