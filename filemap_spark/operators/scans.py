@@ -19,6 +19,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from filemap_spark.functions.numeric import dsum
 from filemap_spark.io import load_table
 from filemap_spark.registry import query
 
@@ -137,6 +138,79 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.select("n_nationkey", "n_name", "n_comment_v2").orderBy(
         "n_nationkey", F.col("n_comment_v2").asc_nulls_first()
+    )
+
+
+COMPACT_TARGET_FILES = 4  # compaction target (deployment knob; 4 for the rig)
+
+
+def compact_parquet_dataset(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    sort_col: str,
+    target_files: int,
+    max_records_per_file: int = 2_000_000,
+) -> None:
+    """Rewrite a fragmented parquet dataset as `target_files` range-
+    clustered files: one range exchange on `sort_col` (sampling pass +
+    shuffle, executor-parallel) + a maxRecordsPerFile cap against skewed
+    range slices. Range clustering also buys parquet min/max row-group
+    pruning on `sort_col` for every later scan."""
+    (
+        spark.read.parquet(src_dir)
+        .repartitionByRange(target_files, sort_col)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(dst_dir)
+    )
+
+
+@query(
+    "sink_compact_small_files",
+    oracle=f"""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           {dsum('o_totalprice', 'sum_price')},
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    cost=1.2,
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — THE recurring 100 TB operational op: a
+    streaming or per-task ingest leaves a dataset as thousands of tiny
+    parquet files (here: orders deliberately fragmented into 64), and every
+    later scan pays per-file open/footer/scheduling overhead. Compaction
+    rewrites the dataset as `repartitionByRange(target, sort_key)` +
+    `maxRecordsPerFile`: a few target-sized files, range-clustered on the
+    sort key so re-reads also get parquet min/max row-group pruning on that
+    key. Graded by aggregating the compacted RE-READ against the plain
+    oracle — a dropped or duplicated row during the rewrite mismatches;
+    min/max keys per group pin value fidelity, not just counts.
+
+    Scale: the rewrite is one range exchange (sampling pass + shuffle) —
+    executor-parallel, never driver-bound; `target` is sized as
+    dataset_bytes / desired_file_bytes (e.g. ~1 GB files);
+    maxRecordsPerFile is the safety cap against a skewed range slice.
+    tests/test_compaction.py pins the output file count and row fidelity."""
+    frag_dir = os.path.join(_tmpdir("fragments"), "orders")
+    compact_dir = os.path.join(_tmpdir("compact"), "orders")
+    orders = load_table(spark, sf_dir, "orders")
+    # simulate the many-small-files ingest state
+    orders.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    compact_parquet_dataset(
+        spark, frag_dir, compact_dir, "o_orderkey", COMPACT_TARGET_FILES
+    )
+    back = spark.read.parquet(compact_dir)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr(dsum("o_totalprice", "sum_price")),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderpriority")
     )
 
 
