@@ -267,6 +267,75 @@ def run_dedup(
     return spark.read.parquet(out).count(), n_total
 
 
+def run_dedup_stream(
+    spark, input_dir: str, output: str, threshold: float = 0.8
+) -> tuple[int, int]:
+    """Incremental near-dedup over a GROWING corpus directory — the
+    persisted-LSH-index path (operators/text.py:incremental_lsh_ingest)
+    wired to a Structured-Streaming parquet file source, filemap's
+    new-files-only model end-to-end:
+
+      - the file-source checkpoint (OUTPUT/_checkpoint) hands each run
+        ONLY the parquet files that appeared since the last run;
+      - each micro-batch ingests into the persisted index under
+        OUTPUT/_lsh_state: unseen docs are shingled/minhashed/banded once,
+        the existing corpus contributes through the index, never re-read;
+      - verified duplicate pairs accumulate in OUTPUT/_pairs;
+      - the survivors-only corpus is rebuilt from ledger + accumulated
+        pairs via connected components (min-id survivor — the same rule
+        as `dedup --method near`), written to OUTPUT/documents.parquet so
+        the output chains as a corpus dir.
+
+    Returns (kept, total-ingested). Re-running with no new files is a
+    cheap no-op drain. tests/test_cli.py pins: two-batch arrival, the
+    second run touching only batch-2 docs, and the final corpus matching
+    a from-scratch batch dedup of the union."""
+    from filemap_spark.operators.text import incremental_lsh_ingest
+
+    state_dir = os.path.join(output, "_lsh_state")
+    pairs_dir = os.path.join(output, "_pairs")
+    checkpoint = os.path.join(output, "_checkpoint")
+    schema = spark.read.parquet(input_dir).schema
+
+    def sink(batch_df, _batch_id):
+        pairs = incremental_lsh_ingest(
+            spark, batch_df, state_dir, threshold=threshold
+        )
+        pairs.write.mode("append").parquet(pairs_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from filemap_spark.operators.relational import alternating_star_components
+
+    ledger_path = os.path.join(state_dir, "ingested.parquet")
+    if not os.path.exists(ledger_path):  # empty input dir, nothing ingested
+        return 0, 0
+    n_total = spark.read.parquet(ledger_path).count()
+    edges = spark.read.parquet(pairs_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    docs = spark.read.parquet(input_dir)
+    if edges.take(1):
+        labels = alternating_star_components(edges)
+        removed = labels.where(F.col("component") != F.col("node")).select(
+            F.col("node").alias("doc_id")
+        )
+        clean = docs.join(removed, "doc_id", "left_anti")
+    else:
+        clean = docs
+    out = os.path.join(output, "documents.parquet")
+    clean.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).count(), n_total
+
+
 class _StageAction(argparse.Action):
     """Collect repeated --cmd/--reduce flags as an ORDERED stage list."""
 
@@ -315,6 +384,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("input")
     p.add_argument("output")
     p.add_argument("--method", choices=("exact", "near"), default="exact")
+    p.add_argument(
+        "--stream",
+        action="store_true",
+        help="incremental near-dedup: INPUT is a growing parquet dir; only "
+        "files new since the last run are ingested (persisted LSH index)",
+    )
+    p.add_argument("--threshold", type=float, default=0.8)
 
     args = ap.parse_args(argv)
     if args.verb == "query":
@@ -328,7 +404,13 @@ def main(argv: list[str] | None = None) -> int:
         from filemap_spark.session import get_spark
 
         spark = get_spark("filemap-cli")
-        kept, total = run_dedup(spark, args.input, args.output, args.method)
+        if args.stream:
+            # --stream IS the incremental near-dup path; --method is moot
+            kept, total = run_dedup_stream(
+                spark, args.input, args.output, threshold=args.threshold
+            )
+        else:
+            kept, total = run_dedup(spark, args.input, args.output, args.method)
         print(f"kept {kept}/{total} docs -> {args.output}", file=sys.stderr)
         return 0
     if args.verb == "pipeline":
