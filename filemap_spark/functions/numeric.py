@@ -16,6 +16,14 @@ aggregation does not). Capacity: |x| ≤ 1e5 scales to ≤ 1e11/row, safe to
 
 Both dialects accept the identical SQL text, so these fragments are shared
 verbatim between the Spark plan (`F.expr`) and the DuckDB oracle string.
+
+MAGNITUDE CEILING for 6dp hash-stability: the descaled result is a DOUBLE,
+whose ulp at magnitude |v| is ~|v| * 2^-52. Past |v| ≈ 4×10^9 the ulp
+exceeds 1e-6, and the engines' decimal→double conversions can land on
+ADJACENT doubles that format differently at 6dp (observed round 5:
+7478912584.050000 vs .049999 on orders-priority sums at sf0.1). For sums
+that can exceed ~4e9, emit an exact scaled INTEGER (e.g. cents as BIGINT)
+instead of a descaled double — see sink_compact_small_files.
 """
 
 from __future__ import annotations

@@ -704,6 +704,64 @@ def ts_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_resample_ohlc",
+    oracle=EVENTS_NORM_SQL
+    + """
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+           round(arg_min(value, lpad(cast(epoch_us(ts) AS varchar), 20, '0')
+                 || '|' || lpad(cast(event_id AS varchar), 12, '0')), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(arg_max(value, lpad(cast(epoch_us(ts) AS varchar), 20, '0')
+                 || '|' || lpad(cast(event_id AS varchar), 12, '0')), 6) AS close,
+           count(*) AS n_events
+    FROM events
+    GROUP BY hour_us, event_type
+    ORDER BY hour_us, event_type
+    """,
+    cost=0.5,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (round 5) — the financial/metrics resample every
+    time-series store ships (`resample('1h').ohlc()`): per (hour,
+    event_type) bucket the first value, max, min, last value, and count.
+    Complements ts_hypertable_rollup (sums merge; open/close do NOT — they
+    need an order-aware agg, the part a naive rollup gets wrong).
+
+    Determinism: "first"/"last" are decided by min_by/max_by over a
+    zero-padded `(epoch_us, event_id)` string key — a total order shared
+    verbatim with the oracle's arg_min/arg_max, so equal-timestamp events
+    resolve identically in both engines (neither engine's bare
+    first()/last() is order-defined in a hash agg).
+
+    Scale: ONE hash aggregate keyed by (bucket, type) — min_by/max_by
+    carry a single (key, value) pair of partial state per group, so
+    shuffle volume is O(groups) exactly like sum/min/max; no window, no
+    sort, no per-bucket collect."""
+    ev = load_table(spark, sf_dir, "events")
+    okey = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.withColumn("okey", okey)
+        .groupBy(
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"),
+            "event_type",
+        )
+        .agg(
+            F.round(F.min_by("value", "okey"), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", "okey"), 6).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("hour_us", "event_type")
+    )
+
+
+@query(
     "agg_mode",
     oracle="""
     SELECT c_mktsegment, o_orderpriority AS modal_priority,

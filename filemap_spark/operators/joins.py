@@ -686,3 +686,86 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "join_point_in_time_scd2",
+    oracle="""
+    WITH dim AS (
+      SELECT s_suppkey, v AS version,
+             CASE v WHEN 1 THEN TIMESTAMP '1990-01-01'
+                    WHEN 2 THEN TIMESTAMP '1996-01-01'
+                           + to_days(CAST(s_suppkey % 365 AS INT))
+                    ELSE TIMESTAMP '1998-07-01'
+                         + to_days(CAST(s_suppkey % 365 AS INT)) END AS valid_from,
+             CASE v WHEN 1 THEN TIMESTAMP '1996-01-01'
+                           + to_days(CAST(s_suppkey % 365 AS INT))
+                    WHEN 2 THEN TIMESTAMP '1998-07-01'
+                           + to_days(CAST(s_suppkey % 365 AS INT))
+                    ELSE TIMESTAMP '9999-01-01' END AS valid_to
+      FROM supplier CROSS JOIN (SELECT unnest([1, 2, 3]) AS v)
+    )
+    SELECT d.version, count(*) AS n_items,
+           cast(sum(cast(l_quantity AS bigint)) AS bigint) AS sum_qty,
+           count(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem l
+    JOIN dim d ON l.l_suppkey = d.s_suppkey
+              AND l.l_shipdate >= d.valid_from AND l.l_shipdate < d.valid_to
+    GROUP BY d.version ORDER BY d.version
+    """,
+    cost=0.8,
+)
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD Type-2 dimension join (round 5) — the warehouse
+    correctness classic: a slowly-changing dimension keeps one row PER
+    VERSION with [valid_from, valid_to) intervals, and every fact row must
+    join to the version that was in force at ITS OWN timestamp, never
+    "latest wins". Three versions per supplier are manufactured with
+    per-supplier staggered boundaries (the corpus ships no versioned dim);
+    each lineitem matches exactly one version at its shipdate — half-open
+    intervals make the boundaries airtight. Graded as the per-version
+    rollup so a single misattributed row mismatches.
+
+    Scale: this is an EQUI-join on the dimension key with the interval
+    predicate as a cheap residual — never a range-only join: Spark plans
+    hash/sort-merge on s_suppkey (or broadcasts the dim, here 3×|supplier|
+    rows), and the residual filters in the join's generated code. The
+    version explosion stays on the DIM side (tiny), the fact never
+    duplicates."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_quantity"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    stagger = F.col("s_suppkey") % 365
+    b1 = F.expr("TIMESTAMP '1996-01-01'") + F.make_dt_interval(days=stagger)
+    b2 = F.expr("TIMESTAMP '1998-07-01'") + F.make_dt_interval(days=stagger)
+    dim = (
+        supp.withColumn("version", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))))
+        .withColumn(
+            "valid_from",
+            F.when(F.col("version") == 1, F.expr("TIMESTAMP '1990-01-01'"))
+            .when(F.col("version") == 2, b1)
+            .otherwise(b2),
+        )
+        .withColumn(
+            "valid_to",
+            F.when(F.col("version") == 1, b1)
+            .when(F.col("version") == 2, b2)
+            .otherwise(F.expr("TIMESTAMP '9999-01-01'")),
+        )
+    )
+    joined = li.join(
+        dim,
+        (F.col("l_suppkey") == F.col("s_suppkey"))
+        & (F.col("l_shipdate") >= F.col("valid_from"))
+        & (F.col("l_shipdate") < F.col("valid_to")),
+    )
+    return (
+        joined.groupBy("version")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+        .orderBy("version")
+    )

@@ -181,6 +181,55 @@ def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sample_temperature_mix",
+    cost=0.5,
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS lang_n FROM documents GROUP BY lang),
+    m AS (SELECT min(lang_n) AS min_n FROM c)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN c USING (lang) CROSS JOIN m
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+            * CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+            * c.lang_n < m.min_n * 4294967296
+    ORDER BY d.doc_id
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain rebalancing (round 5) — the multilingual-
+    pretraining mixing rule (mC4/mT5-style p_i ∝ n_i^alpha with
+    alpha = 0.5): instead of flattening every domain to the smallest
+    (sample_domain_mix), each domain keeps rate (min_n / n_i)^0.5, so
+    high-resource domains are damped but still contribute more absolute
+    docs than low-resource ones — the head keeps its scale advantage at
+    half strength.
+
+    The sqrt never touches floating point: with a 16-bit doc hash h,
+    `h/2^16 < sqrt(min_n/n_i)`  ⇔  `h² · n_i < min_n · 2^32`, and the
+    squared form is exact int64 arithmetic on both engines (h² ≤ 2^32,
+    ×n_i stays under 2^63 up to ~2 billion docs/domain). Membership is
+    md5(doc_id)-keyed, so the mix is engine-, partitioning-, and
+    rerun-stable: re-ingest only ADDS docs, never flips prior members.
+
+    Scale: per-domain counts are a tiny broadcast dim; the corpus is
+    filtered in one pushdown-friendly scan — no shuffle of the fact at
+    all. tests/test_quality.py pins the realized per-domain rates against
+    the closed-form (min_n/n_i)^0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnts = docs.groupBy("lang").agg(F.count("*").alias("lang_n"))
+    min_n = cnts.agg(F.min("lang_n").alias("min_n"))
+    h16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(cnts), "lang")
+        .crossJoin(F.broadcast(min_n))
+        .where(h16 * h16 * F.col("lang_n") < F.col("min_n") * F.lit(4294967296))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 def alternating_star_components(edges: DataFrame) -> DataFrame:
     """Connected components by alternating large-star/small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —

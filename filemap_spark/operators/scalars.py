@@ -490,3 +490,73 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     ).orderBy("doc_id")
+
+
+@query(
+    "fn_try_datetime_parse",
+    oracle="""
+    WITH raw AS (
+      SELECT o_orderkey,
+             CASE o_orderkey % 4
+               WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+               WHEN 1 THEN 'garbage-' || cast(o_orderkey AS varchar)
+               WHEN 2 THEN strftime(o_orderdate, '%d/%m/%Y')
+               ELSE '2024-13-0' || cast(1 + o_orderkey % 9 AS varchar)
+                    || ' 00:00:00'
+             END AS s
+      FROM orders
+    )
+    SELECT o_orderkey, s,
+           try_strptime(s, '%Y-%m-%d %H:%M:%S') AS ts_iso,
+           try_strptime(s, '%d/%m/%Y') AS ts_dmy,
+           coalesce(try_strptime(s, '%Y-%m-%d %H:%M:%S'),
+                    try_strptime(s, '%d/%m/%Y')) AS ts_any,
+           (try_strptime(s, '%Y-%m-%d %H:%M:%S') IS NULL
+            AND try_strptime(s, '%d/%m/%Y') IS NULL) AS unparseable
+    FROM raw ORDER BY o_orderkey
+    """,
+    cost=0.5,
+)
+def fn_try_datetime_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-timestamp ingestion (round 5): real log/CSV corpora mix
+    timestamp formats and garbage, and a 100 TB ingest must turn every
+    malformed value into a NULL that flows onward — never an ANSI abort on
+    row 3 billion. Four manufactured shapes per orders row: ISO datetime,
+    pure garbage, day-first dates, and calendar-invalid month-13 strings
+    that LOOK ISO but must still parse to NULL (both engines reject
+    out-of-range fields: Spark's java.time strict resolver, DuckDB's
+    strptime validation — probed identical this round). The coalesce
+    cascade is the standard multi-format fallback chain; `unparseable` is
+    the per-row dead-letter flag a pipeline routes to quarantine.
+
+    Scale: per-row JVM expressions in whole-stage codegen, zero shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    s = (
+        F.when(
+            F.col("o_orderkey") % 4 == 0,
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        )
+        .when(
+            F.col("o_orderkey") % 4 == 1,
+            F.concat(F.lit("garbage-"), F.col("o_orderkey").cast("string")),
+        )
+        .when(F.col("o_orderkey") % 4 == 2, F.date_format("o_orderdate", "dd/MM/yyyy"))
+        .otherwise(
+            F.concat(
+                F.lit("2024-13-0"),
+                (F.col("o_orderkey") % 9 + 1).cast("string"),
+                F.lit(" 00:00:00"),
+            )
+        )
+    )
+    raw = orders.select("o_orderkey", s.alias("s"))
+    iso = F.try_to_timestamp("s", F.lit("yyyy-MM-dd HH:mm:ss"))
+    dmy = F.try_to_timestamp("s", F.lit("dd/MM/yyyy"))
+    return raw.select(
+        "o_orderkey",
+        "s",
+        iso.alias("ts_iso"),
+        dmy.alias("ts_dmy"),
+        F.coalesce(iso, dmy).alias("ts_any"),
+        (iso.isNull() & dmy.isNull()).alias("unparseable"),
+    ).orderBy("o_orderkey")

@@ -19,7 +19,6 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from filemap_spark.functions.numeric import dsum
 from filemap_spark.io import load_table
 from filemap_spark.registry import query
 
@@ -168,9 +167,10 @@ def compact_parquet_dataset(
 
 @query(
     "sink_compact_small_files",
-    oracle=f"""
+    oracle="""
     SELECT o_orderpriority, count(*) AS n_orders,
-           {dsum('o_totalprice', 'sum_price')},
+           cast(sum(cast(round(o_totalprice * 100) AS bigint)) AS bigint)
+             AS sum_price_cents,
            min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
@@ -206,7 +206,14 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.expr(dsum("o_totalprice", "sum_price")),
+            # integer CENTS, not a rounded double sum: at sf0.1 the group
+            # sums reach ~7.5e9, where a double's ulp (~1.9e-6) exceeds 6dp
+            # resolution and the engines' decimal->double casts land on
+            # ADJACENT doubles (observed .050000 vs .049999). Price has 2
+            # decimals, so scaled-int64 cents are exact at any magnitude.
+            F.expr("sum(cast(round(o_totalprice * 100) AS bigint))").alias(
+                "sum_price_cents"
+            ),
             F.min("o_orderkey").alias("min_key"),
             F.max("o_orderkey").alias("max_key"),
         )

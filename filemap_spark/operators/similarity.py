@@ -732,6 +732,45 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("method")
 
 
+@query("emb_cluster_kmeans", cost=1.5)  # rows-only: k-means is not SQL
+def emb_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering as a first-class graded surface (round 5) — the
+    corpus-partitioning step under semantic dedup, topic balancing, and
+    IVF index builds, reported as a per-cluster health summary (size +
+    cohesion) rather than a per-vector dump. Reuses the IVF machinery:
+    the quantizer trains on a BOUNDED deterministic sample
+    (_train_centroids — driver memory capped at 4096×dim regardless of
+    corpus size), assignment is one mapInPandas pass against the tiny
+    broadcast centroid matrix (_cell_index), and the summary is ONE hash
+    agg keyed by cluster.
+
+    Determinism: centroids are deterministic end-to-end (hash-ordered
+    sample, fixed init, fixed Lloyd iterations); per-cluster mean
+    similarity is an exact scaled-int64 ratio, min/max are order-free —
+    the whole report is rerun-identical. Rows-only by design
+    (eigen/centroid math is not SQL); tests/test_kernels.py pins the
+    assignment against a direct numpy recomputation.
+
+    Scale: sample-bounded train + broadcast assign + O(clusters) agg —
+    no shuffle of the embedding matrix at any point."""
+    cents = _train_centroids(spark, sf_dir)
+    idx = _cell_index(spark, sf_dir, cents)
+    sim_scaled = "cast(round(cos(angle) * 1000000) as bigint)"
+    return (
+        idx.groupBy(F.col("cell").alias("cluster"))
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.expr(
+                f"round(cast(cast(sum({sim_scaled}) as decimal(38,6)) / 1000000"
+                " as double) / count(*), 6)"
+            ).alias("avg_sim"),
+            F.round(F.min(F.cos("angle")), 6).alias("min_sim"),
+            F.round(F.max(F.cos("angle")), 6).alias("max_sim"),
+        )
+        .orderBy("cluster")
+    )
+
+
 _PCA_COMPONENTS = 8
 
 

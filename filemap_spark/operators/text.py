@@ -131,6 +131,74 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HASH_FEATURE_BUCKETS = 64
+
+
+@query(
+    "text_hash_features",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(word), 1, 4)) AS INT)
+               % {_HASH_FEATURE_BUCKETS} AS bucket
+      FROM toks
+    ),
+    c AS (SELECT doc_id, bucket, count(*) AS n FROM b GROUP BY doc_id, bucket),
+    t AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id)
+    SELECT c.doc_id, c.bucket, c.n, round(c.n / t.n_tokens, 6) AS weight
+    FROM c JOIN t USING (doc_id)
+    ORDER BY doc_id, bucket
+    """,
+    cost=0.5,
+)
+def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (round 5) — the hashing trick (Weinberger et al.;
+    fastText/Vowpal-Wabbit style): each token maps to one of 64 buckets by
+    a 16-bit md5 slice, giving every document a FIXED-width sparse count
+    vector with no vocabulary to build, broadcast, or keep consistent
+    across ingest batches — the property that matters at 100 TB, where a
+    vocab dictionary is itself a mutable distributed state problem.
+    Output is the sparse (doc, bucket, count, tf-weight) triplet form
+    (docs restricted to doc_id % 10 = 0 to bound the graded frame).
+
+    md5 — not xxhash64/murmur — so bucket assignment is engine- and
+    rerun-portable (the same discipline as every sample_* membership
+    test). The weight division is int/int in IEEE double, identical in
+    both engines.
+
+    Scale: explode + two keyed aggs + one join keyed by doc_id — all
+    partial-agg friendly; no vocabulary relation anywhere, which is the
+    entire point of the trick."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("int")
+        % _HASH_FEATURE_BUCKETS
+    )
+    counts = (
+        toks.withColumn("bucket", bucket)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    return (
+        counts.join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "bucket",
+            "n",
+            F.round(F.col("n") / F.col("n_tokens"), 6).alias("weight"),
+        )
+        .orderBy("doc_id", "bucket")
+    )
+
+
 @query(
     "text_lang_stats",
     oracle=f"""
@@ -428,6 +496,109 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("text_hash")
         .agg(F.min("doc_id").alias("survivor"), F.count("*").alias("n_copies"))
         .orderBy("survivor")
+    )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'https://WWW.Example.COM/docs/'
+                    || cast(doc_id // 4 AS varchar) || '?utm_source=feed&ref=x'
+               WHEN 1 THEN 'https://www.example.com/docs/'
+                    || cast(doc_id // 4 AS varchar) || '/'
+               WHEN 2 THEN 'http://www.example.com/docs/'
+                    || cast(doc_id // 4 AS varchar) || '#sec'
+               ELSE 'https://www.example.com/docs/'
+                    || cast(doc_id // 4 AS varchar) || '?page=2&utm_campaign=x'
+             END AS url
+      FROM documents
+    ),
+    s2 AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(url, '#.*$', ''),
+                            '^http://', 'https://') AS u
+      FROM raw
+    ),
+    s3 AS (
+      SELECT doc_id,
+             'https://' || lower(regexp_extract(u, '^https://([^/]+)', 1))
+             || regexp_extract(u, '^https://[^/]+(.*)$', 1) AS u
+      FROM s2
+    ),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(u, '[?&](utm_[a-z]+|ref)=[^&#]*', '', 'g'),
+               '/$', '') AS canon_url
+      FROM s3
+    )
+    SELECT canon_url, count(*) AS n_docs, min(doc_id) AS survivor
+    FROM canon GROUP BY canon_url
+    ORDER BY canon_url
+    """,
+    cost=0.5,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (round 5) — the cheapest and FIRST dedup
+    pass of a web-crawl curation pipeline (before any content hashing): a
+    crawl sees the same page as `http://` vs `https://`, cased hosts,
+    trailing slashes, fragments, and utm/ref tracking params, and
+    collapsing those spellings is pure string algebra on the URL alone —
+    no content read. URLs are manufactured in 4 messy variants per
+    doc_id//4 group (the corpus has no URL column); canonicalization =
+    drop fragment → force https → lowercase host (path case PRESERVED) →
+    strip tracking params (real params like `page=2` survive) → strip
+    trailing slash. Variants 0/1/2 of each group collapse to one canonical
+    URL; variant 3 keeps its real query param and stays distinct — the
+    rule must not over-merge. Survivor = min doc_id per canonical URL.
+
+    Scale: per-row regex chain in codegen + ONE hash agg on the canonical
+    string — the same shuffle shape as dedup_exact_text, happening before
+    any text byte is fetched."""
+    docs = load_table(spark, sf_dir, "documents")
+    gid = F.floor(F.col("doc_id") / 4).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("https://WWW.Example.COM/docs/"), gid,
+                F.lit("?utm_source=feed&ref=x"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("https://www.example.com/docs/"), gid, F.lit("/")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("http://www.example.com/docs/"), gid, F.lit("#sec")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www.example.com/docs/"), gid,
+                F.lit("?page=2&utm_campaign=x"),
+            )
+        )
+    )
+    u = F.regexp_replace(
+        F.regexp_replace(url, "#.*$", ""), "^http://", "https://"
+    )
+    u = F.concat(
+        F.lit("https://"),
+        F.lower(F.regexp_extract(u, "^https://([^/]+)", 1)),
+        F.regexp_extract(u, "^https://[^/]+(.*)$", 1),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(u, r"[?&](utm_[a-z]+|ref)=[^&#]*", ""), "/$", ""
+    )
+    return (
+        docs.select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("survivor"))
+        .orderBy("canon_url")
     )
 
 

@@ -433,3 +433,39 @@ def test_pca_partials_one_row_per_partition(spark, sf_dir):
         assert np.allclose(s, mat.sum(axis=0), atol=1e-6)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_kmeans_cluster_report_matches_numpy(spark, sf_dir):
+    """emb_cluster_kmeans's per-cluster sizes and cohesion bounds must
+    reproduce a direct numpy assignment of the full collected matrix
+    against the same deterministic centroids."""
+    from filemap_spark import all_queries
+    from filemap_spark.io import load_table
+    from filemap_spark.operators.similarity import _train_centroids
+
+    cents = _train_centroids(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = emb.collect()
+    mat = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ cents.T
+    assign = np.argmax(sims, axis=1)
+    best = sims[np.arange(len(rows)), assign]
+
+    got = {r["cluster"]: r for r in all_queries()["emb_cluster_kmeans"](spark, sf_dir).collect()}
+    for c in range(cents.shape[0]):
+        members = best[assign == c]
+        if len(members) == 0:
+            assert c not in got
+            continue
+        row = got[c]
+        assert row["n_vectors"] == len(members)
+        # the op recomputes sim as cos(arccos(sim)); allow 1 ulp of slack
+        assert abs(row["min_sim"] - round(members.min(), 6)) <= 1e-6
+        assert abs(row["max_sim"] - round(members.max(), 6)) <= 1e-6
+        assert abs(row["avg_sim"] - members.mean()) <= 2e-6
+
+    # rerun-identical report
+    a = [tuple(r) for r in all_queries()["emb_cluster_kmeans"](spark, sf_dir).collect()]
+    b = [tuple(r) for r in all_queries()["emb_cluster_kmeans"](spark, sf_dir).collect()]
+    assert a == b

@@ -418,3 +418,37 @@ def test_with_global_rank_tolerates_non_numeric_shuffle_conf(spark):
     assert _shuffle_partitions(df) == int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+
+
+def test_temperature_mix_realized_rates(spark, sf_dir):
+    """sample_temperature_mix's realized per-domain keep rate must track
+    the closed-form (min_n / n_i)^0.5 (md5 is uniform; tolerance covers
+    hash noise at contract corpus sizes), and membership must be a subset
+    of the corpus with rerun-identical results."""
+    import math
+
+    from filemap_spark import all_queries
+    from filemap_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_by_lang = {r["lang"]: r["n"] for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    min_n = min(n_by_lang.values())
+
+    fn = all_queries()["sample_temperature_mix"]
+    kept = fn(spark, sf_dir).collect()
+    kept_by_lang = {}
+    for r in kept:
+        kept_by_lang[r["lang"]] = kept_by_lang.get(r["lang"], 0) + 1
+    for lang, n in n_by_lang.items():
+        want = math.sqrt(min_n / n)
+        got = kept_by_lang.get(lang, 0) / n
+        # binomial noise: 4 sigma around the expected rate
+        sigma = math.sqrt(want * (1 - want) / n) if 0 < want < 1 else 0.0
+        assert abs(got - want) <= max(4 * sigma, 2 / n), (lang, got, want)
+    # smallest domain keeps (essentially) everything
+    smallest = min(n_by_lang, key=n_by_lang.get)
+    assert kept_by_lang[smallest] >= n_by_lang[smallest] - 1
+
+    # rerun-stable membership
+    again = {r["doc_id"] for r in fn(spark, sf_dir).collect()}
+    assert again == {r["doc_id"] for r in kept}
