@@ -252,3 +252,57 @@ def test_skew_salted_join_replicates_dim_not_fact(spark, sf_dir):
     assert "pmod(xxhash64(" in plan  # fact side tagged map-side, not replicated
     assert plan.count("__fm_salt") >= 2  # both join keys carry the salt
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_scd2_join_is_equi_with_interval_residual(spark, sf_dir):
+    """join_point_in_time_scd2 must plan as a hash/sort-merge EQUI-join on
+    the dimension key with the validity interval as a residual condition —
+    never a range-only nested loop (the plan that cannot survive a
+    fact-sized input)."""
+    plan = plan_of(spark, sf_dir, "join_point_in_time_scd2")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert "valid_from" in plan and "valid_to" in plan  # residual present
+
+
+def test_ohlc_is_single_agg_no_window(spark, sf_dir):
+    """ts_resample_ohlc's open/close must ride min_by/max_by partial-agg
+    state — one aggregate keyed by (bucket, type), no window operator and
+    no per-bucket sort of raw rows beyond the agg's own machinery."""
+    plan = plan_of(spark, sf_dir, "ts_resample_ohlc")
+    assert "WindowExec" not in plan and "Window" not in plan.replace(
+        "WindowGroupLimit", ""
+    )
+    # partial + final aggregate pair, at most 2 exchanges (agg + orderBy);
+    # formatted plans name each node twice (tree + details), so count the
+    # detail headers only
+    import re
+
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges <= 2, plan
+
+
+def test_temperature_mix_corpus_never_shuffles(spark, sf_dir):
+    """sample_temperature_mix filters the corpus map-side against broadcast
+    per-domain counts — the documents scan must reach the output with no
+    exchange on the fact (only the tiny counts aggregate shuffles)."""
+    plan = plan_of(spark, sf_dir, "sample_temperature_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_url_canonical_single_hash_agg(spark, sf_dir):
+    """dedup_url_canonical is a per-row regex chain + ONE hash aggregate
+    on the canonical string; no join anywhere."""
+    plan = plan_of(spark, sf_dir, "dedup_url_canonical")
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_hash_features_no_vocabulary_join(spark, sf_dir):
+    """text_hash_features' entire point is NO vocabulary relation: the
+    only join allowed is the per-doc totals join keyed by doc_id."""
+    plan = plan_of(spark, sf_dir, "text_hash_features")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
