@@ -70,6 +70,26 @@ LLM_HEADLINE = (
     "text_unigram_logprob",
 )
 
+# Round-5 additions (BASELINE.md Table 4): reported as `r5_queries`; their
+# 2x bars take effect round 6.
+R5_HEADLINE = (
+    "join_point_in_time_scd2",
+    "ts_resample_ohlc",
+    "dedup_url_canonical",
+    "sample_temperature_mix",
+    "text_hash_features",
+    "sink_compact_small_files",
+)
+
+BASELINE_WARM_SF01_R5 = {  # Table 4 denominators; bars effective round 6
+    "join_point_in_time_scd2": 1.11,
+    "ts_resample_ohlc": 0.62,
+    "dedup_url_canonical": 0.44,
+    "sample_temperature_mix": 0.59,
+    "text_hash_features": 0.49,
+    "sink_compact_small_files": 1.27,
+}
+
 
 def _prev_round_timings(here: str, sf: float | None) -> dict[str, float]:
     """Per-query warm timings from the newest committed BENCH_r{N}.json at
@@ -90,7 +110,8 @@ def _prev_round_timings(here: str, sf: float | None) -> dict[str, float]:
         n = int(m.group(1))
         if best is None or n > best[0]:
             best = (n, {**(parsed.get("queries") or {}),
-                        **(parsed.get("llm_queries") or {})})
+                        **(parsed.get("llm_queries") or {}),
+                        **(parsed.get("r5_queries") or {})})
     return best[1] if best else {}
 
 
@@ -190,6 +211,16 @@ def main() -> None:
             continue
         timings[name] = _time_best(fn, spark, sf_dir)
 
+    # r5 suite BEFORE the LLM suite: the incremental-LSH delta timing
+    # leaves localCheckpoint state in the session that inflates later
+    # timings (observed 2.1 s vs 0.9 s on ts_resample_ohlc).
+    r5_timings: dict[str, float] = {}
+    for name in R5_HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        r5_timings[name] = _time_best(fn, spark, sf_dir)
+
     llm_timings: dict[str, float] = {}
     for name in LLM_HEADLINE:
         fn = queries.get(name)
@@ -248,12 +279,17 @@ def main() -> None:
     bar_ratios: dict[str, float] = {}
     breach: list[str] = []
     if sf == 0.1:
-        for name, t in {**timings, **llm_timings}.items():
+        # r5 bars are advisory this round (effective round 6): they feed
+        # bar_ratios for visibility but an overage is not a breach yet.
+        for name, t in {**timings, **llm_timings, **r5_timings}.items():
             base = BASELINE_WARM_SF01.get(name)
+            advisory = base is None
+            if base is None:
+                base = BASELINE_WARM_SF01_R5.get(name)
             if base:
                 ratio = round(t / (2 * base), 3)
                 bar_ratios[name] = ratio
-                if ratio > 1.0:
+                if ratio > 1.0 and not advisory:
                     breach.append(name)
         if breach:
             print(
@@ -269,6 +305,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "llm_queries": llm_timings,
+                "r5_queries": r5_timings,
                 "sf": sf,
                 "vs_prev": vs_prev,
                 "bar_ratios": bar_ratios,
