@@ -73,3 +73,20 @@ def dsum_decimal(expr: str, alias: str) -> str:
 def isum(expr: str, alias: str) -> str:
     """Integer sum pinned to BIGINT (DuckDB sums BIGINT into HUGEINT)."""
     return f"cast(sum({expr}) as bigint) as {alias}"
+
+
+def davg_lnsafe(expr: str, alias: str, count_expr: str = "count(*)") -> str:
+    """Order-independent mean for expressions built from ln() calls.
+
+    libm ln is NOT guaranteed correctly rounded, so Spark (JVM Math.log)
+    and DuckDB (C std::log) can differ by 1 ulp on identical arguments;
+    at the davg 1e6 quantization a value sitting ~1e-15 from a .5e-6
+    boundary then rounds to DIFFERENT integers and the exact sums diverge
+    (observed round 5: text_bigram_logprob's 6th decimal at sf0.1, ~400k
+    rows of distinct ln args). Quantizing per-row at 1e4 instead makes a
+    boundary hit need ~1e-4-scale luck against a 1e-15 ulp — ~1e-11 per
+    row — while the mean keeps 4 exact decimals, rounded once at 6dp."""
+    return (
+        f"round(cast(cast(sum(cast(round(({expr}) * 10000) as bigint)) as decimal(38,6))"
+        f" / 10000 as double) / {count_expr}, 6) as {alias}"
+    )

@@ -769,3 +769,57 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version")
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_nationkey END AS k
+      FROM customer
+    ), dim AS (
+      SELECT nullif(n_nationkey, 13) AS k, n_name FROM nation
+    )
+    SELECT coalesce(d.n_name, '<null-key>') AS n_name,
+           count(*) AS n_customers, min(c.c_custkey) AS min_custkey
+    FROM cust c JOIN dim d ON c.k IS NOT DISTINCT FROM d.k
+    GROUP BY d.n_name ORDER BY n_name
+    """,
+    cost=0.4,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (round 5) — `<=>` / IS NOT DISTINCT FROM:
+    in dirty data a NULL key is a real population (unattributed rows), and
+    a plain equi-join silently DROPS it (NULL = NULL is NULL). Null-safe
+    equality treats NULL as a joinable value: here customers with a
+    manufactured NULL nation key land on the dimension row whose key was
+    nullified (nation 13), instead of vanishing from the report.
+
+    Scale: Spark plans `<=>` as a normal hash/sort-merge equi-join
+    (EqualNullSafe is a valid hash key — coalesce-tagged internally), NOT
+    a nested loop; same shuffle shape as the plain join, pinned in the
+    plan sweep."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None).cast("int"))
+        .otherwise(F.col("c_nationkey"))
+        .alias("k"),
+    )
+    dim = load_table(spark, sf_dir, "nation").select(
+        F.nullif(F.col("n_nationkey"), F.lit(13)).alias("k"), "n_name"
+    )
+    joined = cust.join(dim, cust["k"].eqNullSafe(dim["k"]))
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("c_custkey").alias("min_custkey"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("<null-key>")).alias("n_name"),
+            "n_customers",
+            "min_custkey",
+        )
+        .orderBy("n_name")
+    )

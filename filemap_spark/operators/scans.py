@@ -270,3 +270,74 @@ def sink_bucketed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_items") >= 4)
         .orderBy("l_orderkey")
     )
+
+
+@query(
+    "scan_csv_permissive_corrupt",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           cast(sum(CASE WHEN n_nationkey % 5 <= 1 THEN 1 ELSE 0 END) AS bigint)
+             AS n_corrupt,
+           cast(sum(CASE WHEN n_nationkey % 5 > 1 THEN 1 ELSE 0 END) AS bigint)
+             AS n_clean,
+           cast(sum(CASE WHEN n_nationkey % 5 = 0 THEN 0 ELSE n_nationkey END)
+             AS bigint) AS sum_parsed_ids,
+           cast(sum(CASE WHEN n_nationkey % 5 > 1 THEN 15 * n_nationkey ELSE 0 END)
+             AS bigint) AS sum_val_x10
+    FROM nation
+    """,
+    cost=0.4,
+)
+def scan_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-CSV ingestion under PERMISSIVE mode (round 5) — the dead-letter
+    pattern for 100 TB text ingest: malformed rows must become data (a
+    populated corrupt-record column) instead of killing the job (FAILFAST)
+    or silently vanishing (DROPMALFORMED). Three manufactured row shapes
+    from nation: structureless garbage (no delimiters — every field NULL,
+    corrupt set), type-corrupt (id+name parse, val does not — PARTIAL
+    fields survive, corrupt still set), and clean. The graded summary
+    counts both populations and sums only what parsed — the audit a real
+    ingest reports per batch.
+
+    Scale: the CSV scan is split-parallel like any text source; the
+    corrupt column costs nothing on clean rows."""
+    docs_dir = os.path.join(_tmpdir("dirty_csv"), "nation")
+    nation = load_table(spark, sf_dir, "nation")
+    line = (
+        F.when(
+            F.col("n_nationkey") % 5 == 0,
+            F.concat(F.lit("X"), F.col("n_name")),  # no delimiters at all
+        )
+        .when(
+            F.col("n_nationkey") % 5 == 1,
+            F.concat_ws(",", F.col("n_nationkey").cast("string"), F.col("n_name"), F.lit("bad")),
+        )
+        .otherwise(
+            F.concat_ws(
+                ",",
+                F.col("n_nationkey").cast("string"),
+                F.col("n_name"),
+                (F.col("n_nationkey") * 1.5).cast("string"),
+            )
+        )
+    )
+    nation.select(line.alias("value")).write.mode("overwrite").text(docs_dir)
+    parsed = (
+        spark.read.schema("id int, name string, val double, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(docs_dir)
+    )
+    return parsed.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clean"),
+        F.sum(F.coalesce(F.col("id"), F.lit(0))).cast("bigint").alias("sum_parsed_ids"),
+        F.sum(F.coalesce(F.round(F.col("val") * 10), F.lit(0)))
+        .cast("bigint")
+        .alias("sum_val_x10"),
+    )
