@@ -1164,3 +1164,59 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_gini_concentration",
+    oracle="""
+    WITH ranked AS (
+      SELECT n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS rk,
+             count(*) OVER () AS n
+      FROM documents
+    )
+    SELECT cast(max(n) AS bigint) AS n_docs,
+           cast(sum(n_chars) AS bigint) AS sum_chars,
+           round(cast(2 * sum(rk * n_chars) - (max(n) + 1) * sum(n_chars)
+                 AS double) / cast(max(n) * sum(n_chars) AS double), 6) AS gini
+    FROM ranked
+    """,
+    cost=0.5,
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document lengths (round 5) — the corpus-
+    concentration diagnostic a curation run reports next to the dedup
+    histogram: gini → 0 means evenly-sized docs, → 1 means a few huge
+    docs dominate the token budget (and will dominate training unless
+    packing/sampling compensates).
+
+    Exact-integer form over the ASCENDING rank of (n_chars, doc_id):
+        G = (2·Σ rk·x − (n+1)·Σx) / (n·Σx)
+    Every term is int64 (sf0.1: rk·x ≤ 5e3·2e3·5e3 ≈ 5e10); the single
+    final division of identical exact integers is engine-stable. At
+    corpus scales where n·Σx approaches 2^63 (~10^9 docs), widen the two
+    sums to DECIMAL — the shape is unchanged.
+
+    Scale: the global rank is the functions/ranks.py distributed
+    decomposition (range exchange + partition-local row_number + bounded
+    offset join) — NO single-partition window, unlike the oracle's
+    spelling; then one hash agg. The rank relation is released after use
+    via release_rank_cache in long sessions."""
+    from filemap_spark.functions.ranks import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = with_global_rank(
+        docs, "n_chars", "doc_id", rank_col="rk", total_col="n"
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.round(
+            (
+                2 * F.sum(F.col("rk") * F.col("n_chars"))
+                - (F.max("n") + 1) * F.sum("n_chars")
+            ).cast("double")
+            / (F.max("n") * F.sum("n_chars")).cast("double"),
+            6,
+        ).alias("gini"),
+    )

@@ -823,3 +823,80 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+_GRID_R = 25  # spatial match radius; grid cell size = R
+
+
+@query(
+    "join_spatial_grid",
+    oracle=f"""
+    WITH a AS (
+      SELECT c_custkey AS a_id, c_custkey % 1000 AS ax,
+             (c_custkey * 7) % 1000 AS ay
+      FROM customer
+    ), b AS (
+      SELECT s_suppkey AS b_id, s_suppkey % 1000 AS bx,
+             (s_suppkey * 13) % 1000 AS by
+      FROM supplier
+    )
+    SELECT count(*) AS n_pairs,
+           count(DISTINCT a_id) AS n_a_matched,
+           count(DISTINCT b_id) AS n_b_matched,
+           cast(coalesce(sum((ax-bx)*(ax-bx) + (ay-by)*(ay-by)), 0) AS bigint)
+             AS sum_dist2
+    FROM a JOIN b
+      ON (ax-bx)*(ax-bx) + (ay-by)*(ay-by) <= {_GRID_R * _GRID_R}
+    """,
+    cost=0.8,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked spatial join (round 5) — join_range_bucket's technique
+    lifted to 2D: points within radius R of each other, found WITHOUT the
+    O(n·m) distance cross product. Each right-side point indexes into its
+    (x//R, y//R) grid cell exactly once; each left point probes its own
+    cell plus the 8 neighbors (any pair within R is at most one cell apart
+    in each axis, so the 3x3 probe is exhaustive — and since the right
+    point's cell is unique, every pair survives in exactly ONE probed
+    cell, no dedup needed). The exact bound is a cheap residual on the
+    hash equi-join. Points are manufactured on an integer lattice from
+    customer/supplier keys, so the distance² math is EXACT int64 — no
+    floating point anywhere. The oracle is the direct quadratic theta
+    join; the hash-match proves the grid decomposition reaches every pair.
+
+    Scale: shuffle is O(9·|A| + |B|) cell-keyed rows instead of |A|·|B|
+    candidate pairs; cell size tracks R, so candidate density per cell is
+    data-independent. The same shape handles geohash joins and
+    fixed-radius near-neighbor searches."""
+    r = _GRID_R
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("a_id"),
+        (F.col("c_custkey") % 1000).alias("ax"),
+        ((F.col("c_custkey") * 7) % 1000).alias("ay"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("b_id"),
+        (F.col("s_suppkey") % 1000).alias("bx"),
+        ((F.col("s_suppkey") * 13) % 1000).alias("by"),
+    )
+    b_cells = supp.withColumn(
+        "cx", F.floor(F.col("bx") / r)
+    ).withColumn("cy", F.floor(F.col("by") / r))
+    offsets = F.expr("explode(flatten(transform(sequence(-1, 1), dx -> "
+                     "transform(sequence(-1, 1), dy -> struct(dx, dy)))))")
+    a_probes = (
+        cust.select("a_id", "ax", "ay", offsets.alias("o"))
+        .withColumn("cx", F.floor(F.col("ax") / r) + F.col("o.dx"))
+        .withColumn("cy", F.floor(F.col("ay") / r) + F.col("o.dy"))
+        .drop("o")
+    )
+    dist2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    pairs = a_probes.join(b_cells, ["cx", "cy"]).where(dist2 <= r * r)
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("a_id").alias("n_a_matched"),
+        F.countDistinct("b_id").alias("n_b_matched"),
+        F.coalesce(F.sum(dist2), F.lit(0)).cast("bigint").alias("sum_dist2"),
+    )

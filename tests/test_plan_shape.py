@@ -306,3 +306,27 @@ def test_hash_features_no_vocabulary_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_hash_features")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spatial_grid_join_is_equi_not_nested_loop(spark, sf_dir):
+    """join_spatial_grid exists to avoid the quadratic distance join: the
+    plan must be a hash/sort-merge equi-join on the grid cell with the
+    distance bound as a residual — never BNLJ/cartesian."""
+    plan = plan_of(spark, sf_dir, "join_spatial_grid")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_gini_has_no_single_partition_window(spark, sf_dir):
+    """agg_gini_concentration must ride the distributed rank decomposition;
+    the only unpartitioned window allowed is the bounded numPartitions-row
+    offset cumsum inside functions/ranks.py (its input is partition counts,
+    not data rows)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "agg_gini_concentration")
+    # the data-sized relation must not pass through a global Window: every
+    # Window node in this plan consumes the bounded per-partition counts
+    n_windows = len(re.findall(r"^\(\d+\) Window", plan, re.MULTILINE))
+    assert n_windows <= 2, plan  # offset + total, both over O(partitions) rows
