@@ -336,6 +336,32 @@ def run_dedup_stream(
     return spark.read.parquet(out).count(), n_total
 
 
+def run_compact(
+    spark,
+    input_dir: str,
+    output: str,
+    sort_key: str,
+    target_files: int = 4,
+    max_records_per_file: int = 2_000_000,
+) -> tuple[int, int, int]:
+    """Small-file compaction as a CLI verb (round 5): rewrite a fragmented
+    parquet dataset as `target_files` range-clustered files (the
+    sink_compact_small_files operator's rewrite, operators/scans.py).
+    Returns (files_before, files_after, rows)."""
+    import glob as globmod
+
+    from filemap_spark.operators.scans import compact_parquet_dataset
+
+    before = len(globmod.glob(os.path.join(input_dir, "*.parquet")))
+    compact_parquet_dataset(
+        spark, input_dir, output, sort_key, target_files,
+        max_records_per_file=max_records_per_file,
+    )
+    after = len(globmod.glob(os.path.join(output, "*.parquet")))
+    rows = spark.read.parquet(output).count()
+    return before, after, rows
+
+
 class _StageAction(argparse.Action):
     """Collect repeated --cmd/--reduce flags as an ORDERED stage list."""
 
@@ -392,6 +418,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--threshold", type=float, default=0.8)
 
+    p = sub.add_parser(
+        "compact",
+        help="rewrite a fragmented parquet dataset as few range-clustered files",
+    )
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--sort-key", required=True)
+    p.add_argument("--target-files", type=int, default=4)
+    p.add_argument("--max-records-per-file", type=int, default=2_000_000)
+
     args = ap.parse_args(argv)
     if args.verb == "query":
         from filemap_spark.session import get_spark
@@ -412,6 +448,23 @@ def main(argv: list[str] | None = None) -> int:
         else:
             kept, total = run_dedup(spark, args.input, args.output, args.method)
         print(f"kept {kept}/{total} docs -> {args.output}", file=sys.stderr)
+        return 0
+    if args.verb == "compact":
+        from filemap_spark.session import get_spark
+
+        spark = get_spark("filemap-cli")
+        before, after, rows = run_compact(
+            spark,
+            args.input,
+            args.output,
+            args.sort_key,
+            target_files=args.target_files,
+            max_records_per_file=args.max_records_per_file,
+        )
+        print(
+            f"compacted {before} -> {after} files ({rows} rows) -> {args.output}",
+            file=sys.stderr,
+        )
         return 0
     if args.verb == "pipeline":
         if not (getattr(args, "stages", None) or []):

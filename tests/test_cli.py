@@ -281,3 +281,18 @@ def test_dedup_stream_incremental_two_batches(spark, tmp_path):
     # third run with nothing new: cheap no-op, corpus unchanged
     kept3, total3 = run_dedup_stream(spark, str(corpus), out)
     assert (kept3, total3) == (kept2, 4)
+
+
+def test_compact_verb_rewrites_fragmented_dataset(spark, sf_dir, tmp_path):
+    """`compact` rewrites a many-small-files dataset as the requested file
+    count with nothing lost (round 5; wraps compact_parquet_dataset)."""
+    from filemap_spark.cli import run_compact
+    from filemap_spark.io import load_table
+
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "out")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.repartition(10).write.mode("overwrite").parquet(frag)
+    before, after, rows = run_compact(spark, frag, out, "n_nationkey", target_files=2)
+    assert before == 10 and after == 2
+    assert rows == nation.count()
