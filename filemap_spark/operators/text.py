@@ -577,6 +577,25 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def canonicalize_url(url):
+    """The dedup_url_canonical canonicalization chain as a reusable column
+    expression: drop fragment -> force https -> lowercase host (path case
+    preserved) -> strip utm_*/ref tracking params -> strip trailing slash.
+    Idempotent (pinned by tests/test_properties.py); shared by the graded
+    op and any pipeline that wants URL-keyed dedup."""
+    u = F.regexp_replace(
+        F.regexp_replace(url, "#.*$", ""), "^http://", "https://"
+    )
+    u = F.concat(
+        F.lit("https://"),
+        F.lower(F.regexp_extract(u, "^https://([^/]+)", 1)),
+        F.regexp_extract(u, "^https://[^/]+(.*)$", 1),
+    )
+    return F.regexp_replace(
+        F.regexp_replace(u, r"[?&](utm_[a-z]+|ref)=[^&#]*", ""), "/+$", ""
+    )
+
+
 @query(
     "dedup_url_canonical",
     oracle="""
@@ -610,7 +629,7 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              regexp_replace(
                regexp_replace(u, '[?&](utm_[a-z]+|ref)=[^&#]*', '', 'g'),
-               '/$', '') AS canon_url
+               '/+$', '') AS canon_url
       FROM s3
     )
     SELECT canon_url, count(*) AS n_docs, min(doc_id) AS survivor
@@ -661,19 +680,8 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    u = F.regexp_replace(
-        F.regexp_replace(url, "#.*$", ""), "^http://", "https://"
-    )
-    u = F.concat(
-        F.lit("https://"),
-        F.lower(F.regexp_extract(u, "^https://([^/]+)", 1)),
-        F.regexp_extract(u, "^https://[^/]+(.*)$", 1),
-    )
-    canon = F.regexp_replace(
-        F.regexp_replace(u, r"[?&](utm_[a-z]+|ref)=[^&#]*", ""), "/$", ""
-    )
     return (
-        docs.select("doc_id", canon.alias("canon_url"))
+        docs.select("doc_id", canonicalize_url(url).alias("canon_url"))
         .groupBy("canon_url")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("survivor"))
         .orderBy("canon_url")

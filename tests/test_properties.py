@@ -225,3 +225,70 @@ def test_dsum_descale_matches_exact_rational(spark, ks, nparts):
 
     assert got_spark == expected, (got_spark, expected)
     assert got_duck == expected, (got_duck, expected)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    parts=st.lists(
+        st.tuples(
+            st.sampled_from(["http", "https"]),
+            st.text(alphabet="abcDEF", min_size=1, max_size=8),  # host stem
+            st.text(alphabet="abXY9", min_size=0, max_size=6),  # path seg
+            st.sampled_from(["", "?utm_source=a", "?page=2", "?page=2&utm_x=y",
+                             "?utm_a=1&ref=r", "?ref=r&page=2"]),
+            st.sampled_from(["", "#frag"]),
+            st.sampled_from(["", "/"]),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_url_canonicalization_idempotent_and_clean(spark, parts):
+    """canonicalize_url must be IDEMPOTENT (canon(canon(u)) == canon(u))
+    and its output must never retain a fragment, a tracking param, an
+    http scheme, an upper-case host char, or a trailing slash — over
+    arbitrary messy URL shapes, not just the op's 4 manufactured ones."""
+    from pyspark.sql import functions as F
+
+    from filemap_spark.operators.text import canonicalize_url
+
+    urls = [
+        f"{scheme}://{host}.Example.COM/{seg}{q}{frag}{slash}"
+        for scheme, host, seg, q, frag, slash in parts
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        canonicalize_url(F.col("url")).alias("c1"),
+    ).select("c1", canonicalize_url(F.col("c1")).alias("c2"))
+    for r in out.collect():
+        assert r["c1"] == r["c2"], (r["c1"], r["c2"])
+        assert r["c1"].startswith("https://")
+        host_part = r["c1"][len("https://"):].split("/", 1)[0]
+        assert host_part == host_part.lower()
+        assert "#" not in r["c1"]
+        assert "utm_" not in r["c1"] and "ref=" not in r["c1"]
+        assert not r["c1"].endswith("/")
+
+
+@given(
+    h=st.integers(min_value=0, max_value=65535),
+    n=st.integers(min_value=1, max_value=2_000_000_000),
+    min_n=st.integers(min_value=1, max_value=2_000_000_000),
+)
+def test_temperature_keep_rule_matches_sqrt_semantics(h, n, min_n):
+    """sample_temperature_mix's integer rule h²·n < min_n·2³² must agree
+    with the real-valued rule h/2¹⁶ < sqrt(min_n/n) EXACTLY (squaring both
+    sides of a non-negative inequality is an equivalence) — for any domain
+    size up to 2e9 without int64 overflow."""
+    from fractions import Fraction
+
+    if min_n > n:
+        min_n = n  # the op's min_n is by construction <= every n
+    int_rule = h * h * n < min_n * (1 << 32)
+    real_rule = Fraction(h * h, 1 << 32) < Fraction(min_n, n)
+    assert int_rule == real_rule
+    assert h * h * n < 2**63 and min_n * (1 << 32) < 2**63  # no overflow
