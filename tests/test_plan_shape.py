@@ -330,3 +330,13 @@ def test_gini_has_no_single_partition_window(spark, sf_dir):
     # Window node in this plan consumes the bounded per-partition counts
     n_windows = len(re.findall(r"^\(\d+\) Window", plan, re.MULTILINE))
     assert n_windows <= 2, plan  # offset + total, both over O(partitions) rows
+
+
+def test_null_safe_join_is_hash_join(spark, sf_dir):
+    """`<=>` must plan as a plain hash join (EqualNullSafe is a valid hash
+    key), not a nested loop with a residual — verified: BroadcastHashJoin
+    with the null-safe equality folded into the keys (condition: None)."""
+    plan = plan_of(spark, sf_dir, "join_null_safe")
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
