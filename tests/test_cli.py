@@ -296,3 +296,19 @@ def test_compact_verb_rewrites_fragmented_dataset(spark, sf_dir, tmp_path):
     before, after, rows = run_compact(spark, frag, out, "n_nationkey", target_files=2)
     assert before == 10 and after == 2
     assert rows == nation.count()
+
+
+def test_stats_verb_reports_corpus_health(spark, sf_dir):
+    """`stats` must agree with direct computation and with the graded
+    gini operator."""
+    from filemap_spark import all_queries
+    from filemap_spark.cli import run_stats
+    from filemap_spark.io import load_table
+
+    got = run_stats(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    assert got["n_docs"] == docs.count()
+    assert got["n_docs_in_exact_dup_groups"] == 0  # contract corpus: no dups
+    gini_op = all_queries()["agg_gini_concentration"](spark, sf_dir).collect()[0]
+    assert got["length_gini"] == gini_op["gini"]
+    assert got["n_langs"] >= 1 and got["n_tokens"] > got["n_docs"]

@@ -452,3 +452,22 @@ def test_temperature_mix_realized_rates(spark, sf_dir):
     # rerun-stable membership
     again = {r["doc_id"] for r in fn(spark, sf_dir).collect()}
     assert again == {r["doc_id"] for r in kept}
+
+
+def test_hll_intersection_bounds(spark, sf_dir):
+    """Inclusion-exclusion over three HLL estimates compounds sketch error;
+    the derived intersection must stay within a combined relative bound of
+    the exact count, and be rerun-identical (sketches are deterministic
+    for a fixed input)."""
+    from filemap_spark import all_queries
+
+    fn = all_queries()["agg_hll_intersection"]
+    row = fn(spark, sf_dir).collect()[0]
+    exact = row["exact_intersection"]
+    est = row["est_intersection"]
+    # each sketch is ~±2%; inclusion-exclusion can amplify on small
+    # intersections — bound by 10% of the LARGER operand population + 5
+    slack = max(row["est_clicks"], row["est_purchases"]) * 0.10 + 5
+    assert abs(est - exact) <= slack, (est, exact, slack)
+    again = fn(spark, sf_dir).collect()[0]
+    assert tuple(again) == tuple(row)
