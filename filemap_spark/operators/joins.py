@@ -900,3 +900,60 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("b_id").alias("n_b_matched"),
         F.coalesce(F.sum(dist2), F.lit(0)).cast("bigint").alias("sum_dist2"),
     )
+
+
+_ASOF_TOL_US = 3 * 24 * 3600 * 1_000_000  # 3-day staleness tolerance
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=EVENTS_NORM_SQL
+    + f"""
+    , j AS (
+      SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+             epoch_us(s.ts) AS signup_us
+      FROM events e
+      ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                      WHERE event_type = 'signup') s
+        ON e.user_id = s.user_id AND e.ts >= s.ts
+    )
+    SELECT event_id, user_id,
+           CASE WHEN signup_us IS NOT NULL
+                     AND ts_us - signup_us <= {_ASOF_TOL_US}
+                THEN signup_us END AS signup_us,
+           (signup_us IS NOT NULL
+            AND ts_us - signup_us > {_ASOF_TOL_US}) AS stale
+    FROM j
+    """,
+    cost=0.5,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness TOLERANCE (round 5) — pandas
+    merge_asof(tolerance=...) semantics: the most recent prior signup
+    counts only if it is at most 3 days old at event time; older matches
+    are rejected to NULL and flagged `stale` (attribution windows, sensor
+    freshness, session stitching all need this cutoff — an unbounded
+    as-of silently attributes to arbitrarily old anchors).
+
+    Same scale shape as join_asof: running conditional-max window over
+    the unioned stream — ONE shuffle on user_id, no join at all; the
+    tolerance is a per-row comparison after the window, free at any
+    scale. Oracle: DuckDB's native ASOF JOIN (no tolerance support) with
+    the cutoff applied on top — two different decompositions, one
+    hash."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    raw = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts_us"))
+    ).over(w)
+    fresh = F.col("ts_us") - raw <= F.lit(_ASOF_TOL_US)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.when(raw.isNotNull() & fresh, raw).alias("signup_us"),
+        (raw.isNotNull() & ~fresh).alias("stale"),
+    )
