@@ -15,6 +15,8 @@ are low-cardinality or per-user — the skew-safe layout.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -229,4 +231,88 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_events"))
         .orderBy("c_mktsegment")
+    )
+
+
+def upsert_latest_wins(spark: SparkSession, table_dir: str, batch: DataFrame) -> None:
+    """SCD1 latest-wins upsert of an event batch into a parquet state table
+    keyed by user_id: union current state with the batch, keep each key's
+    newest row by (ts_us, event_id), rewrite the table. The merged frame is
+    eagerly localCheckpoint-ed BEFORE the overwrite — the rewrite reads the
+    directory it replaces, and lazy evaluation would otherwise scan
+    half-deleted files. Idempotent: replaying a batch changes nothing.
+
+    Scale note: the rewrite is O(|state|) per batch — the no-lakehouse
+    baseline. A real deployment bounds it by partitioning the state table
+    on a stable key hash and rewriting ONLY partitions the batch touches
+    (the sink_partition_overwrite_dynamic pattern composes directly)."""
+    import os
+
+    cols = ["user_id", "event_id", "ts_us", "value"]
+    incoming = batch.select(*cols)
+    if os.path.exists(table_dir):
+        current = spark.read.parquet(table_dir)
+        merged = current.unionByName(incoming)
+    else:
+        merged = incoming
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    latest = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint(eager=True)
+    )
+    latest.write.mode("overwrite").parquet(table_dir)
+
+
+@query(
+    "stream_scd1_upsert",
+    oracle=EVENTS_NORM_SQL
+    + """
+    SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_ts_us,
+           round(value, 6) AS last_value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    ORDER BY user_id
+    """,
+    cost=1.0,
+)
+def stream_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-1 latest-wins state table maintained by BATCHED UPSERTS
+    (round 5) — the foreachBatch sink pattern for a keyed state table
+    without a lakehouse format: each arriving micro-batch merges into the
+    parquet table, newest (ts, event_id) wins per user. Graded by feeding
+    the corpus as two time-ordered batches through upsert_latest_wins and
+    reading the final table; the oracle computes latest-per-user over ALL
+    events in one pass, so the hash-match proves the incremental merge
+    chain converges to the batch answer (the stream_stateful_final
+    discipline, applied to a SINK instead of an agg). The availableNow
+    foreachBatch twin runs in tests/test_streaming.py."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    cutoff = "2024-01-15 00:00:00"
+    table_dir = os.path.join(
+        tempfile.mkdtemp(prefix="filemap_scd1_"), "state"
+    )
+    upsert_latest_wins(
+        spark, table_dir, ev.where(F.col("ts") < F.lit(cutoff).cast("timestamp_ntz"))
+    )
+    upsert_latest_wins(
+        spark, table_dir, ev.where(F.col("ts") >= F.lit(cutoff).cast("timestamp_ntz"))
+    )
+    return (
+        spark.read.parquet(table_dir)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts_us").alias("last_ts_us"),
+            F.round("value", 6).alias("last_value"),
+        )
+        .orderBy("user_id")
     )
