@@ -1817,3 +1817,62 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(50)
     )
+
+
+@query(
+    "text_ngram_coverage_eval",
+    cost=1.0,
+    oracle=f"""
+    WITH {SHINGLE_CTE},
+    train AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 != 0),
+    held AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 = 0),
+    cov AS (
+      SELECT h.doc_id,
+             count(*) AS n_shingles,
+             count(t.shingle) AS n_covered
+      FROM held h LEFT JOIN train t USING (shingle)
+      GROUP BY h.doc_id
+    )
+    SELECT doc_id, n_shingles, n_covered,
+           round(n_covered / n_shingles, 6) AS coverage
+    FROM cov ORDER BY doc_id
+    """,
+)
+def text_ngram_coverage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram contamination COVERAGE report (round 5) — the statistic a
+    decontamination run publishes next to dedup_cross_split's binary flag:
+    for each held-out doc (doc_id % 10 = 0), what fraction of its distinct
+    word-5-gram shingles already appears ANYWHERE in the train split. The
+    cross-split op answers "is this doc contaminated (>=5 shared)?"; this
+    answers "HOW exposed is the eval set?" — the number that decides
+    whether a benchmark survives or gets rebuilt (GPT-3 appendix-C
+    style reporting).
+
+    Determinism: pure integer counts; the single coverage division of
+    identical exact integers is engine-stable.
+
+    Scale: same shingle equi-join layout as dedup_cross_split — the train
+    shingle set is DISTINCT (Zipf-bounded), the join is a left semi-ish
+    hash join keyed by shingle, never doc×doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_frame(docs)
+    train = (
+        sh.where(F.col("doc_id") % 10 != 0).select("shingle").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    held = sh.where(F.col("doc_id") % 10 == 0)
+    return (
+        held.join(train, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("hit").alias("n_covered"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_covered",
+            F.round(F.col("n_covered") / F.col("n_shingles"), 6).alias("coverage"),
+        )
+        .orderBy("doc_id")
+    )
