@@ -889,3 +889,63 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(project, schema=schema)
         .orderBy("vec_id")
     )
+
+
+_SEMDEDUP_T = 0.4  # data-tuned like dedup_embedding_cosine (corpus isotropic)
+
+
+@query("dedup_semdedup", cost=1.5)  # rows-only: kmeans clustering not SQL
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — semantic dedup at web scale: k-means
+    cluster the embedding corpus, then search for near-duplicate pairs
+    ONLY WITHIN each cluster and keep one representative per duplicate
+    group. The deliberate approximation (cross-cluster pairs are ignored)
+    is what makes semantic dedup affordable at 100 TB: candidate
+    generation drops from O(n²) to Σ|cell|², with the cluster pass
+    amortized from the ANN index build. Contrast dedup_embedding_cosine,
+    which pays ball-pruned probes to stay EXACT.
+
+    Output is the per-cluster curation report (size, duplicate pairs,
+    docs removed, keep rate — the numbers the SemDeDup paper tables
+    report), not the raw pairs: keep rule = a vector is removed iff some
+    SAME-CLUSTER neighbor with a smaller vec_id sits at rounded cosine
+    >= 0.4. Deterministic end-to-end (deterministic quantizer, 6dp sims,
+    id-based keep rule); tests/test_kernels.py pins every cell against a
+    numpy brute-force recomputation.
+
+    Scale: per-cell pair generation runs in applyInPandas bounded by cell
+    size (cells track k — tune k so |cell| ~ 10⁴-10⁵ rows); no global
+    shuffle beyond the cell exchange."""
+    cents = _train_centroids(spark, sf_dir)
+    idx = _cell_index(spark, sf_dir, cents).select("vec_id", "cell", "embedding")
+
+    def cell_report(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.vstack(pdf["embedding"].to_numpy())[order]
+        sims = np.round(mat @ mat.T, 6)
+        n = len(ids)
+        dup = np.triu(sims >= _SEMDEDUP_T, k=1)
+        n_pairs = int(dup.sum())
+        removed = dup.any(axis=0)  # has a smaller-id neighbor above t
+        n_removed = int(removed.sum())
+        return pd.DataFrame(
+            {
+                "cell": [int(pdf["cell"].iloc[0])],
+                "n_vectors": [n],
+                "n_dup_pairs": [n_pairs],
+                "n_removed": [n_removed],
+                "keep_rate": [round((n - n_removed) / n, 6)],
+            }
+        )
+
+    return (
+        idx.groupBy("cell")
+        .applyInPandas(
+            cell_report,
+            schema="cell int, n_vectors long, n_dup_pairs long, "
+            "n_removed long, keep_rate double",
+        )
+        .orderBy("cell")
+    )

@@ -469,3 +469,40 @@ def test_kmeans_cluster_report_matches_numpy(spark, sf_dir):
     a = [tuple(r) for r in all_queries()["emb_cluster_kmeans"](spark, sf_dir).collect()]
     b = [tuple(r) for r in all_queries()["emb_cluster_kmeans"](spark, sf_dir).collect()]
     assert a == b
+
+
+def test_semdedup_report_matches_numpy(spark, sf_dir):
+    """dedup_semdedup's per-cluster report must reproduce a direct numpy
+    within-cluster brute force: same assignments (deterministic
+    quantizer), same 6dp pair threshold, same smaller-id keep rule."""
+    from filemap_spark import all_queries
+    from filemap_spark.io import load_table
+    from filemap_spark.operators.similarity import (
+        _SEMDEDUP_T,
+        _train_centroids,
+    )
+
+    cents = _train_centroids(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    assign = np.argmax(mat @ cents.T, axis=1)
+
+    got = {
+        r["cell"]: r
+        for r in all_queries()["dedup_semdedup"](spark, sf_dir).collect()
+    }
+    for c in range(cents.shape[0]):
+        sel = assign == c
+        if not sel.any():
+            assert c not in got
+            continue
+        sub = mat[sel]
+        sims = np.round(sub @ sub.T, 6)
+        dup = np.triu(sims >= _SEMDEDUP_T, k=1)
+        row = got[c]
+        assert row["n_vectors"] == int(sel.sum())
+        assert row["n_dup_pairs"] == int(dup.sum())
+        assert row["n_removed"] == int(dup.any(axis=0).sum())
