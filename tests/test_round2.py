@@ -82,3 +82,75 @@ def test_stream_topk_is_block_size_invariant(spark):
     for block_rows in (7, 64, 250):
         got = _stream_topk_chunk(q_ids, q_mat, path, k=5, block_rows=block_rows)
         assert got.to_dict("list") == reference.to_dict("list"), block_rows
+
+
+def test_ohlc_tie_resolution_is_event_id_deterministic(spark, tmp_path):
+    """ts_resample_ohlc's open/close under EQUAL timestamps must resolve by
+    event_id through the shared okey — manufactured ties, since the
+    contract data's sub-second timestamps may never collide."""
+    import os
+
+    from filemap_spark import all_queries
+
+    sf_dir = str(tmp_path)
+    rows = [
+        # one hour bucket, two events at the SAME microsecond
+        (1, 1_700_000_000_000_000, 10, "click", 5.0, "{}"),
+        (2, 1_700_000_000_000_000, 11, "click", 9.0, "{}"),
+        (3, 1_700_000_100_000_000, 12, "click", 7.0, "{}"),
+    ]
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "us", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["us"], unit="us")
+    spark.createDataFrame(
+        pdf[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+    ).write.mode("overwrite").parquet(os.path.join(sf_dir, "events.parquet"))
+
+    got = all_queries()["ts_resample_ohlc"](spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0]
+    # open = event 1 (lower event_id among the tied pair), close = event 3
+    assert r["open"] == 5.0 and r["close"] == 7.0
+    assert r["high"] == 9.0 and r["low"] == 5.0 and r["n_events"] == 3
+
+
+def test_scd2_half_open_boundary(spark, tmp_path):
+    """join_point_in_time_scd2's [valid_from, valid_to) bounds: a fact at
+    EXACTLY a version boundary must land in the NEW version, never both or
+    neither — manufactured boundary-exact rows."""
+    import os
+
+    from filemap_spark import all_queries
+
+    sf_dir = str(tmp_path)
+    import pandas as pd
+
+    supp = pd.DataFrame({"s_suppkey": [0], "s_name": ["S0"], "s_nationkey": [0],
+                         "s_acctbal": [0.0]})
+    spark.createDataFrame(supp).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "supplier.parquet")
+    )
+    # suppkey 0: stagger 0 days -> boundaries exactly 1996-01-01 / 1998-07-01
+    li = pd.DataFrame(
+        {
+            "l_suppkey": [0, 0, 0, 0],
+            "l_shipdate": pd.to_datetime(
+                ["1995-12-31", "1996-01-01", "1998-06-30", "1998-07-01"]
+            ),
+            "l_quantity": [1.0, 2.0, 4.0, 8.0],
+        }
+    )
+    spark.createDataFrame(li).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "lineitem.parquet")
+    )
+    got = {
+        r["version"]: (r["n_items"], r["sum_qty"])
+        for r in all_queries()["join_point_in_time_scd2"](spark, sf_dir).collect()
+    }
+    # v1 gets only 1995-12-31; v2 gets BOTH boundary starts 96-01-01 and
+    # interior 98-06-30; v3 gets exactly 1998-07-01
+    assert got == {1: (1, 1), 2: (2, 6), 3: (1, 8)}
+    assert sum(n for n, _ in got.values()) == 4  # every fact exactly once
