@@ -1265,3 +1265,81 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = clicks.intersect(buys).count()
     return est.withColumn("exact_intersection", F.lit(exact).cast("bigint"))
+
+
+@query(
+    "ts_anomaly_mad",
+    oracle=EVENTS_NORM_SQL
+    + """
+    , med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           round(m.med, 6) AS med,
+           round(d.mad, 6) AS mad,
+           count(*) AS n_events,
+           cast(sum(CASE WHEN round(abs(e.value - m.med) / (1.4826 * d.mad), 6)
+                              > 1.5 THEN 1 ELSE 0 END) AS bigint) AS n_flagged,
+           round(max(round(abs(e.value - m.med) / (1.4826 * d.mad), 6)), 6)
+             AS max_abs_score
+    FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    GROUP BY e.event_type, m.med, d.mad
+    ORDER BY e.event_type
+    """,
+    cost=0.6,
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly screening by median absolute deviation (round 5) —
+    the data-quality pass that survives the outliers it hunts: mean/std
+    z-scores are dragged by the very anomalies being flagged, while
+    median/MAD are 50%-breakdown robust. Per event_type: exact
+    interpolated median, MAD, and the count of events whose robust
+    z-score |x − med| / (1.4826·MAD) exceeds 1.5 (the consistency
+    constant makes MAD σ-comparable under normality; the contract
+    corpus's bounded value distribution caps robust z ≈ 2, so 1.5 flags a
+    real tail).
+
+    Determinism: Spark `percentile` ≡ DuckDB `quantile_cont` (shared
+    linear-interpolation definition, proven by agg_percentile_exact);
+    the score is rounded at 6dp BEFORE the threshold compare in BOTH
+    engines, so a boundary value cannot flip between them.
+
+    Scale: two grouped exact percentiles (per-group sort — the exact
+    path; swap percentile_approx at 100 TB per the approx-tier playbook)
+    + one broadcast-joined scoring scan; group count is event-type-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    scored = with_med.join(F.broadcast(mad), "event_type").withColumn(
+        "score",
+        F.round(F.abs(F.col("value") - F.col("med")) / (1.4826 * F.col("mad")), 6),
+    )
+    return (
+        scored.groupBy("event_type", "med", "mad")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("score") > 1.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.round(F.max("score"), 6).alias("max_abs_score"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_events",
+            "n_flagged",
+            "max_abs_score",
+        )
+        .orderBy("event_type")
+    )
