@@ -1343,3 +1343,75 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_LTTB_POINTS = 20  # downsample target per series
+
+
+@query("ts_downsample_lttb", cost=0.8)  # rows-only: sequential selection
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (round 5, Steinarsson
+    2013) — the dashboard/visualization resample: reduce each per-type
+    series to 20 points that preserve its SHAPE (peaks and valleys),
+    which min/max/avg bucketing flattens. Per bucket, keep the point
+    forming the largest triangle with the previously-kept point and the
+    next bucket's centroid — inherently sequential per series, so each
+    series runs whole inside one applyInPandas group (numpy-vectorized
+    per bucket). Rows-only: the greedy selection is not SQL; the pytest
+    pins it against an independent pure-loop reimplementation and
+    rerun-identity.
+
+    Scale: per-series state is the series itself — fine while one
+    series fits a worker (dashboards downsample bounded windows); for
+    unbounded series, pre-bucket by coarse time range and LTTB each
+    range (the standard streaming adaptation), same operator shape."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def lttb(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+        x = pdf["ts_us"].to_numpy(dtype=np.float64)
+        y = pdf["value"].to_numpy(dtype=np.float64)
+        n = len(x)
+        n_out = _LTTB_POINTS
+        if n <= n_out:
+            sel = np.arange(n)
+        else:
+            # bucket boundaries over the interior points (first/last pinned)
+            edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+            sel_list = [0]
+            a = 0
+            for b in range(n_out - 2):
+                lo, hi = edges[b], edges[b + 1]
+                nxt_lo, nxt_hi = hi, (edges[b + 2] if b + 2 < n_out - 1 else n)
+                cx, cy = x[nxt_lo:nxt_hi].mean(), y[nxt_lo:nxt_hi].mean()
+                ax, ay = x[a], y[a]
+                area = np.abs(
+                    (ax - cx) * (y[lo:hi] - ay) - (ax - x[lo:hi]) * (cy - ay)
+                )
+                a = lo + int(np.argmax(area))
+                sel_list.append(a)
+            sel_list.append(n - 1)
+            sel = np.asarray(sel_list)
+        out = pdf.iloc[sel]
+        return pd.DataFrame(
+            {
+                "event_type": out["event_type"].to_numpy(),
+                "ts_us": out["ts_us"].to_numpy(),
+                "value": np.round(out["value"].to_numpy(), 6),
+                "point_idx": np.arange(len(sel)),
+            }
+        )
+
+    return (
+        ev.withColumn("ts_us", F.unix_micros("ts"))
+        .select("event_type", "event_id", "ts_us", "value")
+        .groupBy("event_type")
+        .applyInPandas(
+            lttb,
+            schema="event_type string, ts_us long, value double, point_idx int",
+        )
+        .orderBy("event_type", "point_idx")
+    )

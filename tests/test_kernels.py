@@ -506,3 +506,56 @@ def test_semdedup_report_matches_numpy(spark, sf_dir):
         assert row["n_vectors"] == int(sel.sum())
         assert row["n_dup_pairs"] == int(dup.sum())
         assert row["n_removed"] == int(dup.any(axis=0).sum())
+
+
+def test_lttb_matches_independent_reimplementation(spark, sf_dir):
+    """ts_downsample_lttb vs a pure-loop LTTB written independently of the
+    operator's vectorized form: same bucket edges, same triangle rule,
+    same tie behavior (first argmax) — plus endpoint pinning and
+    rerun-identity."""
+    from filemap_spark import all_queries
+    from filemap_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got_rows = all_queries()["ts_downsample_lttb"](spark, sf_dir).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["event_type"], []).append((r["point_idx"], r["ts_us"]))
+    for k in got:
+        got[k] = [t for _, t in sorted(got[k])]
+
+    pdf = (
+        ev.selectExpr("event_type", "event_id", "unix_micros(ts) AS ts_us", "value")
+        .toPandas()
+        .sort_values(["ts_us", "event_id"], kind="mergesort")
+    )
+    for etype, g in pdf.groupby("event_type"):
+        x = list(g["ts_us"])
+        y = list(g["value"])
+        n, n_out = len(x), 20
+        if n <= n_out:
+            want = x
+        else:
+            edges = np.linspace(1, n - 1, n_out - 1).astype(int)
+            sel = [0]
+            a = 0
+            for b in range(n_out - 2):
+                lo, hi = edges[b], edges[b + 1]
+                nxt_lo = hi
+                nxt_hi = edges[b + 2] if b + 2 < n_out - 1 else n
+                cx = sum(x[nxt_lo:nxt_hi]) / (nxt_hi - nxt_lo)
+                cy = sum(y[nxt_lo:nxt_hi]) / (nxt_hi - nxt_lo)
+                best, best_area = lo, -1.0
+                for i in range(lo, hi):
+                    area = abs((x[a] - cx) * (y[i] - y[a]) - (x[a] - x[i]) * (cy - y[a]))
+                    if area > best_area:
+                        best, best_area = i, area
+                sel.append(best)
+                a = best
+            sel.append(n - 1)
+            want = [x[i] for i in sel]
+        assert got[etype] == want, etype
+        assert got[etype][0] == x[0] and got[etype][-1] == x[-1]
+
+    again_rows = all_queries()["ts_downsample_lttb"](spark, sf_dir).collect()
+    assert sorted(map(tuple, again_rows)) == sorted(map(tuple, got_rows))
