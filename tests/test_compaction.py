@@ -96,3 +96,55 @@ def test_dynamic_vs_static_partition_overwrite(spark, sf_dir, tmp_path):
     dyn = spark.read.parquet(dyn_dir)
     assert {r["lang"] for r in dyn.select("lang").distinct().collect()} == langs
     assert dyn.count() == docs.count()
+
+
+def test_zorder_bounds_both_dimensions(spark, sf_dir, tmp_path):
+    """sink_zorder_cluster's layout claim, measured: under the aligned
+    Morton key, BOTH interleaved columns' per-file min/max spans are
+    bounded fractions of their range, while a single-column sort leaves
+    the secondary column unprunable (span fraction ~1)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from filemap_spark.operators.scans import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+
+    def mean_span_fraction(d, colname):
+        spans = []
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(j).name for j in range(md.num_columns)]
+            ci = names.index(colname)
+            st = [md.row_group(i).column(ci).statistics for i in range(md.num_row_groups)]
+            spans.append((min(s.min for s in st), max(s.max for s in st)))
+        rng = max(b for _, b in spans) - min(a for a, _ in spans) + 1
+        return sum(b - a + 1 for a, b in spans) / len(spans) / rng
+
+    zdir = str(tmp_path / "z")
+    sdir = str(tmp_path / "s")
+    zkey = zorder_key([("l_partkey", 15), ("l_suppkey", 10)])
+    (
+        li.withColumn("__z", zkey).repartitionByRange(16, "__z")
+        .sortWithinPartitions("__z").drop("__z")
+        .write.mode("overwrite").parquet(zdir)
+    )
+    (
+        li.repartitionByRange(16, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite").parquet(sdir)
+    )
+    z_pk, z_sk = mean_span_fraction(zdir, "l_partkey"), mean_span_fraction(zdir, "l_suppkey")
+    s_pk, s_sk = mean_span_fraction(sdir, "l_partkey"), mean_span_fraction(sdir, "l_suppkey")
+    # single-column sort: near-perfect on its key, useless on the other
+    assert s_pk < 0.2 and s_sk > 0.9, (s_pk, s_sk)
+    # z-order: BOTH bounded — the secondary dimension becomes prunable
+    assert z_sk < 0.6 * s_sk, (z_sk, s_sk)
+    assert z_pk < 0.8, z_pk
+    # nothing lost in the clustered rewrite
+    assert spark.read.parquet(zdir).count() == li.count()
