@@ -957,3 +957,95 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(raw.isNotNull() & fresh, raw).alias("signup_us"),
         (raw.isNotNull() & ~fresh).alias("stale"),
     )
+
+
+_OVL_LEN_US = 10 * 60 * 1_000_000  # interval length = bucket size (10 min)
+
+
+@query(
+    "join_interval_overlap",
+    oracle=EVENTS_NORM_SQL
+    + f"""
+    , a AS (
+      SELECT event_id AS a_id, epoch_us(ts) AS sa,
+             epoch_us(ts) + {_OVL_LEN_US} AS ea
+      FROM events WHERE event_type = 'click'
+    ), b AS (
+      SELECT event_id AS b_id, epoch_us(ts) AS sb,
+             epoch_us(ts) + {_OVL_LEN_US} AS eb
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT (greatest(sa, sb) // 3600000000) * 3600000000 AS hour_us,
+           count(*) AS n_pairs,
+           min(a_id) AS min_a, max(b_id) AS max_b
+    FROM a JOIN b ON sa <= eb AND sb <= ea
+    GROUP BY hour_us ORDER BY hour_us
+    """,
+    cost=1.0,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval-OVERLAP join (round 5) — both sides are INTERVALS
+    (join_range_bucket's points and join_interval_events' point-in-window
+    are the easier cousins): click and purchase activity windows (10 min
+    each, manufactured from event timestamps) that overlap in time,
+    with no shared key to hash on. The O(n·m) theta join decomposes
+    exactly: with bucket size >= interval length, each interval covers at
+    most 2 buckets; exploding BOTH sides to their covered buckets and
+    equi-joining on the bucket finds every overlapping pair, and keeping
+    a pair only in the bucket containing greatest(start_a, start_b)
+    counts it EXACTLY once (that bucket is unique and both intervals are
+    live in it). Graded as the per-hour overlap histogram with witness
+    ids; the oracle is the direct quadratic theta join.
+
+    Scale: shuffle is O(2·|A| + 2·|B|) bucket-keyed rows; per-bucket
+    candidate density tracks activity rate, not corpus size — the same
+    decomposition genomics overlap joins and booking-conflict queries
+    use."""
+    bucket = _OVL_LEN_US  # bucket size = interval length
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    a = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("a_id"),
+        F.col("ts_us").alias("sa"),
+        (F.col("ts_us") + _OVL_LEN_US).alias("ea"),
+    )
+    b = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("b_id"),
+        F.col("ts_us").alias("sb"),
+        (F.col("ts_us") + _OVL_LEN_US).alias("eb"),
+    )
+
+    def explode_buckets(df, s, e):
+        return df.withColumn(
+            "bkt",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / bucket), F.floor(F.col(e) / bucket)
+                )
+            ),
+        )
+
+    pairs = (
+        explode_buckets(a, "sa", "ea")
+        .join(explode_buckets(b, "sb", "eb"), "bkt")
+        .where(
+            (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea"))
+            # exactly-once cell: the bucket holding the later start
+            & (F.floor(F.greatest("sa", "sb") / bucket) == F.col("bkt"))
+        )
+    )
+    return (
+        pairs.groupBy(
+            (
+                F.floor(F.greatest("sa", "sb") / 3_600_000_000) * 3_600_000_000
+            ).alias("hour_us")
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("a_id").alias("min_a"),
+            F.max("b_id").alias("max_b"),
+        )
+        .orderBy("hour_us")
+    )

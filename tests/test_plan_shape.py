@@ -340,3 +340,12 @@ def test_null_safe_join_is_hash_join(spark, sf_dir):
     assert "HashJoin" in plan or "SortMergeJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_is_equi_not_nested_loop(spark, sf_dir):
+    """join_interval_overlap decomposes the interval-overlap theta join to
+    a bucket equi-join — the plan must never be BNLJ/cartesian."""
+    plan = plan_of(spark, sf_dir, "join_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
