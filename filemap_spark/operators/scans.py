@@ -465,3 +465,50 @@ def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_suppkey")
     )
+
+
+@query(
+    "scan_binary_files",
+    oracle="""
+    SELECT 'doc_' || lpad(cast(doc_id AS varchar), 6, '0') || '.bin' AS file_name,
+           cast(strlen(text) AS bigint) AS length,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id % 20 = 0
+    ORDER BY file_name
+    """,
+    cost=0.8,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` source (round 5) — THE ingestion route for real
+    multimodal corpora: a directory of opaque files (images, audio,
+    PDFs) becomes (path, modificationTime, length, content) rows, which
+    is exactly the binary-column shape the mm_* decode family consumes
+    downstream. Files are materialized from document text (one .bin per
+    20th doc — the container ships no real media), re-read through the
+    binaryFile reader, and graded on name + length + content md5 so a
+    truncated or reordered byte stream mismatches.
+
+    Scale: one file = one row = one task input; for millions of SMALL
+    files compose with sink_compact_small_files' lesson — pack decoded
+    payloads into parquet binary columns early (mm_binary_metadata's
+    layout) and never re-scan loose files."""
+    out = _tmpdir("binfiles")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 20 == 0)
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in docs:
+        name = f"doc_{r['doc_id']:06d}.bin"
+        with open(os.path.join(out, name), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    bf = spark.read.format("binaryFile").load(out)
+    return (
+        bf.select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+            F.col("length").cast("bigint").alias("length"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+        .orderBy("file_name")
+    )
