@@ -54,6 +54,48 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "set_except_all",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view' AND value > 150
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (round 5) — `EXCEPT ALL` keeps max(m_A − m_B, 0)
+    COPIES per user, so a user with 3 qualifying views and 1 qualifying
+    purchase survives twice. This is the event-attribution variant the
+    distinct `set_except` erases: it answers "how many UNMATCHED view
+    events remain per user", not just "which users".
+
+    Scale: Spark plans exceptAll as a counted aggregate per side + a
+    generator replay (one shuffle per side on the row key, partial-agg
+    friendly) — never a sort of the whole bag. Bag semantics are the SQL
+    standard's, so the oracle is the literal EXCEPT ALL."""
+    return _users_of(spark, sf_dir, "view").exceptAll(
+        _users_of(spark, sf_dir, "purchase")
+    )
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view' AND value > 150
+    INTERSECT ALL
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (round 5) — `INTERSECT ALL` keeps min(m_A, m_B)
+    copies per user: the matched-event-count companion to
+    `set_except_all` (m_A = matched + unmatched). Same counted-aggregate
+    physical shape; no distinct pass, no full-bag sort."""
+    return _users_of(spark, sf_dir, "view").intersectAll(
+        _users_of(spark, sf_dir, "purchase")
+    )
+
+
+@query(
     "set_intersect",
     oracle="""
     SELECT user_id FROM events WHERE event_type = 'view' AND value > 150

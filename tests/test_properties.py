@@ -292,3 +292,27 @@ def test_temperature_keep_rule_matches_sqrt_semantics(h, n, min_n):
     real_rule = Fraction(h * h, 1 << 32) < Fraction(min_n, n)
     assert int_rule == real_rule
     assert h * h * n < 2**63 and min_n * (1 << 32) < 2**63  # no overflow
+
+
+def test_multiset_setops_partition_the_bag(spark, sf_dir):
+    """Multiset identity: per user, m_view = |EXCEPT ALL| + |INTERSECT ALL|
+    copies, and INTERSECT ALL copies = min(m_view, m_purchase) — pins that
+    exceptAll/intersectAll are bag operators, not distinct-set shortcuts."""
+    from filemap_spark.operators.setops import _users_of
+
+    view = _users_of(spark, sf_dir, "view")
+    purch = _users_of(spark, sf_dir, "purchase")
+
+    def counts(df):
+        return {r["user_id"]: r["n"] for r in df.groupBy("user_id").count().withColumnRenamed("count", "n").collect()}
+
+    m_v, m_p = counts(view), counts(purch)
+    exc = counts(view.exceptAll(purch))
+    inter = counts(view.intersectAll(purch))
+    for u, n in m_v.items():
+        assert inter.get(u, 0) == min(n, m_p.get(u, 0))
+        assert exc.get(u, 0) + inter.get(u, 0) == n
+    # multiplicities only exist at sf >= 0.01 in the contract data; when the
+    # input bag has them, the outputs must preserve them (not distinct-ify)
+    if any(n > 1 for n in m_v.values()):
+        assert any(n > 1 for n in inter.values()) or any(n > 1 for n in exc.values())
