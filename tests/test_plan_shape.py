@@ -349,3 +349,13 @@ def test_interval_overlap_join_is_equi_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_cumulative_distinct_single_window_shuffle(spark, sf_dir):
+    """win_cumulative_distinct's two windows both partition by user_id alone
+    (first-occurrence via lag over type-sorted order, not row_number over
+    (user, type)), so the plan must carry exactly ONE hash exchange — the
+    final presentation ORDER BY contributes the only other (range)
+    exchange."""
+    plan = plan_of(spark, sf_dir, "win_cumulative_distinct")
+    assert plan.count("hashpartitioning(") == 1, plan
