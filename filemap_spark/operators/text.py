@@ -1947,3 +1947,182 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("span_hash")
     )
+
+
+@query(
+    "text_gopher_rules",
+    cost=0.5,
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             cast(len(string_split(text, ' ')) AS bigint) AS n_tok,
+             length(text) AS n_ch
+      FROM documents
+    ), m AS (
+      SELECT doc_id, n_tok,
+             (n_ch - n_tok + 1) * 1.0 / n_tok AS mean_wl,
+             len(list_filter(w, x -> length(x) <= 2)) * 1.0 / n_tok AS short_ratio,
+             len(list_distinct(w)) * 1.0 / n_tok AS distinct_ratio,
+             cast(len(list_intersect(list_distinct(w),
+                                     ['the','a','of','to','and'])) AS int) AS n_stop
+      FROM t
+    )
+    SELECT doc_id, n_tok AS n_tokens,
+           round(mean_wl, 6) AS mean_word_len,
+           round(short_ratio, 6) AS short_ratio,
+           round(distinct_ratio, 6) AS distinct_ratio,
+           n_stop AS n_stopwords,
+           cast(n_tok BETWEEN 30 AND 5000 AS int) AS r_len,
+           cast(mean_wl BETWEEN 3.0 AND 10.0 AS int) AS r_word_len,
+           cast(short_ratio <= 0.1 AS int) AS r_short,
+           cast(distinct_ratio >= 0.3 AS int) AS r_rep,
+           cast(n_stop >= 2 AS int) AS r_stop,
+           CASE WHEN n_tok BETWEEN 30 AND 5000 AND mean_wl BETWEEN 3.0 AND 10.0
+                     AND short_ratio <= 0.1 AND distinct_ratio >= 0.3 AND n_stop >= 2
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (round 5; Rae et al. 2021's
+    repetition/length/symbol heuristics, adapted to the contract corpus):
+    five independent per-document rules — token count in [30, 5000], mean
+    word length in [3, 10], short-word (≤2 chars) ratio ≤ 0.1, distinct-
+    token ratio ≥ 0.3, and ≥ 2 distinct stopwords present — each emitted
+    as its own 0/1 column so downstream audits can see WHICH rule dropped
+    a document (the property that makes rule gates debuggable at corpus
+    scale), plus the conjunction verdict. Complements the score-based
+    `text_quality_score`/`text_quality_tiers`: rules are absolute, tiers
+    are relative.
+
+    Determinism: every ratio is an int/int division — the same IEEE double
+    in both engines — and thresholds compare the UNROUNDED value, so the
+    6dp display rounding can never disagree with the verdict; boundary
+    ties are exact-rational, not float-luck.
+
+    Scale: pure per-row column expressions over one scan — no explode, no
+    shuffle, no UDF; whole-stage codegen end to end. The rules gate is the
+    cheapest stage of a curation pipeline and should run FIRST, before any
+    dedup shuffle pays for documents the rules would have dropped."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_tok = F.size(w).cast("bigint")
+    mean_wl = (F.length("text") - n_tok + 1) / n_tok
+    short_ratio = (
+        F.size(F.filter(w, lambda x: F.length(x) <= 2)).cast("double") / n_tok
+    )
+    distinct_ratio = F.size(F.array_distinct(w)).cast("double") / n_tok
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(w),
+            F.array(*[F.lit(s) for s in ("the", "a", "of", "to", "and")]),
+        )
+    )
+    r_len = n_tok.between(30, 5000)
+    r_word_len = mean_wl.between(3.0, 10.0)
+    r_short = short_ratio <= 0.1
+    r_rep = distinct_ratio >= 0.3
+    r_stop = n_stop >= 2
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(short_ratio, 6).alias("short_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        n_stop.alias("n_stopwords"),
+        r_len.cast("int").alias("r_len"),
+        r_word_len.cast("int").alias("r_word_len"),
+        r_short.cast("int").alias("r_short"),
+        r_rep.cast("int").alias("r_rep"),
+        r_stop.cast("int").alias("r_stop"),
+        F.when(r_len & r_word_len & r_short & r_rep & r_stop, "keep")
+        .otherwise("drop")
+        .alias("verdict"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_line_level",
+    cost=1.0,
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      FROM documents
+    ), paras AS (
+      SELECT doc_id, pos // {_PARA_TOKENS} AS pidx,
+             string_agg(word, ' ' ORDER BY pos) AS para
+      FROM toks GROUP BY doc_id, pos // {_PARA_TOKENS}
+    ), ph AS (SELECT doc_id, pidx, para, md5(para) AS h FROM paras),
+    pop AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM ph GROUP BY h),
+    kept AS (SELECT doc_id, pidx, para FROM ph JOIN pop USING (h)
+             WHERE n_docs = 1),
+    tot AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id),
+    ka AS (SELECT doc_id, count(*) AS n_kept,
+                  string_agg(para, ' ' ORDER BY pidx) AS clean_text
+           FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, cast(t.n_paras AS bigint) AS n_paras,
+           cast(coalesce(ka.n_kept, 0) AS bigint) AS n_kept,
+           coalesce(ka.clean_text, '') AS clean_text
+    FROM tot t LEFT JOIN ka ON t.doc_id = ka.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicated-LINE removal (round 5) — the CCNet/C4
+    preprocessing step that `dedup_paragraph_jaccard` only DETECTS: every
+    line (10-token aligned chunk; the contract corpus has no newlines)
+    whose exact hash appears in MORE THAN ONE document is deleted from
+    every document, and the surviving lines are reassembled in order.
+    This kills headers, footers, cookie banners, and licence boilerplate
+    corpus-wide without dropping the documents that carry them.
+
+    Output per doc: original line count, surviving line count, and the
+    cleaned text ('' when every line was boilerplate — the doc row
+    survives so downstream can decide to drop it).
+
+    Scale: line popularity is ONE hash aggregate over line rows (the
+    wordcount shuffle shape, partial-agg friendly); membership rides a
+    hash equi-join keyed by the line hash (never doc×doc); reassembly is
+    one keyed agg per doc. At 100 TB, hash lines to 128-bit BEFORE the
+    shuffle so the popularity exchange moves 16-byte keys, not line text
+    — the md5 here already is that discipline."""
+    paras = (
+        _tokens(load_table(spark, sf_dir, "documents"))
+        .groupBy(
+            "doc_id", (F.col("pos") / _PARA_TOKENS).cast("long").alias("pidx")
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s.word,
+                ),
+                " ",
+            ).alias("para")
+        )
+        .withColumn("h", F.md5("para"))
+    )
+    pop = paras.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    kept = paras.join(pop, "h").where(F.col("n_docs") == 1)
+    tot = paras.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
+    ka = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pidx", "para"))),
+                lambda s: s.para,
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        tot.join(ka, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_paras",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
