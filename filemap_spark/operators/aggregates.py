@@ -1415,3 +1415,131 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "point_idx")
     )
+
+
+# Shared SQL (identical text in Spark and DuckDB) for the exact two-variable
+# moment kernel of agg_corr_cov. Strategy: scale both variables to integer
+# centi-units (identical per-row doubles -> identical integers), accumulate
+# raw power sums exactly (int64 where the worst case fits, DECIMAL(38,0)
+# where it cannot: sum(ys^2) reaches ~2e19 at sf0.1), then evaluate the
+# closed-form correlation/covariance from exact integer numerators. The two
+# variance numerators are cast to double BEFORE their product (the exact
+# product would need ~47 digits); each exact decimal converts to the
+# identical nearest double in both engines, and the remaining ops are IEEE.
+_CORR_COV_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         cast(round(l_quantity * 100) AS bigint) AS xs,
+         cast(round(l_extendedprice * 100) AS bigint) AS ys
+  FROM lineitem
+), a AS (
+  SELECT l_returnflag, count(*) AS n,
+         cast(sum(xs) AS decimal(20,0)) AS sx,
+         cast(sum(ys) AS decimal(20,0)) AS sy,
+         cast(sum(xs * ys) AS decimal(38,0)) AS sxy,
+         cast(sum(xs * xs) AS decimal(38,0)) AS sxx,
+         sum(cast(ys AS decimal(18,0)) * ys) AS syy
+  FROM s GROUP BY l_returnflag
+), f AS (
+  SELECT l_returnflag, n,
+         cast(n AS decimal(20,0)) * sxy - sx * sy AS num_cov,
+         cast(n AS decimal(20,0)) * sxx - sx * sx AS num_var_x,
+         cast(n AS decimal(20,0)) * cast(syy AS decimal(38,0)) - sy * sy AS num_var_y
+  FROM a
+)
+SELECT l_returnflag, cast(n AS bigint) AS n,
+       round(cast(num_cov AS double)
+             / (cast(n AS double) * cast(n AS double) * 10000.0), 6) AS covar_pop,
+       round(cast(num_cov AS double)
+             / (cast(n AS double) * (cast(n AS double) - 1.0) * 10000.0), 6) AS covar_samp,
+       round(cast(num_cov AS double)
+             / sqrt(cast(num_var_x AS double) * cast(num_var_y AS double)), 6) AS corr_qty_price
+FROM f ORDER BY l_returnflag
+"""
+
+
+@query("agg_corr_cov", oracle=_CORR_COV_SQL, cost=0.5)
+def agg_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per return flag (round 5): covar_pop /
+    covar_samp / corr between quantity and extended price — the engine
+    surface for `corr()`/`covar_*()`, but computed ORDER-FREE: Spark's
+    native corr/covar accumulate doubles in partition order, so their 6th
+    decimal is not rerun-stable under AQE repartitioning, let alone
+    engine-portable. Here the power sums are exact integers (int64 until
+    the worst case breaks it, decimal(38,0) beyond — see _CORR_COV_SQL),
+    so the statistic is a pure function of the data, not the partitioning.
+
+    Scale: ONE hash aggregate over the scaled fact (partial-agg friendly —
+    six exact accumulators per group); the closed-form evaluation is
+    per-group scalar math. The int64 products are sized for ~10^7 rows per
+    group; past that, promote xs*ys to the syy decimal discipline (the
+    numbers in the fragment's comment are the audit)."""
+    return register_views(spark, sf_dir).sql(_CORR_COV_SQL)
+
+
+# Shared body for agg_skew_kurtosis (Spark prepends WITH, the oracle splices
+# it after the events-normalization CTE). Two-pass exact central moments:
+# pass 1 computes the exact-integer mean per type (the davg discipline,
+# unrounded); pass 2 quantizes each deviation at 1e-3 (round-half-away is
+# engine-identical; a tie needs d*1000 to land exactly on x.5 — measure-zero
+# for doubles and tie-broken identically anyway) and accumulates dq^2 in
+# int64 (max ~2.4e18 at sf0.1) and dq^3/dq^4 in DECIMAL(38,0) (per-row dq^3
+# alone reaches 1.4e18; the sums need ~25-31 digits).
+_SKEW_KURT_BODY = """
+m AS (
+  SELECT event_type, count(*) AS n,
+         cast(cast(sum(cast(round(value * 1000000) AS bigint)) AS decimal(38,6))
+              / 1000000 AS double) / count(*) AS mean
+  FROM events GROUP BY event_type
+), d AS (
+  SELECT e.event_type,
+         cast(round((e.value - m.mean) * 1000) AS bigint) AS dq
+  FROM events e JOIN m ON e.event_type = m.event_type
+), p AS (
+  SELECT event_type,
+         sum(dq * dq) AS s2,
+         sum(cast(dq * dq AS decimal(25,0)) * dq) AS s3,
+         sum(cast(dq * dq AS decimal(25,0)) * cast(dq * dq AS decimal(25,0))) AS s4
+  FROM d GROUP BY event_type
+), q AS (
+  SELECT p.event_type, m.n, m.mean,
+         cast(s2 AS double) / 1000000.0 / m.n AS m2,
+         cast(s3 AS double) / 1000000000.0 / m.n AS m3,
+         cast(s4 AS double) / 1000000000000.0 / m.n AS m4
+  FROM p JOIN m ON p.event_type = m.event_type
+)
+SELECT event_type, cast(n AS bigint) AS n,
+       round(mean, 6) AS mean_value,
+       round(sqrt(m2), 6) AS std_pop,
+       round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+       round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+FROM q ORDER BY event_type
+"""
+
+
+@query(
+    "agg_skew_kurtosis",
+    oracle=EVENTS_NORM_SQL + ", " + _SKEW_KURT_BODY,
+    cost=0.5,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher central moments per event type (round 5): population skewness
+    g1 = m3/m2^1.5 and excess kurtosis g2 = m4/m2^2 − 3 — the two numbers
+    that tell a curation pipeline whether a metric's distribution is
+    one-sided or heavy-tailed BEFORE anyone picks a z-score threshold
+    (`ts_anomaly_mad`'s robust cousin assumes symmetry; this measures it).
+
+    Spark's native skewness()/kurtosis() fold doubles in partition order —
+    not rerun-stable at the 6th decimal. This is the exact two-pass
+    decomposition instead (see _SKEW_KURT_BODY): exact integer mean, then
+    1e-3-quantized deviations accumulated as exact int64/decimal power
+    sums, so the moments are partitioning-independent and engine-portable.
+    m2^1.5 is spelled m2*sqrt(m2) (pow() is libm, 1-ulp divergent; sqrt and
+    * are IEEE-exact).
+
+    Scale: two passes over events (the mean relation is O(types) and
+    broadcast into pass 2), each ONE partial-agg-friendly hash aggregate.
+    The int64 s2 accumulator is sized to ~4e5 rows/group at the observed
+    value range; s3/s4 already ride decimal(38,0) — promote s2 the same way
+    past 10^7 rows/group."""
+    return register_views(spark, sf_dir).sql("WITH " + _SKEW_KURT_BODY)

@@ -559,3 +559,58 @@ def test_lttb_matches_independent_reimplementation(spark, sf_dir):
 
     again_rows = all_queries()["ts_downsample_lttb"](spark, sf_dir).collect()
     assert sorted(map(tuple, again_rows)) == sorted(map(tuple, got_rows))
+
+
+def test_corr_cov_matches_numpy(spark):
+    """agg_corr_cov's exact-integer closed form vs direct numpy on the raw
+    columns. Quantity/price carry 2 decimals, so the centi-unit scaling is
+    LOSSLESS and the match is tight (1e-9), not quantization-limited."""
+    import numpy as np
+
+    from filemap_spark.operators.aggregates import agg_corr_cov
+
+    sf = "/root/testdata/sf0.001"
+    rows = agg_corr_cov(spark, sf).collect()
+    import duckdb
+
+    con = duckdb.connect()
+    for flag, n, cov_p, cov_s, corr in [
+        (r["l_returnflag"], r["n"], r["covar_pop"], r["covar_samp"], r["corr_qty_price"])
+        for r in rows
+    ]:
+        x, y = con.sql(
+            f"SELECT l_quantity, l_extendedprice FROM '{sf}/lineitem.parquet' "
+            f"WHERE l_returnflag = '{flag}'"
+        ).fetchnumpy().values()
+        assert n == len(x)
+        # outputs are 6dp-rounded; numpy's fold order adds ~1e-9 relative
+        assert abs(cov_p - np.cov(x, y, bias=True)[0, 1]) < 6e-7 + 1e-8 * abs(cov_p)
+        assert abs(cov_s - np.cov(x, y, bias=False)[0, 1]) < 6e-7 + 1e-8 * abs(cov_s)
+        assert abs(corr - np.corrcoef(x, y)[0, 1]) < 6e-7
+
+
+def test_skew_kurtosis_matches_numpy(spark):
+    """agg_skew_kurtosis's quantized two-pass moments vs direct numpy
+    central moments; the 1e-3 deviation quantization bounds the drift well
+    under 1e-3 on both normalized statistics."""
+    import duckdb
+    import numpy as np
+
+    from filemap_spark.operators.aggregates import agg_skew_kurtosis
+
+    sf = "/root/testdata/sf0.001"
+    rows = agg_skew_kurtosis(spark, sf).collect()
+    con = duckdb.connect()
+    assert len(rows) >= 3
+    for r in rows:
+        (v,) = con.sql(
+            f"SELECT value FROM '{sf}/events.parquet' "
+            f"WHERE event_type = '{r['event_type']}'"
+        ).fetchnumpy().values()
+        d = v - v.mean()
+        m2, m3, m4 = (d**2).mean(), (d**3).mean(), (d**4).mean()
+        assert r["n"] == len(v)
+        assert abs(r["mean_value"] - v.mean()) < 1e-5
+        assert abs(r["std_pop"] - np.sqrt(m2)) < 1e-3
+        assert abs(r["skewness"] - m3 / m2**1.5) < 1e-3
+        assert abs(r["kurtosis_excess"] - (m4 / m2**2 - 3.0)) < 1e-3
