@@ -849,3 +849,73 @@ def sample_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@query(
+    "sample_upsample_replicate",
+    cost=0.5,
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             cast(substr(source, 4) AS int) % 4 AS bucket,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source,
+             (CASE bucket WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 0 END
+              + CASE WHEN bucket IN (0, 1, 3) AND h < 2147483648 THEN 1 ELSE 0 END)
+               AS n_copies
+      FROM r
+    )
+    SELECT doc_id, source, cast(n_copies AS int) AS n_copies,
+           cast(unnest(generate_series(1, n_copies)) AS int) AS copy_idx
+    FROM c WHERE n_copies >= 1
+    ORDER BY doc_id, copy_idx
+    """,
+)
+def sample_upsample_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional domain UPSAMPLING by row replication (round 5) — the
+    other half of mixture weighting: `sample_temperature_mix` and
+    `sample_domain_mix` only DOWN-sample, but real pretraining mixtures
+    also repeat prized domains at fractional epoch rates (e.g. GPT-3's
+    Wikipedia at ~3.4 epochs). Rate per source bucket here: 2.5× / 1.5× /
+    1.0× / 0.5× (covering >1 replication, fractional top-up, identity,
+    and pure downsample in one op). Each doc gets floor(rate) copies plus
+    one more iff its md5 fraction clears frac(rate) — so a 2.5× domain
+    lands exactly [2,3] copies per doc with the right expectation, and
+    membership of the extra copy is doc-keyed, engine- and rerun-stable
+    (same md5 discipline as every sample_* op; the 2147483648 literal is
+    frac=0.5 of the 2^32 hash space, an exact integer test — no float).
+
+    The copy_idx column matters downstream: packing/shuffling stages key
+    on (doc_id, copy_idx) so replicas spread across shards instead of
+    sitting adjacent (epoch decorrelation).
+
+    Scale: map-side CASE + explode(sequence(...)) — zero shuffle, zero
+    UDF; output volume is the mixture's token budget, which is the point.
+    The explode is guarded to n_copies >= 1 because Spark's sequence(1, 0)
+    DESCENDS ([1, 0]) rather than yielding empty."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    bucket = F.substring("source", 4, 10).cast("int") % 4
+    base = (
+        F.when(bucket == 0, 2)
+        .when(bucket.isin(1, 2), 1)
+        .otherwise(0)
+    )
+    extra = F.when(bucket.isin(0, 1, 3) & (h < 2147483648), 1).otherwise(0)
+    return (
+        docs.select(
+            "doc_id", "source", (base + extra).cast("int").alias("n_copies")
+        )
+        .where(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            "n_copies",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
+        )
+        .orderBy("doc_id", "copy_idx")
+    )

@@ -949,3 +949,59 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@query(
+    "emb_norm_stats",
+    cost=0.5,
+    oracle="""
+    WITH n AS (
+      SELECT label,
+             sqrt(cast(list_sum(list_transform(embedding,
+                    x -> cast(round(cast(x AS double) * cast(x AS double) * 1000000)
+                         AS bigint))) AS double) / 1000000) AS norm
+      FROM embeddings
+    )
+    SELECT label, count(*) AS n_vecs,
+           round(cast(cast(sum(cast(round((norm) * 1000000) as bigint)) as decimal(38,6))
+                 / 1000000 as double) / count(*), 6) as avg_norm,
+           round(min(norm), 6) AS min_norm,
+           round(max(norm), 6) AS max_norm
+    FROM n GROUP BY label ORDER BY label
+    """,
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding L2-norm distribution (round 5): the first
+    diagnostic to run on any embedding table — un-normalized vectors break
+    cosine-vs-dot assumptions, a label whose norms drift signals an
+    encoder version mix, and near-zero norms flag failed encodes.
+
+    Determinism: the squared-element sum is quantized to integer
+    micro-units PER ELEMENT (identical float→double widening → identical
+    integers) and summed as int64, so the norm is order-free; sqrt is
+    IEEE-correctly-rounded, so both engines land on the same double. The
+    per-label mean then rides the standard davg discipline.
+
+    Scale: one projection + one hash aggregate — the array math is
+    per-row, the shuffle carries O(labels) partial states. 64 dims ×
+    round ≤ 6.5e8 per element, × 64 ≤ 4.2e10 per row: int64 holds to
+    ~10^8-dim vectors, no decimal needed."""
+    from filemap_spark.functions.numeric import davg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.expr(
+        "aggregate(embedding, cast(0 as bigint), (acc, x) -> "
+        "acc + cast(round(cast(x as double) * cast(x as double) * 1000000) as bigint))"
+    )
+    norm = F.sqrt(sq_sum.cast("double") / 1000000)
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.expr(davg("norm", "avg_norm")),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )

@@ -316,3 +316,30 @@ def test_multiset_setops_partition_the_bag(spark, sf_dir):
     # input bag has them, the outputs must preserve them (not distinct-ify)
     if any(n > 1 for n in m_v.values()):
         assert any(n > 1 for n in inter.values()) or any(n > 1 for n in exc.values())
+
+
+def test_upsample_replication_matches_pure_python_rule(spark, sf_dir):
+    """sample_upsample_replicate: per-doc copy counts recomputed with
+    hashlib md5 + the pure rate rule must match the engine exactly, and
+    every doc emits copy_idx 1..n_copies densely."""
+    import hashlib
+
+    from filemap_spark.io import load_table
+    from filemap_spark.operators.relational import sample_upsample_replicate
+
+    out = sample_upsample_replicate(spark, sf_dir).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault((r["doc_id"], r["source"]), []).append(r["copy_idx"])
+        assert r["n_copies"] == max(1, r["n_copies"])
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    base_by_bucket = {0: 2, 1: 1, 2: 1, 3: 0}
+    frac_buckets = {0, 1, 3}
+    for d in docs:
+        bucket = int(d["source"][3:]) % 4
+        h = int(hashlib.md5(str(d["doc_id"]).encode()).hexdigest()[:8], 16)
+        expect = base_by_bucket[bucket] + (
+            1 if bucket in frac_buckets and h < 2**31 else 0
+        )
+        got = sorted(by_doc.get((d["doc_id"], d["source"]), []))
+        assert got == list(range(1, expect + 1)), (d["doc_id"], bucket, expect, got)
