@@ -316,3 +316,65 @@ def stream_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "stream_stream_join",
+    cost=0.6,
+    oracle=EVENTS_NORM_SQL
+    + """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    ORDER BY click_id, purchase_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream attribution join (round 5): every purchase within 30
+    minutes AFTER a click by the same user — the canonical two-stream
+    correlation (ad attribution, request/response pairing) and the one
+    streaming shape the family still lacked (`stream_static_join` joins a
+    stream to a fixed dim; this joins two UNBOUNDED sides).
+
+    This is the graded batch-equivalent form per the §2.9 contract; the
+    true micro-batch twin — both sides `withWatermark`, the same
+    time-range join condition, append mode — runs in
+    tests/test_streaming.py and must emit the identical pair set. The
+    time bound is not decoration: it is exactly what lets Structured
+    Streaming expire join state (a click older than watermark + 30 min
+    can never match again and is evicted), keeping state O(window), not
+    O(stream history).
+
+    Scale: user_id equi-key + interval residual — a hash join whose
+    shuffle is keyed, never a range-only cross; both sides prune their
+    event_type at the scan. In streaming form, state per user is bounded
+    by the 30-minute window × arrival rate."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+        )
+        .orderBy("click_id", "purchase_id")
+    )

@@ -393,3 +393,51 @@ def test_scd1_upsert_stream_converges_to_batch(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(table_dir).collect()
     }
     assert again == expect
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """stream_stream_join's true two-unbounded-sides form: both sides
+    watermarked, the same user-key + 30-minute range condition, append
+    mode — the availableNow drain must emit exactly the batch-equivalent
+    pair set. The time bound is what lets the engine evict click state
+    older than watermark + 30 min; without it a stream-stream inner join
+    is unbounded-state and Spark rejects append mode."""
+    from filemap_spark.operators.streaming import stream_stream_join
+
+    input_dir, schema = make_stream_input(spark, sf_dir, n_files=4)
+    stream = read_stream(spark, input_dir, schema)
+
+    def _join(df):
+        clicks = (
+            df.where(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                "user_id",
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        purchases = (
+            df.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        return clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        ).select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+        )
+
+    got = run_available_now(spark, stream, _join, output_mode="append")
+    batch = stream_stream_join(spark, sf_dir)
+    assert canonical_rows(got.toPandas()) == canonical_rows(batch.toPandas())
