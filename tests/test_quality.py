@@ -471,3 +471,100 @@ def test_hll_intersection_bounds(spark, sf_dir):
     assert abs(est - exact) <= slack, (est, exact, slack)
     again = fn(spark, sf_dir).collect()[0]
     assert tuple(again) == tuple(row)
+
+
+def test_gopher_rules_match_pure_python(spark, sf_dir):
+    """text_gopher_rules vs an independent pure-Python recomputation of
+    every rule and the verdict — catches any drift between the Spark
+    expressions, the oracle SQL, and the documented rule definitions."""
+    from filemap_spark.io import load_table
+    from filemap_spark.operators.text import text_gopher_rules
+
+    got = {r["doc_id"]: r for r in text_gopher_rules(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    stop = {"the", "a", "of", "to", "and"}
+    assert len(got) == len(docs)
+    for d in docs:
+        w = d["text"].split(" ")
+        n = len(w)
+        mean_wl = (len(d["text"]) - n + 1) / n
+        short = sum(1 for x in w if len(x) <= 2) / n
+        distinct = len(set(w)) / n
+        n_stop = len(set(w) & stop)
+        rules = [
+            30 <= n <= 5000,
+            3.0 <= mean_wl <= 10.0,
+            short <= 0.1,
+            distinct >= 0.3,
+            n_stop >= 2,
+        ]
+        r = got[d["doc_id"]]
+        assert (
+            [r["r_len"], r["r_word_len"], r["r_short"], r["r_rep"], r["r_stop"]]
+            == [int(x) for x in rules]
+        ), d["doc_id"]
+        assert r["verdict"] == ("keep" if all(rules) else "drop")
+        assert r["n_tokens"] == n and r["n_stopwords"] == n_stop
+
+
+def test_line_level_dedup_matches_pure_python(spark, sf_dir):
+    """dedup_line_level vs pure-Python: recompute 10-token chunking, global
+    line popularity, and in-order reassembly; every doc's survivor count
+    and cleaned text must match, and any doc made of only shared lines
+    must survive as an '' row (not vanish)."""
+    from collections import Counter
+
+    from filemap_spark.io import load_table
+    from filemap_spark.operators.text import dedup_line_level
+
+    got = {r["doc_id"]: r for r in dedup_line_level(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    chunks_by_doc = {}
+    owners = {}
+    for d in docs:
+        w = d["text"].split(" ")
+        chunks = [" ".join(w[i : i + 10]) for i in range(0, len(w), 10)]
+        chunks_by_doc[d["doc_id"]] = chunks
+        for c in set(chunks):
+            owners.setdefault(c, set()).add(d["doc_id"])
+    assert len(got) == len(docs)
+    saw_variation = False
+    for doc_id, chunks in chunks_by_doc.items():
+        kept = [c for c in chunks if len(owners[c]) == 1]
+        r = got[doc_id]
+        assert r["n_paras"] == len(chunks)
+        assert r["n_kept"] == len(kept)
+        assert r["clean_text"] == " ".join(kept)
+        saw_variation = saw_variation or len(kept) < len(chunks)
+    # the contract corpus contains cross-doc duplicated lines at every sf
+    assert saw_variation
+
+
+def test_moving_median_matches_pure_python(spark, sf_dir):
+    """win_moving_median vs a pure-Python rolling median (statistics.median
+    interpolates even counts identically); also pins the robustness claim:
+    the median of a frame never leaves [min, max] of the frame."""
+    import statistics
+
+    from filemap_spark.io import load_table
+    from filemap_spark.operators.windows import win_moving_median
+
+    got = {r["event_id"]: r["med7"] for r in win_moving_median(spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .collect()
+    )
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    checked = 0
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        for i, r in enumerate(rows):
+            frame = [x["value"] for x in rows[max(0, i - 6) : i + 1]]
+            expect = round(statistics.median(frame), 6)
+            assert abs(got[r["event_id"]] - expect) <= 1e-9, r["event_id"]
+            assert min(frame) <= got[r["event_id"]] <= max(frame)
+            checked += 1
+    assert checked == len(ev)
