@@ -9,6 +9,7 @@ over directories of text files), re-expressed on Spark.
         --cmd "tr ' ' '\\n'" --reduce "sort | uniq -c" --cmd "grep -v '^1 '"
     python -m filemap_spark query SF_DIR "SELECT ..."   # SQL over views
     python -m filemap_spark dedup SF_DIR OUTPUT --method near  # clean corpus
+    python -m filemap_spark quality SF_DIR OUTPUT [--clean-lines]  # rule gate
 
 Semantics preserved from the reference:
 - dataset = a directory (or glob) of text files; `.gz` handled transparently
@@ -412,6 +413,74 @@ def run_compact(
     return before, after, rows
 
 
+def run_quality(
+    spark, input_dir: str, output: str, clean_lines: bool = False
+) -> dict[str, int]:
+    """Quality-gate a corpus as a CLI verb (round 5): apply the
+    `text_gopher_rules` gate over INPUT/documents.parquet and materialize
+    the keepers (all original columns) to OUTPUT/documents.parquet —
+    chainable into `dedup`/`stats`/another `quality` run, like every
+    corpus-dir verb. With `clean_lines`, cross-corpus duplicated lines are
+    first stripped via `dedup_line_level` (text and n_chars rewritten from
+    the surviving lines; docs that were ALL boilerplate drop out before
+    the gate even sees them). Composes the graded operators; returns the
+    per-rule drop audit — the numbers an operator reads before trusting
+    the gate."""
+    from filemap_spark.io import load_table
+    from filemap_spark.operators.text import dedup_line_level, text_gopher_rules
+
+    docs = load_table(spark, input_dir, "documents")
+    n_docs = docs.count()
+    lines_removed = 0
+    if clean_lines:
+        cleaned = dedup_line_level(spark, input_dir)
+        lines_removed = (
+            cleaned.agg(
+                F.coalesce(F.sum(F.col("n_paras") - F.col("n_kept")), F.lit(0)).alias("d")
+            ).collect()[0]["d"]
+        )
+        docs = (
+            docs.join(cleaned.where(F.col("n_kept") > 0), "doc_id")
+            .select(
+                "doc_id",
+                F.col("clean_text").alias("text"),
+                "lang",
+                "source",
+                F.length("clean_text").alias("n_chars"),
+            )
+        )
+        # the gate must score the CLEANED text, so re-ingest it as a corpus
+        tmp_corpus = os.path.join(output, "_cleaned")
+        docs.write.mode("overwrite").parquet(
+            os.path.join(tmp_corpus, "documents.parquet")
+        )
+        docs = load_table(spark, tmp_corpus, "documents")
+        input_dir = tmp_corpus
+    verdicts = text_gopher_rules(spark, input_dir)
+    audit_row = verdicts.agg(
+        F.count("*").alias("scored"),
+        F.sum(F.when(F.col("verdict") == "keep", 1).otherwise(0)).alias("kept"),
+        *[
+            F.sum(1 - F.col(c)).alias(f"fail_{c}")
+            for c in ("r_len", "r_word_len", "r_short", "r_rep", "r_stop")
+        ],
+    ).collect()[0]
+    keepers = verdicts.where(F.col("verdict") == "keep").select("doc_id")
+    docs.join(keepers, "doc_id", "left_semi").write.mode("overwrite").parquet(
+        os.path.join(output, "documents.parquet")
+    )
+    return {
+        "n_docs": n_docs,
+        "lines_removed": int(lines_removed),
+        "scored": audit_row["scored"],
+        "kept": int(audit_row["kept"]),
+        **{
+            f"fail_{c}": int(audit_row[f"fail_{c}"])
+            for c in ("r_len", "r_word_len", "r_short", "r_rep", "r_stop")
+        },
+    }
+
+
 class _StageAction(argparse.Action):
     """Collect repeated --cmd/--reduce flags as an ORDERED stage list."""
 
@@ -474,6 +543,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("input")
 
     p = sub.add_parser(
+        "quality",
+        help="Gopher-rule gate INPUT/documents.parquet into a kept corpus",
+    )
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument(
+        "--clean-lines",
+        action="store_true",
+        help="strip cross-corpus duplicated lines before gating",
+    )
+
+    p = sub.add_parser(
         "compact",
         help="rewrite a fragmented parquet dataset as few range-clustered files",
     )
@@ -509,6 +590,16 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark("filemap-cli")
         for k, v in run_stats(spark, args.input).items():
+            print(f"{k}\t{v}")
+        return 0
+    if args.verb == "quality":
+        from filemap_spark.session import get_spark
+
+        spark = get_spark("filemap-cli")
+        audit = run_quality(
+            spark, args.input, args.output, clean_lines=args.clean_lines
+        )
+        for k, v in audit.items():
             print(f"{k}\t{v}")
         return 0
     if args.verb == "compact":

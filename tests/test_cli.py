@@ -312,3 +312,44 @@ def test_stats_verb_reports_corpus_health(spark, sf_dir):
     gini_op = all_queries()["agg_gini_concentration"](spark, sf_dir).collect()[0]
     assert got["length_gini"] == gini_op["gini"]
     assert got["n_langs"] >= 1 and got["n_tokens"] > got["n_docs"]
+
+
+def test_quality_verb_gates_corpus(spark, sf_dir, tmp_path):
+    """`quality` materializes exactly the gopher-rule keepers, audit counts
+    reconcile, and the output is a chainable corpus dir."""
+    from filemap_spark.cli import run_quality, run_stats
+    from filemap_spark.io import load_table
+    from filemap_spark.operators.text import text_gopher_rules
+
+    out = str(tmp_path / "gated")
+    audit = run_quality(spark, sf_dir, out)
+    verdicts = text_gopher_rules(spark, sf_dir).collect()
+    expect_kept = {r["doc_id"] for r in verdicts if r["verdict"] == "keep"}
+    kept_docs = spark.read.parquet(f"{out}/documents.parquet")
+    assert {r["doc_id"] for r in kept_docs.select("doc_id").collect()} == expect_kept
+    assert audit["kept"] == len(expect_kept)
+    assert audit["scored"] == audit["n_docs"] == len(verdicts)
+    for c in ("r_len", "r_word_len", "r_short", "r_rep", "r_stop"):
+        assert audit[f"fail_{c}"] == sum(1 for r in verdicts if not r[c])
+    # chainable: stats runs over the gated output
+    assert run_stats(spark, out)["n_docs"] == len(expect_kept)
+
+
+def test_quality_verb_clean_lines_rewrites_text(spark, sf_dir, tmp_path):
+    """--clean-lines strips cross-corpus duplicated lines BEFORE gating:
+    every surviving text equals dedup_line_level's clean_text and the
+    lines_removed audit matches the operator's arithmetic."""
+    from filemap_spark.cli import run_quality
+    from filemap_spark.operators.text import dedup_line_level
+
+    out = str(tmp_path / "gated_clean")
+    audit = run_quality(spark, sf_dir, out, clean_lines=True)
+    cleaned = {r["doc_id"]: r for r in dedup_line_level(spark, sf_dir).collect()}
+    assert audit["lines_removed"] == sum(
+        r["n_paras"] - r["n_kept"] for r in cleaned.values()
+    )
+    kept_docs = spark.read.parquet(f"{out}/documents.parquet").collect()
+    assert 0 < len(kept_docs) <= audit["scored"] <= audit["n_docs"]
+    for r in kept_docs:
+        assert r["text"] == cleaned[r["doc_id"]]["clean_text"]
+        assert r["n_chars"] == len(r["text"])
