@@ -429,46 +429,64 @@ def run_quality(
     from filemap_spark.io import load_table
     from filemap_spark.operators.text import dedup_line_level, text_gopher_rules
 
+    import shutil
+    import tempfile
+
     docs = load_table(spark, input_dir, "documents")
     n_docs = docs.count()
     lines_removed = 0
-    if clean_lines:
-        cleaned = dedup_line_level(spark, input_dir)
-        lines_removed = (
-            cleaned.agg(
-                F.coalesce(F.sum(F.col("n_paras") - F.col("n_kept")), F.lit(0)).alias("d")
-            ).collect()[0]["d"]
-        )
-        docs = (
-            docs.join(cleaned.where(F.col("n_kept") > 0), "doc_id")
-            .select(
-                "doc_id",
-                F.col("clean_text").alias("text"),
-                "lang",
-                "source",
-                F.length("clean_text").alias("n_chars"),
+    tmp_corpus = None
+    try:
+        if clean_lines:
+            # one execution: checkpoint the (three-shuffle) line-dedup result
+            # so the audit sum and the materialization join both read it
+            cleaned = dedup_line_level(spark, input_dir).localCheckpoint()
+            lines_removed = (
+                cleaned.agg(
+                    F.coalesce(
+                        F.sum(F.col("n_paras") - F.col("n_kept")), F.lit(0)
+                    ).alias("d")
+                ).collect()[0]["d"]
             )
+            docs = (
+                docs.join(cleaned.where(F.col("n_kept") > 0), "doc_id")
+                .select(
+                    "doc_id",
+                    F.col("clean_text").alias("text"),
+                    "lang",
+                    "source",
+                    F.length("clean_text").alias("n_chars"),
+                )
+            )
+            # the gate must score the CLEANED text, so re-ingest it as a
+            # corpus — under a real temp dir, never inside OUTPUT (a stale
+            # _cleaned beside documents.parquet would ship with the corpus)
+            tmp_corpus = tempfile.mkdtemp(prefix="filemap_quality_")
+            docs.write.mode("overwrite").parquet(
+                os.path.join(tmp_corpus, "documents.parquet")
+            )
+            docs = load_table(spark, tmp_corpus, "documents")
+            input_dir = tmp_corpus
+        verdicts = text_gopher_rules(spark, input_dir)
+        # coalesce every summed counter: over an EMPTY corpus (a prior run
+        # kept zero docs, or --clean-lines dropped everything) sum() is NULL
+        audit_row = verdicts.agg(
+            F.count("*").alias("scored"),
+            F.coalesce(
+                F.sum(F.when(F.col("verdict") == "keep", 1).otherwise(0)), F.lit(0)
+            ).alias("kept"),
+            *[
+                F.coalesce(F.sum(1 - F.col(c)), F.lit(0)).alias(f"fail_{c}")
+                for c in ("r_len", "r_word_len", "r_short", "r_rep", "r_stop")
+            ],
+        ).collect()[0]
+        keepers = verdicts.where(F.col("verdict") == "keep").select("doc_id")
+        docs.join(keepers, "doc_id", "left_semi").write.mode("overwrite").parquet(
+            os.path.join(output, "documents.parquet")
         )
-        # the gate must score the CLEANED text, so re-ingest it as a corpus
-        tmp_corpus = os.path.join(output, "_cleaned")
-        docs.write.mode("overwrite").parquet(
-            os.path.join(tmp_corpus, "documents.parquet")
-        )
-        docs = load_table(spark, tmp_corpus, "documents")
-        input_dir = tmp_corpus
-    verdicts = text_gopher_rules(spark, input_dir)
-    audit_row = verdicts.agg(
-        F.count("*").alias("scored"),
-        F.sum(F.when(F.col("verdict") == "keep", 1).otherwise(0)).alias("kept"),
-        *[
-            F.sum(1 - F.col(c)).alias(f"fail_{c}")
-            for c in ("r_len", "r_word_len", "r_short", "r_rep", "r_stop")
-        ],
-    ).collect()[0]
-    keepers = verdicts.where(F.col("verdict") == "keep").select("doc_id")
-    docs.join(keepers, "doc_id", "left_semi").write.mode("overwrite").parquet(
-        os.path.join(output, "documents.parquet")
-    )
+    finally:
+        if tmp_corpus is not None:
+            shutil.rmtree(tmp_corpus, ignore_errors=True)
     return {
         "n_docs": n_docs,
         "lines_removed": int(lines_removed),

@@ -353,3 +353,28 @@ def test_quality_verb_clean_lines_rewrites_text(spark, sf_dir, tmp_path):
     for r in kept_docs:
         assert r["text"] == cleaned[r["doc_id"]]["clean_text"]
         assert r["n_chars"] == len(r["text"])
+
+
+def test_quality_verb_survives_empty_corpus(spark, tmp_path):
+    """Chaining `quality` after a run that kept zero docs must not crash:
+    aggregates over an empty corpus are NULL and every audit counter must
+    coalesce to 0 (regression: int(None) TypeError)."""
+    from filemap_spark.cli import run_quality
+
+    empty_corpus = str(tmp_path / "empty")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{empty_corpus}/documents.parquet")
+    audit = run_quality(spark, empty_corpus, out)
+    assert audit["n_docs"] == audit["scored"] == audit["kept"] == 0
+    assert all(audit[f"fail_{c}"] == 0 for c in ("r_len", "r_word_len", "r_short", "r_rep", "r_stop"))
+    assert spark.read.parquet(f"{out}/documents.parquet").count() == 0
+    # --clean-lines over the empty corpus must also hold, and leave no
+    # _cleaned residue inside OUTPUT
+    out2 = str(tmp_path / "out2")
+    audit2 = run_quality(spark, empty_corpus, out2, clean_lines=True)
+    assert audit2["kept"] == 0 and audit2["lines_removed"] == 0
+    import os
+
+    assert not os.path.exists(os.path.join(out2, "_cleaned"))

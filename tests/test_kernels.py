@@ -561,7 +561,7 @@ def test_lttb_matches_independent_reimplementation(spark, sf_dir):
     assert sorted(map(tuple, again_rows)) == sorted(map(tuple, got_rows))
 
 
-def test_corr_cov_matches_numpy(spark):
+def test_corr_cov_matches_numpy(spark, sf_dir):
     """agg_corr_cov's exact-integer closed form vs direct numpy on the raw
     columns. Quantity/price carry 2 decimals, so the centi-unit scaling is
     LOSSLESS and the match is tight (1e-9), not quantization-limited."""
@@ -569,7 +569,7 @@ def test_corr_cov_matches_numpy(spark):
 
     from filemap_spark.operators.aggregates import agg_corr_cov
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     rows = agg_corr_cov(spark, sf).collect()
     import duckdb
 
@@ -589,7 +589,7 @@ def test_corr_cov_matches_numpy(spark):
         assert abs(corr - np.corrcoef(x, y)[0, 1]) < 6e-7
 
 
-def test_skew_kurtosis_matches_numpy(spark):
+def test_skew_kurtosis_matches_numpy(spark, sf_dir):
     """agg_skew_kurtosis's quantized two-pass moments vs direct numpy
     central moments; the 1e-3 deviation quantization bounds the drift well
     under 1e-3 on both normalized statistics."""
@@ -598,7 +598,7 @@ def test_skew_kurtosis_matches_numpy(spark):
 
     from filemap_spark.operators.aggregates import agg_skew_kurtosis
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     rows = agg_skew_kurtosis(spark, sf).collect()
     con = duckdb.connect()
     assert len(rows) >= 3
