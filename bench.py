@@ -79,15 +79,24 @@ R5_HEADLINE = (
     "sample_temperature_mix",
     "text_hash_features",
     "sink_compact_small_files",
+    # final-wave additions (BASELINE.md Table 4b)
+    "dedup_line_level",
+    "agg_corr_cov",
+    "win_cumulative_distinct",
+    "stream_stream_join",
 )
 
-BASELINE_WARM_SF01_R5 = {  # Table 4 denominators; bars effective round 6
+BASELINE_WARM_SF01_R5 = {  # Table 4/4b denominators; bars effective round 6
     "join_point_in_time_scd2": 1.11,
     "ts_resample_ohlc": 0.62,
     "dedup_url_canonical": 0.44,
     "sample_temperature_mix": 0.59,
     "text_hash_features": 0.49,
     "sink_compact_small_files": 1.27,
+    "dedup_line_level": 1.36,
+    "agg_corr_cov": 1.18,
+    "win_cumulative_distinct": 0.89,
+    "stream_stream_join": 0.43,
 }
 
 
