@@ -359,3 +359,46 @@ def test_cumulative_distinct_single_window_shuffle(spark, sf_dir):
     exchange."""
     plan = plan_of(spark, sf_dir, "win_cumulative_distinct")
     assert plan.count("hashpartitioning(") == 1, plan
+
+
+def test_gopher_rules_is_shuffle_free(spark, sf_dir):
+    """text_gopher_rules is a pure per-row gate: the plan must contain NO
+    hash exchange — the property that lets it run FIRST in a curation
+    pipeline at zero shuffle cost."""
+    plan = plan_of(spark, sf_dir, "text_gopher_rules")
+    assert plan.count("hashpartitioning(") == 0, plan
+
+
+def test_upsample_replicate_is_shuffle_free_generate(spark, sf_dir):
+    """sample_upsample_replicate must be a map-side explode: a Generate
+    node, zero hash exchanges — output volume is the only cost."""
+    plan = plan_of(spark, sf_dir, "sample_upsample_replicate")
+    assert "Generate" in plan
+    assert plan.count("hashpartitioning(") == 0, plan
+
+
+def test_corr_cov_single_aggregate_exchange(spark, sf_dir):
+    """agg_corr_cov's six exact accumulators ride ONE partial-agg-friendly
+    hash aggregate: exactly one hash exchange, no joins, no window."""
+    plan = plan_of(spark, sf_dir, "agg_corr_cov")
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_skew_kurtosis_broadcasts_mean_no_smj(spark, sf_dir):
+    """agg_skew_kurtosis joins the O(types) mean relation back into pass 2
+    as a BROADCAST (never a sort-merge over the fact); every exchange in
+    the plan carries aggregate state, not raw rows."""
+    plan = plan_of(spark, sf_dir, "agg_skew_kurtosis")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("hashpartitioning(") <= 3, plan
+
+
+def test_stream_stream_join_is_keyed_not_cross(spark, sf_dir):
+    """stream_stream_join's user_id equi-key must anchor a hash join; the
+    30-minute bound is a residual, never a BNLJ/cartesian driver."""
+    plan = plan_of(spark, sf_dir, "stream_stream_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
