@@ -1005,3 +1005,83 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "emb_label_centroid_sim",
+    cost=0.5,
+    oracle="""
+    WITH elems AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(list_transform(embedding, x -> cast(x AS double))) AS v
+      FROM embeddings
+    ), means AS (
+      SELECT label, pos, round(avg(v), 6) AS m FROM elems GROUP BY label, pos
+    ), norms AS (
+      SELECT label, cast(sum(cast(round(m * m * 1000000000000) AS bigint)) AS bigint) AS n2s
+      FROM means GROUP BY label
+    ), dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             cast(sum(cast(round(a.m * b.m * 1000000000000) AS bigint)) AS bigint) AS ds
+      FROM means a JOIN means b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b,
+           round((cast(ds AS double) / 1000000000000)
+                 / (sqrt(cast(x.n2s AS double) / 1000000000000)
+                    * sqrt(cast(y.n2s AS double) / 1000000000000)), 6) AS cos_sim
+    FROM dots JOIN norms x ON label_a = x.label JOIN norms y ON label_b = y.label
+    ORDER BY label_a, label_b
+    """,
+)
+def emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-separation matrix (round 5): pairwise cosine similarity between
+    the per-label centroid vectors — the embedding-space diagnostic read
+    BEFORE trusting `sim_knn_label` voting or label-stratified dedup: two
+    labels whose centroids sit at cos ≳ 0.9 will bleed into each other
+    under any nearest-neighbor rule, and a label whose centroid is near-
+    orthogonal to all others is safely separable.
+
+    Determinism: coordinate means are rounded to 6dp first (identical
+    doubles both engines, per the emb_centroid_per_label precedent); every
+    dot/norm term is then quantized to an exact 1e-12-scaled int64 before
+    summation (64 terms × ≤1e13 — order-free), so the cosine is a pure
+    function of the data. sqrt is IEEE-exact.
+
+    Scale: the ONLY data-sized work is the per-(label, pos) mean — one
+    partial-agg-friendly hash aggregate over exploded coordinates;
+    everything after operates on O(labels × dim) rows (640 here), and the
+    pair join is O(labels² × dim) — independent of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    means = elems.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("m"))
+    term = lambda x: F.round(x * 1e12).cast("bigint")  # noqa: E731
+    norms = means.groupBy("label").agg(
+        F.sum(term(F.col("m") * F.col("m"))).cast("bigint").alias("n2s")
+    )
+    a, b = means.alias("a"), means.alias("b")
+    dots = (
+        a.join(b, (F.col("a.pos") == F.col("b.pos")) & (F.col("a.label") < F.col("b.label")))
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(F.sum(term(F.col("a.m") * F.col("b.m"))).cast("bigint").alias("ds"))
+    )
+    x, y = norms.alias("x"), norms.alias("y")
+    return (
+        dots.join(x, F.col("label_a") == F.col("x.label"))
+        .join(y, F.col("label_b") == F.col("y.label"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                (F.col("ds").cast("double") / 1e12)
+                / (
+                    F.sqrt(F.col("x.n2s").cast("double") / 1e12)
+                    * F.sqrt(F.col("y.n2s").cast("double") / 1e12)
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy("label_a", "label_b")
+    )

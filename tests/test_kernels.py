@@ -614,3 +614,32 @@ def test_skew_kurtosis_matches_numpy(spark, sf_dir):
         assert abs(r["std_pop"] - np.sqrt(m2)) < 1e-3
         assert abs(r["skewness"] - m3 / m2**1.5) < 1e-3
         assert abs(r["kurtosis_excess"] - (m4 / m2**2 - 3.0)) < 1e-3
+
+
+def test_label_centroid_sim_matches_numpy(spark, sf_dir):
+    """emb_label_centroid_sim vs direct numpy: mean per label, pairwise
+    cosine. The op rounds coordinate means at 6dp before the quantized
+    dot/norm sums, so agreement is bounded by that rounding (~1e-4 on a
+    cosine of ~1-magnitude centroid norms), not by summation order."""
+    import numpy as np
+
+    from filemap_spark.io import load_table
+    from filemap_spark.operators.similarity import emb_label_centroid_sim
+
+    got = {
+        (r["label_a"], r["label_b"]): r["cos_sim"]
+        for r in emb_label_centroid_sim(spark, sf_dir).collect()
+    }
+    pdf = load_table(spark, sf_dir, "embeddings").toPandas()
+    cents = {}
+    for label, grp in pdf.groupby("label"):
+        cents[label] = np.vstack(grp["embedding"].to_numpy()).astype(np.float64).mean(axis=0)
+    labels = sorted(cents)
+    n_pairs = 0
+    for i, la in enumerate(labels):
+        for lb in labels[i + 1 :]:
+            ca, cb = cents[la], cents[lb]
+            expect = float(ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb)))
+            assert abs(got[(la, lb)] - expect) < 1e-4, (la, lb)
+            n_pairs += 1
+    assert n_pairs == len(got) == len(labels) * (len(labels) - 1) // 2
