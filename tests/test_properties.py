@@ -343,3 +343,51 @@ def test_upsample_replication_matches_pure_python_rule(spark, sf_dir):
         )
         got = sorted(by_doc.get((d["doc_id"], d["source"]), []))
         assert got == list(range(1, expect + 1)), (d["doc_id"], bucket, expect, got)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "N", "R"]),
+            st.integers(min_value=1, max_value=5000),      # qty in centi-units
+            st.integers(min_value=1, max_value=10_500_000),  # price in cents
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+)
+def test_corr_cov_kernel_matches_duckdb_on_random_data(spark, rows):
+    """The shared _CORR_COV_SQL text over RANDOM 2-decimal data must produce
+    identical results in Spark and DuckDB — beyond the contract tables.
+    Two fixed distinct anchor rows per flag keep every group's variance
+    strictly positive (corr's denominator)."""
+    import duckdb
+
+    from filemap_spark.operators.aggregates import _CORR_COV_SQL
+
+    data = [(f, q / 100.0, p / 100.0) for f, q, p in rows]
+    for f in ("A", "N", "R"):
+        data += [(f, 1.0, 900.0), (f, 50.0, 104999.0)]  # variance anchors
+
+    sdf = spark.createDataFrame(
+        data, "l_returnflag string, l_quantity double, l_extendedprice double"
+    )
+    sdf.createOrReplaceTempView("lineitem")
+    got = spark.sql(_CORR_COV_SQL).toPandas()
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE TABLE lineitem (l_returnflag VARCHAR, l_quantity DOUBLE,"
+            " l_extendedprice DOUBLE)"
+        )
+        con.executemany("INSERT INTO lineitem VALUES (?, ?, ?)", data)
+        expect = con.execute(_CORR_COV_SQL).df()
+    finally:
+        con.close()
+    assert canonical_rows(got) == canonical_rows(expect)

@@ -441,3 +441,66 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     got = run_available_now(spark, stream, _join, output_mode="append")
     batch = stream_stream_join(spark, sf_dir)
     assert canonical_rows(got.toPandas()) == canonical_rows(batch.toPandas())
+
+
+def test_stream_stream_join_multi_batch_time_ordered(spark, sf_dir, tmp_path):
+    """stream_stream_join under file-at-a-time micro-batches with TIME-ORDERED
+    arrival (the realistic ingest shape): the watermark advances batch to
+    batch and evicts old click state, yet every cross-batch match inside the
+    30-minute bound survives — the availableNow drain must still equal the
+    batch join exactly. (Random file order would legitimately drop
+    late-arriving matches; ordered arrival must not.)"""
+    import time as _time
+
+    from filemap_spark.io import load_table
+    from filemap_spark.operators.streaming import stream_stream_join
+
+    ev = load_table(spark, sf_dir, "events")
+    # four time-range quartiles appended SEQUENTIALLY: FileStreamSource
+    # admits files oldest-mtime-first, so arrival order == event-time order
+    w = F.ntile(4).over(
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+            "ts", "event_id"
+        )
+    )
+    quartiled = ev.withColumn("q", w).localCheckpoint()
+    input_dir = str(tmp_path / "ordered_input")
+    for i in range(1, 5):
+        quartiled.where(F.col("q") == i).drop("q").coalesce(1).write.mode(
+            "append"
+        ).parquet(input_dir)
+        _time.sleep(0.05)
+    stream = read_stream(spark, input_dir, ev.schema, max_files_per_trigger=1)
+
+    def _join(df):
+        clicks = (
+            df.where(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        purchases = (
+            df.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        return clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        ).select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+        )
+
+    got = run_available_now(spark, stream, _join, output_mode="append")
+    batch = stream_stream_join(spark, sf_dir)
+    assert canonical_rows(got.toPandas()) == canonical_rows(batch.toPandas())
