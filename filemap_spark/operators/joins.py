@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from filemap_spark.functions.numeric import dsum
-from filemap_spark.io import EVENTS_NORM_SQL, load_table
+from filemap_spark.io import EVENTS_NORM_SQL, load_table, register_views
 from filemap_spark.registry import query
 
 
@@ -1049,3 +1049,41 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_us")
     )
+
+
+# Shared SQL text (identical in Spark and DuckDB) for join_lateral_topn.
+_LATERAL_TOPN_SQL = """
+SELECT o.o_orderkey, o.o_custkey, l.l_linenumber, l.price
+FROM orders o, LATERAL (
+  SELECT l_linenumber, round(l_extendedprice, 6) AS price
+  FROM lineitem WHERE l_orderkey = o.o_orderkey
+  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2
+) l
+WHERE o.o_orderkey % 7 = 0
+ORDER BY o.o_orderkey, price DESC, l.l_linenumber
+"""
+
+
+@query("join_lateral_topn", oracle=_LATERAL_TOPN_SQL, cost=0.5)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join (round 5): for each order, its top-2
+    lineitems by price — the Postgres-idiom spelling of per-entity top-N
+    (`FROM a, LATERAL (SELECT ... WHERE key = a.key ORDER BY x LIMIT k)`),
+    which the engine must accept verbatim because it is how analysts who
+    grew up on laterals will write it. Same RESULT surface as
+    `win_topk_per_group`; completely different resolution path — Catalyst
+    decorrelates the per-row subquery into a joined/ranked plan instead of
+    executing it N times, which is the whole point: a naive engine runs the
+    inner query once per outer row (150k scans at sf0.1), a decorrelating
+    one runs it as one keyed plan.
+
+    Scale: the decorrelated plan is a keyed join + per-key ordering —
+    shuffle on the correlation key, never an outer-row loop; pinned
+    BNLJ/Cartesian-free in tests/test_plan_shape.py. The LIMIT inside the
+    lateral bounds per-key state to k rows exactly like the window top-k.
+
+    The % 7 outer filter keeps the graded frame bounded and, because it is
+    on the CORRELATION key's parent row, must push through the
+    decorrelation into the lineitem side's join — visible in the plan as a
+    filter below the join, not above it."""
+    return register_views(spark, sf_dir).sql(_LATERAL_TOPN_SQL)

@@ -402,3 +402,12 @@ def test_stream_stream_join_is_keyed_not_cross(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_lateral_topn_decorrelates_no_per_row_loop(spark, sf_dir):
+    """join_lateral_topn's correlated LATERAL subquery must decorrelate into
+    a keyed join/ranked plan — never a BNLJ/cartesian per-outer-row loop."""
+    plan = plan_of(spark, sf_dir, "join_lateral_topn")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
