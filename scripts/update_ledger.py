@@ -45,7 +45,12 @@ def classify(row: dict) -> str:
 
 def main() -> int:
     status: dict[str, str] = {}
-    rounds = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json")))
+    # numeric round sort: lexical order would misplace r10+ after r1 and the
+    # r0* glob would miss them entirely (rounds run past 9)
+    rounds = sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+        key=lambda p: int("".join(ch for ch in os.path.basename(p) if ch.isdigit())),
+    )
     for path in rounds:
         with open(path) as f:
             for name, row in json.load(f).items():
