@@ -455,7 +455,10 @@ def run_quality(
                     F.col("clean_text").alias("text"),
                     "lang",
                     "source",
-                    F.length("clean_text").alias("n_chars"),
+                    # cast: F.length yields int32; the corpus contract
+                    # (FIXTURES.md) declares n_chars int64 — keep chainable
+                    # outputs schema-identical to every other verb's
+                    F.length("clean_text").cast("bigint").alias("n_chars"),
                 )
             )
             # the gate must score the CLEANED text, so re-ingest it as a

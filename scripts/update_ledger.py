@@ -46,11 +46,20 @@ def classify(row: dict) -> str:
 def main() -> int:
     status: dict[str, str] = {}
     # numeric round sort: lexical order would misplace r10+ after r1 and the
-    # r0* glob would miss them entirely (rounds run past 9)
-    rounds = sorted(
-        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
-        key=lambda p: int("".join(ch for ch in os.path.basename(p) if ch.isdigit())),
-    )
+    # r0* glob would miss them entirely (rounds run past 9). Targeted regex —
+    # concatenating ALL digits would sort a CORRECTNESS_r5_v2.json as round
+    # 52 and crash on a digitless name; skip non-matching files loudly.
+    import re
+
+    paths = glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    rounds = []
+    for p in paths:
+        m = re.search(r"_r(\d+)\.json$", os.path.basename(p))
+        if m:
+            rounds.append((int(m.group(1)), p))
+        else:
+            print(f"# (!) skipping non-round file: {os.path.basename(p)}")
+    rounds = [p for _, p in sorted(rounds)]
     for path in rounds:
         with open(path) as f:
             for name, row in json.load(f).items():

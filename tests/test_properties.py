@@ -377,8 +377,14 @@ def test_corr_cov_kernel_matches_duckdb_on_random_data(spark, rows):
     sdf = spark.createDataFrame(
         data, "l_returnflag string, l_quantity double, l_extendedprice double"
     )
+    # the session fixture is shared: drop the shadow view in finally so a
+    # later test issuing SQL against 'lineitem' can never silently read
+    # this test's random data
     sdf.createOrReplaceTempView("lineitem")
-    got = spark.sql(_CORR_COV_SQL).toPandas()
+    try:
+        got = spark.sql(_CORR_COV_SQL).toPandas()
+    finally:
+        spark.catalog.dropTempView("lineitem")
 
     con = duckdb.connect()
     try:
