@@ -1,17 +1,22 @@
-"""Grading-order guarantees (round 5): the grading driver demonstrably
-grades the FIRST 50 registry entries per round (rounds 1–4 each stopped at
-exactly #50), so round 5's order leads with the single r4 FAIL re-grade
-(emb_pca_project) plus any new round-5 operators, follows with the explicit
-re-grade tail (rows-only sketches kept fresh + every op whose latest grade
-is still round 1), and pushes the remaining green ops to the tail
-(cheap-first, family-interleaved, so budget overflow re-grades broadly)."""
+"""Grading-order guarantees (round 6): the grading driver demonstrably
+grades the FIRST 50 registry entries per round (rounds 1-5 each stopped at
+exactly #50), so round 6's order leads with any new round-6 operators
+(_PRIORITY_R6 — they have no driver row), follows with the explicit
+re-grade tail (_REGRADE_R6: the 34-op stale tail — flagship + 2 missed
+rows-only + 31 r1-stale ops — then the rows-only freshness pass), and
+pushes the remaining green ops to the tail (cheap-first,
+family-interleaved, so budget overflow re-grades broadly)."""
 
 from __future__ import annotations
 
 from filemap_spark import all_oracle, all_queries
-from filemap_spark.registry import _DRIVER_GREEN, _META, _PRIORITY_R5, _REGRADE_R5
+from filemap_spark.registry import _DRIVER_GREEN, _META, _PRIORITY_R6, _REGRADE_R6
 
 WINDOW = 50  # observed driver grading budget, ops/round
+
+# VERDICT r5 task 2's stale tail: no op's latest driver row may predate
+# round 2 after this round, so all 34 must grade inside the window.
+STALE_TAIL = 34
 
 
 def _tier(name: str) -> int:
@@ -21,54 +26,57 @@ def _tier(name: str) -> int:
 
 def test_priority_block_is_exactly_the_ungreen_set():
     order = list(all_queries())
-    assert order[: len(_PRIORITY_R5)] == list(_PRIORITY_R5)
+    assert order[: len(_PRIORITY_R6)] == list(_PRIORITY_R6)
     # the priority block and the green ledger partition the registry
-    assert set(_PRIORITY_R5) | _DRIVER_GREEN == set(_META)
-    assert not set(_PRIORITY_R5) & _DRIVER_GREEN
+    assert set(_PRIORITY_R6) | _DRIVER_GREEN == set(_META)
+    assert not set(_PRIORITY_R6) & _DRIVER_GREEN
     assert len(order) == len(set(order)) == len(_META)
 
 
 def test_regrade_tail_follows_priority_block():
     order = list(all_queries())
-    n = len(_PRIORITY_R5)
-    assert order[n : n + len(_REGRADE_R5)] == list(_REGRADE_R5)
-    assert set(_REGRADE_R5) <= _DRIVER_GREEN
+    n = len(_PRIORITY_R6)
+    assert order[n : n + len(_REGRADE_R6)] == list(_REGRADE_R6)
+    assert set(_REGRADE_R6) <= _DRIVER_GREEN
 
 
 def test_never_graded_ops_inside_the_grading_window():
-    """Every op with no green driver row (the r4 FAIL + any new round-5
-    op) must land in the 50-op window so round 5 closes the board."""
+    """Every op with no green driver row (i.e. every new round-6 op) must
+    land in the 50-op window so it grades on its debut round."""
     window = set(list(all_queries())[:WINDOW])
     never_graded = set(_META) - _DRIVER_GREEN
     assert never_graded <= window, sorted(never_graded - window)
 
 
-def test_rows_only_regrades_inside_window_when_room():
-    """The 11 rows-only sketch/ANN/eval ops re-grade each round so their
-    'ran clean' rows stay fresh — they lead _REGRADE_R5. They may be
-    pushed past #50 only if new round-5 ops have filled the window."""
+def test_stale_tail_inside_the_grading_window():
+    """The 34-op stale tail (pricing flagship, the 2 rows-only ops that
+    missed the r5 freshness window, and the 31 r1-stale ops) must all
+    grade this round — which bounds new round-6 ops at WINDOW - 34 = 16."""
+    assert len(_PRIORITY_R6) + STALE_TAIL <= WINDOW, (
+        f"{len(_PRIORITY_R6)} new ops push the stale tail past the window"
+    )
     order = list(all_queries())
-    rows_only = [
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "dedup_survivor_pagerank",
-        "sim_ann_ivf",
-        "sim_ann_lsh",
-        "sim_recall_eval",
-        "agg_approx_percentile",
-        "agg_approx_count_distinct",
-        "agg_hll_rollup",
-        "agg_cms_topk",
-        "tier_agreement_eval",
-    ]
-    assert list(_REGRADE_R5[: len(rows_only)]) == rows_only
-    if len(_PRIORITY_R5) + len(rows_only) <= WINDOW:
-        assert set(rows_only) <= set(order[:WINDOW])
+    stale = list(_REGRADE_R6[:STALE_TAIL])
+    assert stale[0] == "agg_pricing_summary"
+    assert set(stale) <= set(order[:WINDOW]), sorted(
+        set(stale) - set(order[:WINDOW])
+    )
+
+
+def test_rows_only_freshness_pass_follows_stale_tail():
+    """The rows-only sketch/ANN/eval ops re-grade every round so their
+    'ran clean' rows stay fresh. The two that missed round 5's window head
+    the stale tail; the rest follow it (past #50 is acceptable — they were
+    refreshed in round 5)."""
+    assert list(_REGRADE_R6[1:3]) == ["agg_cms_topk", "tier_agreement_eval"]
+    rows_only_tail = set(_REGRADE_R6[STALE_TAIL:])
+    oracle = set(all_oracle())
+    assert not rows_only_tail & oracle, sorted(rows_only_tail & oracle)
 
 
 def test_green_tail_cost_tiers_nondecreasing():
     order = list(all_queries())
-    regraded = set(_REGRADE_R5)
+    regraded = set(_REGRADE_R6)
     green_tail = [n for n in order if n in _DRIVER_GREEN and n not in regraded]
     tiers = [_tier(n) for n in green_tail]
     assert tiers == sorted(tiers), "expensive green re-grades must come last"
