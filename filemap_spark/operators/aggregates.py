@@ -48,21 +48,64 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     grading compares order-insensitively, and on a 6-row result the sort is
     pure plan overhead — under AQE it adds an exchange + extra stage that
     measured ~0.35 s of the query's warm wall-time at sf0.1.
+
+    Round-6 margin work (VERDICT r5 task 3): the int64 scaling
+    (`cast(round(x*1e6) as bigint)`, see functions/numeric.dsum) happens
+    ONCE per row per measure in a pre-projection — the disc-price product
+    is computed once and shared by sum_disc_price and sum_charge, and the
+    avg_* outputs are derived per-GROUP from the same scaled sums instead
+    of carrying their own aggregate expressions. The hash agg itself is
+    plain int64 sums + count (pure codegen); the decimal descale runs once
+    per output group. Arithmetic is expression-for-expression identical to
+    the dsum/davg oracle fragments (same association, same decimal
+    descale), so hash-exactness is preserved — tests/test_contract.py and
+    the explicit twin test in tests/test_kernels.py guard it.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
-    return (
-        lineitem.where(F.col("l_shipdate") <= F.lit(_PRICING_CUTOFF).cast("timestamp_ntz"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.expr(dsum("l_quantity", "sum_qty")),
-            F.expr(dsum("l_extendedprice", "sum_base_price")),
-            F.expr(dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")),
-            F.expr(dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")),
-            F.expr(davg("l_quantity", "avg_qty")),
-            F.expr(davg("l_extendedprice", "avg_price")),
-            F.expr(davg("l_discount", "avg_disc")),
-            F.count("*").alias("count_order"),
+    scaled = (
+        lineitem.where(
+            F.col("l_shipdate") <= F.lit(_PRICING_CUTOFF).cast("timestamp_ntz")
+        ).select(
+            "l_returnflag",
+            "l_linestatus",
+            F.expr("cast(round(l_quantity * 1000000) as bigint)").alias("q6"),
+            F.expr("cast(round(l_extendedprice * 1000000) as bigint)").alias("p6"),
+            F.expr("cast(round(l_discount * 1000000) as bigint)").alias("d6"),
+            F.expr(
+                "cast(round((l_extendedprice * (1 - l_discount)) * 1000000)"
+                " as bigint)"
+            ).alias("dp6"),
+            F.expr(
+                "cast(round((l_extendedprice * (1 - l_discount) * (1 + l_tax))"
+                " * 1000000) as bigint)"
+            ).alias("ch6"),
         )
+    )
+    sums = scaled.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("q6").alias("sq"),
+        F.sum("p6").alias("sp"),
+        F.sum("dp6").alias("sdp"),
+        F.sum("ch6").alias("sch"),
+        F.sum("d6").alias("sd"),
+        F.count("*").alias("count_order"),
+    )
+
+    def descale(col: str) -> str:
+        # identical to dsum's per-group tail: exact decimal descale, then
+        # one conversion to the nearest double (see functions/numeric.py)
+        return f"cast(cast({col} as decimal(38,6)) / 1000000 as double)"
+
+    return sums.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.expr(descale("sq")).alias("sum_qty"),
+        F.expr(descale("sp")).alias("sum_base_price"),
+        F.expr(descale("sdp")).alias("sum_disc_price"),
+        F.expr(descale("sch")).alias("sum_charge"),
+        F.expr(f"round({descale('sq')} / count_order, 6)").alias("avg_qty"),
+        F.expr(f"round({descale('sp')} / count_order, 6)").alias("avg_price"),
+        F.expr(f"round({descale('sd')} / count_order, 6)").alias("avg_disc"),
+        "count_order",
     )
 
 

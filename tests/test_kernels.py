@@ -643,3 +643,44 @@ def test_label_centroid_sim_matches_numpy(spark, sf_dir):
             assert abs(got[(la, lb)] - expect) < 1e-4, (la, lb)
             n_pairs += 1
     assert n_pairs == len(got) == len(labels) * (len(labels) - 1) // 2
+
+
+def test_pricing_prescaled_form_equals_direct_dsum_form(spark, sf_dir):
+    """Round-6 flagship restructure: the pre-scaled int64 projection +
+    derived avgs must be VALUE-IDENTICAL (exact string repr of every
+    double, not approx) to the direct dsum/davg aggregate form it
+    replaced — same association, same decimal descale, same rounding."""
+    from filemap_spark.functions.numeric import davg, dsum
+    from filemap_spark.io import load_table
+    from filemap_spark.operators.aggregates import (
+        _PRICING_CUTOFF,
+        agg_pricing_summary,
+    )
+
+    direct = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") <= F.lit(_PRICING_CUTOFF).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(dsum("l_quantity", "sum_qty")),
+            F.expr(dsum("l_extendedprice", "sum_base_price")),
+            F.expr(dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")),
+            F.expr(
+                dsum(
+                    "l_extendedprice * (1 - l_discount) * (1 + l_tax)",
+                    "sum_charge",
+                )
+            ),
+            F.expr(davg("l_quantity", "avg_qty")),
+            F.expr(davg("l_extendedprice", "avg_price")),
+            F.expr(davg("l_discount", "avg_disc")),
+            F.count("*").alias("count_order"),
+        )
+    )
+    got = agg_pricing_summary(spark, sf_dir)
+    assert got.columns == direct.columns
+
+    def canon(df):
+        return sorted(repr(tuple(r)) for r in df.collect())
+
+    assert canon(got) == canon(direct)
