@@ -512,3 +512,141 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_name")
     )
+
+
+@query(
+    "scan_jsonl_schema_inference",
+    oracle="""
+    WITH c AS (
+      SELECT count(*) AS n,
+             cast(sum(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END) AS bigint)
+               AS corrupt,
+             cast(sum(CASE WHEN n_nationkey % 5 = 1 THEN 1 ELSE 0 END) AS bigint)
+               AS extra
+      FROM nation
+    )
+    SELECT col_name, col_type, n_nonnull FROM (
+      SELECT '_corrupt_record' AS col_name, 'string' AS col_type,
+             corrupt AS n_nonnull FROM c
+      UNION ALL SELECT 'extra', 'boolean', extra FROM c
+      UNION ALL SELECT 'id', 'bigint', n - corrupt FROM c
+      UNION ALL SELECT 'name', 'string', n - corrupt FROM c
+      UNION ALL SELECT 'val', 'double', n - corrupt FROM c
+    ) ORDER BY col_name
+    """,
+    cost=0.4,
+)
+def scan_jsonl_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-INFERRED JSONL ingestion with the permissive dead-letter
+    pattern (round 6, VERDICT r5 task 7) — the dirty sibling of
+    scan_json_roundtrip: no schema is supplied, so the reader must (a)
+    union ragged shapes (an `extra` field present on 20% of rows widens
+    the inferred schema instead of erroring), (b) fold truncated JSON
+    lines into the auto-added `_corrupt_record` column rather than
+    failing the job, and (c) type integers as bigint / floats as double
+    (inference never narrows). Three manufactured line shapes from
+    nation: truncated JSON (corrupt), clean+extra-field, and clean.
+
+    The graded result is the inferred-schema AUDIT — one row per inferred
+    column with its Spark type and distributed non-null count — which is
+    what an ingest pipeline records per batch to catch schema drift.
+
+    Scale: inference samples the files (spark.sql.json.* sampling confs
+    bound the cost); the audit itself is one pass of count(col) aggs. At
+    100 TB you infer once on a sample, then pin the schema — this op IS
+    that bootstrap step. The schema rows come from driver metadata
+    (O(columns), not data-sized)."""
+    out = os.path.join(_tmpdir("jsonl_infer"), "nation")
+    nation = load_table(spark, sf_dir, "nation")
+    line = (
+        F.when(
+            F.col("n_nationkey") % 5 == 0,
+            # truncated mid-token: unparseable, lands in _corrupt_record
+            F.concat(
+                F.lit('{"id": '),
+                F.col("n_nationkey").cast("string"),
+                F.lit(', "name": "'),
+                F.col("n_name"),
+            ),
+        )
+        .when(
+            F.col("n_nationkey") % 5 == 1,
+            F.concat(
+                F.lit('{"id": '),
+                F.col("n_nationkey").cast("string"),
+                F.lit(', "name": "'),
+                F.col("n_name"),
+                F.lit('", "val": '),
+                (F.col("n_nationkey") * 1.5).cast("string"),
+                F.lit(', "extra": true}'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"id": '),
+                F.col("n_nationkey").cast("string"),
+                F.lit(', "name": "'),
+                F.col("n_name"),
+                F.lit('", "val": '),
+                (F.col("n_nationkey") * 1.5).cast("string"),
+                F.lit("}"),
+            )
+        )
+    )
+    nation.select(line.alias("value")).write.mode("overwrite").text(out)
+    parsed = spark.read.option("mode", "PERMISSIVE").json(out)
+    fields = parsed.schema.fields
+    # ONE agg referencing every column (a _corrupt_record-only projection is
+    # disallowed on raw JSON scans), then stack the single row out to one
+    # audit row per column.
+    counts = parsed.agg(
+        *[F.count(F.col(f"`{f.name}`")).alias(f"c{i}") for i, f in enumerate(fields)]
+    )
+    triples = ", ".join(
+        f"'{f.name}', '{f.dataType.simpleString()}', c{i}"
+        for i, f in enumerate(fields)
+    )
+    return counts.select(
+        F.expr(
+            f"stack({len(fields)}, {triples}) AS (col_name, col_type, n_nonnull)"
+        )
+    ).orderBy("col_name")
+
+
+@query(
+    "scan_partition_pruning",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           cast(sum(n_chars) AS bigint) AS sum_chars
+    FROM documents
+    WHERE lang IN ('en', 'de')
+    GROUP BY lang, source ORDER BY lang, source
+    """,
+    cost=0.5,
+)
+def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-layout partition pruning, proven end-to-end (round 6): write
+    documents partitioned by lang, read back with a partition-key filter,
+    and aggregate. The filter never touches row data — Catalyst prunes
+    whole directories at planning time (the physical scan's partitionFilters
+    carries `lang IN (en,de)` and its `number of files read` drops to the
+    two matching directories; pinned by scripts/plan_audit.py's
+    PushedFilters audit and tests/test_scans_plan.py).
+
+    Scale: THE 100 TB layout lever — a date/lang/source-partitioned corpus
+    turns a full-corpus scan into a per-slice scan with zero data-dependent
+    work. The write side demonstrates the layout (one directory per lang,
+    executor-parallel); the read side demonstrates the prune."""
+    out = os.path.join(_tmpdir("prune"), "documents")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.where(F.col("lang").isin("en", "de"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang", "source")
+    )
