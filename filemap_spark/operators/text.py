@@ -2126,3 +2126,208 @@ def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- BM25 retrieval (round 6, VERDICT r5 task 6) ---------------------------
+# Okapi BM25 with k1=1.2, b=0.75. The per-term contribution is ONE shared
+# SQL fragment evaluated by both engines over identically-named columns:
+#   idf  = ln(1 + (n_docs - df + 0.5) / (df + 0.5))   (always positive)
+#   tfn  = tf * (k1+1) / (tf + k1 * (1 - b + b * dl / avgdl))
+# quantized per term at 1e4 (the davg_lnsafe discipline — libm ln is 1-ulp
+# engine-divergent; at 1e4 a flip needs ~1e-11-per-row luck) and summed in
+# exact int64, so the score is order-free and engine-portable.
+_BM25_CONTRIB = (
+    "cast(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))"
+    " * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 10000) as bigint)"
+)
+
+_BM25_QUERY_ROWS = (
+    ("q0", "dup"),
+    ("q0", "merge"),
+    ("q0", "hash"),
+    ("q1", "spark"),
+    ("q1", "window"),
+    ("q1", "sort"),
+    ("q2", "table"),
+    ("q2", "scan"),
+    ("q2", "key"),
+    ("q2", "fast"),
+)
+
+_BM25_TOPK = 10
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), dfr AS (
+      SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY word
+    ), stats AS (
+      SELECT cast((SELECT count(*) FROM toks) AS double)
+               / (SELECT count(*) FROM documents) AS avgdl,
+             (SELECT count(*) FROM documents) AS n_docs
+    ), q AS (
+      SELECT * FROM (VALUES {", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERY_ROWS)})
+        AS t(query_id, term)
+    ), contrib AS (
+      SELECT q.query_id, tf.doc_id, {_BM25_CONTRIB} AS c
+      FROM q
+      JOIN dfr ON dfr.word = q.term
+      JOIN tf ON tf.word = q.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    ), scores AS (
+      SELECT query_id, doc_id,
+             round(cast(cast(sum(c) AS decimal(38,6)) / 10000 AS double), 6)
+               AS score
+      FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score,
+           cast(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS int) AS rank
+    FROM scores
+    QUALIFY rank <= {_BM25_TOPK}
+    ORDER BY query_id, rank
+    """,
+    cost=0.6,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query BM25 top-k retrieval over the wordcount-shaped inverted
+    layout (round 6) — the standard lexical-retrieval surface an LLM data
+    pipeline uses for contamination probes, eval-set mining, and hybrid
+    (BM25 + dense) search next to sim_cosine_topk.
+
+    Plan shape: tf (posting lists) and dl (doc lengths) are one hash agg
+    each over the exploded token relation; the query relation (a few rows)
+    BROADCASTS onto the df-filtered posting lists — only postings of query
+    terms survive the join, so the scored relation is O(query terms ×
+    matching docs), never corpus-sized. The per-query top-k is a window
+    over each query's candidate set.
+
+    Scale: posting lists bucket by term (the df/tf joins shuffle on word),
+    candidates bucket by doc_id for the dl join — never doc×query. At
+    100 TB the tf/df aggs are the same wordcount shape the engine already
+    runs; k1/b are constants; tf/df/dl are exact integers, so scores are
+    reproducible across engines and reruns (see _BM25_CONTRIB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(docs).select("doc_id", "word")
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dfr = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    stats = (
+        toks.agg(F.count("*").alias("n_toks"))
+        .crossJoin(F.broadcast(docs.agg(F.count("*").alias("n_docs"))))
+        .select(
+            F.expr("cast(n_toks as double) / n_docs").alias("avgdl"), "n_docs"
+        )
+    )
+    q = spark.createDataFrame(
+        list(_BM25_QUERY_ROWS), "query_id string, term string"
+    )
+    contrib = (
+        F.broadcast(q)
+        .join(dfr, q.term == dfr.word)
+        .drop("word")
+        .join(tf, tf.word == F.col("term"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", F.expr(_BM25_CONTRIB).alias("c"))
+    )
+    scores = contrib.groupBy("query_id", "doc_id").agg(
+        F.expr(
+            "round(cast(cast(sum(c) as decimal(38,6)) / 10000 as double), 6)"
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _BM25_TOPK)
+        .select("query_id", "doc_id", "score", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+# Shared Zipf least-squares fragments: slope/intercept of ln(freq) vs
+# ln(rank) over the top-100 words, computed from exact integer power sums of
+# 1e4-quantized logs (order-free, engine-portable; the 1e-8 scale factors
+# cancel in the slope ratio).
+_ZIPF_SLOPE = "cast(np*sxy - sx*sy as double) / cast(np*sxx - sx*sx as double)"
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), counts AS (
+      SELECT word, count(*) AS n FROM toks GROUP BY word
+    ), top AS (
+      SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rank
+      FROM counts ORDER BY n DESC, word LIMIT 100
+    ), pts AS (
+      SELECT cast(round(ln(cast(rank AS double)) * 10000) AS bigint) AS xq,
+             cast(round(ln(cast(n AS double)) * 10000) AS bigint) AS yq
+      FROM top
+    ), s AS (
+      SELECT cast(count(*) AS bigint) AS np,
+             cast(sum(xq) AS bigint) AS sx, cast(sum(yq) AS bigint) AS sy,
+             cast(sum(xq*yq) AS bigint) AS sxy,
+             cast(sum(xq*xq) AS bigint) AS sxx
+      FROM pts
+    )
+    SELECT np AS n_points,
+           round({_ZIPF_SLOPE}, 6) AS zipf_slope,
+           round((cast(sy AS double) - ({_ZIPF_SLOPE}) * cast(sx AS double))
+                 / np / 10000.0, 6) AS ln_intercept
+    FROM s
+    """,
+    cost=0.4,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus frequency distribution (round 6): the
+    least-squares slope of ln(freq) against ln(rank) over the top-100
+    words — a natural-language corpus sits near -1; a slope near 0 flags
+    templated/synthetic text, a cliff flags boilerplate domination. One
+    scalar row a corpus-health dashboard tracks per snapshot.
+
+    Scale: word counts are the wordcount hash agg; the top-100 cutoff is
+    TakeOrderedAndProject (no global sort), and only the BOUNDED 100-row
+    relation sees the rank window + least-squares pass — a deliberate,
+    documented single-partition window over a constant-size frame. The
+    fit uses exact integer power sums of 1e4-quantized logs (ln is libm
+    1-ulp engine-divergent; quantize-then-integer-sum makes the fit a
+    pure function of the counts — see agg_corr_cov for the same
+    discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("word")).limit(100)
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    pts = top.withColumn("rank", F.row_number().over(w)).select(
+        F.expr("cast(round(ln(cast(rank as double)) * 10000) as bigint)").alias("xq"),
+        F.expr("cast(round(ln(cast(n as double)) * 10000) as bigint)").alias("yq"),
+    )
+    s = pts.agg(
+        F.count("*").cast("bigint").alias("np"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+    )
+    return s.select(
+        F.col("np").alias("n_points"),
+        F.expr(f"round({_ZIPF_SLOPE}, 6)").alias("zipf_slope"),
+        F.expr(
+            f"round((cast(sy as double) - ({_ZIPF_SLOPE}) * cast(sx as double))"
+            " / np / 10000.0, 6)"
+        ).alias("ln_intercept"),
+    )
