@@ -1586,3 +1586,314 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     value range; s3/s4 already ride decimal(38,0) — promote s2 the same way
     past 10^7 rows/group."""
     return register_views(spark, sf_dir).sql("WITH " + _SKEW_KURT_BODY)
+
+
+@query(
+    "agg_filtered_conditional",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           cast(count(*) FILTER (WHERE o_totalprice > 150000) AS bigint)
+             AS n_big,
+           cast(count(*) FILTER (WHERE o_totalprice < 50000) AS bigint)
+             AS n_small,
+           cast(coalesce(sum(cast(round(o_totalprice * 1000000) as bigint))
+                  FILTER (WHERE o_totalprice > 150000), 0) AS bigint)
+             AS sum_big_micros,
+           cast(count(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'F')
+             AS bigint) AS n_custs_finished
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    cost=0.4,
+)
+def agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER-clause aggregates (round 6): several differently-
+    conditioned measures in ONE pass over the fact — the idiom that
+    replaces N self-joins or N CASE-WHEN pyramids in reporting queries.
+    The filtered exact sum stays in the int64-scaled discipline
+    (functions/numeric.py) and is emitted as exact micro-units: a
+    conditional sum of a double column is exactly the case where
+    engine-order FP drift bites, so the output is the integer itself.
+
+    Scale: one hash aggregate, partial-agg friendly (every FILTER measure
+    is an independent accumulator); count(DISTINCT) expands to the usual
+    two-phase expand-agg. No joins, no windows."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr(
+                "cast(count(*) FILTER (WHERE o_totalprice > 150000) as bigint)"
+            ).alias("n_big"),
+            F.expr(
+                "cast(count(*) FILTER (WHERE o_totalprice < 50000) as bigint)"
+            ).alias("n_small"),
+            F.expr(
+                "cast(coalesce(sum(cast(round(o_totalprice * 1000000) as bigint))"
+                " FILTER (WHERE o_totalprice > 150000), 0) as bigint)"
+            ).alias("sum_big_micros"),
+            F.expr(
+                "cast(count(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'F')"
+                " as bigint)"
+            ).alias("n_custs_finished"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_entropy_by_group",
+    oracle="""
+    WITH c AS (
+      SELECT user_id % 8 AS seg, event_type, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT seg, cast(sum(c) AS bigint) AS n FROM c GROUP BY seg
+    ), terms AS (
+      SELECT c.seg, n,
+             cast(round((cast(c AS double) / n) * ln(cast(n AS double) / c)
+                  * 10000) AS bigint) AS e
+      FROM c JOIN t USING (seg)
+    )
+    SELECT seg, cast(max(n) AS bigint) AS n_events,
+           cast(count(*) AS bigint) AS n_types,
+           round(cast(cast(sum(e) AS decimal(38,6)) / 10000 AS double), 6)
+             AS entropy_nats
+    FROM terms GROUP BY seg ORDER BY seg
+    """,
+    cost=0.4,
+)
+def agg_entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event-type distribution per user segment
+    (round 6) — the diversity diagnostic a curation pipeline runs per
+    domain/source/shard: near-zero entropy flags a segment dominated by
+    one behavior (or one template), the ln(n_types) ceiling flags uniform
+    noise. Two stacked hash aggs + an equi-join on the segment key.
+
+    Determinism: each p·ln(1/p) term is quantized at 1e4 (davg_lnsafe's
+    libm-ulp argument) and summed in exact int64, so the per-segment
+    entropy is a pure function of the counts.
+
+    Scale: counts are a (seg,type) hash agg — partial-agg collapses the
+    fact; the totals join is O(segments × types), corpus-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.select((F.col("user_id") % 8).alias("seg"), "event_type")
+        .groupBy("seg", "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    t = c.groupBy("seg").agg(F.sum("c").cast("bigint").alias("n"))
+    terms = c.join(t, "seg").select(
+        "seg",
+        "n",
+        F.expr(
+            "cast(round((cast(c as double) / n) * ln(cast(n as double) / c)"
+            " * 10000) as bigint)"
+        ).alias("e"),
+    )
+    return (
+        terms.groupBy("seg")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.expr(
+                "round(cast(cast(sum(e) as decimal(38,6)) / 10000 as double), 6)"
+            ).alias("entropy_nats"),
+        )
+        .orderBy("seg")
+    )
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+    ), t AS (
+      SELECT cast(sum(c) AS bigint) AS n_total,
+             cast(count(*) AS bigint) AS n_users
+      FROM c
+    )
+    SELECT user_id, c AS n_events,
+           round(c * 100.0 / n_total, 6) AS share_pct
+    FROM c CROSS JOIN t
+    WHERE c * n_users > 2 * n_total
+    ORDER BY n_events DESC, user_id
+    """,
+    cost=0.4,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters: entities with more than 2× the mean event
+    count (round 6) — the deterministic twin of agg_cms_topk's sketched
+    top-k, and the skew PROBE the engine's own salting/AQE decisions
+    depend on (the returned keys are exactly the candidates for
+    join_skew_salted). The threshold compare is integer cross-multiplied
+    (c · n_users > 2 · n_total) — no FP division anywhere near the
+    boundary, so membership is engine-exact.
+
+    Scale: one partial-agg'd count per key, a 1-row totals aggregate
+    broadcast back over the counts, and a filter — the sort orders only
+    the surviving heavy tail. Never materializes more than O(distinct
+    keys)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    t = c.agg(
+        F.sum("c").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("n_users"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .where(F.col("c") * F.col("n_users") > 2 * F.col("n_total"))
+        .select(
+            "user_id",
+            F.col("c").alias("n_events"),
+            F.expr("round(c * 100.0 / n_total, 6)").alias("share_pct"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+    )
+
+
+@query(
+    "ts_event_spacing",
+    oracle=EVENTS_NORM_SQL
+    + """
+    , ord AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ), gaps AS (
+      SELECT user_id, us - prev_us AS gap_us FROM ord WHERE prev_us IS NOT NULL
+    )
+    SELECT user_id, cast(count(*) AS bigint) AS n_gaps,
+           round(cast(sum(gap_us) AS double) / count(*) / 1000000.0, 6)
+             AS avg_gap_s,
+           round(cast(min(gap_us) AS double) / 1000000.0, 6) AS min_gap_s,
+           round(cast(max(gap_us) AS double) / 1000000.0, 6) AS max_gap_s
+    FROM gaps GROUP BY user_id ORDER BY user_id
+    """,
+    cost=0.4,
+)
+def ts_event_spacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival spacing per entity (round 6): the cadence profile
+    behind rate limiting, bot detection, and sensor-health checks — one
+    lag window per key, then a keyed agg of the exact integer-µs gaps.
+    The mean divides the EXACT µs sum once (int64 → double), so no FP
+    accumulation order anywhere.
+
+    Scale: the window and the agg share the user_id partitioning — one
+    shuffle total; gaps stay int64 (±292k years of µs)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            F.lag(F.unix_micros("ts")).over(w).alias("prev_us"),
+        )
+        .where(F.col("prev_us").isNotNull())
+        .select("user_id", (F.col("us") - F.col("prev_us")).alias("gap_us"))
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_gaps"),
+            F.expr(
+                "round(cast(sum(gap_us) as double) / count(*) / 1000000.0, 6)"
+            ).alias("avg_gap_s"),
+            F.expr("round(cast(min(gap_us) as double) / 1000000.0, 6)").alias(
+                "min_gap_s"
+            ),
+            F.expr("round(cast(max(gap_us) as double) / 1000000.0, 6)").alias(
+                "max_gap_s"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity boundary
+
+
+@query(
+    "ts_sessionize",
+    oracle=EVENTS_NORM_SQL
+    + f"""
+    , ord AS (
+      SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_start
+      FROM ord
+    ), sess AS (
+      SELECT user_id, ts, us,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY us, ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, cast(session_no AS bigint) AS session_no,
+           min(ts) AS session_start, max(ts) AS session_end,
+           cast(count(*) AS bigint) AS n_events,
+           round(cast(max(us) - min(us) AS double) / 1000000.0, 6)
+             AS duration_s
+    FROM sess GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+    """,
+    cost=0.5,
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization by inactivity gap (round 6) — the batch twin
+    of stream_session_window: a session boundary wherever a key is idle
+    longer than 30 min, then one row per session with start/end/count/
+    duration. Boundary flag → running sum = session number (the classic
+    gaps-and-islands trick; see win_gaps_islands for the calendar-day
+    variant).
+
+    Determinism: events are ordered by (ts, event_id) — a total order —
+    and durations are exact integer-µs differences divided once.
+
+    Scale: both windows and the final agg share ONE user_id exchange
+    (Catalyst reuses the partitioning); state per key is a running
+    counter, not a buffer. The streaming twin handles the unbounded
+    arrival order problem; this is the reprocessing/backfill path."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.unix_micros("ts").alias("us"),
+        F.when(
+            F.lag(F.unix_micros("ts")).over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+                > _SESSION_GAP_US
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = marked.withColumn("session_no", F.sum("is_start").over(ws))
+    return (
+        sess.groupBy("user_id", F.col("session_no").cast("bigint").alias("session_no"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.expr(
+                "round(cast(max(us) - min(us) as double) / 1000000.0, 6)"
+            ).alias("duration_s"),
+        )
+        .orderBy("user_id", "session_no")
+    )

@@ -1087,3 +1087,49 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelation into the lineitem side's join — visible in the plan as a
     filter below the join, not above it."""
     return register_views(spark, sf_dir).sql(_LATERAL_TOPN_SQL)
+
+
+@query(
+    "join_prefilter_minmax",
+    oracle="""
+    SELECT o_orderkey, l_linenumber, l_quantity, o_totalprice
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00'
+    ORDER BY o_orderkey, l_linenumber
+    """,
+    cost=0.5,
+)
+def join_prefilter_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max) runtime prefilter ahead of a selective join
+    (round 6) — the hand-rolled form of what Spark's runtime row-level
+    filtering and dynamic partition pruning inject automatically: reduce
+    the filtered dim to a single (min_key, max_key) row, BROADCAST it onto
+    the fact, and drop every fact row outside the key envelope BEFORE the
+    join shuffle. The envelope is always a superset of the matching keys,
+    so the exact equi-join afterwards makes the result identical to the
+    plain join (the oracle IS the plain join).
+
+    Scale: the envelope is a 1-row aggregate (partial-agg, no shuffle) and
+    the prefilter is a map-side BETWEEN — at 100 TB this skips the fact
+    shuffle for every row outside the dim's key range, and when the fact
+    layout is key-sorted/z-ordered (sink_zorder_cluster) the same
+    predicate prunes parquet row groups at scan time. Pruning power is
+    layout-dependent (a uniformly-spread key range prunes nothing — this
+    dataset's worst case), correctness is not."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-06-01").cast("timestamp_ntz")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    envelope = orders.agg(
+        F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+    )
+    prefiltered = (
+        lineitem.join(F.broadcast(envelope))
+        .where(F.col("l_orderkey").between(F.col("mn"), F.col("mx")))
+        .drop("mn", "mx")
+    )
+    return (
+        orders.join(prefiltered, orders.o_orderkey == prefiltered.l_orderkey)
+        .select("o_orderkey", "l_linenumber", "l_quantity", "o_totalprice")
+        .orderBy("o_orderkey", "l_linenumber")
+    )
