@@ -919,3 +919,126 @@ def sample_upsample_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "copy_idx")
     )
+
+
+@query(
+    "subq_exists_flag",
+    oracle="""
+    SELECT c_custkey, c_name,
+           EXISTS(SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 250000) AS has_jumbo,
+           NOT EXISTS(SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey) AS is_dormant
+    FROM customer c
+    ORDER BY c_custkey
+    """,
+    cost=0.4,
+)
+def subq_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a projected COLUMN (round 6) — the existence-join plan
+    shape, distinct from the semi/anti joins already covered: the probe
+    keeps EVERY left row and attaches a boolean, so Catalyst plans an
+    ExistenceJoin (BroadcastHashJoin here; pinned by
+    tests/test_new_ops_plan.py) instead of filtering. Two flags in one
+    pass: a correlated predicate subquery (has_jumbo) and a pure
+    anti-existence (is_dormant).
+
+    Scale: each existence probe is a hash join on the customer key — the
+    dim side aggregates to distinct keys before broadcast; no
+    BroadcastNestedLoopJoin anywhere (the correlated predicate is
+    equi-rewritten by RewritePredicateSubquery)."""
+    from filemap_spark.io import register_views
+
+    return register_views(spark, sf_dir).sql(
+        """
+        SELECT c_custkey, c_name,
+               EXISTS(SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 250000) AS has_jumbo,
+               NOT EXISTS(SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey) AS is_dormant
+        FROM customer c
+        ORDER BY c_custkey
+        """
+    )
+
+
+@query(
+    "sample_negative_pairs",
+    oracle="""
+    WITH n AS (SELECT cast(count(*) AS bigint) AS n_docs FROM documents),
+    anchors AS (
+      SELECT doc_id, source, n_docs FROM documents CROSS JOIN n
+    ), raw AS (
+      SELECT doc_id AS anchor_id, source AS anchor_source, k,
+             (doc_id * 7919 + (k + 1) * 104729) % n_docs AS cand, n_docs
+      FROM anchors CROSS JOIN (VALUES (0), (1)) AS ks(k)
+    ), pairs AS (
+      SELECT anchor_id, anchor_source, k,
+             CASE WHEN cand = anchor_id THEN (cand + 1) % n_docs
+                  ELSE cand END AS neg_id
+      FROM raw
+    )
+    SELECT p.anchor_id, p.k, p.neg_id,
+           (p.anchor_source = d.source) AS same_source
+    FROM pairs p JOIN documents d ON d.doc_id = p.neg_id
+    ORDER BY p.anchor_id, p.k
+    """,
+    cost=0.4,
+)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-pair mining for contrastive training
+    (round 6): every document anchors K=2 pseudo-random negatives chosen
+    by affine hashing over the id space — seed-free, order-free, and
+    rerun-stable (the same corpus always yields the same pairs, the
+    property a resumable training-data build needs). Self-pairs advance
+    to the next id. The join back to documents annotates each negative
+    with a same-source flag — the signal used to separate easy negatives
+    from near-domain hard ones.
+
+    Scale: pair GENERATION is a pure map (explode ×K, no shuffle); only
+    the annotation join shuffles, on the doc_id key, O(K·corpus) rows.
+    Requires contiguous ids 0..n-1 (the contract corpus layout; for
+    arbitrary ids, substitute the dense rank from with_global_rank)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    pairs = (
+        docs.select("doc_id", F.col("source").alias("anchor_source"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            "anchor_source",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("k"),
+            "n_docs",
+        )
+        .withColumn(
+            "cand",
+            (F.col("anchor_id") * 7919 + (F.col("k") + 1) * 104729)
+            % F.col("n_docs"),
+        )
+        .select(
+            "anchor_id",
+            "anchor_source",
+            "k",
+            F.when(
+                F.col("cand") == F.col("anchor_id"),
+                (F.col("cand") + 1) % F.col("n_docs"),
+            )
+            .otherwise(F.col("cand"))
+            .alias("neg_id"),
+        )
+    )
+    negs = docs.select(
+        F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")
+    )
+    return (
+        pairs.join(negs, "neg_id")
+        .select(
+            "anchor_id",
+            "k",
+            "neg_id",
+            (F.col("anchor_source") == F.col("neg_source")).alias("same_source"),
+        )
+        .orderBy("anchor_id", "k")
+    )

@@ -1085,3 +1085,74 @@ def emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+@query(
+    "emb_truncate_renorm",
+    cost=0.5,
+    oracle=f"""
+    WITH q AS (
+      SELECT label,
+             cast(list_sum(list_transform(embedding[1:16],
+                    x -> cast(round(cast(x AS double) * cast(x AS double)
+                              * 1000000) AS bigint))) AS bigint) AS q16,
+             cast(list_sum(list_transform(embedding,
+                    x -> cast(round(cast(x AS double) * cast(x AS double)
+                              * 1000000) AS bigint))) AS bigint) AS q64
+      FROM embeddings
+    ), r AS (
+      SELECT label,
+             sqrt(cast(q16 AS double) / 1000000)
+               / sqrt(cast(q64 AS double) / 1000000) AS retained
+      FROM q
+    )
+    SELECT label, count(*) AS n_vecs,
+           {{davg}}
+           round(min(retained), 6) AS min_retained,
+           round(max(retained), 6) AS max_retained
+    FROM r GROUP BY label ORDER BY label
+    """.format(davg="round(cast(cast(sum(cast(round((retained) * 1000000) as"
+               " bigint)) as decimal(38,6)) / 1000000 as double) / count(*), 6)"
+               " as avg_retained,"),
+)
+def emb_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation diagnostic (round 6): how much L2 mass the
+    first 16 of 64 dimensions retain, per label — the measurement that
+    decides whether a truncated (cheaper) embedding is safe for coarse
+    retrieval stages (IVF routing, first-pass ANN) before full-dimension
+    re-ranking. retained = ‖v[:16]‖ / ‖v‖ ∈ [0,1]; a label whose
+    retention is low concentrates late-dimension information and will
+    mis-route under truncation.
+
+    Determinism: both squared-norm sums use emb_norm_stats' per-element
+    integer quantization (order-free int64), sqrt is correctly rounded,
+    and the ratio divides two identical doubles; the per-label mean rides
+    the davg discipline. Assumes no all-zero vectors (contract corpus).
+
+    Scale: one projection + one hash aggregate — same shape as
+    emb_norm_stats; nothing grows with corpus size but the scan."""
+    from filemap_spark.functions.numeric import davg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q16 = F.expr(
+        "aggregate(slice(embedding, 1, 16), cast(0 as bigint), (acc, x) -> "
+        "acc + cast(round(cast(x as double) * cast(x as double) * 1000000) as bigint))"
+    )
+    q64 = F.expr(
+        "aggregate(embedding, cast(0 as bigint), (acc, x) -> "
+        "acc + cast(round(cast(x as double) * cast(x as double) * 1000000) as bigint))"
+    )
+    retained = F.sqrt(q16.cast("double") / 1000000) / F.sqrt(
+        q64.cast("double") / 1000000
+    )
+    return (
+        emb.select("label", retained.alias("retained"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.expr(davg("retained", "avg_retained")),
+            F.round(F.min("retained"), 6).alias("min_retained"),
+            F.round(F.max("retained"), 6).alias("max_retained"),
+        )
+        .orderBy("label")
+    )

@@ -420,3 +420,43 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "win_moving_minmax",
+    oracle=EVENTS_NORM_SQL
+    + """
+    SELECT event_id, user_id,
+           cast(count(*) OVER w AS bigint) AS n_in_frame,
+           round(min(value) OVER w, 6) AS frame_min,
+           round(max(value) OVER w, 6) AS frame_max,
+           round(max(value) OVER w - min(value) OVER w, 6) AS frame_range
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    cost=0.4,
+)
+def win_moving_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding extrema per key (round 6): 4-row rolling min/max/range —
+    the envelope under Bollinger-style band checks and sensor spike
+    masks, and the one rolling statistic win_moving_avg/median don't
+    cover. min/max are ORDER-FREE over the frame (unlike a rolling sum),
+    so the doubles are engine-exact with no quantization needed; the
+    range subtracts the two identical doubles once.
+
+    Scale: one user_id exchange shared by all four frame functions
+    (single WindowExec), O(frame) state per row."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(-3, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("bigint").alias("n_in_frame"),
+        F.round(F.min("value").over(w), 6).alias("frame_min"),
+        F.round(F.max("value").over(w), 6).alias("frame_max"),
+        F.round(F.max("value").over(w) - F.min("value").over(w), 6).alias(
+            "frame_range"
+        ),
+    ).orderBy("user_id", "event_id")
