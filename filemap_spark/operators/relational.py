@@ -940,7 +940,7 @@ def subq_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, distinct from the semi/anti joins already covered: the probe
     keeps EVERY left row and attaches a boolean, so Catalyst plans an
     ExistenceJoin (BroadcastHashJoin here; pinned by
-    tests/test_new_ops_plan.py) instead of filtering. Two flags in one
+    tests/test_plan_shape.py) instead of filtering. Two flags in one
     pass: a correlated predicate subquery (has_jumbo) and a pure
     anti-existence (is_dormant).
 

@@ -631,7 +631,7 @@ def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole directories at planning time (the physical scan's partitionFilters
     carries `lang IN (en,de)` and its `number of files read` drops to the
     two matching directories; pinned by scripts/plan_audit.py's
-    PushedFilters audit and tests/test_scans_plan.py).
+    PushedFilters audit and tests/test_plan_shape.py).
 
     Scale: THE 100 TB layout lever — a date/lang/source-partitioned corpus
     turns a full-corpus scan into a per-slice scan with zero data-dependent

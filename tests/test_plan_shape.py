@@ -411,3 +411,101 @@ def test_lateral_topn_decorrelates_no_per_row_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bm25_all_joins_broadcast_postings_side(spark, sf_dir):
+    """text_bm25_topk: every equi-join is a BroadcastHashJoin (the query
+    relation and stats broadcast onto the posting lists); the only
+    nested-loop joins are the two bounded broadcast crosses (1-row stats,
+    tiny query set); the per-query top-k pushes down as WindowGroupLimit."""
+    plan = plan_of(spark, sf_dir, "text_bm25_topk")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan  # rank <= k pruned before full sort
+
+
+def test_zipf_fit_topk_collapses_before_window(spark, sf_dir):
+    """text_zipf_fit: the top-100 cutoff is TakeOrderedAndProject (no
+    global sort), and the rank window runs AFTER it on the bounded frame."""
+    plan = plan_of(spark, sf_dir, "text_zipf_fit")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_prefilter_minmax_envelope_broadcasts(spark, sf_dir):
+    """join_prefilter_minmax: the 1-row envelope broadcasts onto the fact
+    (bounded BNLJ), and the exact join stays a hash join."""
+    plan = plan_of(spark, sf_dir, "join_prefilter_minmax")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the BETWEEN prefilter is the BNLJ's join condition, not a post-filter
+    assert "l_orderkey" in next(
+        l for l in plan.splitlines() if "Join condition: ((" in l
+    )
+
+
+def test_exists_flag_plans_existence_join_not_bnlj(spark, sf_dir):
+    """subq_exists_flag: both flags become broadcast ExistenceJoins —
+    never a per-row nested-loop probe."""
+    plan = plan_of(spark, sf_dir, "subq_exists_flag")
+    assert plan.count("ExistenceJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["ts_event_spacing", "ts_sessionize", "win_moving_minmax"]
+)
+def test_keyed_window_ops_single_data_exchange(spark, sf_dir, name):
+    """The round-6 keyed window/agg ops share ONE user_id exchange between
+    their window(s) and aggregation; the only other exchange is the final
+    presentation orderBy's range partitioning."""
+    plan = plan_of(spark, sf_dir, name)
+    hash_ex = [
+        l for l in plan.splitlines()
+        if "Arguments: hashpartitioning(user_id" in l
+    ]
+    assert len(hash_ex) == 1, plan
+
+
+def test_calendar_fill_aggregates_before_broadcast_join(spark, sf_dir):
+    """ts_calendar_fill: the fact collapses to daily rows BEFORE the
+    calendar left-join, which broadcasts."""
+    plan = plan_of(spark, sf_dir, "ts_calendar_fill")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_totals_broadcast_integer_threshold(spark, sf_dir):
+    """agg_heavy_hitters: the totals row broadcasts and the threshold is
+    the integer cross-multiplied join condition (no FP division)."""
+    plan = plan_of(spark, sf_dir, "agg_heavy_hitters")
+    cond = next(l for l in plan.splitlines() if "Join condition: ((" in l)
+    assert "*" in cond and "/" not in cond
+    assert "CartesianProduct" not in plan
+
+
+def test_negative_pairs_generation_is_map_side(spark, sf_dir):
+    """sample_negative_pairs: pair generation never shuffles (explode over
+    a broadcast scalar); only the annotation join exchanges, on doc_id."""
+    plan = plan_of(spark, sf_dir, "sample_negative_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_partition_pruning_filter_hits_partition_column(spark, sf_dir):
+    """scan_partition_pruning: the lang predicate lands in the scan's
+    PartitionFilters (directory pruning), not a row-level filter."""
+    plan = plan_of(spark, sf_dir, "scan_partition_pruning")
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("lang" in l for l in pf), plan
+
+
+def test_truncate_renorm_no_python_stage(spark, sf_dir):
+    """emb_truncate_renorm: the sliced-norm math stays JVM-side (aggregate
+    HOF), one hash aggregate."""
+    plan = plan_of(spark, sf_dir, "emb_truncate_renorm")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
