@@ -684,3 +684,78 @@ def test_pricing_prescaled_form_equals_direct_dsum_form(spark, sf_dir):
         return sorted(repr(tuple(r)) for r in df.collect())
 
     assert canon(got) == canon(direct)
+
+
+def test_bm25_matches_pure_python(spark, sf_dir):
+    """text_bm25_topk vs an independent collections.Counter BM25: same
+    ranking and scores within the 1e4 quantization (5e-5)."""
+    import math
+    from collections import Counter
+
+    from filemap_spark.io import load_table
+    from filemap_spark.operators.text import (
+        _BM25_QUERY_ROWS,
+        _BM25_TOPK,
+        text_bm25_topk,
+    )
+
+    rows = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    docs = {r["doc_id"]: r["text"].split(" ") for r in rows}
+    n_docs = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n_docs
+    df = Counter()
+    for toks in docs.values():
+        df.update(set(toks))
+
+    queries = {}
+    for qid, term in _BM25_QUERY_ROWS:
+        queries.setdefault(qid, []).append(term)
+
+    expect = {}
+    for qid, terms in queries.items():
+        scores = {}
+        for did, toks in docs.items():
+            tf = Counter(toks)
+            s = 0
+            for t in terms:
+                if tf[t] == 0 or df[t] == 0:
+                    continue
+                idf = math.log(1 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+                tfn = tf[t] * 2.2 / (tf[t] + 1.2 * (0.25 + 0.75 * len(toks) / avgdl))
+                s += round(idf * tfn * 10000)  # the op's 1e4 quantization
+            if s > 0:
+                scores[did] = s / 10000.0
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:_BM25_TOPK]
+        expect[qid] = top
+
+    got = text_bm25_topk(spark, sf_dir).collect()
+    for r in got:
+        e_doc, e_score = expect[r["query_id"]][r["rank"] - 1]
+        assert r["doc_id"] == e_doc, (r, e_doc)
+        assert abs(r["score"] - e_score) < 5e-5, (r, e_score)
+    assert len(got) == sum(len(v) for v in expect.values())
+
+
+def test_zipf_fit_matches_numpy_polyfit(spark, sf_dir):
+    """text_zipf_fit vs numpy.polyfit over the same top-100 points: slope
+    and intercept within the 1e4 log quantization (1e-3)."""
+    from collections import Counter
+
+    import numpy as np
+
+    from filemap_spark.io import load_table
+    from filemap_spark.operators.text import text_zipf_fit
+
+    rows = load_table(spark, sf_dir, "documents").select("text").collect()
+    counts = Counter()
+    for r in rows:
+        counts.update(r["text"].split(" "))
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    x = np.log(np.arange(1, len(top) + 1, dtype=float))
+    y = np.log(np.array([n for _, n in top], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+
+    got = text_zipf_fit(spark, sf_dir).collect()[0]
+    assert got["n_points"] == len(top)
+    assert abs(got["zipf_slope"] - slope) < 1e-3
+    assert abs(got["ln_intercept"] - intercept) < 1e-3
