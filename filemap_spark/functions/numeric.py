@@ -48,16 +48,45 @@ def dsum(expr: str, alias: str) -> str:
     )
 
 
-def davg(expr: str, alias: str, count_expr: str = "count(*)") -> str:
-    """Order-independent 6dp-rounded mean (exact scaled sum / count).
+def mean_micro_6dp(s: str, n: str) -> str:
+    """Exact 6dp mean: round-half-away-from-zero of integer-micro sum `s`
+    over count `n`, computed ENTIRELY in integer arithmetic, then descaled
+    via the dsum decimal path.
 
-    The exact-decimal descaled sum converts to an identical double in both
-    engines (see dsum); dividing by the identical count and rounding a
-    generic (non-boundary) double is then engine-stable."""
+    Why not `round(double_sum / n, 6)`: when s/n lands EXACTLY on a
+    half-micro boundary (hypothesis round 6 found s=396230130000, n=96 →
+    4127397187.5 µ-units), the quotient double's shortest repr ends in
+    ".5" and the engines' round() split — Spark's Round goes through
+    BigDecimal.valueOf (the shortest STRING, sees the literal .5, HALF_UP
+    → up) while DuckDB rounds the BINARY value (1/2 ulp below the tie →
+    down). Here the tie is decided by `2*|s % n| >= n` — pure int64, same
+    both engines (% is C-style truncating in both, verified), half-away
+    matches round()'s positive/negative behavior.
+
+    The truncating quotient is spelled `(s - s%n) / n`: the numerator is
+    an EXACT multiple of n, so the double division is exact (both
+    operands ≤ the documented ~4e15 dsum ceiling < 2^53) — no `div`/`//`
+    needed (the two engines spell integer division differently).
+    DuckDB capacity note: sum(BIGINT) is HUGEINT there; all the integer
+    ops below are hugeint-safe and the only double conversion is the
+    exact-multiple quotient."""
     return (
-        f"round(cast(cast(sum(cast(round(({expr}) * {_SCALE}) as bigint)) as decimal(38,6))"
-        f" / {_SCALE} as double) / {count_expr}, 6) as {alias}"
+        f"cast(cast((cast((({s}) - (({s}) % ({n}))) / ({n}) as bigint)"
+        f" + (case when 2*abs(({s}) % ({n})) >= ({n})"
+        f" then (case when ({s}) < 0 then -1 else 1 end) else 0 end))"
+        f" as decimal(38,6)) / {_SCALE} as double)"
     )
+
+
+def davg(expr: str, alias: str, count_expr: str = "count(*)") -> str:
+    """Order-independent 6dp-exact mean (exact scaled sum / count).
+
+    Round 6: the division AND the 6dp rounding both happen in exact
+    integer arithmetic (see mean_micro_6dp) — the earlier
+    `round(double/count, 6)` spelling was engine-divergent exactly on
+    half-micro ties."""
+    s = f"sum(cast(round(({expr}) * {_SCALE}) as bigint))"
+    return f"{mean_micro_6dp(s, count_expr)} as {alias}"
 
 
 def dsum_decimal(expr: str, alias: str) -> str:
@@ -85,8 +114,11 @@ def davg_lnsafe(expr: str, alias: str, count_expr: str = "count(*)") -> str:
     (observed round 5: text_bigram_logprob's 6th decimal at sf0.1, ~400k
     rows of distinct ln args). Quantizing per-row at 1e4 instead makes a
     boundary hit need ~1e-4-scale luck against a 1e-15 ulp — ~1e-11 per
-    row — while the mean keeps 4 exact decimals, rounded once at 6dp."""
-    return (
-        f"round(cast(cast(sum(cast(round(({expr}) * 10000) as bigint)) as decimal(38,6))"
-        f" / 10000 as double) / {count_expr}, 6) as {alias}"
-    )
+    row — while the mean keeps 4 exact decimals, rounded once at 6dp.
+
+    Round 6: the final 6dp rounding uses the same exact-integer tie rule
+    as davg (mean_micro_6dp over the 1e4 sum promoted to µ-units; the
+    ×100 promotion keeps hugeint/int64 exactness to ~9e15 µ-units — far
+    past any |ln| ≤ 20 workload)."""
+    s = f"(100 * sum(cast(round(({expr}) * 10000) as bigint)))"
+    return f"{mean_micro_6dp(s, count_expr)} as {alias}"

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from filemap_spark.functions.numeric import davg, dsum
+from filemap_spark.functions.numeric import davg, dsum, mean_micro_6dp
 from filemap_spark.io import load_table
 from filemap_spark.registry import query
 
@@ -102,9 +102,9 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(descale("sp")).alias("sum_base_price"),
         F.expr(descale("sdp")).alias("sum_disc_price"),
         F.expr(descale("sch")).alias("sum_charge"),
-        F.expr(f"round({descale('sq')} / count_order, 6)").alias("avg_qty"),
-        F.expr(f"round({descale('sp')} / count_order, 6)").alias("avg_price"),
-        F.expr(f"round({descale('sd')} / count_order, 6)").alias("avg_disc"),
+        F.expr(mean_micro_6dp("sq", "count_order")).alias("avg_qty"),
+        F.expr(mean_micro_6dp("sp", "count_order")).alias("avg_price"),
+        F.expr(mean_micro_6dp("sd", "count_order")).alias("avg_disc"),
         "count_order",
     )
 
@@ -1768,12 +1768,11 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, us - prev_us AS gap_us FROM ord WHERE prev_us IS NOT NULL
     )
     SELECT user_id, cast(count(*) AS bigint) AS n_gaps,
-           round(cast(sum(gap_us) AS double) / count(*) / 1000000.0, 6)
-             AS avg_gap_s,
+           {} AS avg_gap_s,
            round(cast(min(gap_us) AS double) / 1000000.0, 6) AS min_gap_s,
            round(cast(max(gap_us) AS double) / 1000000.0, 6) AS max_gap_s
     FROM gaps GROUP BY user_id ORDER BY user_id
-    """,
+    """.format(mean_micro_6dp("sum(gap_us)", "count(*)")),
     cost=0.4,
 )
 def ts_event_spacing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1800,9 +1799,9 @@ def ts_event_spacing(spark: SparkSession, sf_dir: str) -> DataFrame:
         gaps.groupBy("user_id")
         .agg(
             F.count("*").cast("bigint").alias("n_gaps"),
-            F.expr(
-                "round(cast(sum(gap_us) as double) / count(*) / 1000000.0, 6)"
-            ).alias("avg_gap_s"),
+            # exact integer mean: µs sum half-away over count, descaled —
+            # the round(double/count, 6) spelling is tie-divergent (numeric.py)
+            F.expr(mean_micro_6dp("sum(gap_us)", "count(*)")).alias("avg_gap_s"),
             F.expr("round(cast(min(gap_us) as double) / 1000000.0, 6)").alias(
                 "min_gap_s"
             ),

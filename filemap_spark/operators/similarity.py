@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from filemap_spark.functions.numeric import davg
 from filemap_spark.io import load_table
 from filemap_spark.registry import query
 
@@ -963,12 +964,11 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT label, count(*) AS n_vecs,
-           round(cast(cast(sum(cast(round((norm) * 1000000) as bigint)) as decimal(38,6))
-                 / 1000000 as double) / count(*), 6) as avg_norm,
+           {davg_norm},
            round(min(norm), 6) AS min_norm,
            round(max(norm), 6) AS max_norm
     FROM n GROUP BY label ORDER BY label
-    """,
+    """.format(davg_norm=davg("norm", "avg_norm")),
 )
 def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding L2-norm distribution (round 5): the first
@@ -1107,13 +1107,11 @@ def emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM q
     )
     SELECT label, count(*) AS n_vecs,
-           {{davg}}
+           {{davg}},
            round(min(retained), 6) AS min_retained,
            round(max(retained), 6) AS max_retained
     FROM r GROUP BY label ORDER BY label
-    """.format(davg="round(cast(cast(sum(cast(round((retained) * 1000000) as"
-               " bigint)) as decimal(38,6)) / 1000000 as double) / count(*), 6)"
-               " as avg_retained,"),
+    """.format(davg=davg("retained", "avg_retained")),
 )
 def emb_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka truncation diagnostic (round 6): how much L2 mass the

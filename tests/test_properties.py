@@ -397,3 +397,27 @@ def test_corr_cov_kernel_matches_duckdb_on_random_data(spark, rows):
     finally:
         con.close()
     assert canonical_rows(got) == canonical_rows(expect)
+
+
+def test_davg_tie_rounds_identically_both_engines(spark):
+    """Round 6 regression: the hypothesis-found half-micro tie
+    (s=396230130000, n=96 → mean 4127397187.5 µ-units). The old
+    round(double/count, 6) spelling split the engines (Spark BigDecimal
+    shortest-string HALF_UP → ...188, DuckDB binary-value round →
+    ...187); mean_micro_6dp decides the tie in exact integer arithmetic,
+    identically, for both signs."""
+    import duckdb
+
+    from filemap_spark.functions.numeric import mean_micro_6dp
+
+    frag = mean_micro_6dp("s", "n")
+    for s in (396230130000, -396230130000):
+        sql = f"SELECT {frag} AS v FROM (SELECT cast({s} as bigint) AS s, cast(96 as bigint) AS n) t"
+        got_spark = spark.sql(sql).collect()[0]["v"]
+        con = duckdb.connect()
+        try:
+            got_duck = con.execute(sql).fetchone()[0]
+        finally:
+            con.close()
+        expect = 4127.397188 if s > 0 else -4127.397188
+        assert got_spark == got_duck == expect, (s, got_spark, got_duck)
