@@ -460,3 +460,81 @@ def win_moving_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frame_range"
         ),
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "win_drawdown",
+    oracle=EVENTS_NORM_SQL
+    + """
+    , q AS (
+      SELECT event_id, user_id, ts,
+             cast(round(value * 1000000) AS bigint) AS v_u
+      FROM events
+    ), p AS (
+      SELECT event_id, user_id, v_u,
+             max(v_u) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS peak_u
+      FROM q
+    )
+    SELECT event_id, user_id,
+           cast(cast(v_u AS decimal(38,6)) / 1000000 AS double) AS value_q,
+           cast(cast(peak_u AS decimal(38,6)) / 1000000 AS double) AS peak_q,
+           cast(cast(peak_u - v_u AS decimal(38,6)) / 1000000 AS double)
+             AS drawdown,
+           cast(CASE WHEN v_u = peak_u THEN 1 ELSE 0 END AS int) AS at_peak
+    FROM p ORDER BY user_id, event_id
+    """,
+    cost=0.4,
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak drawdown per key (round 6): for each event, the
+    running maximum of `value` so far (unbounded-preceding frame) and the
+    gap back down to the current value — the monitoring primitive behind
+    high-water-mark alerts, loss-curve regression detection, and
+    financial max-drawdown. Completes the frame-shape family: moving_*
+    cover bounded trailing frames, running_sum covers the cumulative sum;
+    this is the cumulative EXTREMUM plus a derived difference.
+
+    Numeric discipline: `value` is quantized to int64 micro-units BEFORE
+    the window, so the running max, the peak-minus-current difference,
+    and the at-peak equality are all exact integer arithmetic; the only
+    double conversions are three exact decimal descales (dsum path,
+    functions/numeric.py) — no round()-tie surface at all.
+
+    Scale: one user_id exchange, a single WindowExec evaluating one
+    running-max frame with O(1) state per row (max over an ever-growing
+    prefix needs no buffer, unlike moving_median); derived columns are
+    post-window codegen projections. Survives 100x: per-key state is a
+    single int64 regardless of history length."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    q = ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.expr("cast(round(value * 1000000) as bigint)").alias("v_u"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+    def descale(c: str) -> str:
+        return f"cast(cast({c} as decimal(38,6)) / 1000000 as double)"
+
+    return (
+        q.withColumn("peak_u", F.max("v_u").over(w))
+        .select(
+            "event_id",
+            "user_id",
+            F.expr(descale("v_u")).alias("value_q"),
+            F.expr(descale("peak_u")).alias("peak_q"),
+            F.expr(descale("peak_u - v_u")).alias("drawdown"),
+            F.when(F.col("v_u") == F.col("peak_u"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("at_peak"),
+        )
+        .orderBy("user_id", "event_id")
+    )

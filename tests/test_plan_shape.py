@@ -455,7 +455,8 @@ def test_exists_flag_plans_existence_join_not_bnlj(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["ts_event_spacing", "ts_sessionize", "win_moving_minmax"]
+    "name",
+    ["ts_event_spacing", "ts_sessionize", "win_moving_minmax", "win_drawdown"],
 )
 def test_keyed_window_ops_single_data_exchange(spark, sf_dir, name):
     """The round-6 keyed window/agg ops share ONE user_id exchange between
