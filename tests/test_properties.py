@@ -421,3 +421,58 @@ def test_davg_tie_rounds_identically_both_engines(spark):
             con.close()
         expect = 4127.397188 if s > 0 else -4127.397188
         assert got_spark == got_duck == expect, (s, got_spark, got_duck)
+
+
+def test_mean_micro_6dp_batch_cross_engine(spark):
+    """Round 6 sweep: mean_micro_6dp must agree between Spark and DuckDB
+    (and with exact Fraction arithmetic, half-away-from-zero) over a batch
+    of random (s, n) pairs PLUS constructed exact half-micro ties — the
+    family the old round(double/count, 6) spelling diverged on. One VALUES
+    relation per engine keeps this a 2-query test."""
+    import random
+    from fractions import Fraction
+
+    import duckdb
+
+    from filemap_spark.functions.numeric import mean_micro_6dp
+
+    rng = random.Random(20260814)
+    pairs = []
+    for _ in range(120):
+        n = rng.randint(1, 10**6)
+        s = rng.randint(-(4 * 10**15), 4 * 10**15)
+        pairs.append((s, n))
+    # constructed exact .5-micro ties, both signs: s = n*k + n/2 (n even)
+    for _ in range(60):
+        n = 2 * rng.randint(1, 10**6)
+        k = rng.randint(-(10**9), 10**9)
+        s = n * k + n // 2
+        if abs(s) <= 4 * 10**15:
+            pairs.append((s, n))
+            pairs.append((-s, n))
+
+    def exact(s, n):
+        # round-half-AWAY-from-zero of the micro-unit mean s/n, in exact
+        # integer arithmetic, then descale: |s|//n plus a bump when the
+        # remainder reaches half of n, sign restored last.
+        t = abs(s) // n
+        if 2 * (abs(s) % n) >= n:
+            t += 1
+        r = t if s >= 0 else -t
+        return float(Fraction(r, 10**6))
+
+    values = ", ".join(
+        f"(cast({s} as bigint), cast({n} as bigint))" for s, n in pairs
+    )
+    frag = mean_micro_6dp("s", "n")
+    sql = (
+        f"SELECT {frag} AS v FROM (VALUES {values}) AS t(s, n)"
+    )
+    got_spark = [r["v"] for r in spark.sql(sql).collect()]
+    con = duckdb.connect()
+    try:
+        got_duck = [r[0] for r in con.execute(sql).fetchall()]
+    finally:
+        con.close()
+    expect = [exact(s, n) for s, n in pairs]
+    assert got_spark == got_duck == expect
