@@ -31,6 +31,34 @@ from __future__ import annotations
 _SCALE = 1_000_000
 
 
+def quant_pos_fixed(expr: str) -> str:
+    """Fast per-row µ-unit quantization for NONNEGATIVE exact-decimal
+    measures: `cast(x*1e6 + 0.5 as bigint)` (truncation) instead of
+    `cast(round(x*1e6) as bigint)`.
+
+    Why: Spark's Round on a double routes through BigDecimal.valueOf —
+    measured 2.2× slower end-to-end on the pricing flagship's 5-measure
+    pre-projection (0.76 s vs 0.34 s warm at sf0.1). The +0.5-truncate
+    form stays in pure double/int64 codegen.
+
+    PRECONDITION (caller must prove, per column): x ≥ 0 and x's TRUE value
+    is an exact decimal of ≤ 6 places with |x*1e6| ≤ ~1e13 — i.e. currency
+    /quantity/rate columns and their ≤3-factor products (2dp × 2dp × 2dp =
+    6dp). Then the computed double x*1e6 sits within ≪ 0.5 of the integer
+    k = x·1e6 (relative FP error ≤ ~6·2^-52 over the product chain, so
+    absolute error ≤ 1e13·1.3e-15 ≈ 0.013), and EVERY nearest-integer
+    method — this truncation, Spark's BigDecimal round, DuckDB's binary
+    round — yields exactly k. The paired DuckDB oracle keeps the
+    `round(x*1e6)` spelling; equality on this data class is by the above
+    argument, pinned empirically by tests/test_kernels.py and the
+    differential contract suite at sf0.001/0.01/0.1.
+
+    Do NOT use for: signed columns (truncation goes toward zero), free
+    doubles (ln outputs, norms — a true mid-cell value flips), or measures
+    with > 6 decimal places. Those keep `round()` via dsum/davg."""
+    return f"cast(({expr}) * {_SCALE} + 0.5d as bigint)"
+
+
 def dsum(expr: str, alias: str) -> str:
     """Order-independent 6dp-exact sum of a double expression (int64-scaled).
 

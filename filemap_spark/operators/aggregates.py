@@ -13,7 +13,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from filemap_spark.functions.numeric import davg, dsum, mean_micro_6dp
+from filemap_spark.functions.numeric import (
+    davg,
+    dsum,
+    mean_micro_6dp,
+    quant_pos_fixed,
+)
 from filemap_spark.io import load_table
 from filemap_spark.registry import query
 
@@ -49,17 +54,21 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure plan overhead — under AQE it adds an exchange + extra stage that
     measured ~0.35 s of the query's warm wall-time at sf0.1.
 
-    Round-6 margin work (VERDICT r5 task 3): the int64 scaling
-    (`cast(round(x*1e6) as bigint)`, see functions/numeric.dsum) happens
+    Round-6 margin work (VERDICT r5 task 3): the int64 scaling happens
     ONCE per row per measure in a pre-projection — the disc-price product
     is computed once and shared by sum_disc_price and sum_charge, and the
     avg_* outputs are derived per-GROUP from the same scaled sums instead
-    of carrying their own aggregate expressions. The hash agg itself is
-    plain int64 sums + count (pure codegen); the decimal descale runs once
-    per output group. Arithmetic is expression-for-expression identical to
-    the dsum/davg oracle fragments (same association, same decimal
-    descale), so hash-exactness is preserved — tests/test_contract.py and
-    the explicit twin test in tests/test_kernels.py guard it.
+    of carrying their own aggregate expressions. The quantization itself
+    is `quant_pos_fixed` (+0.5-truncate, pure codegen) rather than
+    BigDecimal `round()` — provably value-identical to the oracle's
+    `round(x*1e6)` on these nonnegative exact-≤6dp measures (see
+    functions/numeric.quant_pos_fixed for the precondition and error
+    bound; measured 2.2× faster, 0.34 s vs 0.76 s warm at sf0.1). The
+    hash agg is plain int64 sums + count; the decimal descale and the
+    tie-exact avg derivation (mean_micro_6dp) run once per output group
+    and are expression-identical to the oracle. Hash-exactness is guarded
+    by tests/test_contract.py and the explicit twin test in
+    tests/test_kernels.py.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     scaled = (
@@ -68,16 +77,14 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "l_returnflag",
             "l_linestatus",
-            F.expr("cast(round(l_quantity * 1000000) as bigint)").alias("q6"),
-            F.expr("cast(round(l_extendedprice * 1000000) as bigint)").alias("p6"),
-            F.expr("cast(round(l_discount * 1000000) as bigint)").alias("d6"),
+            F.expr(quant_pos_fixed("l_quantity")).alias("q6"),
+            F.expr(quant_pos_fixed("l_extendedprice")).alias("p6"),
+            F.expr(quant_pos_fixed("l_discount")).alias("d6"),
             F.expr(
-                "cast(round((l_extendedprice * (1 - l_discount)) * 1000000)"
-                " as bigint)"
+                quant_pos_fixed("l_extendedprice * (1 - l_discount)")
             ).alias("dp6"),
             F.expr(
-                "cast(round((l_extendedprice * (1 - l_discount) * (1 + l_tax))"
-                " * 1000000) as bigint)"
+                quant_pos_fixed("l_extendedprice * (1 - l_discount) * (1 + l_tax)")
             ).alias("ch6"),
         )
     )

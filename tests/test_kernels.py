@@ -759,3 +759,49 @@ def test_zipf_fit_matches_numpy_polyfit(spark, sf_dir):
     assert got["n_points"] == len(top)
     assert abs(got["zipf_slope"] - slope) < 1e-3
     assert abs(got["ln_intercept"] - intercept) < 1e-3
+
+
+def test_quant_pos_fixed_equals_bigdecimal_round_on_measure_columns(spark, sf_dir):
+    """quant_pos_fixed (+0.5-truncate, codegen) must agree ROW-FOR-ROW with
+    the BigDecimal round() spelling on every pricing measure expression —
+    the precondition class (nonnegative exact ≤6dp decimals) from its
+    docstring. Any disagreement row surfaces directly."""
+    from filemap_spark.functions.numeric import quant_pos_fixed
+    from filemap_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exprs = [
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_extendedprice * (1 - l_discount)",
+        "l_extendedprice * (1 - l_discount) * (1 + l_tax)",
+    ]
+    checks = [
+        F.sum(
+            (
+                F.expr(quant_pos_fixed(e))
+                != F.expr(f"cast(round(({e}) * 1000000) as bigint)")
+            ).cast("long")
+        ).alias(f"diff_{i}")
+        for i, e in enumerate(exprs)
+    ]
+    row = li.agg(*checks).collect()[0]
+    assert all(v == 0 for v in row), row.asDict()
+
+
+def test_quant_pos_fixed_precondition_is_real(spark):
+    """The docstring's exclusions are not hypothetical: a negative value
+    (truncation toward zero) and a true mid-cell free double both flip
+    vs round() — proving the helper must stay confined to its
+    nonnegative exact-decimal class."""
+    from filemap_spark.functions.numeric import quant_pos_fixed
+
+    q = quant_pos_fixed("x")
+    r = "cast(round((x) * 1000000) as bigint)"
+    rows = spark.sql(
+        f"SELECT {q} AS fast, {r} AS exact FROM (VALUES "
+        "(cast(-1.5e-6 as double)), (cast(2.5e-7 as double))) AS t(x)"
+    ).collect()
+    assert any(row["fast"] != row["exact"] for row in rows), rows
