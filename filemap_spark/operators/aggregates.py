@@ -1976,3 +1976,284 @@ def ts_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "agg_revenue_band_q6",
+    oracle=f"""
+    SELECT {dsum('l_extendedprice * l_discount', 'revenue')},
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    cost=0.3,
+)
+def agg_revenue_band_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (round 6, staged r7): forecast-revenue-change — one
+    scalar row from a triple-banded filter (ship year, discount band,
+    quantity cap) over lineitem, no join, no grouping. The canonical
+    "filters do all the work" query: every predicate pushes into the
+    parquet scan (min/max row-group pruning on l_shipdate when the data is
+    ship-date-clustered), and the aggregate is a shuffle-free partial agg
+    — each partition reduces to one row before the single final merge.
+
+    Determinism: the discount band compares raw 2dp doubles against the
+    literals 0.05/0.07 — the parquet doubles and the literals are
+    bit-identical in both engines, so the band membership is exact; the
+    revenue sum rides the dsum int64-micro discipline (price×discount =
+    2dp×2dp = 4dp ≤ 6dp exact).
+
+    Scale: O(rows-scanned) map work, O(1) shuffle — survives any corpus
+    size by construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.expr(dsum("l_extendedprice * l_discount", "revenue")),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "agg_promo_share_q14",
+    oracle="""
+    WITH s AS (
+      SELECT sum(CASE WHEN p_type = 'PROMO' THEN
+               cast(round(l_extendedprice * (1 - l_discount) * 1000000) AS bigint)
+               ELSE 0 END) AS promo_micro,
+             sum(cast(round(l_extendedprice * (1 - l_discount) * 1000000) AS bigint))
+               AS total_micro,
+             count(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    )
+    SELECT round(100.0 * cast(promo_micro AS double) / cast(total_micro AS double), 6)
+             AS promo_pct,
+           cast(cast(promo_micro AS decimal(38,6)) / 1000000 AS double) AS promo_revenue,
+           cast(cast(total_micro AS decimal(38,6)) / 1000000 AS double) AS total_revenue,
+           cast(n_lines AS bigint) AS n_lines
+    FROM s
+    """,
+    cost=0.4,
+)
+def agg_promo_share_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (round 6, staged r7): promo revenue share — the
+    percentage of one quarter's discounted revenue attributable to PROMO
+    parts. The classic conditional-aggregate-over-a-join: ONE pass over the
+    date-filtered fact, the part dimension BROADCAST (no fact shuffle), and
+    both the conditional and total sums accumulated in the same hash agg —
+    no second scan, no self-join.
+
+    Determinism: both sums are exact int64 micro-units (disc price =
+    2dp×2dp = 4dp ≤ 6dp); the share divides the two exact integers as
+    doubles (identical operands → identical IEEE quotient both engines)
+    and the revenue outputs descale via the dsum decimal path.
+
+    Scale: fact-side work is map-only until the 1-row final agg; the
+    broadcast dim is |part| — at 100 TB the dim stays broadcastable
+    (~millions of rows) while the fact never moves."""
+    cutlo = F.lit("1996-01-01").cast("timestamp_ntz")
+    cuthi = F.lit("1996-04-01").cast("timestamp_ntz")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where((F.col("l_shipdate") >= cutlo) & (F.col("l_shipdate") < cuthi))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    micro = "cast(round(l_extendedprice * (1 - l_discount) * 1000000) as bigint)"
+    s = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(
+                F.expr(f"CASE WHEN p_type = 'PROMO' THEN {micro} ELSE 0 END")
+            ).alias("promo_micro"),
+            F.sum(F.expr(micro)).alias("total_micro"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+    descale = lambda c: f"cast(cast({c} as decimal(38,6)) / 1000000 as double)"  # noqa: E731
+    return s.select(
+        F.round(
+            100.0 * F.col("promo_micro").cast("double")
+            / F.col("total_micro").cast("double"),
+            6,
+        ).alias("promo_pct"),
+        F.expr(descale("promo_micro")).alias("promo_revenue"),
+        F.expr(descale("total_micro")).alias("total_revenue"),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+    )
+
+
+@query(
+    "agg_markov_transition",
+    oracle=EVENTS_NORM_SQL
+    + """
+    , t AS (
+      SELECT user_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_type AS curr_type
+      FROM events
+    ), c AS (
+      SELECT prev_type, curr_type, count(*) AS n_trans
+      FROM t WHERE prev_type IS NOT NULL GROUP BY prev_type, curr_type
+    ), tot AS (
+      SELECT prev_type, sum(n_trans) AS n_prev FROM c GROUP BY prev_type
+    )
+    SELECT c.prev_type, c.curr_type, cast(n_trans AS bigint) AS n_trans,
+           {} AS prob
+    FROM c JOIN tot ON c.prev_type = tot.prev_type
+    ORDER BY c.prev_type, c.curr_type
+    """.format(mean_micro_6dp("(n_trans * 1000000)", "n_prev")),
+    cost=0.4,
+)
+def agg_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (round 6, staged r7): P(next event type | current event type) — the
+    behavioral model behind session simulation, anomaly detection (a
+    transition with near-zero historical probability), and funnel design.
+    One lag window per user, one count agg, and the row-normalization is a
+    re-aggregate of the (|types|²)-row count matrix itself — the fact is
+    scanned exactly once.
+
+    Determinism: lag order is (ts, event_id) — a total order (event_id is
+    unique), so the transition pairs are engine-identical; probabilities
+    are exact-integer divisions on the mean_micro_6dp discipline (counts
+    are int64, half-micro rounding ties decided in integer arithmetic).
+
+    Scale: the window and nothing else touches O(rows); its user_id
+    exchange is the only data-sized shuffle. The count matrix is
+    O(|types|²) — constant — so the totals join broadcasts trivially."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("curr_type"),
+    ).where(F.col("prev_type").isNotNull())
+    c = t.groupBy("prev_type", "curr_type").agg(F.count("*").alias("n_trans"))
+    tot = c.groupBy("prev_type").agg(F.sum("n_trans").alias("n_prev"))
+    return (
+        c.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "curr_type",
+            F.col("n_trans").cast("bigint").alias("n_trans"),
+            F.expr(
+                mean_micro_6dp("(n_trans * 1000000)", "n_prev")
+            ).alias("prob"),
+        )
+        .orderBy("prev_type", "curr_type")
+    )
+
+
+@query(
+    "ts_cross_correlation",
+    oracle=EVENTS_NORM_SQL
+    + """
+    , daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+             count(*) AS n
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY day, event_type
+    ), c AS (
+      SELECT day, n FROM daily WHERE event_type = 'click'
+    ), p AS (
+      SELECT day, n FROM daily WHERE event_type = 'purchase'
+    ), lags AS (
+      SELECT unnest([0, 1, 2, 3]) AS lag_days
+    ), paired AS (
+      SELECT lag_days, c.n AS x, p.n AS y
+      FROM lags CROSS JOIN c JOIN p ON p.day = c.day + lag_days
+    ), s AS (
+      SELECT lag_days, count(*) AS n,
+             cast(sum(x) AS bigint) AS sx, cast(sum(y) AS bigint) AS sy,
+             cast(sum(x * y) AS bigint) AS sxy,
+             cast(sum(x * x) AS bigint) AS sxx,
+             cast(sum(y * y) AS bigint) AS syy
+      FROM paired GROUP BY lag_days
+    )
+    SELECT lag_days, cast(n AS bigint) AS n_days,
+           round(cast(n * sxy - sx * sy AS double)
+                 / sqrt(cast(n * sxx - sx * sx AS double)
+                        * cast(n * syy - sy * sy AS double)), 6) AS xcorr
+    FROM s ORDER BY lag_days
+    """,
+    cost=0.4,
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between two event streams (round 6, staged
+    r7): does today's click volume predict purchase volume 0-3 days out?
+    The lead-indicator diagnostic behind demand forecasting and campaign
+    attribution. Counts collapse to one row per (day, type) FIRST — the
+    corpus-sized work is a single hash agg — then every lag correlates the
+    two O(days) series via the exact integer power-sum kernel
+    (agg_corr_cov's discipline: daily counts are already integers, so the
+    sums are exact with no quantization step at all).
+
+    Determinism: day ids are integer µs-floor-division (epoch_us //
+    86400000000 — C-truncation, identical both engines on nonnegative
+    epochs); the correlation is a closed form over six exact int64 sums —
+    identical numerators → identical IEEE division/sqrt.
+
+    Scale: one keyed agg over the fact; everything after is O(days ×
+    lags). The lag join broadcasts the day-count series; at 100 TB the
+    series is still only O(days) rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            # `div` = exact integer division (DuckDB oracle spells `//`);
+            # identical on nonnegative epochs, no FP quotient anywhere
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    c = daily.where(F.col("event_type") == "click").select(
+        "day", F.col("n").alias("x")
+    )
+    p = daily.where(F.col("event_type") == "purchase").select(
+        F.col("day").alias("p_day"), F.col("n").alias("y")
+    )
+    lags = spark.range(4).select(F.col("id").alias("lag_days"))
+    paired = (
+        c.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(p),
+            F.col("p_day") == F.col("day") + F.col("lag_days"),
+        )
+    )
+    s = paired.groupBy("lag_days").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        s.select(
+            "lag_days",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.round(
+                num.cast("double")
+                / F.sqrt(vx.cast("double") * vy.cast("double")),
+                6,
+            ).alias("xcorr"),
+        )
+        .orderBy("lag_days")
+    )

@@ -1133,3 +1133,351 @@ def join_prefilter_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "l_linenumber", "l_quantity", "o_totalprice")
         .orderBy("o_orderkey", "l_linenumber")
     )
+
+
+@query(
+    "join_returned_rev_q10",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           count(*) AS n_items
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    cost=0.5,
+)
+def join_returned_rev_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (round 6, staged r7): top-20 customers by RETURNED
+    item revenue in one quarter — the churn-risk report. Star pattern:
+    the returnflag predicate pushes into the lineitem scan, the quarter
+    predicate into orders; customer and nation BROADCAST so the fact
+    shuffles once, for the orders equi-join; the top-20 collapses to
+    TakeOrderedAndProject (no global sort materialization).
+
+    Determinism: revenue rides dsum (exact int64 micro-units), so the
+    DESC-revenue ranking compares identical doubles in both engines, with
+    c_custkey as the total-order tiebreak.
+
+    Scale: fact work is one filtered scan + one keyed shuffle; dims stay
+    broadcast-sized at any fact scale. Group count is bounded by active
+    returning customers, and the driver only ever sees 20 rows."""
+    cutlo = F.lit("1996-01-01").cast("timestamp_ntz")
+    cuthi = F.lit("1996-04-01").cast("timestamp_ntz")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where((F.col("o_orderdate") >= cutlo) & (F.col("o_orderdate") < cuthi))
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.expr(dsum("l_extendedprice * (1 - l_discount)", "revenue")),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "join_late_shipment_q12",
+    oracle="""
+    SELECT l_returnflag,
+           cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS bigint) AS high_line_count,
+           cast(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS bigint) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE epoch_us(l_shipdate) - epoch_us(o_orderdate) > 5184000000000
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    cost=0.4,
+)
+def join_late_shipment_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (round 6, staged r7): late-shipment priority audit —
+    among lineitems shipped more than 60 days after their order date, how
+    many belong to high- vs low-priority orders, per return flag. The
+    original's shipmode column does not exist in this corpus; the return
+    flag plays its grouping role and the commit/receipt lag becomes the
+    ship-order lag. One fact-fact equi-join on the order key (the late
+    predicate is a RESIDUAL on the joined row — it references both sides,
+    so it cannot push below the join), then conditional counts in one agg.
+
+    Determinism: the lag test is exact integer µs arithmetic (Spark
+    unix_micros ≡ DuckDB epoch_us on the normalized timestamps); counts
+    are integers — nothing floats anywhere.
+
+    Scale: lineitem and orders co-shuffle on the order key once (the same
+    key a bucketed layout pre-clusters — see sink_bucketed_table, which
+    makes this join exchange-free); the agg output is 3 rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("ship_us"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ord_us"),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("ship_us") - F.col("ord_us") > 5184000000000)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "subq_small_qty_q17",
+    oracle=f"""
+    WITH b AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#13'
+    ), thr AS (
+      SELECT l_partkey,
+             0.2 * (cast(sum(cast(round(l_quantity * 1000000) AS bigint))
+                         AS double) / 1000000.0 / count(*)) AS qty_cap
+      FROM b GROUP BY l_partkey
+    )
+    SELECT count(*) AS n_small_lines,
+           {dsum('l_extendedprice', 'small_qty_revenue')}
+    FROM b JOIN thr ON b.l_partkey = thr.l_partkey
+    WHERE l_quantity < qty_cap
+    """,
+    cost=0.4,
+)
+def subq_small_qty_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (round 6, staged r7): small-quantity-order revenue —
+    lineitems of one brand whose quantity falls below 20% of that part's
+    own average order quantity. The correlated-scalar-subquery pattern
+    (per-part AVG compared against each row of the same part), resolved
+    the scalable way: the brand-filtered join output is aggregated once
+    per part, and the O(parts) threshold relation joins BACK by part key —
+    two passes over the small filtered set, zero correlated re-execution.
+
+    Determinism: the threshold is 0.2 × (exact-int64 micro sum / count) —
+    identical integer operands, then two IEEE ops (divide, multiply) on
+    identical doubles; the `<` compare therefore agrees bit-for-bit in
+    both engines. Revenue rides dsum.
+
+    Scale: part dim broadcasts into the brand filter; the per-part agg and
+    the threshold join both key on l_partkey — co-partitioned, one shuffle
+    each over the ~1/25-selectivity brand subset only."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    b = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thr = b.groupBy("l_partkey").agg(
+        (
+            0.2
+            * (
+                F.sum(F.expr("cast(round(l_quantity * 1000000) as bigint)"))
+                .cast("double")
+                / 1000000.0
+                / F.count("*")
+            )
+        ).alias("qty_cap")
+    )
+    return (
+        b.join(thr, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            F.count("*").alias("n_small_lines"),
+            F.expr(dsum("l_extendedprice", "small_qty_revenue")),
+        )
+    )
+
+
+@query(
+    "join_top_orders_q18",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, cast(sum(cast(round(l_quantity) AS bigint)) AS bigint)
+               AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(cast(round(l_quantity) AS bigint)) > 250
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           epoch_us(o_orderdate) AS orderdate_us,
+           round(o_totalprice, 6) AS o_totalprice, sum_qty
+    FROM big
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    cost=0.4,
+)
+def join_top_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (round 6, staged r7): large-volume orders — the
+    top-10 orders whose total line quantity exceeds 250 units, with their
+    customers. The HAVING-on-a-fact-aggregate pattern: lineitem collapses
+    to one row per order FIRST (partial-agg-friendly hash agg), the >250
+    gate reduces that to a tiny survivor set (p99 of order quantity sums
+    is ~262 in this corpus), and only the survivors join to orders and
+    customer — the join input is orders of magnitude smaller than the
+    fact. Top-10 collapses to TakeOrderedAndProject.
+
+    Determinism: quantities are integral doubles — round() makes each an
+    exact int64, so the HAVING gate is integer-exact; o_totalprice values
+    are raw parquet doubles, identical in both engines, so DESC ordering
+    with the o_orderkey tiebreak is total.
+
+    Scale: one fact agg on the order key + two survivor-sized joins; at
+    100 TB the survivor relation stays small (the gate is the point), and
+    customer broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.expr("cast(round(l_quantity) as bigint)").alias("qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").cast("bigint").alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_us"
+            ),
+            F.round("o_totalprice", 6).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle=f"""
+    SELECT p_brand, count(*) AS n_lines,
+           {dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size = 10
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+    cost=3.0,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime join prefilter (round 6, staged r7): the
+    general-key sibling of join_prefilter_minmax — when the filtered dim's
+    surviving keys are NOT an interval, a min/max envelope prunes nothing,
+    but a Bloom filter of the survivor keys still drops most fact rows
+    MAP-SIDE, before the join shuffle. Hand-rolled and fully inspectable
+    (this is what spark.sql.optimizer.runtime.bloomFilter.enabled injects
+    automatically on the JVM side): k=3 xxhash64 probes into an m=65536-bit
+    filter; the dim side aggregates the 1024-word int64 bitmap with bit_or
+    (order-free), the bounded O(m/64) bitmap is collected once and
+    rebroadcast as a LITERAL array, and the fact filter is pure codegen
+    bit arithmetic — zero extra shuffle, zero UDF. False positives are
+    harmless: the prefilter is a SUPERSET gate and the exact equi-join
+    still runs, so the result is plan-identical to the plain join (the
+    oracle IS the plain join).
+
+    Determinism: the Bloom gate only affects WHICH rows reach the exact
+    join, never the joined values; the revenue sum rides dsum.
+
+    Scale: dim-side bitmap build is O(|filtered dim| × k) map work + a
+    1024-row shuffle; the collect is O(m/64) — constant, like the PCA Gram
+    partials. Fact-side work is map-only. Size m for the survivor-key
+    cardinality at deployment (m ≈ 10 bits/key for ~1% FP); the bitmap
+    literal stays kilobytes up to millions of keys."""
+    m_bits, n_words, k = 1 << 16, 1 << 10, 3
+    part = load_table(spark, sf_dir, "part")
+    dim = part.where(F.col("p_size") == 10).select("p_partkey", "p_brand")
+
+    # dim side: k probe positions per key -> per-word OR of the bit masks
+    probes = dim.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("p_partkey", F.lit(i)), F.lit(m_bits))
+                    for i in range(k)
+                ]
+            )
+        ).alias("bit")
+    )
+    words = (
+        probes.select(
+            F.expr("cast(bit div 64 as int)").alias("word"),
+            F.expr("shiftleft(cast(1 as bigint), cast(bit % 64 as int))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * n_words
+    for row in words:
+        bitmap[row["word"]] = row["bits"]
+    bloom = F.array(*[F.lit(w).cast("bigint") for w in bitmap])
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    fact = li.withColumn("_bloom", bloom)
+    gate = None
+    for i in range(k):
+        b = f"pmod(xxhash64(l_partkey, {i}), {m_bits})"
+        hit = F.expr(
+            f"(shiftright(element_at(_bloom, cast({b} div 64 as int) + 1),"
+            f" cast({b} % 64 as int)) % 2) != 0"
+        )
+        gate = hit if gate is None else (gate & hit)
+    prefiltered = fact.where(gate).drop("_bloom")
+
+    return (
+        prefiltered.join(
+            F.broadcast(dim), prefiltered.l_partkey == dim.p_partkey
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.expr(dsum("l_extendedprice * (1 - l_discount)", "revenue")),
+        )
+        .orderBy("p_brand")
+    )

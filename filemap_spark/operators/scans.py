@@ -650,3 +650,68 @@ def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "sink_manifest_checksum",
+    oracle="""
+    SELECT lang, 1 AS n_files, count(*) AS n_rows,
+           bit_xor(cast(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+                                        1, 15)) AS BIGINT)) AS content_xor,
+           min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    cost=0.6,
+)
+def sink_manifest_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit manifest (round 6, staged r7): partition the corpus by
+    lang, write it, then RE-READ the written files and emit one manifest
+    row per partition — file count, row count, an order-free content
+    checksum (bit_xor of per-row md5), and the key envelope. This is the
+    data-integrity ledger a 100 TB pipeline keeps per written partition:
+    a later re-verification (or a consumer) recomputes the same row from
+    the files and any dropped/duplicated/mutated row flips the xor. Graded
+    against the SOURCE table's expected manifest, so the sink round-trip
+    itself is what's checked; n_files pins the layout invariant — the
+    pre-shuffle on the partition column yields exactly ONE file per
+    partition directory (the small-files discipline at write time).
+
+    Determinism: bit_xor is commutative/associative (order-free by
+    construction — no quantization needed), md5 is engine-identical on the
+    identical `id:text` string, and the 15-hex-char prefix keeps the
+    parsed int64 positive in both engines.
+
+    Scale: one hash exchange on the partition key + a map-side manifest
+    agg on re-read (count/xor/min/max are all partial-agg friendly). At
+    100 TB, repartition(N, col) with N sized per partition volume replaces
+    the single-file-per-partition layout; n_files then pins N."""
+    out_dir = os.path.join(_tmpdir("manifest"), "documents")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    (
+        docs.repartition("lang")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(out_dir)
+    )
+    back = spark.read.parquet(out_dir)
+    row_hash = F.expr(
+        "cast(conv(substr(md5(concat(cast(doc_id as string), ':', text)), 1, 15),"
+        " 16, 10) as bigint)"
+    )
+    return (
+        back.select(
+            "lang",
+            F.input_file_name().alias("fname"),
+            "doc_id",
+            row_hash.alias("h"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("fname").cast("int").alias("n_files"),
+            F.count("*").alias("n_rows"),
+            F.bit_xor("h").alias("content_xor"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("lang")
+    )

@@ -1154,3 +1154,133 @@ def emb_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "emb_pair_distance_hist",
+    cost=2.2,
+    oracle="""
+    WITH nn AS (
+      SELECT count(*) AS n FROM embeddings
+    ), pairs AS (
+      SELECT e.vec_id AS id_a,
+             CASE WHEN (e.vec_id * 7919 + 104729) % nn.n = e.vec_id
+                  THEN ((e.vec_id * 7919 + 104729) % nn.n + 1) % nn.n
+                  ELSE (e.vec_id * 7919 + 104729) % nn.n END AS id_b
+      FROM embeddings e CROSS JOIN nn
+    ), elems AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             unnest(list_transform(embedding, x -> cast(x AS double))) AS v
+      FROM embeddings
+    ), terms AS (
+      SELECT p.id_a, p.id_b, a.label AS label_a, b.label AS label_b,
+             cast(round(a.v * b.v * 1000000000000) AS bigint) AS dt,
+             cast(round(a.v * a.v * 1000000000000) AS bigint) AS at2,
+             cast(round(b.v * b.v * 1000000000000) AS bigint) AS bt2
+      FROM pairs p
+        JOIN elems a ON a.vec_id = p.id_a
+        JOIN elems b ON b.vec_id = p.id_b AND b.pos = a.pos
+    ), sims AS (
+      SELECT id_a, id_b, label_a, label_b,
+             cast(round(
+               (cast(sum(dt) AS double) / 1000000000000)
+               / (sqrt(cast(sum(at2) AS double) / 1000000000000)
+                  * sqrt(cast(sum(bt2) AS double) / 1000000000000))
+               * 1000) AS bigint) AS cos_milli
+      FROM terms GROUP BY id_a, id_b, label_a, label_b
+    )
+    SELECT cast(floor(cast(cos_milli AS double) / 50) AS int) AS bucket,
+           count(*) AS n_pairs,
+           cast(sum(CASE WHEN label_a = label_b THEN 1 ELSE 0 END) AS bigint)
+             AS n_same_label
+    FROM sims GROUP BY bucket ORDER BY bucket
+    """,
+)
+def emb_pair_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-similarity calibration histogram (round 6, staged r7): the
+    distribution of cosine similarity over a deterministic O(n) sample of
+    vector pairs, bucketed at 0.05 width with a same-label count per
+    bucket — the curve you read BEFORE choosing any dedup/ANN threshold
+    (where does the same-label mass separate from the cross-label mass?).
+    Sampling reuses sample_negative_pairs' affine-hash pairing: seed-free,
+    order-free, rerun-stable, exactly one partner per anchor (self-pairs
+    advance), so the histogram is a pure function of the corpus — never
+    O(n²) pairs.
+
+    Determinism: per-element dot/norm terms quantize to 1e-12-scaled int64
+    before the order-free sums (emb_label_centroid_sim's discipline); the
+    cosine is then quantized to integer MILLI-units before bucketing, so
+    the floor-by-50 bucket boundary is an exact-integer test — a cosine
+    landing on a bucket edge cannot split engines. (milli/50 as double:
+    both operands are small exact integers, the quotient's floor is exact.)
+
+    Scale: pair generation is a map (one broadcast n); the only data-sized
+    shuffles are the two vec_id joins and the O(n)-group sim agg. The
+    histogram output is O(41) rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nn = emb.agg(F.count("*").cast("bigint").alias("n"))
+    cand = (F.col("vec_id") * 7919 + 104729) % F.col("n")
+    pairs = (
+        emb.select("vec_id")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("vec_id").alias("id_a"),
+            F.when(cand == F.col("vec_id"), (cand + 1) % F.col("n"))
+            .otherwise(cand)
+            .alias("id_b"),
+        )
+    )
+    elems = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "vf")
+    ).withColumn("v", F.col("vf").cast("double"))
+    term = lambda x: F.expr(f"cast(round({x} * 1000000000000) as bigint)")  # noqa: E731
+    a = elems.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        "pos",
+        F.col("v").alias("va"),
+    )
+    b = elems.select(
+        F.col("vec_id").alias("bid"),
+        F.col("label").alias("label_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("v").alias("vb"),
+    )
+    terms = (
+        pairs.join(a, "id_a")
+        .join(b, (F.col("id_b") == F.col("bid")) & (F.col("pos") == F.col("pos_b")))
+        .select(
+            "id_a",
+            "id_b",
+            "label_a",
+            "label_b",
+            term("va * vb").alias("dt"),
+            term("va * va").alias("at2"),
+            term("vb * vb").alias("bt2"),
+        )
+    )
+    sims = terms.groupBy("id_a", "id_b", "label_a", "label_b").agg(
+        F.expr(
+            "cast(round("
+            "(cast(sum(dt) as double) / 1000000000000)"
+            " / (sqrt(cast(sum(at2) as double) / 1000000000000)"
+            "    * sqrt(cast(sum(bt2) as double) / 1000000000000))"
+            " * 1000) as bigint)"
+        ).alias("cos_milli")
+    )
+    return (
+        sims.groupBy(
+            F.expr("cast(floor(cast(cos_milli as double) / 50) as int)").alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("label_a") == F.col("label_b"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_same_label"),
+        )
+        .orderBy("bucket")
+    )

@@ -538,3 +538,103 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "win_rolling_zscore",
+    oracle=EVENTS_NORM_SQL
+    + """
+    , v AS (
+      SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+             round(value, 6) AS value,
+             cast(round(value * 100) AS bigint) AS vc
+      FROM events
+    ), f AS (
+      SELECT event_type, event_id, ts_us, value, vc,
+             count(*) OVER w AS n,
+             sum(vc) OVER w AS s,
+             sum(vc * vc) OVER w AS ss
+      FROM v
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, event_id, ts_us, value,
+           cast(n AS bigint) AS n_window,
+           CASE WHEN n >= 2 AND n * ss - s * s > 0
+                THEN round(cast(n * vc - s AS double)
+                           / sqrt(cast(n * ss - s * s AS double)
+                                  * cast(n AS double)
+                                  / cast(n - 1 AS double)), 6)
+                ELSE NULL END AS zscore
+    FROM f ORDER BY event_type, ts_us, event_id
+    """,
+    cost=0.6,
+)
+def win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window standardization (round 6, staged r7): each event's
+    z-score against the trailing 20-observation mean/stddev of its own
+    event type — the adaptive-threshold primitive behind drift-aware
+    alerting (a fixed global threshold goes stale; a rolling one tracks
+    regime changes). Completes the rolling family: moving_avg (level),
+    moving_median (robust level), moving_minmax (envelope), EWMA (decay) —
+    this one is SPREAD-normalized deviation.
+
+    Determinism: values are exact 2dp → exact int64 centi-units; the frame
+    aggregates (n, Σv, Σv²) are integer-exact (vc ≤ 49102 ⇒ Σvc² over 20
+    rows ≤ 4.9e10), and the z-score is evaluated as the closed form
+    (n·vc − s) / sqrt((n·ss − s²) · n / (n−1)) — every operand an exact
+    integer, then three IEEE ops — so both engines land on the identical
+    double. The sample-stddev form (n−1) matches stddev_samp; frames with
+    n < 2 or zero variance yield NULL, decided by an exact integer test
+    (no FP boundary).
+
+    Scale: ONE exchange on event_type, one sorted pass per partition —
+    the three frame aggregates share the frame buffer. At 100 TB,
+    partition by (entity, coarse time bucket) instead of bare type to
+    bound per-key volume — the 19-row frame only needs a 19-row carry
+    across bucket seams."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 6).alias("value"),
+        F.expr("cast(round(value * 100) as bigint)").alias("vc"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    f = v.select(
+        "event_type",
+        "event_id",
+        "ts_us",
+        "value",
+        "vc",
+        F.count("*").over(w).alias("n"),
+        F.sum("vc").over(w).alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).over(w).alias("ss"),
+    )
+    n, s, ss, vc = F.col("n"), F.col("s"), F.col("ss"), F.col("vc")
+    var_num = n * ss - s * s
+    z = F.round(
+        (n * vc - s).cast("double")
+        / F.sqrt(
+            var_num.cast("double") * n.cast("double") / (n - 1).cast("double")
+        ),
+        6,
+    )
+    return (
+        f.select(
+            "event_type",
+            "event_id",
+            "ts_us",
+            "value",
+            n.cast("bigint").alias("n_window"),
+            F.when((n >= 2) & (var_num > 0), z).otherwise(F.lit(None)).alias(
+                "zscore"
+            ),
+        )
+        .orderBy("event_type", "ts_us", "event_id")
+    )

@@ -10,7 +10,13 @@ family-interleaved, so budget overflow re-grades broadly)."""
 from __future__ import annotations
 
 from filemap_spark import all_oracle, all_queries
-from filemap_spark.registry import _DRIVER_GREEN, _META, _PRIORITY_R6, _REGRADE_R6
+from filemap_spark.registry import (
+    _DRIVER_GREEN,
+    _META,
+    _PRIORITY_R6,
+    _REGRADE_R6,
+    _STAGED_R7,
+)
 
 WINDOW = 50  # observed driver grading budget, ops/round
 
@@ -27,9 +33,10 @@ def _tier(name: str) -> int:
 def test_priority_block_is_exactly_the_ungreen_set():
     order = list(all_queries())
     assert order[: len(_PRIORITY_R6)] == list(_PRIORITY_R6)
-    # the priority block and the green ledger partition the registry
-    assert set(_PRIORITY_R6) | _DRIVER_GREEN == set(_META)
-    assert not set(_PRIORITY_R6) & _DRIVER_GREEN
+    # priority block + staging block + green ledger partition the registry
+    assert set(_PRIORITY_R6) | set(_STAGED_R7) | _DRIVER_GREEN == set(_META)
+    assert not (set(_PRIORITY_R6) | set(_STAGED_R7)) & _DRIVER_GREEN
+    assert not set(_PRIORITY_R6) & set(_STAGED_R7)
     assert len(order) == len(set(order)) == len(_META)
 
 
@@ -41,11 +48,17 @@ def test_regrade_tail_follows_priority_block():
 
 
 def test_never_graded_ops_inside_the_grading_window():
-    """Every op with no green driver row (i.e. every new round-6 op) must
-    land in the 50-op window so it grades on its debut round."""
-    window = set(list(all_queries())[:WINDOW])
-    never_graded = set(_META) - _DRIVER_GREEN
+    """Every new ROUND-6 op (the priority block) must land in the 50-op
+    window so it grades on its debut round. Ops in the round-7 staging
+    block are past the window by design — round 6's window filled at
+    exactly 16 new + 34 stale — and follow the regrade tail so they head
+    _PRIORITY_R7 next round without displacing this round's occupants."""
+    order = list(all_queries())
+    window = set(order[:WINDOW])
+    never_graded = set(_META) - _DRIVER_GREEN - set(_STAGED_R7)
     assert never_graded <= window, sorted(never_graded - window)
+    n = len(_PRIORITY_R6) + len(_REGRADE_R6)
+    assert order[n : n + len(_STAGED_R7)] == list(_STAGED_R7)
 
 
 def test_stale_tail_inside_the_grading_window():
