@@ -2133,8 +2133,11 @@ def agg_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     are int64, half-micro rounding ties decided in integer arithmetic).
 
     Scale: the window and nothing else touches O(rows); its user_id
-    exchange is the only data-sized shuffle. The count matrix is
-    O(|types|²) — constant — so the totals join broadcasts trivially."""
+    exchange is the only data-sized shuffle. The row totals come from a
+    WINDOW over the O(|types|²) count matrix itself — NOT a self-join back
+    to a re-derived aggregate, which would re-execute the whole fact
+    subtree twice (observed in the first cut's plan: two full lag-window
+    passes); the matrix is constant-sized, so its window is free."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     t = ev.select(
@@ -2142,9 +2145,10 @@ def agg_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("curr_type"),
     ).where(F.col("prev_type").isNotNull())
     c = t.groupBy("prev_type", "curr_type").agg(F.count("*").alias("n_trans"))
-    tot = c.groupBy("prev_type").agg(F.sum("n_trans").alias("n_prev"))
     return (
-        c.join(F.broadcast(tot), "prev_type")
+        c.withColumn(
+            "n_prev", F.sum("n_trans").over(Window.partitionBy("prev_type"))
+        )
         .select(
             "prev_type",
             "curr_type",

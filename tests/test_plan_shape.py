@@ -510,3 +510,124 @@ def test_truncate_renorm_no_python_stage(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "emb_truncate_renorm")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---- round-7-staged ops (built round 6) ----
+
+
+def test_q6_predicates_push_to_scan_no_data_shuffle(spark, sf_dir):
+    """agg_revenue_band_q6: all three filter bands push into the parquet
+    scan; the only exchange is the 1-row final-agg SinglePartition merge."""
+    plan = plan_of(spark, sf_dir, "agg_revenue_band_q6")
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+    assert "hashpartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_star_broadcasts_dims_topk_collapses(spark, sf_dir):
+    """join_returned_rev_q10: customer and nation broadcast (fact shuffles
+    only for the orders equi-join) and the top-20 never globally sorts."""
+    plan = plan_of(spark, sf_dir, "join_returned_rev_q10")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q12_residual_lag_rides_orderkey_equijoin(spark, sf_dir):
+    """join_late_shipment_q12: one fact-fact equi-join on the order key;
+    the 60-day lag predicate is a residual, never a nested loop."""
+    plan = plan_of(spark, sf_dir, "join_late_shipment_q12")
+    # equi-join on the order key (broadcast at toy SF, shuffled at scale);
+    # the lag predicate must be the join's RESIDUAL condition
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+    cond = next(l for l in plan.splitlines() if "Join condition:" in l)
+    assert "5184000000000" in cond
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q14_part_dim_broadcasts_fact_never_shuffles(spark, sf_dir):
+    """agg_promo_share_q14: the part dim broadcasts and both conditional
+    sums ride ONE hash agg — the fact is never hash-exchanged."""
+    plan = plan_of(spark, sf_dir, "agg_promo_share_q14")
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning" not in plan  # only the 1-row single-partition merge
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_threshold_join_copartitioned_on_partkey(spark, sf_dir):
+    """subq_small_qty_q17: brand dim broadcasts; the per-part threshold
+    agg and the join-back both key on l_partkey (no correlated loop)."""
+    plan = plan_of(spark, sf_dir, "subq_small_qty_q17")
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(l_partkey" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_fact_collapses_before_joins_topk_collapses(spark, sf_dir):
+    """join_top_orders_q18: lineitem aggregates per order BEFORE any join
+    (the HashAggregate sits below the joins) and the top-10 is
+    TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(spark, sf_dir, "join_top_orders_q18")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_prefilter_gate_is_mapside_codegen(spark, sf_dir):
+    """join_bloom_prefilter: the Bloom gate is a map-side Filter (shiftright
+    bit test in codegen) on the fact — the fact is never hash-exchanged
+    (the only hashpartitioning is the final tiny p_brand agg) — and the
+    exact join is a broadcast hash join."""
+    plan = plan_of(spark, sf_dir, "join_bloom_prefilter")
+    assert "shiftright" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(l_partkey" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_markov_single_user_exchange(spark, sf_dir):
+    """agg_markov_transition: the lag window's user_id exchange is the only
+    data-sized shuffle; normalization re-aggregates the O(types²) matrix."""
+    plan = plan_of(spark, sf_dir, "agg_markov_transition")
+    hash_ex = [
+        l for l in plan.splitlines()
+        if "Arguments: hashpartitioning(user_id" in l
+    ]
+    assert len(hash_ex) == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_zscore_single_exchange_shared_frames(spark, sf_dir):
+    """win_rolling_zscore: one event_type exchange; all three frame
+    aggregates evaluate in a single WindowExec pass."""
+    plan = plan_of(spark, sf_dir, "win_rolling_zscore")
+    hash_ex = [
+        l for l in plan.splitlines()
+        if "Arguments: hashpartitioning(event_type" in l
+    ]
+    assert len(hash_ex) == 1, plan
+    assert plan.count("Window") <= 2  # one WindowExec (+ its formatted header)
+
+
+def test_pair_hist_no_cartesian_all_joins_keyed(spark, sf_dir):
+    """emb_pair_distance_hist: the only unkeyed join is the 1-row corpus
+    count broadcast; pair expansion and term joins are keyed."""
+    plan = plan_of(spark, sf_dir, "emb_pair_distance_hist")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_cross_correlation_collapses_to_daily_before_lag_join(spark, sf_dir):
+    """ts_cross_correlation: the corpus collapses to O(days) counts before
+    the lag join; the lag-joined series broadcast."""
+    plan = plan_of(spark, sf_dir, "ts_cross_correlation")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
