@@ -2261,3 +2261,299 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag_days")
     )
+
+
+@query(
+    "agg_market_share_q8",
+    oracle="""
+    WITH vol AS (
+      SELECT year(o_orderdate) AS o_year,
+             cast(round(l_extendedprice * (1 - l_discount) * 1000000) AS bigint)
+               AS v_micro,
+             CASE WHEN sn.n_name = 'NATION_20'
+                  THEN cast(round(l_extendedprice * (1 - l_discount) * 1000000)
+                            AS bigint)
+                  ELSE 0 END AS vn_micro
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           cast(sum(vn_micro) AS double) / cast(sum(v_micro) AS double)
+             AS mkt_share,
+           cast(cast(sum(v_micro) AS decimal(38,6)) / 1000000 AS double)
+             AS total_volume,
+           count(*) AS n_lines
+    FROM vol GROUP BY o_year
+    """,
+    cost=0.5,
+)
+def agg_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (round 6, staged r7): national market share — the
+    fraction of ASIA customers' ECONOMY-part purchase volume supplied by
+    NATION_20, per order year. The share-of-total idiom: one star join
+    tags each line with its full volume and its conditional
+    numerator volume, then a single group-by divides the two sums.
+
+    Determinism: both sums are exact int64 µ-units; the share is their RAW
+    double quotient (identical exact operands → the identical IEEE
+    division result in both engines — no round(), no tie class); the
+    total_volume descales through the dsum decimal path.
+
+    Scale: the fact shuffles once (orders equi-join); customer, part,
+    supplier, region and both nation roles broadcast; output is
+    O(years). The µ-unit year sums stay below the 2^53 exact-double
+    ceiling to ~9e15 (≈10^9 full-priced lines per year-group); past that
+    the numerator/denominator pair moves to dsum_decimal."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cn = (
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        )
+        .where(F.col("r_name") == "ASIA")
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    v = "cast(round(l_extendedprice * (1 - l_discount) * 1000000) as bigint)"
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            F.expr(v).alias("v_micro"),
+            F.when(F.col("supp_nation") == "NATION_20", F.expr(v))
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("vn_micro"),
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum("vn_micro").cast("double") / F.sum("v_micro").cast("double")
+            ).alias("mkt_share"),
+            F.expr(
+                "cast(cast(sum(v_micro) as decimal(38,6)) / 1000000 as double)"
+            ).alias("total_volume"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "agg_profit_by_nation_q9",
+    oracle="""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           cast(cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000000)
+                              AS bigint)
+                         - cast(round(p_retailprice * 1000000) AS bigint)
+                           * cast(l_quantity AS bigint)) AS decimal(38,7))
+                / 10000000 AS double) AS profit,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+    cost=0.5,
+)
+def agg_profit_by_nation_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (round 6, staged r7): product-line profit by supplier
+    nation and order year, for one part family. The corpus has no
+    ps_supplycost, so cost is proxied at 10% of retail: profit =
+    discounted price − 0.1·p_retailprice·quantity.
+
+    Determinism: the whole measure is ONE exact int64 expression at 1e7
+    scale — price·(1−disc) is a ≤6dp decimal so ·1e7 is integral, and
+    0.1·retail·qty at 1e7 scale is round(retail·1e6)·qty exactly (retail
+    is 2dp, quantity integer-valued — pinned by the corpus and asserted in
+    the differential suite). Sum in int64, descale once via decimal(38,7).
+
+    Scale: one fact exchange (orders join); supplier/nation/filtered-part
+    broadcast. Per-row magnitude ≤ ~1e12, so a year-nation group stays
+    int64-exact to ~9e6 matched lines per group at this magnitude — the
+    contract scales by 1000×; the 100 TB path promotes the sum to
+    decimal(38,7) per the numeric module's ceiling protocol."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit_micro7 = (
+        "cast(round(l_extendedprice * (1 - l_discount) * 10000000) as bigint)"
+        " - cast(round(p_retailprice * 1000000) as bigint)"
+        "   * cast(l_quantity as bigint)"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.expr(
+                f"cast(cast(sum({profit_micro7}) as decimal(38,7))"
+                " / 10000000 as double)"
+            ).alias("profit"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "agg_supplier_variety_q16",
+    oracle="""
+    SELECT p_brand, p_type, cast(floor(p_size / 10.0) AS int) AS size_band,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+    GROUP BY 1, 2, 3
+    """,
+    cost=0.5,
+)
+def agg_supplier_variety_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (round 6, staged r7): supplier variety per part
+    segment — how many distinct (qualified) suppliers have shipped each
+    (brand, type, size-band) segment, excluding one brand, the PROMO type,
+    and a NOT IN exclusion list of low-balance suppliers (the original's
+    complaint-supplier subquery; this corpus has no comment text).
+
+    The NOT IN subquery is the hazard idiom: it is only anti-join-
+    equivalent because s_suppkey is non-nullable — spelled as a LEFT ANTI
+    join on the Spark side, the decorrelation Catalyst itself applies.
+
+    Determinism: integer counts and exact string/int keys only.
+
+    Scale: the exclusion list is a filtered dim (broadcast anti-join: no
+    fact shuffle to exclude); part broadcasts; count(DISTINCT supplier)
+    re-keys by the (brand, type, band) segment — bounded cardinality —
+    with Spark's two-phase distinct-aggregate expansion keeping the
+    distinct state partial-aggregated per segment, never a global set."""
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 1000)
+        .select("s_suppkey")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where((F.col("p_brand") != "Brand#13") & (F.col("p_type") != "PROMO"))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand",
+            "p_type",
+            F.floor(F.col("p_size") / F.lit(10.0)).cast("int").alias("size_band"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "agg_disjunctive_revenue_q19",
+    oracle=f"""
+    SELECT {dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 21)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+    cost=0.4,
+)
+def agg_disjunctive_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (round 6, staged r7): disjunctive-predicate revenue —
+    an OR of three conjunctive (brand, size-band, quantity-band) clauses
+    straddling the part/lineitem join (shipmode/container columns absent;
+    size plays container's role). The optimizer test: the OR cannot split
+    per clause, but its single-side CNF projections CAN push — brand ∈
+    {12,23,34} and size ≤ 35 prune the part scan, quantity ≤ 40 prunes
+    lineitem — while the join itself stays a plain partkey equi-join with
+    the residual OR evaluated post-join in codegen.
+
+    Determinism: revenue rides dsum; band predicates compare exact 2dp
+    doubles and integers.
+
+    Scale: part broadcasts (the only shuffle-free plan for a fact-dim
+    equi-join); the fact is scanned once with the quantity CNF residual
+    pushed to parquet; one scalar-row partial agg. The derived one-sided
+    prefilters are written explicitly so they reach the scans regardless
+    of the optimizer's CNF-extraction depth."""
+    c1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 21)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 30)
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 40)
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+            & (F.col("p_size") <= 35)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity").between(1, 40))
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(c1 | c2 | c3)
+        .agg(
+            F.expr(dsum("l_extendedprice * (1 - l_discount)", "revenue")),
+            F.count("*").alias("n_lines"),
+        )
+    )

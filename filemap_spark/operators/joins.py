@@ -1481,3 +1481,294 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "join_min_cost_supplier_q2",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             cast(sum(cast(round(l_extendedprice * 1000000) AS bigint)) AS double)
+               / cast(sum(cast(round(l_quantity * 1000000) AS bigint)) AS double)
+               AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    ), europe AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), cand AS (
+      SELECT p_partkey, p_name, s_name, n_name, s_acctbal, unit_cost,
+             min(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost
+      FROM part JOIN ps ON p_partkey = l_partkey
+                JOIN europe ON l_suppkey = s_suppkey
+      WHERE p_size BETWEEN 10 AND 40 AND p_type = 'STANDARD'
+    )
+    SELECT p_partkey, p_name, s_name, n_name, s_acctbal, unit_cost
+    FROM cand WHERE unit_cost = min_cost
+    """,
+    cost=0.4,
+)
+def join_min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (round 6, staged r7): minimum-cost supplier per part —
+    for every STANDARD part in a size band, the EUROPE supplier offering it
+    at the lowest observed unit cost. The corpus has no partsupp table, so
+    the part-supplier offer relation is DERIVED from shipment history: one
+    (partkey, suppkey) hash agg over lineitem whose unit cost is exact
+    µ-unit price-sum over exact µ-unit qty-sum. The correlated
+    min-subquery of the original becomes a per-part window MIN + equality
+    — the standard decorrelation.
+
+    Determinism: unit_cost is a RAW double quotient of two exact int64
+    sums (each < 2^53, so the int→double conversions are exact and the one
+    IEEE division returns the identical correctly-rounded double in both
+    engines) — no round() anywhere, so no BigDecimal-vs-binary tie risk;
+    the window MIN and the equality then compare identical doubles.
+
+    Scale: lineitem reduces FIRST (map-side partial agg on (part, supp) —
+    the offer relation is |parts|×|suppliers-who-shipped| ≪ |lineitem|);
+    part and the EUROPE supplier dim broadcast; the per-part window MIN
+    re-keys the offer relation by partkey alone (AQE-sized exchange, input
+    already part-clustered). At 100 TB the two sums stay int64-safe to
+    ~9e15 µ-units per offer cell (~10^9 rows of 1e5-priced lines); past
+    that, promote to dsum_decimal per the numeric module's ceiling note."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.expr(
+            "sum(cast(round(l_extendedprice * 1000000) as bigint))"
+        ).alias("price_micro"),
+        F.expr("sum(cast(round(l_quantity * 1000000) as bigint))").alias(
+            "qty_micro"
+        ),
+    )
+    ps = ps.select(
+        "l_partkey",
+        "l_suppkey",
+        (
+            F.col("price_micro").cast("double")
+            / F.col("qty_micro").cast("double")
+        ).alias("unit_cost"),
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where((F.col("p_size").between(10, 40)) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_name")
+    )
+    europe = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .where(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .join(F.broadcast(europe), ps.l_suppkey == europe.s_suppkey)
+        .withColumn("min_cost", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("min_cost"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal", "unit_cost")
+    )
+
+
+@query(
+    "join_nation_volume_q7",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l_shipdate) AS ship_year,
+           {dsum('l_extendedprice * (1 - l_discount)', 'volume')},
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_nationkey <> cn.n_nationkey
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+    cost=0.5,
+)
+def join_nation_volume_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (round 6, staged r7): bilateral trade volume — shipped
+    value between every (supplier nation, customer nation) pair, per ship
+    year, cross-border pairs only. The original fixes two nations; here the
+    full pair matrix is kept (bounded: |nations|² × years groups) so the
+    op stays non-degenerate at every scale factor.
+
+    Determinism: volume rides dsum; the pair/year keys are exact.
+
+    Scale: ONE fact-fact exchange (lineitem⋈orders on the order key, the
+    ship-window predicate pushed into the lineitem scan); customer,
+    supplier and both nation role-joins broadcast, so the joined fact
+    never re-shuffles until the final bounded-cardinality group-by. The
+    `sn <> cn` inequality is a residual on broadcast columns — no
+    cartesian anywhere."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .where(F.col("sn_key") != F.col("cn_key"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.expr(dsum("l_extendedprice * (1 - l_discount)", "volume")),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "join_custdist_q13",
+    oracle="""
+    WITH co AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM co GROUP BY c_count
+    """,
+    cost=0.4,
+)
+def join_custdist_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (round 6, staged r7): customer order-count
+    distribution — how many customers placed exactly k qualifying orders,
+    INCLUDING the zero bucket (the left-outer that a plain group-by of
+    orders can never produce). The original's o_comment NOT LIKE exclusion
+    becomes an order-priority exclusion (this corpus has no comment
+    column); the join-predicate placement is the point: the filter sits in
+    the ON clause, not WHERE, so excluded-order customers still surface
+    with count 0.
+
+    Spark side pre-aggregates orders to (custkey, count) BEFORE the outer
+    join — the count-then-join decorrelation — so the join carries one row
+    per customer per side instead of one per order. count(o_orderkey) over
+    a left join counts only matched rows (COUNT ignores the NULLs the
+    outer join manufactures), which is exactly coalesce(cnt, 0) on the
+    pre-aggregated form.
+
+    Determinism: integer counts only.
+
+    Scale: orders reduce map-side on custkey; the outer join then
+    co-shuffles two customer-cardinality relations on the same key; the
+    final histogram group-by is O(distinct counts) ≪ O(customers). No
+    broadcast needed at any scale."""
+    cnt = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_ord"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        cust.join(cnt, cust.c_custkey == cnt.o_custkey, "left")
+        .select(F.coalesce(F.col("n_ord"), F.lit(0).cast("bigint")).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@query(
+    "join_sole_late_shipper_q21",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey, l_shipdate
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    ), om AS (
+      SELECT l_orderkey, max(l_shipdate) AS max_ship,
+             count(DISTINCT l_suppkey) AS n_supp
+      FROM li GROUP BY 1
+    ), latest AS (
+      SELECT DISTINCT li.l_orderkey, li.l_suppkey
+      FROM li JOIN om ON li.l_orderkey = om.l_orderkey
+      WHERE li.l_shipdate = om.max_ship AND om.n_supp > 1
+    ), sole AS (
+      SELECT l_orderkey FROM latest GROUP BY 1 HAVING count(*) = 1
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM latest JOIN sole ON latest.l_orderkey = sole.l_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+    cost=0.5,
+)
+def join_sole_late_shipper_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (round 6, staged r7): suppliers who kept orders
+    waiting — on finished multi-supplier orders, the supplier whose
+    shipment was the SOLE latest one (an EXISTS another-supplier
+    lineitem + NOT EXISTS another-equally-late-supplier pair in the
+    original). The corpus has no commit/receipt dates, so "late" is the
+    order's max ship date. The two correlated existence tests collapse
+    into per-order aggregates: distinct-supplier count (EXISTS a second
+    supplier) and a count of max-achieving suppliers == 1 (NOT EXISTS a
+    tied one) — same sets, no correlated re-scans.
+
+    Determinism: µs-exact timestamp equality against the per-order MAX;
+    integer counts.
+
+    Scale: everything up to the final per-supplier tally is keyed by
+    l_orderkey — the fact⋈orders status join, the per-order aggregate,
+    the join-back, the distinct, and the sole-shipper window all reuse
+    ONE order-key partitioning (a single exchange under AQE); the
+    supplier name join broadcasts. Per-order state is O(suppliers per
+    order), never materializing pairs."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .drop("o_orderkey")
+    )
+    om = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+    latest = (
+        li.join(om, "l_orderkey")
+        .where((F.col("l_shipdate") == F.col("max_ship")) & (F.col("n_supp") > 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sole = latest.withColumn(
+        "n_latest", F.count("*").over(Window.partitionBy("l_orderkey"))
+    ).where(F.col("n_latest") == 1)
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(F.broadcast(supp), sole.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

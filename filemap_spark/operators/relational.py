@@ -1042,3 +1042,346 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id", "k")
     )
+
+
+@query(
+    "subq_exists_late_q4",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND epoch_us(l_shipdate) - epoch_us(o_orderdate)
+                        > 5184000000000)
+    GROUP BY o_orderpriority
+    """,
+    cost=0.4,
+)
+def subq_exists_late_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (round 6, staged r7): order-priority checking — count
+    one year's orders, per priority, that had AT LEAST ONE lineitem shipped
+    more than 60 days after ordering (commit/receipt dates absent; the
+    ship-order lag substitutes). The correlated EXISTS is spelled as a
+    LEFT SEMI join whose lag predicate is a mixed-side residual INSIDE the
+    join condition — each qualifying order counts once no matter how many
+    late lines it has, which is the semantics a plain inner join + count
+    would get wrong.
+
+    Determinism: exact integer µs lag arithmetic (unix_micros ≡ epoch_us
+    on normalized timestamps); integer counts.
+
+    Scale: the year predicate prunes the orders scan; the semi-join
+    co-shuffles orders and lineitem on the order key once (semi-join
+    state: one bit per order, and AQE can flip the filtered orders side
+    to broadcast when the year window is selective enough); the
+    priority roll-up is O(5) groups."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ord_us"),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("ship_us"),
+    )
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.ship_us - orders.ord_us > 5184000000000),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "subq_value_concentration_q11",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             sum(cast(round(l_extendedprice * 1000000) AS bigint)) AS val_micro
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name IN ('ASIA', 'EUROPE')
+      GROUP BY 1
+    )
+    SELECT l_partkey AS p_partkey,
+           cast(cast(val_micro AS decimal(38,6)) / 1000000 AS double)
+             AS part_value
+    FROM pv
+    WHERE cast(val_micro AS double)
+          > 1.5 * (SELECT cast(sum(val_micro) AS double) / count(*) FROM pv)
+    """,
+    cost=0.4,
+)
+def subq_value_concentration_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (round 6, staged r7): part value concentration —
+    parts whose shipped value (from ASIA/EUROPE-region suppliers; the
+    corpus has no partsupp, so shipment value proxies inventory value)
+    exceeds 1.5× the MEAN per-part value. The structural heart survives:
+    a grouped aggregate filtered against a scalar aggregate OVER THE SAME
+    derived relation — the HAVING-vs-global-scalar-subquery idiom. The
+    threshold is mean-relative (not a fixed fraction as in the original)
+    so the result stays non-degenerate at every scale factor.
+
+    Determinism: per-part values are exact int64 µ-unit sums; the
+    threshold is sum/count on exact-int-derived doubles — identical
+    operands, identical IEEE multiply/divide in both engines; output
+    descales via the decimal path.
+
+    Scale: one (suppkey-broadcast-filtered) fact agg keyed by part; the
+    scalar threshold is a 1-row re-aggregate of the O(parts) frame,
+    broadcast back — Spark's decorrelation of the scalar subquery, written
+    explicitly. The pv frame is computed once and reused for both sides
+    via a cached logical subtree (deterministic, side-effect free)."""
+    region_ok = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .where(F.col("r_name").isin("ASIA", "EUROPE"))
+        .select("n_nationkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(region_ok), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    pv = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.expr(
+                "sum(cast(round(l_extendedprice * 1000000) as bigint))"
+            ).alias("val_micro")
+        )
+    )
+    thr = pv.agg(
+        (F.sum("val_micro").cast("double") / F.count("*").cast("double")).alias("mean_val")
+    )
+    return (
+        pv.join(F.broadcast(thr))
+        .where(F.col("val_micro").cast("double") > 1.5 * F.col("mean_val"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.expr(
+                "cast(cast(val_micro as decimal(38,6)) / 1000000 as double)"
+            ).alias("part_value"),
+        )
+    )
+
+
+@query(
+    "subq_top_supplier_q15",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(cast(round(l_extendedprice * (1 - l_discount) * 1000000)
+                      AS bigint)) AS r_micro
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name,
+           cast(cast(r_micro AS decimal(38,6)) / 1000000 AS double)
+             AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE r_micro = (SELECT max(r_micro) FROM rev)
+    """,
+    cost=0.4,
+)
+def subq_top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (round 6, staged r7): top supplier — the supplier(s)
+    whose half-year shipped revenue equals the maximum over all suppliers
+    (the original's revenue view + scalar MAX subquery; ties all
+    surface, which is why this is not a LIMIT 1).
+
+    Determinism: the max-equality compares exact int64 µ-unit revenues —
+    no doubles until the final descale, so ties are exact, not FP-lucky.
+
+    Scale: one date-pruned fact agg keyed by supplier; the scalar MAX is a
+    1-row re-aggregate broadcast back (decorrelated comparison); the
+    supplier name join broadcasts. Nothing in the plan grows faster than
+    O(suppliers) after the first agg."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.expr(
+            "sum(cast(round(l_extendedprice * (1 - l_discount) * 1000000)"
+            " as bigint))"
+        ).alias("r_micro")
+    )
+    mx = rev.agg(F.max("r_micro").alias("max_micro"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("r_micro") == F.col("max_micro"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.expr(
+                "cast(cast(r_micro as decimal(38,6)) / 1000000 as double)"
+            ).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "subq_excess_share_q20",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey, sum(cast(l_quantity AS bigint)) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        AND l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE '%widget%')
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT l_partkey, sum(qty) AS total_qty FROM shipped GROUP BY 1
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM supplier
+    JOIN shipped ON s_suppkey = l_suppkey
+    JOIN tot ON shipped.l_partkey = tot.l_partkey
+    WHERE cast(qty AS double) > 0.5 * cast(total_qty AS double)
+    """,
+    cost=0.4,
+)
+def subq_excess_share_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (round 6, staged r7): dominant-share suppliers —
+    suppliers who shipped MORE THAN HALF of some widget-family part's total
+    1996 volume (the original's excess-availqty test re-expressed on the
+    derived shipment relation: nested IN subquery on the part-name family,
+    then a correlated share threshold per (supplier, part)).
+
+    Determinism: quantities are integer-valued (corpus-pinned), summed in
+    int64; the share test multiplies/compares identical exact-int-derived
+    doubles identically in both engines.
+
+    Scale: the part-family IN list is a broadcast semi-join pruning the
+    fact scan; the (supp, part) agg reduces map-side; the per-part total
+    is a WINDOW SUM over the already-(part,supp)-reduced frame on the
+    Spark side — O(parts) re-key, no second fact pass; DISTINCT output is
+    O(suppliers)."""
+    widget = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .select("l_suppkey", "l_partkey", "l_quantity")
+        .join(F.broadcast(widget), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    )
+    shipped = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        shipped.withColumn("total_qty", F.sum("qty").over(w))
+        .where(F.col("qty").cast("double") > 0.5 * F.col("total_qty").cast("double"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return dominant.join(
+        F.broadcast(supp), dominant.l_suppkey == supp.s_suppkey
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "subq_idle_customers_q22",
+    oracle="""
+    WITH avgbal AS (
+      SELECT cast(sum(cast(round(c_acctbal * 1000000) AS bigint)) AS double)
+               / cast(count(*) AS double) AS thr_micro
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment, count(*) AS numcust,
+           cast(cast(sum(cast(round(c_acctbal * 1000000) AS bigint))
+                     AS decimal(38,6)) / 1000000 AS double) AS totacctbal
+    FROM customer, avgbal
+    WHERE cast(round(c_acctbal * 1000000) AS bigint) > thr_micro
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+    cost=0.4,
+)
+def subq_idle_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (round 6, staged r7): well-funded idle customers —
+    per market segment (standing in for the original's phone country
+    code), customers whose balance beats the positive-balance average AND
+    who placed no order since 2000 (the anti-join; the original's "no
+    orders ever" is empty on this corpus, so the recency window keeps the
+    shape non-degenerate). Composes the two classic subquery forms in one
+    query: a scalar AVG subquery and a NOT EXISTS anti-join.
+
+    Determinism: the threshold is exact-µ-unit sum / count (identical
+    IEEE division both engines) compared against each customer's exact
+    µ-unit balance — the FP-summed AVG of a naive spelling would make row
+    membership engine-dependent; totals descale via the decimal path.
+
+    Scale: the threshold is a 1-row broadcast; the anti-join keys
+    customer against the date-pruned orders scan on custkey (co-shuffle,
+    or broadcast of recent-customer keys when the window is selective);
+    the segment roll-up is O(segments)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.expr("cast(round(c_acctbal * 1000000) as bigint)").alias("bal_micro"),
+    )
+    thr = (
+        cust.where(F.col("bal_micro") > 0)
+        .agg(
+            (
+                F.sum("bal_micro").cast("double") / F.count("*").cast("double")
+            ).alias("thr_micro")
+        )
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(thr))
+        .where(F.col("bal_micro").cast("double") > F.col("thr_micro"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.expr(
+                "cast(cast(sum(bal_micro) as decimal(38,6)) / 1000000 as double)"
+            ).alias("totacctbal"),
+        )
+    )
