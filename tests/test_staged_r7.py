@@ -186,3 +186,90 @@ def test_q18_gate_is_integer_exact(spark):
     )
     for r in out.itertuples():
         assert int(r.sum_qty) == int(li.loc[r.o_orderkey]) > 250
+
+
+def test_q21_aggregate_collapse_equals_exists_semantics(spark):
+    """join_sole_late_shipper_q21 collapses the EXISTS/NOT-EXISTS pair into
+    per-order aggregates; this re-derives the answer with literal
+    per-order set logic in pandas (for each finished order: does a second
+    supplier exist, and is the max-shipdate achiever unique?) and requires
+    identical per-supplier tallies."""
+    out = (
+        all_queries()["join_sole_late_shipper_q21"](spark, SF)
+        .toPandas()
+        .set_index("s_name")["numwait"]
+        .sort_index()
+    )
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    ).toPandas()
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    ).toPandas()
+    supp = load_table(spark, SF, "supplier").select(
+        "s_suppkey", "s_name"
+    ).toPandas()
+    fin = set(orders.loc[orders.o_orderstatus == "F", "o_orderkey"])
+    tallies: dict[int, int] = {}
+    for okey, grp in li[li.l_orderkey.isin(fin)].groupby("l_orderkey"):
+        if grp.l_suppkey.nunique() <= 1:
+            continue  # EXISTS-a-second-supplier fails
+        mx = grp.l_shipdate.max()
+        achievers = set(grp.loc[grp.l_shipdate == mx, "l_suppkey"])
+        if len(achievers) == 1:  # NOT EXISTS an equally late second supplier
+            s = achievers.pop()
+            tallies[s] = tallies.get(s, 0) + 1
+    name_of = supp.set_index("s_suppkey")["s_name"]
+    ref = (
+        pd.Series({name_of[k]: v for k, v in tallies.items()}, name="numwait")
+        .sort_index()
+    )
+    pd.testing.assert_series_equal(
+        out.astype("int64"), ref.astype("int64"), check_names=False
+    )
+
+
+def test_q2_min_cost_supplier_matches_pandas_reference(spark):
+    """join_min_cost_supplier_q2's window-MIN decorrelation ≡ a literal
+    per-part argmin in pandas over the same derived offer relation
+    (including multi-supplier ties, which must ALL surface)."""
+    out = (
+        all_queries()["join_min_cost_supplier_q2"](spark, SF)
+        .toPandas()
+        .sort_values(["p_partkey", "s_name"])
+        .reset_index(drop=True)
+    )
+    li = load_table(spark, SF, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    ).toPandas()
+    part = load_table(spark, SF, "part").toPandas()
+    supp = load_table(spark, SF, "supplier").toPandas()
+    nation = load_table(spark, SF, "nation").toPandas()
+    region = load_table(spark, SF, "region").toPandas()
+    li["pm"] = (li.l_extendedprice * 1e6).round().astype("int64")
+    li["qm"] = (li.l_quantity * 1e6).round().astype("int64")
+    ps = li.groupby(["l_partkey", "l_suppkey"], as_index=False)[["pm", "qm"]].sum()
+    ps["unit_cost"] = ps.pm.astype(float) / ps.qm.astype(float)
+    eur_nations = nation.merge(
+        region[region.r_name == "EUROPE"], left_on="n_regionkey",
+        right_on="r_regionkey",
+    )
+    eur = supp.merge(eur_nations, left_on="s_nationkey", right_on="n_nationkey")
+    pok = part[(part.p_size.between(10, 40)) & (part.p_type == "STANDARD")]
+    cand = ps.merge(pok, left_on="l_partkey", right_on="p_partkey").merge(
+        eur, left_on="l_suppkey", right_on="s_suppkey"
+    )
+    keep = []
+    for pkey, grp in cand.groupby("p_partkey"):
+        mc = grp.unit_cost.min()
+        keep.append(grp[grp.unit_cost == mc])
+    ref = (
+        pd.concat(keep)[
+            ["p_partkey", "p_name", "s_name", "n_name", "s_acctbal", "unit_cost"]
+        ]
+        .sort_values(["p_partkey", "s_name"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[ref.columns].reset_index(drop=True), ref, check_dtype=False
+    )
