@@ -2557,3 +2557,180 @@ def agg_disjunctive_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@query(
+    "ts_changepoint_cusum",
+    oracle=EVENTS_NORM_SQL
+    + """,
+    d AS (
+      SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, day, n,
+             sum(n) OVER (PARTITION BY event_type) AS tot,
+             count(*) OVER (PARTITION BY event_type) AS nd
+      FROM d
+    ), c AS (
+      SELECT event_type, day, n, nd,
+             sum(n * nd - tot) OVER (PARTITION BY event_type ORDER BY day)
+               AS cusum_scaled
+      FROM t
+    ), m AS (
+      SELECT event_type,
+             max(abs(cusum_scaled)) AS max_dev_scaled,
+             max(nd) AS n_days
+      FROM c GROUP BY 1
+    )
+    SELECT c.event_type, min(day) AS change_day,
+           cast(max(m.max_dev_scaled) AS bigint) AS max_dev_scaled,
+           cast(max(m.n_days) AS bigint) AS n_days
+    FROM c JOIN m ON c.event_type = m.event_type
+            AND abs(c.cusum_scaled) = m.max_dev_scaled
+    GROUP BY c.event_type
+    """,
+    cost=0.4,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection (round 6, staged r7) over per-type daily
+    event counts: the running sum of deviations from the series mean peaks
+    at the most likely level-shift point — the drift/regime-change monitor
+    for event pipelines. Emitted per type: the changepoint day (earliest
+    day achieving the max |CUSUM|), the max deviation, and the day count.
+
+    Determinism: the textbook CUSUM subtracts the FP mean per day; this
+    kernel scales by n_days instead — cusum_scaled(d) = Σ(n·nd − tot) —
+    so every intermediate is an exact int64 (no FP mean, no per-engine
+    accumulation order), and |max| plus the earliest-day tiebreak are
+    exact comparisons. cusum_scaled = nd · classic_cusum, so the argmax
+    is IDENTICAL to the textbook statistic's.
+
+    Scale: one event_type-keyed exchange serves the daily rollup, both
+    per-type scalars (window aggs over O(days) rows), the running sum,
+    and the final argmax — the frame never leaves its key. Day counts
+    per type are bounded by the calendar, so window state is tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("event_type")
+    wc = Window.partitionBy("event_type").orderBy("day")
+    c = (
+        d.withColumn("tot", F.sum("n").over(wt))
+        .withColumn("nd", F.count("*").over(wt))
+        .withColumn(
+            "cusum_scaled",
+            F.sum(F.col("n") * F.col("nd") - F.col("tot")).over(wc),
+        )
+    )
+    m = c.groupBy(F.col("event_type").alias("et")).agg(
+        F.max(F.abs(F.col("cusum_scaled"))).alias("mdev"),
+        F.max("nd").alias("ndays"),
+    )
+    return (
+        c.join(
+            m,
+            (c.event_type == m.et)
+            & (F.abs(F.col("cusum_scaled")) == F.col("mdev")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("day").alias("change_day"),
+            F.max("mdev").cast("bigint").alias("max_dev_scaled"),
+            F.max("ndays").cast("bigint").alias("n_days"),
+        )
+    )
+
+
+@query(
+    "agg_decile_lift",
+    oracle="""
+    WITH sp AS (
+      SELECT o_custkey,
+             sum(cast(round(o_totalprice * 1000000) AS bigint)) AS spend
+      FROM orders GROUP BY 1
+    ), base AS (
+      SELECT c_custkey,
+             -cast(round(c_acctbal * 1000000) AS bigint) AS neg_bal,
+             coalesce(spend, 0) AS spend_micro
+      FROM customer LEFT JOIN sp ON c_custkey = o_custkey
+    ), tiled AS (
+      SELECT *, ntile(10) OVER (ORDER BY neg_bal, c_custkey) AS decile
+      FROM base
+    ), dec AS (
+      SELECT decile, count(*) AS n_cust, sum(spend_micro) AS dec_sum
+      FROM tiled GROUP BY 1
+    )
+    SELECT decile, cast(n_cust AS bigint) AS n_cust,
+           cast(cast(dec_sum AS decimal(38,6)) / 1000000 AS double)
+             AS total_spend,
+           (cast(dec_sum AS double) / cast(n_cust AS double))
+             / (cast(sum(dec_sum) OVER () AS double)
+                / cast(sum(n_cust) OVER () AS double)) AS lift
+    FROM dec
+    """,
+    cost=0.4,
+)
+def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table (round 6, staged r7) — the model-evaluation
+    gains-chart primitive: rank customers by a score (account balance
+    standing in for a model score), cut into 10 exact SQL-standard
+    deciles, and report each decile's average realized response (total
+    order spend) relative to the population average. Lift > 1 in the top
+    deciles = the score ranks well.
+
+    Determinism: the ranking key is the exact NEGATED µ-unit balance with
+    the custkey tiebreak (a total order — DESC-score semantics without
+    relying on either engine's DESC/NULLS spelling); deciles come from the
+    distributed exact-ntile decomposition (functions/ranks.py ≡ plain
+    `ntile() OVER (ORDER BY ...)`, equivalence pinned in
+    tests/test_kernels.py); spend sums are exact int64 µ-units and lift is
+    a composition of IEEE divisions on engine-identical doubles.
+
+    Scale: orders reduce map-side per customer; the outer join co-shuffles
+    on custkey; the decile cut is the range-exchange + bounded-offset-join
+    rank (NO single-partition window over customers); the final frame is
+    10 rows, so its population-total window is bounded."""
+    from filemap_spark.functions.ranks import with_global_ntile
+
+    sp = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "sum(cast(round(o_totalprice * 1000000) as bigint))"
+            ).alias("spend")
+        )
+    )
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.expr("-cast(round(c_acctbal * 1000000) as bigint)").alias("neg_bal"),
+        )
+        .join(sp, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            "neg_bal",
+            F.coalesce(F.col("spend"), F.lit(0).cast("bigint")).alias("spend_micro"),
+        )
+    )
+    tiled = with_global_ntile(base, 10, "neg_bal", "c_custkey", tile_col="decile")
+    dec = tiled.groupBy("decile").agg(
+        F.count("*").alias("n_cust"), F.sum("spend_micro").alias("dec_sum")
+    )
+    wall = Window.partitionBy()
+    return dec.select(
+        "decile",
+        F.col("n_cust").cast("bigint").alias("n_cust"),
+        F.expr(
+            "cast(cast(dec_sum as decimal(38,6)) / 1000000 as double)"
+        ).alias("total_spend"),
+        (
+            (F.col("dec_sum").cast("double") / F.col("n_cust").cast("double"))
+            / (
+                F.sum("dec_sum").over(wall).cast("double")
+                / F.sum("n_cust").over(wall).cast("double")
+            )
+        ).alias("lift"),
+    )

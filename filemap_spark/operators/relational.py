@@ -1385,3 +1385,73 @@ def subq_idle_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH pl AS (
+      SELECT DISTINCT l_orderkey, l_partkey
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'STANDARD'
+    ), e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM pl a JOIN pl b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT (SELECT count(*) FROM e) AS n_edges,
+           count(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.v = e2.u
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+    cost=0.5,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (round 6, staged r7) over the co-purchase graph:
+    STANDARD parts are nodes, an edge joins two parts that appeared in the
+    same order, and a triangle is three mutually co-ordered parts — the
+    clustering/community primitive (graph family sibling of
+    dedup_connected_components / dedup_survivor_pagerank). Edges are
+    oriented u < v, so each triangle is counted exactly once via the
+    wedge join (e1: u→v, e2: v→w) closed by the e3: u→w existence join.
+
+    Determinism: integer keys and counts only.
+
+    Scale: the edge list derives from ONE distinct-pair pass per order
+    (per-order part lists are small, so pair generation is bounded ×
+    orders, never parts²); the wedge join is the scale hazard — Σ deg(v)²
+    — bounded here by the type restriction, and the 100 TB mitigation is
+    the standard DEGREE orientation (point each edge from lower- to
+    higher-degree endpoint, making max wedge count O(edges^1.5)): same
+    plan, one extra degree agg + broadcast. All three joins are hash
+    equi-joins keyed on node ids; AQE reuses the edge exchange across the
+    e1/e2/e3 branches at runtime."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    pl = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .distinct()
+    )
+    a = pl.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = pl.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, (a.o == b.o2) & (a.u < b.v))
+        .select("u", "v")
+        .distinct()
+    )
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = e.select(F.col("u").alias("y2"), F.col("v").alias("z"))
+    e3 = e.select(F.col("u").alias("x3"), F.col("v").alias("z3"))
+    tri = (
+        e1.join(e2, e1.y == e2.y2)
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    return n_edges.join(F.broadcast(tri)).select("n_edges", "n_triangles")

@@ -1284,3 +1284,95 @@ def emb_pair_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "sim_maxsim_multivector",
+    oracle="""
+    WITH doc AS (
+      SELECT vec_id, vec_id // 8 AS did, vec_id % 8 AS tok,
+             list_transform(embedding, x -> cast(x AS double)) AS v
+      FROM embeddings
+    ), q AS (SELECT * FROM doc WHERE did < 4),
+    tokmax AS (
+      SELECT q.did AS q_did, d.did AS d_did, q.tok AS q_tok,
+             max(cast(round(list_cosine_similarity(q.v, d.v) * 10000)
+                      AS bigint)) AS max_sim_q4
+      FROM q JOIN doc d ON d.did <> q.did
+      GROUP BY 1, 2, 3
+    ), score AS (
+      SELECT q_did, d_did, sum(max_sim_q4) AS maxsim_q4,
+             count(*) AS n_qtok
+      FROM tokmax GROUP BY 1, 2
+    )
+    SELECT q_did, d_did,
+           cast(cast(maxsim_q4 AS decimal(38,4)) / 10000 AS double)
+             AS maxsim_score,
+           cast(n_qtok AS bigint) AS n_qtok
+    FROM score
+    QUALIFY row_number() OVER (PARTITION BY q_did
+                               ORDER BY maxsim_q4 DESC, d_did) <= 3
+    """,
+    cost=1.0,
+)
+def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector late-interaction retrieval (round 6, staged r7) — the
+    ColBERT MaxSim operator: documents are BAGS of token vectors (derived
+    here by grouping 8 consecutive vec_ids into one pseudo-document), and
+    score(q, d) = Σ over q's tokens of the MAX cosine against any of d's
+    tokens. Top-3 documents per query (4 query docs), self-matches
+    excluded.
+
+    Determinism: each token-pair cosine is quantized to 1e4 integer units
+    (the davg_lnsafe discipline for free doubles — a cross-engine ulp
+    divergence would need to land within ~1e-15 of a 0.5e-4 boundary);
+    MAX and the MaxSim sum then run in exact int64, the ranking compares
+    exact integers with d_did tiebreak, and the emitted score descales
+    through the decimal path.
+
+    Scale: the query side of a late-interaction system is always bounded
+    (the live query batch) — it broadcasts; the doc-token side streams
+    through ONE hash agg keyed by (q_did, d_did, q_tok) after a
+    broadcast-join tokens×query-tokens pass (O(|doc tokens| · |q tokens|)
+    map work, no doc×doc pass, no shuffle of raw vectors beyond the
+    grouped partials). The 100 TB path composes with sim_ann_ivf: probe
+    cells first, MaxSim only the candidates."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.col("vec_id") / 8).cast("bigint").alias("did"),
+        (F.col("vec_id") % 8).alias("tok"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    q = emb.where(F.col("did") < 4).select(
+        F.col("did").alias("q_did"), F.col("tok").alias("q_tok"),
+        F.col("v").alias("qv"),
+    )
+    cos_q4 = (
+        "cast(round(aggregate(zip_with(qv, v, (x, y) -> x * y), 0d,"
+        " (acc, x) -> acc + x)"
+        " / (sqrt(aggregate(qv, 0d, (acc, x) -> acc + x * x))"
+        "    * sqrt(aggregate(v, 0d, (acc, x) -> acc + x * x)))"
+        " * 10000) as bigint)"
+    )
+    tokmax = (
+        emb.join(F.broadcast(q), F.col("did") != F.col("q_did"))
+        .select("q_did", F.col("did").alias("d_did"), "q_tok", F.expr(cos_q4).alias("c4"))
+        .groupBy("q_did", "d_did", "q_tok")
+        .agg(F.max("c4").alias("max_sim_q4"))
+    )
+    score = tokmax.groupBy("q_did", "d_did").agg(
+        F.sum("max_sim_q4").alias("maxsim_q4"), F.count("*").alias("n_qtok")
+    )
+    w = Window.partitionBy("q_did").orderBy(F.desc("maxsim_q4"), "d_did")
+    return (
+        score.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "q_did",
+            "d_did",
+            F.expr(
+                "cast(cast(maxsim_q4 as decimal(38,4)) / 10000 as double)"
+            ).alias("maxsim_score"),
+            F.col("n_qtok").cast("bigint").alias("n_qtok"),
+        )
+    )

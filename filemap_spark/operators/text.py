@@ -2331,3 +2331,146 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / np / 10000.0, 6)"
         ).alias("ln_intercept"),
     )
+
+
+@query(
+    "dedup_token_sort",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_sort(string_split(lower(text), ' ')[1:50]), ' ')) AS tkey
+      FROM documents
+    )
+    SELECT tkey, min(doc_id) AS survivor, count(*) AS n_docs
+    FROM k GROUP BY tkey HAVING count(*) > 1
+    """,
+    cost=0.3,
+)
+def dedup_token_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-sort fuzzy dedup (round 6, staged r7): the fuzzywuzzy
+    token_sort_ratio == 1.0 class, distributed — two documents collide
+    when their first-50-token MULTISETS match after lowercasing, which
+    catches word-reordered near-copies that exact text hashing misses and
+    shingle Jaccard only scores. Key = md5 over the sorted token prefix;
+    groups with >1 member are the dup clusters (survivor = min doc_id).
+
+    Determinism: tokenization, the 50-token prefix slice, binary-collation
+    sort, and md5 are all exact and engine-identical (Spark slice ≡ DuckDB
+    [1:50] incl. short docs; sort_array ≡ list_sort on binary UTF-8).
+
+    Scale: the same wordcount-shaped discipline as dedup_exact_text — one
+    map-side key computation (split/slice/sort of ≤50 tokens per row, all
+    codegen), one hash agg on the 16-byte key. The prefix cap bounds
+    per-row work on pathological documents; no shuffle carries text."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat_ws(
+            " ", F.sort_array(F.slice(F.split(F.lower(F.col("text")), " "), 1, 50))
+        )
+    )
+    return (
+        docs.select(key.alias("tkey"), "doc_id")
+        .groupBy("tkey")
+        .agg(F.min("doc_id").alias("survivor"), F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "text_rouge2_recall",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS word,
+             generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, lang,
+             word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS bigram
+      FROM toks
+    ), bgd AS (
+      SELECT DISTINCT doc_id, lang, bigram FROM bg WHERE bigram IS NOT NULL
+    ), nref AS (
+      SELECT doc_id, count(*) AS n_ref FROM bgd GROUP BY 1
+    ), hits AS (
+      SELECT ra.doc_id AS ref_id, ca.doc_id AS cand_id, count(*) AS n_overlap
+      FROM bgd ra JOIN bgd ca
+        ON ca.doc_id = ra.doc_id + 1 AND ca.lang = ra.lang
+           AND ca.bigram = ra.bigram
+      GROUP BY 1, 2
+    )
+    SELECT ref_id, cand_id, n_overlap, n_ref,
+           cast(n_overlap AS double) / cast(n_ref AS double) AS rouge2_recall
+    FROM hits JOIN nref ON nref.doc_id = ref_id
+    """,
+    cost=0.4,
+)
+def text_rouge2_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 recall between deterministic adjacent-id same-lang document
+    pairs (round 6, staged r7) — the summarization/paraphrase eval
+    primitive: |distinct bigrams(ref) ∩ bigrams(cand)| / |bigrams(ref)|.
+    The corpus pairing (cand = ref_id + 1, same lang) hits its planted
+    shared-prefix near-dups, so scores are non-degenerate at every SF.
+
+    Determinism: bigram sets are exact strings; recall is the raw IEEE
+    quotient of two exact integers — identical in both engines.
+
+    Scale: per-doc bigram extraction is the text_ngrams shape (posexplode
+    + lead over (doc, pos) — one doc-keyed exchange); the overlap join is
+    an EQUI-join on (adjacent id, lang, bigram) — never doc×doc; the
+    count and the n_ref denominator are wordcount-shaped aggs. For
+    arbitrary (not id-adjacent) pair sets, the same plan applies with the
+    pair list broadcast."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "word"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bgd = (
+        toks.withColumn("nxt", F.lead("word").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(
+            "doc_id", "lang", F.concat_ws(" ", "word", "nxt").alias("bigram")
+        )
+        .distinct()
+    )
+    nref = bgd.groupBy(F.col("doc_id").alias("ref_key")).agg(
+        F.count("*").alias("n_ref")
+    )
+    ra = bgd.select(
+        F.col("doc_id").alias("ref_id"),
+        F.col("lang").alias("ref_lang"),
+        "bigram",
+    )
+    ca = bgd.select(
+        F.col("doc_id").alias("cand_id"),
+        F.col("lang").alias("cand_lang"),
+        F.col("bigram").alias("cand_bigram"),
+    )
+    hits = (
+        ra.join(
+            ca,
+            (ca.cand_id == ra.ref_id + 1)
+            & (ca.cand_lang == ra.ref_lang)
+            & (ca.cand_bigram == ra.bigram),
+        )
+        .groupBy("ref_id", "cand_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        hits.join(nref, hits.ref_id == nref.ref_key)
+        .select(
+            "ref_id",
+            "cand_id",
+            "n_overlap",
+            "n_ref",
+            (
+                F.col("n_overlap").cast("double") / F.col("n_ref").cast("double")
+            ).alias("rouge2_recall"),
+        )
+    )
