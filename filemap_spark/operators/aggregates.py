@@ -2605,10 +2605,12 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact comparisons. cusum_scaled = nd · classic_cusum, so the argmax
     is IDENTICAL to the textbook statistic's.
 
-    Scale: one event_type-keyed exchange serves the daily rollup, both
-    per-type scalars (window aggs over O(days) rows), the running sum,
-    and the final argmax — the frame never leaves its key. Day counts
-    per type are bounded by the calendar, so window state is tiny."""
+    Scale: the raw fact exchanges ONCE, on (event_type, day), for the
+    rollup — full shuffle parallelism, no per-type skew; everything
+    after (the per-type scalars, the running sum, the argmax join)
+    operates on the O(types × days) daily frame, whose type-keyed
+    exchange and window state are calendar-bounded regardless of corpus
+    size."""
     ev = load_table(spark, sf_dir, "events")
     d = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")

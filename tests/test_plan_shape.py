@@ -793,3 +793,83 @@ def test_q22_threshold_broadcast_antijoin_on_custkey(spark, sf_dir):
     assert "CartesianProduct" not in plan
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("o_orderdate" in l for l in pushed), plan
+
+
+# ---- post-parity staged wave ----
+
+
+def test_token_sort_key_is_mapside_single_agg(spark, sf_dir):
+    """dedup_token_sort: the key computation is codegen (no Python stage)
+    and the only exchange is the hash agg on the 16-byte key."""
+    plan = plan_of(spark, sf_dir, "dedup_token_sort")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    nodes = _tree_nodes(plan)
+    assert nodes.count("Exchange") == 1, nodes
+    assert "CartesianProduct" not in plan
+
+
+def test_rouge2_overlap_is_equi_join_never_doc_cross(spark, sf_dir):
+    """text_rouge2_recall: the overlap join hashes on the composite
+    (adjacent-id, lang, bigram) key — no BNLJ, no cartesian."""
+    plan = plan_of(spark, sf_dir, "text_rouge2_recall")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_triangle_wedge_closes_with_hash_joins(spark, sf_dir):
+    """graph_triangle_count: the wedge join and the closing existence join
+    are hash equi-joins on node ids; pair generation is per-order (the
+    order-key equi-join), never a parts cross product. The only nested
+    loop is the final 1-row × 1-row (n_edges, n_triangles) zip. At
+    runtime AQE shares the edge-list distinct exchange across the
+    e1/e2/e3/count branches."""
+    plan = plan_of(spark, sf_dir, "graph_triangle_count")
+    nodes = _tree_nodes(plan)
+    assert "CartesianProduct" not in plan
+    assert nodes.count("BroadcastNestedLoopJoin") <= 1, nodes
+    from filemap_spark import all_queries
+
+    df = all_queries()["graph_triangle_count"](spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
+
+
+def test_cusum_fact_exchanges_once_on_type_day(spark, sf_dir):
+    """ts_changepoint_cusum: the raw fact is hash-exchanged once on the
+    (type, day) rollup key; the daily-frame subtree shared by the cusum
+    and argmax branches is deduplicated at RUNTIME (AQE ReusedExchange),
+    so the events scan + rollup executes once, not per branch."""
+    plan = plan_of(spark, sf_dir, "ts_changepoint_cusum")
+    assert "CartesianProduct" not in plan
+    from filemap_spark import all_queries
+
+    df = all_queries()["ts_changepoint_cusum"](spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
+
+
+def test_maxsim_query_side_broadcasts(spark, sf_dir):
+    """sim_maxsim_multivector: the bounded query-token side arrives by
+    broadcast (the non-equi d≠q residual rides the broadcast join — the
+    accepted bounded-side BNLJ class), and scoring is one hash agg chain,
+    no Python stage."""
+    plan = plan_of(spark, sf_dir, "sim_maxsim_multivector")
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decile_lift_no_customer_sized_single_partition_window(spark, sf_dir):
+    """agg_decile_lift: the decile cut uses the range-exchange rank
+    decomposition — the only SinglePartition/unpartitioned windows run on
+    bounded frames (partition-count offsets, the 10-row decile frame)."""
+    plan = plan_of(spark, sf_dir, "agg_decile_lift")
+    assert "rangepartitioning" in plan, plan  # the exact-rank range exchange
+    assert "CartesianProduct" not in plan

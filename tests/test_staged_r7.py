@@ -273,3 +273,97 @@ def test_q2_min_cost_supplier_matches_pandas_reference(spark):
     pd.testing.assert_frame_equal(
         out[ref.columns].reset_index(drop=True), ref, check_dtype=False
     )
+
+
+def test_triangle_count_matches_pure_python_enumeration(spark):
+    """graph_triangle_count ≡ a literal adjacency-set triangle enumeration
+    over the same derived co-order edge list."""
+    row = all_queries()["graph_triangle_count"](spark, SF).collect()[0]
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).toPandas()
+    part = load_table(spark, SF, "part").toPandas()
+    std = set(part.loc[part.p_type == "STANDARD", "p_partkey"])
+    edges = set()
+    for _, grp in li[li.l_partkey.isin(std)].groupby("l_orderkey"):
+        ps = sorted(set(grp.l_partkey))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    tri = 0
+    for u, v in edges:
+        tri += len(adj.get(u, set()) & adj.get(v, set()))
+    assert row.n_edges == len(edges)
+    assert row.n_triangles == tri
+
+
+def test_cusum_scaled_argmax_equals_textbook_statistic(spark):
+    """ts_changepoint_cusum's nd-scaled integer kernel picks the SAME
+    changepoint day as the textbook FP CUSUM (cusum_scaled = nd × classic),
+    and the deviations match after descaling."""
+    out = (
+        all_queries()["ts_changepoint_cusum"](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    ev = load_table(spark, SF, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).toPandas()
+    for etype, grp in ev.groupby("event_type"):
+        daily = grp.groupby("day").size().sort_index()
+        classic = (daily - daily.mean()).cumsum()
+        change_day = classic.abs().idxmax()  # pandas: first occurrence of max
+        nd = len(daily)
+        assert out.loc[etype, "n_days"] == nd
+        assert out.loc[etype, "change_day"] == change_day
+        assert (
+            abs(out.loc[etype, "max_dev_scaled"] / nd - classic.abs().max())
+            < 1e-6
+        )
+
+
+def test_maxsim_matches_numpy_reference(spark):
+    """sim_maxsim_multivector ≡ a numpy MaxSim over the same pseudo-doc
+    grouping (per-token cosines quantized at 1e4, summed, top-3 with d_did
+    tiebreak)."""
+    out = (
+        all_queries()["sim_maxsim_multivector"](spark, SF)
+        .toPandas()
+        .sort_values(["q_did", "maxsim_score", "d_did"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    emb = load_table(spark, SF, "embeddings").toPandas()
+    mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    ids = emb.vec_id.to_numpy()
+    did, tok = ids // 8, ids % 8
+    norms = np.linalg.norm(mat, axis=1)
+    cos = (mat @ mat.T) / np.outer(norms, norms)
+    q4 = np.round(cos * 10000).astype(np.int64)
+    rows = []
+    for q in range(4):
+        qmask = did == q
+        for d in set(did):
+            if d == q:
+                continue
+            dmask = did == d
+            sub = q4[np.ix_(qmask, dmask)]
+            rows.append((q, d, int(sub.max(axis=1).sum()), int(qmask.sum())))
+    ref = pd.DataFrame(rows, columns=["q_did", "d_did", "s4", "n_qtok"])
+    top = (
+        ref.sort_values(["q_did", "s4", "d_did"],
+                        ascending=[True, False, True])
+        .groupby("q_did")
+        .head(3)
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(top)
+    for got, want in zip(out.itertuples(), top.itertuples()):
+        assert (got.q_did, got.d_did, got.n_qtok) == (
+            want.q_did, want.d_did, want.n_qtok,
+        )
+        assert abs(got.maxsim_score - want.s4 / 10000.0) < 1e-9
