@@ -337,6 +337,62 @@ def run_dedup_stream(
     return spark.read.parquet(out).count(), n_total
 
 
+# The 22 canonical TPC-H query shapes → registry ids (corpus-adapted
+# forms; see each op's docstring for what was reshaped and why).
+TPCH_QUERIES = {
+    "q1": "agg_pricing_summary",
+    "q2": "join_min_cost_supplier_q2",
+    "q3": "join_shipping_priority_q3",
+    "q4": "subq_exists_late_q4",
+    "q5": "join_snowflake_q5",
+    "q6": "agg_revenue_band_q6",
+    "q7": "join_nation_volume_q7",
+    "q8": "agg_market_share_q8",
+    "q9": "agg_profit_by_nation_q9",
+    "q10": "join_returned_rev_q10",
+    "q11": "subq_value_concentration_q11",
+    "q12": "join_late_shipment_q12",
+    "q13": "join_custdist_q13",
+    "q14": "agg_promo_share_q14",
+    "q15": "subq_top_supplier_q15",
+    "q16": "agg_supplier_variety_q16",
+    "q17": "subq_small_qty_q17",
+    "q18": "join_top_orders_q18",
+    "q19": "agg_disjunctive_revenue_q19",
+    "q20": "subq_excess_share_q20",
+    "q21": "join_sole_late_shipper_q21",
+    "q22": "subq_idle_customers_q22",
+}
+
+
+def run_tpch(
+    spark, sf_dir: str, which: list[str] | None = None, output: str | None = None
+) -> list[tuple[str, str, int, float]]:
+    """Run the TPC-H parity suite (all 22 shapes, or a subset) against the
+    contract tables in `sf_dir`. Returns (qid, registry id, rows, secs)
+    per query; with `output`, each result also lands as
+    OUTPUT/<qid>.parquet (the production sink path — results are written,
+    not collected, so driver memory stays O(1) regardless of result
+    size)."""
+    import time as _time
+
+    from filemap_spark.registry import all_queries
+
+    queries = all_queries()
+    rows_out: list[tuple[str, str, int, float]] = []
+    for qid in which or sorted(TPCH_QUERIES, key=lambda q: int(q[1:])):
+        name = TPCH_QUERIES[qid]
+        t0 = _time.time()
+        df = queries[name](spark, sf_dir)
+        if output:
+            df.write.mode("overwrite").parquet(os.path.join(output, qid + ".parquet"))
+            n = spark.read.parquet(os.path.join(output, qid + ".parquet")).count()
+        else:
+            n = df.count()
+        rows_out.append((qid, name, n, round(_time.time() - t0, 3)))
+    return rows_out
+
+
 def run_stats(spark, input_dir: str) -> dict[str, float]:
     """Corpus-health report (round 5) — the numbers a curation run prints
     first, over any corpus dir with documents.parquet (including the
@@ -576,6 +632,21 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     p = sub.add_parser(
+        "tpch",
+        help="run the 22-query TPC-H parity suite over the tables in SF_DIR",
+    )
+    p.add_argument("sf_dir")
+    p.add_argument(
+        "--query",
+        action="append",
+        choices=sorted(TPCH_QUERIES, key=lambda q: int(q[1:])),
+        help="run only this query (repeatable); default: all 22",
+    )
+    p.add_argument(
+        "--output", default=None, help="write each result as OUTPUT/<qid>.parquet"
+    )
+
+    p = sub.add_parser(
         "compact",
         help="rewrite a fragmented parquet dataset as few range-clustered files",
     )
@@ -622,6 +693,15 @@ def main(argv: list[str] | None = None) -> int:
         )
         for k, v in audit.items():
             print(f"{k}\t{v}")
+        return 0
+    if args.verb == "tpch":
+        from filemap_spark.session import get_spark
+
+        spark = get_spark("filemap-cli")
+        results = run_tpch(spark, args.sf_dir, which=args.query, output=args.output)
+        for qid, name, n, secs in results:
+            print(f"{qid}\t{name}\t{n}\t{secs:.3f}")
+        print(f"{len(results)} queries", file=sys.stderr)
         return 0
     if args.verb == "compact":
         from filemap_spark.session import get_spark

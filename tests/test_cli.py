@@ -378,3 +378,23 @@ def test_quality_verb_survives_empty_corpus(spark, tmp_path):
     import os
 
     assert not os.path.exists(os.path.join(out2, "_cleaned"))
+
+
+def test_tpch_verb_runs_selected_queries(spark, sf_dir, tmp_path, capsys):
+    """tpch verb: the 22-shape map is complete, a subset runs through
+    main(), and --output lands parquet per query (the production sink
+    path)."""
+    from filemap_spark.cli import TPCH_QUERIES, run_tpch
+
+    assert sorted(TPCH_QUERIES) == sorted(f"q{i}" for i in range(1, 23))
+    out = str(tmp_path / "tpch")
+    rc = main(["tpch", sf_dir, "--query", "q6", "--query", "q13", "--output", out])
+    assert rc == 0
+    lines = [
+        l for l in capsys.readouterr().out.splitlines() if l.startswith("q")
+    ]
+    assert [l.split("\t")[0] for l in lines] == ["q6", "q13"]
+    assert int(lines[0].split("\t")[2]) == 1  # q6 is a scalar row
+    got = spark.read.parquet(os.path.join(out, "q13.parquet"))
+    direct = run_tpch(spark, sf_dir, which=["q13"])
+    assert got.count() == direct[0][2]
