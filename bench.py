@@ -114,6 +114,23 @@ EXTENDED_HEADLINE = (
     "stream_stream_join",
 )
 
+# Round-6 staged additions (graded r7): timed into the DETAIL sidecar only
+# — the driver's 2000-char stdout tail can't hold 30+ queries, and their
+# bars (BASELINE.md Table 5, recorded from this suite's first quiet-rig
+# sf0.1 run) take effect when they graduate into EXTENDED_HEADLINE next
+# round. Representative heavy ops of the round-6 staged waves.
+STAGED_HEADLINE = (
+    "join_min_cost_supplier_q2",
+    "join_nation_volume_q7",
+    "agg_profit_by_nation_q9",
+    "join_sole_late_shipper_q21",
+    "graph_triangle_count",
+    "text_rouge2_recall",
+    "sim_maxsim_multivector",
+    "agg_decile_lift",
+)
+
+
 def _prev_round_timings(here: str, sf: float | None) -> dict[str, float]:
     """Per-query warm timings from the newest committed BENCH_r{N}.json at
     the same scale factor — the regression baseline for this run."""
@@ -246,6 +263,13 @@ def main() -> None:
             continue
         ext_timings[name] = _time_best(fn, spark, sf_dir)
 
+    staged_timings: dict[str, float] = {}
+    for name in STAGED_HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        staged_timings[name] = _time_best(fn, spark, sf_dir)
+
     llm_timings: dict[str, float] = {}
     for name in LLM_HEADLINE:
         fn = queries.get(name)
@@ -331,6 +355,7 @@ def main() -> None:
         "suites": {
             "headline": timings,
             "extended": ext_timings,
+            "staged": staged_timings,
             "llm": llm_timings,
         },
         "canary_seconds": canary,
