@@ -2736,3 +2736,152 @@ def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("lift"),
     )
+
+
+@query(
+    "agg_funnel_windowed",
+    oracle=EVENTS_NORM_SQL
+    + """
+    , t1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+             WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+           FROM events e JOIN t1 USING (user_id)
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t1
+             AND epoch_us(e.ts) <= t1.t1 + 1800000000
+           GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+           FROM events e JOIN t2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t2
+             AND epoch_us(e.ts) <= t2.t2 + 1800000000
+           GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM t1) AS step1_view,
+           (SELECT count(*) FROM t2) AS step2_click_30m,
+           (SELECT count(*) FROM t3) AS step3_purchase_30m
+    """,
+    cost=0.4,
+)
+def agg_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded strict-order funnel (round 6, staged r7):
+    view → click → purchase where EACH step lands within 30 minutes of
+    the previous step's first completion — the conversion-window variant
+    of agg_funnel (whose steps may be days apart). The per-step
+    anchor is min-of-qualifying-times, the standard open-funnel
+    semantics.
+
+    Determinism: all comparisons are exact integer µs; counts are
+    integers.
+
+    Scale: three user-keyed min-aggregates chained by user equi-joins —
+    every stage reuses ONE user_id partitioning (the step-k frame is a
+    shrinking subset of step k−1); the scalar counts are 1-row
+    aggregates. No per-user event sorting, no session windows — the
+    minimal plan for fixed-step funnels."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    win = 1800000000
+    t1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where((F.col("us") > F.col("t1")) & (F.col("us") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where((F.col("us") > F.col("t2")) & (F.col("us") <= F.col("t2") + win))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    return (
+        t1.agg(F.count("*").alias("step1_view"))
+        .join(F.broadcast(t2.agg(F.count("*").alias("step2_click_30m"))))
+        .join(F.broadcast(t3.agg(F.count("*").alias("step3_purchase_30m"))))
+    )
+
+
+@query(
+    "agg_session_path",
+    oracle=EVENTS_NORM_SQL
+    + """
+    , ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), sess AS (
+      SELECT user_id, event_type, ts, event_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    ), paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT path, count(*) AS n_sessions,
+           count(DISTINCT user_id) AS n_users
+    FROM paths GROUP BY path
+    HAVING count(*) >= 5
+    """,
+    cost=0.5,
+)
+def agg_session_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining (round 6, staged r7): per-user 30-min-gap
+    sessionization (the ts_sessionize kernel), then each session's
+    ordered event-type sequence as a '>'-joined path string, rolled up
+    to path frequencies — the behavior-flow report ("view>click>purchase
+    happened 223 times") that sits on top of every product-analytics
+    store. Paths with ≥5 sessions (the long tail is unbounded; the gate
+    keeps the result analytically sized).
+
+    Determinism: the (ts, event_id) order key is total, so the lag-based
+    session break, the running session id, and the ordered string_agg are
+    all exact; counts are integers.
+
+    Scale: ONE user_id exchange carries the lag window, the running-sum
+    session id, and the (user, sid) path assembly (hash on user_id
+    satisfies the (user, sid) clustering); only the bounded path-string
+    histogram re-shuffles. Path strings are capped by session length —
+    no unbounded state."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn(
+            "brk",
+            F.when(
+                F.col("us") - F.lag("us").over(wo) > 1800000000, 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("brk").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    paths = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.expr(
+                "array_join(transform("
+                " array_sort(collect_list(struct(us, event_id, event_type))),"
+                " s -> s.event_type), '>')"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .where(F.col("n_sessions") >= 5)
+    )

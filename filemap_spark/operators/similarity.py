@@ -1376,3 +1376,60 @@ def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_qtok").cast("bigint").alias("n_qtok"),
         )
     )
+
+
+@query(
+    "emb_dim_variance",
+    oracle="""
+    WITH x AS (
+      SELECT cast(generate_subscripts(embedding, 1) - 1 AS int) AS dim,
+             cast(round(cast(unnest(embedding) AS double) * 1000000)
+                  AS bigint) AS xm
+      FROM embeddings
+    )
+    SELECT dim, count(*) AS n,
+           cast(sum(xm) AS double) / count(*) / 1000000 AS mean,
+           (cast(sum(xm * xm) AS double) / count(*)
+            - (cast(sum(xm) AS double) / count(*))
+              * (cast(sum(xm) AS double) / count(*))) / 1000000000000
+             AS variance
+    FROM x GROUP BY dim
+    """,
+    cost=0.5,
+)
+def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding variance (round 6, staged r7) — the scree
+    diagnostic: which of the 64 dimensions carry signal and which are
+    dead (near-zero variance → truncation/quantization candidates;
+    pairs with emb_pca_project and emb_truncate_renorm as the
+    embedding-health family).
+
+    Determinism: each component quantizes to exact 1e6 integers (float32
+    → float64 → identical µ-ints both engines); Σx and Σx² are exact
+    integer sums (x²≤9e12/row — hugeint in DuckDB, int64 in Spark to
+    ~10^6 rows/dim, decimal(38,0) past that per the numeric ceiling
+    protocol); mean/variance are then compositions of IEEE ops on
+    engine-identical operands — no round() tie class.
+
+    Scale: posexplode fans each row into 64 (dim, component) pairs —
+    map-side — and ONE hash agg on the 64-value dim key holds six int64
+    accumulators per group; output is O(dims). The same plan at any
+    corpus size; the skew-free key is the dimension index itself."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode(F.expr("transform(embedding, v -> cast(v as double))")).alias(
+            "dim", "v"
+        )
+    ).select(
+        F.col("dim").cast("int").alias("dim"),
+        F.expr("cast(round(v * 1000000) as bigint)").alias("xm"),
+    )
+    n = F.count("*")
+    s = F.sum("xm").cast("double")
+    ss = F.sum(F.col("xm") * F.col("xm")).cast("double")
+    mean_m = s / n
+    return x.groupBy("dim").agg(
+        n.alias("n"),
+        (mean_m / 1000000.0).alias("mean"),
+        ((ss / n - mean_m * mean_m) / 1e12).alias("variance"),
+    )

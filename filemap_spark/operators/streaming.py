@@ -3,7 +3,7 @@
 filemap's streaming model is incremental arrival of new files in a dataset
 directory (SURVEY §1.1 [K]); Spark's Structured Streaming file source is the
 same model with exactly-once bookkeeping. Contract strategy (SURVEY §2.9):
-every op here is the BATCH-equivalent form (oracle-gradable); the真
+every op here is the BATCH-equivalent form (oracle-gradable); the true
 micro-batch execution of the same logic — availableNow triggers, watermarks,
 late-data drops, stateful accumulation — runs in tests/test_streaming.py via
 filemap_spark.streaming.harness and must converge to these batch results.
@@ -377,4 +377,52 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
         )
         .orderBy("click_id", "purchase_id")
+    )
+
+
+@query(
+    "stream_windowed_topk",
+    oracle=EVENTS_NORM_SQL
+    + """
+    , w AS (
+      SELECT date_trunc('hour', ts) AS window_start, user_id,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, user_id, n_events
+    FROM w
+    QUALIFY row_number() OVER (PARTITION BY window_start
+                               ORDER BY n_events DESC, user_id) <= 3
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users per 1-hour tumbling window (round 6, staged r7) — the
+    per-window leaderboard: trending users/items per time bucket, the
+    ranking layer the plain windowed aggregates lack. Batch-equivalent
+    form (contract strategy §2.9); the micro-batch twin runs the windowed
+    count as a stream and ranks the final state
+    (tests/test_streaming.py), converging to this result.
+
+    Determinism: integer counts; ties break by user_id.
+
+    Scale: the (window, user) count aggregates map-side before its
+    exchange; the rank window re-keys by window_start alone — bounded
+    rows per window (distinct active users), and the top-3 cut runs
+    incrementally via WindowGroupLimit, so no full per-window sort
+    materializes. In the streaming deployment the state store holds
+    (window, user) counts bounded by the watermark horizon."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    rank_w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), "user_id"
+    )
+    return (
+        counts.select(
+            F.col("w.start").alias("window_start"), "user_id", "n_events"
+        )
+        .withColumn("rn", F.row_number().over(rank_w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
     )

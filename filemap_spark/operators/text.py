@@ -2474,3 +2474,132 @@ def text_rouge2_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rouge2_recall"),
         )
     )
+
+
+@query(
+    "dedup_shingle_containment",
+    cost=1.2,
+    oracle=f"""
+    WITH {SHINGLE_CTE.strip()}, counts AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inters AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           cast(inter AS double) / ca.n AS contain_a_in_b,
+           cast(inter AS double) / cb.n AS contain_b_in_a
+    FROM inters
+      JOIN counts ca ON doc_a = ca.doc_id
+      JOIN counts cb ON doc_b = cb.doc_id
+    WHERE cast(inter AS double) / ca.n >= 0.6
+       OR cast(inter AS double) / cb.n >= 0.6
+    """,
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs (round 6, staged r7):
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| — the plagiarism/
+    sub-document metric Jaccard misses: a short document wholly embedded
+    in a long one scores near 1.0 containment but low Jaccard (the union
+    is dominated by the long side). Pairs where either direction ≥ 0.6,
+    both directions reported.
+
+    Determinism: containment is the raw IEEE quotient of two exact
+    integer counts.
+
+    Scale: same discipline as dedup_near_jaccard — the candidate join is
+    an EQUI-join on the shingle (cost bounded by shingle-bucket sizes,
+    never doc×doc), the shingle frame materializes once
+    (localCheckpoint) for its three consumers, and the 100 TB upgrade is
+    the identical banded-MinHash blocking the LSH family already
+    implements."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_frame(docs).localCheckpoint()
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    ca, cb = counts.alias("ca"), counts.alias("cb")
+    c_ab = F.col("inter").cast("double") / F.col("ca.n")
+    c_ba = F.col("inter").cast("double") / F.col("cb.n")
+    return (
+        pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .where((c_ab >= 0.6) | (c_ba >= 0.6))
+        .select(
+            "doc_a",
+            "doc_b",
+            c_ab.alias("contain_a_in_b"),
+            c_ba.alias("contain_b_in_a"),
+        )
+    )
+
+
+@query(
+    "text_code_ratio",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id,
+             len(string_split(text, chr(10))) AS n_lines,
+             length(regexp_replace(text, '[^;{}]', '', 'g')) AS n_codechars,
+             length(regexp_replace(text, '[^=<>]', '', 'g')) AS n_ops,
+             length(text) AS n_chars,
+             len(list_filter(string_split(text, chr(10)),
+                             l -> l LIKE '    %' OR l LIKE chr(9) || '%'))
+               AS n_indented
+      FROM documents
+    )
+    SELECT doc_id, cast(n_lines AS bigint) AS n_lines,
+           cast(n_codechars AS bigint) AS n_codechars,
+           cast(n_indented AS bigint) AS n_indented,
+           cast(n_codechars + n_ops AS double) / n_chars AS code_char_ratio,
+           (cast(n_codechars + n_ops AS double) / n_chars > 0.02
+            OR n_indented * 2 > n_lines) AS looks_like_code
+    FROM feat WHERE n_chars > 0
+    """,
+    cost=0.3,
+)
+def text_code_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose heuristic (round 6, staged r7) — the pretraining
+    router that decides whether a document flows to the code or the
+    natural-language pipeline: per-doc counts of code-punctuation
+    (;{}), operator characters (=<>), and indented lines, combined into
+    a ratio + boolean gate. (A learned classifier is the production
+    upgrade; this is the deterministic, auditable first pass — the same
+    role the Gopher rules play for quality.)
+
+    Determinism: integer character/line counts; the ratio is a raw IEEE
+    quotient; the gate compares exactly the same doubles both engines.
+
+    Scale: pure per-row codegen string expressions over one scan — zero
+    shuffle, zero UDF; composes with sample_* and the quality gate as a
+    map-side column."""
+    docs = load_table(spark, sf_dir, "documents")
+    nl = F.split(F.col("text"), "\n")
+    n_lines = F.size(nl)
+    n_codechars = F.length(F.regexp_replace("text", "[^;{}]", ""))
+    n_ops = F.length(F.regexp_replace("text", "[^=<>]", ""))
+    n_chars = F.length("text")
+    n_indented = F.size(
+        F.filter(nl, lambda l: l.startswith("    ") | l.startswith("\t"))
+    )
+    ratio = (n_codechars + n_ops).cast("double") / n_chars
+    return (
+        docs.where(n_chars > 0)
+        .select(
+            "doc_id",
+            n_lines.cast("bigint").alias("n_lines"),
+            n_codechars.cast("bigint").alias("n_codechars"),
+            n_indented.cast("bigint").alias("n_indented"),
+            ratio.alias("code_char_ratio"),
+            ((ratio > 0.02) | (n_indented * 2 > n_lines)).alias("looks_like_code"),
+        )
+    )
