@@ -873,3 +873,63 @@ def test_decile_lift_no_customer_sized_single_partition_window(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "agg_decile_lift")
     assert "rangepartitioning" in plan, plan  # the exact-rank range exchange
     assert "CartesianProduct" not in plan
+
+
+def test_containment_join_is_shingle_equi(spark, sf_dir):
+    """dedup_shingle_containment: candidate generation joins on the
+    shingle — no doc-pair nested loop anywhere."""
+    plan = plan_of(spark, sf_dir, "dedup_shingle_containment")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_code_ratio_zero_shuffle_zero_python(spark, sf_dir):
+    """text_code_ratio: pure map-side codegen — no exchange, no Python."""
+    plan = plan_of(spark, sf_dir, "text_code_ratio")
+    nodes = _tree_nodes(plan)
+    assert nodes.count("Exchange") == 0, nodes
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_funnel_windowed_chains_user_keyed_aggs(spark, sf_dir):
+    """agg_funnel_windowed: three user-keyed min-aggs joined on user_id —
+    time-window predicates are residuals on the equi-joins, never BNLJ
+    (the final 1-row zips are the accepted bounded class)."""
+    plan = plan_of(spark, sf_dir, "agg_funnel_windowed")
+    assert "CartesianProduct" not in plan
+    # the step joins are hash equi-joins on user_id
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        plan.count("BroadcastHashJoin") >= 2
+    )
+
+
+def test_session_path_single_user_exchange_for_windows_and_paths(spark, sf_dir):
+    """agg_session_path: the lag window, running-sum window and the
+    (user, sid) path aggregate all ride ONE user_id exchange (hash on
+    user_id satisfies the (user, sid) clustering); only the bounded path
+    histogram re-shuffles."""
+    plan = plan_of(spark, sf_dir, "agg_session_path")
+    assert plan.count("hashpartitioning(user_id") >= 1, plan
+    nodes = _tree_nodes(plan)
+    assert nodes.count("Window") == 2, nodes
+    assert nodes.count("Exchange") <= 2, nodes  # user shuffle + path histogram
+    assert "CartesianProduct" not in plan
+
+
+def test_dim_variance_single_hash_agg_after_explode(spark, sf_dir):
+    """emb_dim_variance: posexplode is map-side (Generate under the scan,
+    no exchange before it) and one 64-key hash agg holds every
+    accumulator."""
+    plan = plan_of(spark, sf_dir, "emb_dim_variance")
+    nodes = _tree_nodes(plan)
+    assert "Generate" in nodes, nodes
+    assert nodes.count("Exchange") == 1, nodes
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_windowed_topk_uses_window_group_limit(spark, sf_dir):
+    """stream_windowed_topk: the per-window top-3 cut runs incrementally
+    (WindowGroupLimit), never a full per-window sort materialization."""
+    plan = plan_of(spark, sf_dir, "stream_windowed_topk")
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan

@@ -504,3 +504,34 @@ def test_stream_stream_join_multi_batch_time_ordered(spark, sf_dir, tmp_path):
     got = run_available_now(spark, stream, _join, output_mode="append")
     batch = stream_stream_join(spark, sf_dir)
     assert canonical_rows(got.toPandas()) == canonical_rows(batch.toPandas())
+
+
+def test_windowed_topk_stream_state_ranks_to_batch(spark, sf_dir):
+    """stream_windowed_topk's micro-batch twin: run the (window, user)
+    count as a file-at-a-time stream (the stateful layer), rank the FINAL
+    state in batch (the per-window leaderboard read), and require the
+    graded batch form's exact result."""
+    from filemap_spark import all_queries
+    from pyspark.sql.window import Window
+
+    def counts(df):
+        return (
+            df.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "user_id", "n_events")
+        )
+
+    input_dir, schema = make_stream_input(spark, sf_dir, n_files=4)
+    stream = read_stream(spark, input_dir, schema, max_files_per_trigger=1)
+    state = run_available_now(spark, stream, counts, output_mode="complete")
+    rank_w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), "user_id"
+    )
+    got = (
+        state.withColumn("rn", F.row_number().over(rank_w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
+    batch = all_queries()["stream_windowed_topk"](spark, sf_dir)
+    assert canonical_rows(got.toPandas()) == canonical_rows(batch.toPandas())
