@@ -140,3 +140,60 @@ def with_global_ntile(
         r <= big_span, F.ceil(r / (q + 1))
     ).otherwise(rem + F.ceil((r - big_span) / q))
     return ranked.withColumn(tile_col, tile.cast("int")).drop(_RANK, _TOTAL)
+
+
+def with_global_cumsum(
+    df: DataFrame, value_col: str, *order_cols: str,
+    cumsum_col: str = "cumsum", total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact `sum(value) OVER (ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING)` without a single-partition window — the prefix-sum twin of
+    with_global_rank: after the range exchange on the order key, each
+    partition's running sum plus the SUM of all earlier partitions' totals
+    is the exact global running sum. The per-partition totals are the same
+    bounded (numPartitions-row) relation the rank offsets use.
+
+    Same contract as with_global_rank: `order_cols` must be a TOTAL,
+    non-null order; `value_col` should be an exact (integer) column so the
+    partial-total reassociation is exact — FP values would make the result
+    depend on the partition layout. Optionally emits the grand total as
+    `total_col`."""
+    if num_partitions is None:
+        nparts = _shuffle_partitions(df)
+    else:
+        nparts = num_partitions
+    ranged = (
+        df.repartitionByRange(nparts, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _PERSISTED.append(ranged)
+    counts = ranged.groupBy(_PID).agg(F.sum(value_col).alias("__fsr_pv"))
+    offs = counts.select(
+        _PID,
+        F.coalesce(
+            F.sum("__fsr_pv").over(
+                Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias(_OFF),
+        F.sum("__fsr_pv").over(
+            Window.orderBy(_PID).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias(_TOTAL),
+    )
+    local = Window.partitionBy(_PID).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = (
+        ranged.withColumn(_LOCAL, F.sum(value_col).over(local))
+        .join(F.broadcast(offs), _PID)
+        .withColumn(cumsum_col, F.col(_OFF) + F.col(_LOCAL))
+    )
+    keep = [c for c in df.columns] + [cumsum_col]
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col(_TOTAL))
+        keep.append(total_col)
+    return out.select(*keep)

@@ -2885,3 +2885,109 @@ def agg_session_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_sessions") >= 5)
     )
+
+
+@query(
+    "agg_cohort_revenue_triangle",
+    oracle=EVENTS_NORM_SQL
+    + """,
+    wk AS (
+      SELECT user_id, value, epoch_us(ts) // 604800000000 AS w
+      FROM events
+    ), firsts AS (
+      SELECT user_id, min(w) AS cohort_w FROM wk GROUP BY user_id
+    )
+    SELECT cast(cohort_w AS int) AS cohort_w,
+           cast(w - cohort_w AS int) AS age_weeks,
+           count(*) AS n_events,
+           cast(cast(sum(cast(round(value * 1000000) AS bigint))
+                     AS decimal(38,6)) / 1000000 AS double) AS revenue
+    FROM wk JOIN firsts USING (user_id)
+    GROUP BY 1, 2
+    """,
+    cost=0.4,
+)
+def agg_cohort_revenue_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort revenue triangle (round 6, staged r7): users grouped by
+    first-activity WEEK (the contract corpus spans one calendar month, so
+    weekly grain keeps the triangle non-degenerate; a production run swaps
+    the one 604800000000-µs constant for a month key), revenue summed per
+    (cohort, weeks-since-cohort) — the LTV triangle that
+    agg_retention_cohort's COUNT matrix prices out. The week key is exact
+    integer µs floor-division — positive epochs, so DuckDB's floor `//`
+    and Spark's truncating `div` agree.
+
+    Determinism: integer week keys; revenue rides exact µ-unit sums with
+    the decimal descale.
+
+    Scale: one user-keyed min-agg for the cohort assignment, one
+    co-shuffled user join back, one bounded group-by (cohorts × ages ≤
+    calendar²). The triangle never materializes per-user state beyond the
+    first-week scalar."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        F.expr("unix_micros(ts) div 604800000000").alias("w"),
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("w").alias("cohort_w"))
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            F.col("cohort_w").cast("int").alias("cohort_w"),
+            (F.col("w") - F.col("cohort_w")).cast("int").alias("age_weeks"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                "cast(cast(sum(cast(round(value * 1000000) as bigint))"
+                " as decimal(38,6)) / 1000000 as double)"
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "ts_dow_seasonality",
+    oracle=EVENTS_NORM_SQL
+    + """,
+    d AS (
+      SELECT event_type, dayofweek(ts) AS dow, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, cast(dow AS int) AS dow, n,
+           cast(n AS double)
+             / cast(sum(n) OVER (PARTITION BY event_type) AS double) AS share,
+           cast(n AS double) * 7
+             / cast(sum(n) OVER (PARTITION BY event_type) AS double) - 1.0
+             AS uniform_dev
+    FROM d
+    """,
+    cost=0.3,
+)
+def ts_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile (round 6, staged r7): per event
+    type, each weekday's event share and its deviation from the uniform
+    1/7 — the weekly-rhythm fingerprint that anomaly thresholds
+    (ts_anomaly_mad) and forecast baselines both need. DOW is normalized
+    to Sunday=0 in BOTH engines (Spark dayofweek() is 1-based,
+    DuckDB's is 0-based — the off-by-one is the classic cross-engine
+    calendar trap, handled explicitly).
+
+    Determinism: integer counts; share/deviation are IEEE compositions on
+    identical operands.
+
+    Scale: one (type, dow) hash agg — ≤ 7·|types| groups — then windows
+    over that bounded frame."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("int").alias("dow")
+    ).agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("event_type")
+    tot = F.sum("n").over(wt).cast("double")
+    return d.select(
+        "event_type",
+        "dow",
+        "n",
+        (F.col("n").cast("double") / tot).alias("share"),
+        (F.col("n").cast("double") * 7 / tot - 1.0).alias("uniform_dev"),
+    )

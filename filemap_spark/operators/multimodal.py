@@ -609,3 +609,109 @@ def mm_decode_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="asset_id long, width int, height int, n_frames int, "
         "frame_no int, luma_md5 string",
     ).orderBy("asset_id", "frame_no")
+
+
+@query(
+    "mm_patch_features",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, text, n_chars,
+             cast(n_chars % 16 + 4 AS int) AS w,
+             cast(floor(n_chars / 7) % 12 + 4 AS int) AS h
+      FROM documents
+    ), buf AS (
+      SELECT doc_id, w, h,
+             cast(floor(w / 2.0) AS int) AS pw,
+             cast(floor(h / 2.0) AS int) AS ph,
+             substr(repeat(text, cast(ceil((w * h * 3.0) / n_chars) AS int)),
+                    1, w * h * 3) AS pix
+      FROM dims
+    ), patches AS (
+      SELECT doc_id, pr, pc, pw, ph,
+             string_agg(substr(pix, ((pr * ph + r) * w + pc * pw) * 3 + 1,
+                               pw * 3), '' ORDER BY r) AS pbytes
+      FROM buf,
+           (SELECT unnest(generate_series(0, 1)) AS pr) prs,
+           (SELECT unnest(generate_series(0, 1)) AS pc) pcs,
+           (SELECT unnest(generate_series(0, 7)) AS r) rs
+      WHERE r < ph
+      GROUP BY doc_id, pr, pc, pw, ph
+    )
+    SELECT doc_id AS asset_id, cast(pr AS int) AS patch_row,
+           cast(pc AS int) AS patch_col, pw AS patch_w, ph AS patch_h,
+           md5(pbytes) AS patch_sha
+    FROM patches
+    """,
+    cost=0.6,
+)
+def mm_patch_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch extraction (round 6, staged r7): decode each binary
+    P6 PPM asset (the REAL decode of mm_decode_ppm) and slice the pixel
+    array into a 2×2 patch grid — the preprocessing step every
+    vision-transformer pipeline runs before embedding. Each patch emits
+    its geometry and an md5 over its RAW bytes, so a decoder that shears
+    a row, transposes the grid, or strides the wrong axis hash-mismatches
+    against the SQL reconstruction of the same patches.
+
+    Scale: construction is JVM string ops; decode + slicing are
+    Arrow-batched numpy strided views (no copy until tobytes) — exactly
+    the shape a production JPEG+patchify deployment has, with the codec
+    call as the single swap-in point (_real_decode_stub). Remainder rows/
+    cols beyond the 2·⌊dim/2⌋ grid are dropped, as ViT preprocessing
+    does."""
+    docs = load_table(spark, sf_dir, "documents")
+    buf = docs.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.expr(_PPM_W).alias("w"),
+        F.expr(_PPM_H).alias("h"),
+    ).select("doc_id", "w", "h", F.expr(_PPM_PIX).alias("pix"))
+    assets = buf.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(
+            F.expr(
+                "concat('P6\\n', cast(w AS string), ' ', cast(h AS string), "
+                "'\\n255\\n', pix)"
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+
+    def patch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {
+                "asset_id": [], "patch_row": [], "patch_col": [],
+                "patch_w": [], "patch_h": [], "patch_sha": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, _maxval, pix = _parse_ppm(bytes(payload))
+                arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
+                pw, ph = w // 2, h // 2
+                for pr in range(2):
+                    for pc in range(2):
+                        patch = arr[
+                            pr * ph : (pr + 1) * ph, pc * pw : (pc + 1) * pw, :
+                        ]
+                        rows["asset_id"].append(aid)
+                        rows["patch_row"].append(pr)
+                        rows["patch_col"].append(pc)
+                        rows["patch_w"].append(pw)
+                        rows["patch_h"].append(ph)
+                        rows["patch_sha"].append(
+                            hashlib.md5(patch.tobytes()).hexdigest()
+                        )
+            out = pd.DataFrame(rows)
+            for c in ("patch_row", "patch_col", "patch_w", "patch_h"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    return assets.mapInPandas(
+        patch_batches,
+        schema="asset_id long, patch_row int, patch_col int, "
+        "patch_w int, patch_h int, patch_sha string",
+    )

@@ -715,3 +715,58 @@ def sink_manifest_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "join_dpp_partitioned_fact",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           cast(cast(sum(cast(round(o_totalprice * 1000000) AS bigint))
+                     AS decimal(38,6)) / 1000000 AS double) AS total_price
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+    cost=0.6,
+)
+def join_dpp_partitioned_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning, end-to-end (round 6, staged r7): the
+    orders fact is written partitioned by priority (the Hive layout a
+    100 TB fact table lives in), then joined against a FILTERED tiny dim
+    on the partition column — Spark plants a DynamicPruning subquery in
+    the fact scan, so only the dim-surviving partition DIRECTORIES are
+    read, at runtime, without the filter appearing on the fact side of
+    the query. The graded result proves the pruned scan still returns
+    exactly the rows the plain predicate form does (the oracle).
+
+    Scale: THE mechanism for dim-filtered fact scans on partitioned data
+    — the scan cost is proportional to surviving partitions, not the
+    table; scan_partition_pruning covers the static-literal case, this
+    covers the join-driven case AQE cannot constant-fold.
+
+    Determinism: integer counts + exact µ-unit sums."""
+    out = os.path.join(_tmpdir("dpp"), "orders_part")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .withColumn("urgent", F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .where(F.col("urgent"))
+        .select(F.col("o_orderpriority").alias("dim_priority"))
+    )
+    return (
+        fact.join(
+            F.broadcast(dim),
+            fact.o_orderpriority == F.col("dim_priority"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr(
+                "cast(cast(sum(cast(round(o_totalprice * 1000000) as bigint))"
+                " as decimal(38,6)) / 1000000 as double)"
+            ).alias("total_price"),
+        )
+    )

@@ -638,3 +638,72 @@ def win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "ts_us", "event_id")
     )
+
+
+@query(
+    "win_pareto_share",
+    oracle="""
+    WITH sp AS (
+      SELECT o_custkey AS custkey,
+             sum(cast(round(o_totalprice * 1000000) AS bigint)) AS spend
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT custkey, spend,
+             row_number() OVER (ORDER BY spend DESC, custkey) AS rnk,
+             sum(spend) OVER (ORDER BY spend DESC, custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_spend,
+             sum(spend) OVER () AS total
+      FROM sp
+    )
+    SELECT custkey, cast(rnk AS bigint) AS rnk,
+           cast(cum_spend AS bigint) AS cum_spend_micro,
+           cast(cum_spend AS double) / cast(total AS double) AS cum_share
+    FROM ranked
+    """,
+    cost=0.5,
+)
+def win_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration curve (round 6, staged r7): customers ranked by
+    total spend, each with its exact global rank and RUNNING share of all
+    revenue — the "what fraction of customers produce 80% of revenue"
+    curve. The hard part at scale is the unpartitioned running sum: Spark
+    would move every customer to one task. This op runs it via
+    with_global_cumsum (functions/ranks.py) — the prefix-sum twin of the
+    exact-rank decomposition: range-exchange on the order key, partition-
+    local cumsum, plus a bounded (numPartitions-row) broadcast of earlier
+    partitions' totals. Semantics are IDENTICAL to the window form the
+    oracle uses.
+
+    Determinism: spend is an exact µ-unit int64, so the prefix-sum
+    reassociation across partitions is exact (integer addition is
+    associative — the reason the helper requires integer values); the
+    share is a raw IEEE quotient; the (spend DESC, custkey) order is total
+    via the negated-micro trick.
+
+    Scale: orders reduce map-side per customer; then ONE range exchange —
+    the same plan ntile/rank use; no single-partition window anywhere."""
+    from filemap_spark.functions.ranks import with_global_cumsum, with_global_rank
+
+    sp = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.expr(
+                "sum(cast(round(o_totalprice * 1000000) as bigint))"
+            ).alias("spend")
+        )
+        .withColumn("neg_spend", -F.col("spend"))
+    )
+    ranked = with_global_rank(sp, "neg_spend", "custkey", rank_col="rnk")
+    summed = with_global_cumsum(
+        ranked, "spend", "neg_spend", "custkey",
+        cumsum_col="cum_spend", total_col="total",
+    )
+    return summed.select(
+        "custkey",
+        F.col("rnk").cast("bigint").alias("rnk"),
+        F.col("cum_spend").cast("bigint").alias("cum_spend_micro"),
+        (
+            F.col("cum_spend").cast("double") / F.col("total").cast("double")
+        ).alias("cum_share"),
+    )
