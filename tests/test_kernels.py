@@ -805,3 +805,34 @@ def test_quant_pos_fixed_precondition_is_real(spark):
         "(cast(-1.5e-6 as double)), (cast(2.5e-7 as double))) AS t(x)"
     ).collect()
     assert any(row["fast"] != row["exact"] for row in rows), rows
+
+
+@pytest.mark.parametrize("n_rows,nparts", [(1, 8), (7, 8), (100, 8), (100, 1), (100, 32)])
+def test_distributed_cumsum_equals_window_running_sum(spark, n_rows, nparts):
+    """functions/ranks.with_global_cumsum must reproduce sum() OVER
+    (ORDER BY key, id ROWS UNBOUNDED PRECEDING) EXACTLY — duplicate order
+    keys resolved by the id tiebreak, any partition count — while keeping
+    the rows off a single-partition window."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from filemap_spark.functions.ranks import with_global_cumsum
+
+    rows = [(i, (i * 7) % 13, (i * 31) % 97) for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "id long, key long, v long").repartition(8)
+    got = {
+        r["id"]: (r["cumsum"], r["tot"])
+        for r in with_global_cumsum(
+            df, "v", "key", "id", cumsum_col="cumsum", total_col="tot",
+            num_partitions=nparts,
+        ).collect()
+    }
+    w = Window.orderBy("key", "id").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    want = {
+        r["id"]: (r["c"], r["t"])
+        for r in df.withColumn("c", F.sum("v").over(w))
+        .withColumn("t", F.sum("v").over(wall))
+        .collect()
+    }
+    assert got == want

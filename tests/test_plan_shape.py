@@ -933,3 +933,49 @@ def test_windowed_topk_uses_window_group_limit(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "stream_windowed_topk")
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_pareto_share_no_single_partition_data_window(spark, sf_dir):
+    """win_pareto_share: the running share uses the prefix-sum
+    decomposition — the range exchange is present and the only
+    unpartitioned windows run on the bounded numPartitions-row offset
+    frames."""
+    plan = plan_of(spark, sf_dir, "win_pareto_share")
+    assert "rangepartitioning" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dpp_plants_dynamic_pruning_subquery(spark, sf_dir):
+    """join_dpp_partitioned_fact: the fact scan carries a DynamicPruning
+    partition filter driven by the dim join — the join-time analog of
+    scan_partition_pruning's static literal."""
+    plan = plan_of(spark, sf_dir, "join_dpp_partitioned_fact")
+    assert "dynamicpruning" in plan.lower(), plan
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("o_orderpriority" in l for l in pf), plan
+
+
+def test_cohort_triangle_user_join_reuses_partitioning(spark, sf_dir):
+    """agg_cohort_revenue_triangle: the cohort min-agg and the join-back
+    both key on user_id; no BNLJ, no cartesian."""
+    plan = plan_of(spark, sf_dir, "agg_cohort_revenue_triangle")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dow_seasonality_bounded_agg_then_window(spark, sf_dir):
+    """ts_dow_seasonality: one fact hash agg (≤ 7·types groups), windows
+    only on that bounded frame."""
+    plan = plan_of(spark, sf_dir, "ts_dow_seasonality")
+    nodes = _tree_nodes(plan)
+    assert nodes.count("Exchange") <= 2, nodes  # (type,dow) agg + type window
+    assert "CartesianProduct" not in plan
+
+
+def test_patch_features_single_arrow_stage(spark, sf_dir):
+    """mm_patch_features: construction is JVM-side; exactly one Arrow
+    (MapInPandas) stage does decode+patchify; no shuffle at all."""
+    plan = plan_of(spark, sf_dir, "mm_patch_features")
+    nodes = _tree_nodes(plan)
+    assert nodes.count("MapInPandas") == 1, nodes
+    assert nodes.count("Exchange") == 0, nodes
