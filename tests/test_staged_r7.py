@@ -367,3 +367,92 @@ def test_maxsim_matches_numpy_reference(spark):
             want.q_did, want.d_did, want.n_qtok,
         )
         assert abs(got.maxsim_score - want.s4 / 10000.0) < 1e-9
+
+
+def test_session_path_matches_pandas_reconstruction(spark):
+    """agg_session_path ≡ a literal pandas sessionization + path-string
+    build over the same (ts, event_id) total order."""
+    out = (
+        all_queries()["agg_session_path"](spark, SF)
+        .toPandas()
+        .set_index("path")
+        .sort_index()
+    )
+    ev = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("us"))
+        .toPandas()
+        .sort_values(["user_id", "us", "event_id"])
+    )
+    from collections import Counter, defaultdict
+
+    n_sessions: Counter = Counter()
+    users: defaultdict = defaultdict(set)
+    for uid, grp in ev.groupby("user_id"):
+        path: list[str] = []
+        prev_us = None
+        for r in grp.itertuples():
+            if prev_us is not None and r.us - prev_us > 1800000000:
+                p = ">".join(path)
+                n_sessions[p] += 1
+                users[p].add(uid)
+                path = []
+            path.append(r.event_type)
+            prev_us = r.us
+        if path:
+            p = ">".join(path)
+            n_sessions[p] += 1
+            users[p].add(uid)
+    for path, row in out.iterrows():
+        assert n_sessions[path] == row.n_sessions, path
+        assert len(users[path]) == row.n_users, path
+    # the gate keeps exactly the >= 5 paths
+    assert set(out.index) == {p for p, n in n_sessions.items() if n >= 5}
+
+
+def test_funnel_windowed_is_subset_of_unwindowed(spark):
+    """agg_funnel_windowed conservation: each step count is bounded by the
+    unwindowed funnel's step (the 30-min constraint only removes users),
+    and step counts are monotone non-increasing."""
+    win = all_queries()["agg_funnel_windowed"](spark, SF).collect()[0]
+    full = all_queries()["agg_funnel"](spark, SF).collect()[0]
+    assert win.step1_view == full.n_view  # step 1 has no window constraint
+    assert win.step2_click_30m <= full.n_view_click
+    assert win.step3_purchase_30m <= full.n_view_click_purchase
+    assert win.step1_view >= win.step2_click_30m >= win.step3_purchase_30m
+
+
+def test_dim_variance_matches_numpy(spark):
+    """emb_dim_variance ≡ numpy population variance over the identically
+    quantized µ-int components."""
+    out = (
+        all_queries()["emb_dim_variance"](spark, SF)
+        .toPandas()
+        .set_index("dim")
+        .sort_index()
+    )
+    emb = load_table(spark, SF, "embeddings").toPandas()
+    mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    xm = np.round(mat * 1e6)
+    assert (out["n"] == len(mat)).all()
+    np.testing.assert_allclose(
+        out["mean"].to_numpy(), xm.mean(axis=0) / 1e6, rtol=0, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        out["variance"].to_numpy(),
+        xm.var(axis=0) / 1e12,
+        rtol=1e-9, atol=1e-12,
+    )
+
+
+def test_patch_features_tile_exactly_covers_grid(spark):
+    """mm_patch_features geometry: every asset emits exactly 4 patches
+    whose dims are floor(w/2) x floor(h/2) of the decoded asset, and
+    sibling patches agree on dims."""
+    out = all_queries()["mm_patch_features"](spark, SF).toPandas()
+    dims = all_queries()["mm_decode_ppm"](spark, SF).toPandas().set_index("asset_id")
+    assert (out.groupby("asset_id").size() == 4).all()
+    for aid, grp in out.groupby("asset_id"):
+        w, h = int(dims.loc[aid, "width"]), int(dims.loc[aid, "height"])
+        assert (grp.patch_w == w // 2).all() and (grp.patch_h == h // 2).all()
+        assert len(grp.patch_sha) == 4
