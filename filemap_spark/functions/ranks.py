@@ -145,7 +145,7 @@ def with_global_ntile(
 def with_global_cumsum(
     df: DataFrame, value_col: str, *order_cols: str,
     cumsum_col: str = "cumsum", total_col: str | None = None,
-    num_partitions: int | None = None,
+    rank_col: str | None = None, num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact `sum(value) OVER (ORDER BY order_cols ROWS UNBOUNDED
     PRECEDING)` without a single-partition window — the prefix-sum twin of
@@ -158,7 +158,10 @@ def with_global_cumsum(
     non-null order; `value_col` should be an exact (integer) column so the
     partial-total reassociation is exact — FP values would make the result
     depend on the partition layout. Optionally emits the grand total as
-    `total_col`."""
+    `total_col`, and — since the ranged pass already has everything the
+    exact rank needs — the global row_number as `rank_col` for FREE (one
+    range exchange serves both, where composing with_global_rank +
+    with_global_cumsum would pay two)."""
     if num_partitions is None:
         nparts = _shuffle_partitions(df)
     else:
@@ -169,24 +172,22 @@ def with_global_cumsum(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     _PERSISTED.append(ranged)
-    counts = ranged.groupBy(_PID).agg(F.sum(value_col).alias("__fsr_pv"))
+    counts = ranged.groupBy(_PID).agg(
+        F.sum(value_col).alias("__fsr_pv"), F.count("*").alias("__fsr_pc")
+    )
+    w_prev = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     offs = counts.select(
         _PID,
-        F.coalesce(
-            F.sum("__fsr_pv").over(
-                Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias(_OFF),
+        F.coalesce(F.sum("__fsr_pv").over(w_prev), F.lit(0)).alias(_OFF),
         F.sum("__fsr_pv").over(
             Window.orderBy(_PID).rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing
             )
         ).alias(_TOTAL),
+        F.coalesce(F.sum("__fsr_pc").over(w_prev), F.lit(0)).alias("__fsr_roff"),
     )
-    local = Window.partitionBy(_PID).orderBy(*order_cols).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    ow = Window.partitionBy(_PID).orderBy(*order_cols)
+    local = ow.rowsBetween(Window.unboundedPreceding, 0)
     out = (
         ranged.withColumn(_LOCAL, F.sum(value_col).over(local))
         .join(F.broadcast(offs), _PID)
@@ -196,4 +197,10 @@ def with_global_cumsum(
     if total_col is not None:
         out = out.withColumn(total_col, F.col(_TOTAL))
         keep.append(total_col)
+    if rank_col is not None:
+        out = out.withColumn(
+            rank_col,
+            (F.col("__fsr_roff") + F.row_number().over(ow)).cast("long"),
+        )
+        keep.append(rank_col)
     return out.select(*keep)

@@ -682,7 +682,7 @@ def win_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: orders reduce map-side per customer; then ONE range exchange —
     the same plan ntile/rank use; no single-partition window anywhere."""
-    from filemap_spark.functions.ranks import with_global_cumsum, with_global_rank
+    from filemap_spark.functions.ranks import with_global_cumsum
 
     sp = (
         load_table(spark, sf_dir, "orders")
@@ -694,10 +694,9 @@ def win_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("neg_spend", -F.col("spend"))
     )
-    ranked = with_global_rank(sp, "neg_spend", "custkey", rank_col="rnk")
     summed = with_global_cumsum(
-        ranked, "spend", "neg_spend", "custkey",
-        cumsum_col="cum_spend", total_col="total",
+        sp, "spend", "neg_spend", "custkey",
+        cumsum_col="cum_spend", total_col="total", rank_col="rnk",
     )
     return summed.select(
         "custkey",

@@ -836,3 +836,32 @@ def test_distributed_cumsum_equals_window_running_sum(spark, n_rows, nparts):
         .collect()
     }
     assert got == want
+
+
+def test_cumsum_rank_col_equals_window_row_number(spark):
+    """with_global_cumsum's free rank_col ≡ row_number() OVER the same
+    order — one ranged pass must serve both outputs."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from filemap_spark.functions.ranks import with_global_cumsum
+
+    rows = [(i, (i * 7) % 13, (i * 31) % 97) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, key long, v long").repartition(8)
+    got = {
+        r["id"]: (r["cumsum"], r["rnk"])
+        for r in with_global_cumsum(
+            df, "v", "key", "id", cumsum_col="cumsum", rank_col="rnk",
+            num_partitions=8,
+        ).collect()
+    }
+    w = Window.orderBy("key", "id")
+    want = {
+        r["id"]: (r["c"], r["rn"])
+        for r in df.withColumn(
+            "c", F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .collect()
+    }
+    assert got == want
