@@ -128,6 +128,7 @@ STAGED_HEADLINE = (
     "text_rouge2_recall",
     "sim_maxsim_multivector",
     "agg_decile_lift",
+    "win_pareto_share",
 )
 
 
