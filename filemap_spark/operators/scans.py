@@ -770,3 +770,80 @@ def join_dpp_partitioned_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_price"),
         )
     )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_lines,
+           cast(cast(sum(cast(round(l_extendedprice * 1000000) AS bigint))
+                     AS decimal(38,6)) / 1000000 AS double) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    cost=1.2,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join, GRADED end-to-end (round 6,
+    staged r7): both facts are written `bucketBy(8, order key)` +
+    `sortBy` into managed tables, then joined as a sort-merge join whose
+    required distribution the bucket layout already satisfies — NO
+    exchange before the join (the plan-shape twin in
+    tests/test_bucketing.py pins that; this op grades the RESULT of the
+    layout against the plain-join oracle). The `merge` hint stands in for
+    a production broadcast-threshold config so the demonstration is
+    conf-free.
+
+    Scale: THE layout for a fact-fact join that repeats every
+    run (lineitem⋈orders on the order key here): the shuffle is paid once
+    at write time and amortized over every subsequent join; bucket count
+    is the deployment knob (≥ cluster parallelism, matched on both
+    sides). Write cost at grading scale is a few MB of managed table.
+
+    Determinism: integer counts + exact µ-unit sums through the decimal
+    descale."""
+    import shutil
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for name in ("fsb_li", "fsb_orders"):
+        # DROP only clears THIS session's in-memory catalog; a previous
+        # session's table directory survives on disk and blocks the
+        # managed-table write (LOCATION_ALREADY_EXISTS) — remove both.
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+    (
+        li.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("fsb_li")
+    )
+    (
+        orders.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("fsb_orders")
+    )
+    return (
+        spark.table("fsb_li")
+        .hint("merge")
+        .join(
+            spark.table("fsb_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.expr(
+                "cast(cast(sum(cast(round(l_extendedprice * 1000000) as bigint))"
+                " as decimal(38,6)) / 1000000 as double)"
+            ).alias("revenue"),
+        )
+    )

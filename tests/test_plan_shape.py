@@ -979,3 +979,13 @@ def test_patch_features_single_arrow_stage(spark, sf_dir):
     nodes = _tree_nodes(plan)
     assert nodes.count("MapInPandas") == 1, nodes
     assert nodes.count("Exchange") == 0, nodes
+
+
+def test_graded_bucketed_join_shuffle_free_before_agg(spark, sf_dir):
+    """join_bucketed_colocated: the bucket layout satisfies the SMJ's
+    distribution — no Exchange between the scans and the join; the only
+    exchange belongs to the post-join aggregate."""
+    plan = plan_of(spark, sf_dir, "join_bucketed_colocated")
+    assert "SortMergeJoin" in plan
+    pre_agg = plan.split("HashAggregate")[0]
+    assert "Exchange" not in pre_agg, pre_agg
