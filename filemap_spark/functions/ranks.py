@@ -80,44 +80,19 @@ def with_global_rank(
     places NULLS FIRST while DuckDB's `ntile(ORDER BY ...)` defaults to
     NULLS LAST, so a nullable order key would silently diverge from the
     oracles (normalize with coalesce() upstream if nulls are possible).
-    Optionally emits the total row count as `total_col`."""
-    if num_partitions is None:
-        nparts = _shuffle_partitions(df)
-    else:
-        nparts = num_partitions
-    ranged = (
-        df.repartitionByRange(nparts, *order_cols)
-        .withColumn(_PID, F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    Optionally emits the total row count as `total_col`.
+
+    Implementation: the global row_number IS the running sum of ones, so
+    this delegates to with_global_cumsum (one shared range-exchange +
+    bounded-offset scaffold for the whole rank/ntile/cumsum family — a
+    mechanism fix lands once)."""
+    one = "__fsr_one"
+    out = with_global_cumsum(
+        df.withColumn(one, F.lit(1).cast("long")), one, *order_cols,
+        cumsum_col=rank_col, total_col=total_col,
+        num_partitions=num_partitions,
     )
-    _PERSISTED.append(ranged)
-    counts = ranged.groupBy(_PID).agg(F.count("*").alias("__fsr_pc"))
-    # numPartitions rows: the unpartitioned window + broadcast are bounded.
-    offs = counts.select(
-        _PID,
-        F.coalesce(
-            F.sum("__fsr_pc").over(
-                Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias(_OFF),
-        F.sum("__fsr_pc").over(
-            Window.orderBy(_PID).rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias(_TOTAL),
-    )
-    local = Window.partitionBy(_PID).orderBy(*order_cols)
-    out = (
-        ranged.withColumn(_LOCAL, F.row_number().over(local))
-        .join(F.broadcast(offs), _PID)
-        .withColumn(rank_col, (F.col(_OFF) + F.col(_LOCAL)).cast("long"))
-    )
-    keep = [c for c in df.columns] + [rank_col]
-    if total_col is not None:
-        out = out.withColumn(total_col, F.col(_TOTAL).cast("long"))
-        keep.append(total_col)
-    return out.select(*keep)
+    return out.drop(one)
 
 
 def with_global_ntile(

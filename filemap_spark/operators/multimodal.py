@@ -231,6 +231,31 @@ def _parse_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
     return w, h, int(maxval_s), pix
 
 
+def _ppm_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): every document rendered as a genuine binary P6
+    PPM (header + raw RGB bytes) — the ONE construction shared by
+    mm_decode_ppm and mm_patch_features, and the site the multibyte-text
+    contract note on mm_decode_ppm refers to (SQL counts CHARS, the
+    decoder counts BYTES; single-byte ASCII text keeps them equal)."""
+    buf = docs.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.expr(_PPM_W).alias("w"),
+        F.expr(_PPM_H).alias("h"),
+    ).select("doc_id", "w", "h", F.expr(_PPM_PIX).alias("pix"))
+    return buf.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(
+            F.expr(
+                "concat('P6\\n', cast(w AS string), ' ', cast(h AS string), "
+                "'\\n255\\n', pix)"
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+
+
 @query(
     "mm_decode_ppm",
     oracle="""
@@ -285,23 +310,7 @@ def mm_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     builder counts CHARS while the decoder counts BYTES, so the decoder
     hard-fails (clear ValueError, no silent divergence) on multibyte text."""
     docs = load_table(spark, sf_dir, "documents")
-    buf = docs.select(
-        "doc_id",
-        "text",
-        "n_chars",
-        F.expr(_PPM_W).alias("w"),
-        F.expr(_PPM_H).alias("h"),
-    ).select("doc_id", "w", "h", F.expr(_PPM_PIX).alias("pix"))
-    assets = buf.select(
-        F.col("doc_id").alias("asset_id"),
-        F.encode(
-            F.expr(
-                "concat('P6\\n', cast(w AS string), ' ', cast(h AS string), "
-                "'\\n255\\n', pix)"
-            ),
-            "UTF-8",
-        ).alias("payload"),
-    )
+    assets = _ppm_assets(docs)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -660,23 +669,7 @@ def mm_patch_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols beyond the 2·⌊dim/2⌋ grid are dropped, as ViT preprocessing
     does."""
     docs = load_table(spark, sf_dir, "documents")
-    buf = docs.select(
-        "doc_id",
-        "text",
-        "n_chars",
-        F.expr(_PPM_W).alias("w"),
-        F.expr(_PPM_H).alias("h"),
-    ).select("doc_id", "w", "h", F.expr(_PPM_PIX).alias("pix"))
-    assets = buf.select(
-        F.col("doc_id").alias("asset_id"),
-        F.encode(
-            F.expr(
-                "concat('P6\\n', cast(w AS string), ' ', cast(h AS string), "
-                "'\\n255\\n', pix)"
-            ),
-            "UTF-8",
-        ).alias("payload"),
-    )
+    assets = _ppm_assets(docs)
 
     def patch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
