@@ -2991,3 +2991,131 @@ def ts_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n").cast("double") / tot).alias("share"),
         (F.col("n").cast("double") * 7 / tot - 1.0).alias("uniform_dev"),
     )
+
+
+@query(
+    "win_outlier_fence_iqr",
+    oracle=EVENTS_NORM_SQL
+    + """,
+    q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3,
+             count(*) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, max(q.n) AS n,
+           max(round(q.q1, 6)) AS q1, max(round(q.q3, 6)) AS q3,
+           cast(sum(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                    THEN 1 ELSE 0 END) AS bigint) AS n_outliers
+    FROM events e JOIN q ON e.event_type = q.event_type
+    GROUP BY e.event_type
+    """,
+    cost=0.4,
+)
+def win_outlier_fence_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier fencing per event type (round 6, staged r7):
+    quartiles, the 1.5·IQR fences, and the count of rows outside them —
+    the distribution-free outlier screen that complements ts_anomaly_mad
+    (MAD fences the residual around a rolling center; IQR fences the
+    marginal distribution).
+
+    Determinism: Spark `percentile` ≡ DuckDB `quantile_cont` (shared
+    linear-interpolation definition, proven by agg_percentile_exact);
+    the fence comparison composes identical doubles identically in both
+    engines (multiply/subtract only — no round() on the comparison path);
+    the REPORTED quartiles round at 6dp, the fence test uses the raw
+    values.
+
+    Scale: one per-type quantile agg (exact percentile sorts per group —
+    the approx_percentile sketch is the 100 TB swap), broadcast of the
+    O(types) fence frame back onto the fact, one counting agg. The fact
+    is scanned twice (quantiles are holistic — no single-pass exact
+    form); the sketch path collapses it to one."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1_raw"),
+        F.expr("percentile(value, 0.75)").alias("q3_raw"),
+        F.count("*").alias("n"),
+    )
+    lo = F.col("q1_raw") - 1.5 * (F.col("q3_raw") - F.col("q1_raw"))
+    hi = F.col("q3_raw") + 1.5 * (F.col("q3_raw") - F.col("q1_raw"))
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max(F.round("q1_raw", 6)).alias("q1"),
+            F.max(F.round("q3_raw", 6)).alias("q3"),
+            F.sum(
+                F.when((F.col("value") < lo) | (F.col("value") > hi), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "agg_chi2_independence",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS p, o_orderstatus AS s, count(*) AS o
+      FROM orders GROUP BY 1, 2
+    ), m AS (
+      SELECT p, s, o,
+             sum(o) OVER (PARTITION BY p) AS rp,
+             sum(o) OVER (PARTITION BY s) AS cs,
+             sum(o) OVER () AS n
+      FROM c
+    )
+    SELECT count(*) AS n_cells,
+           cast(max(n) AS bigint) AS n_orders,
+           sum((cast(o AS double)
+                - cast(rp AS double) * cast(cs AS double) / cast(n AS double))
+               * (cast(o AS double)
+                  - cast(rp AS double) * cast(cs AS double) / cast(n AS double))
+               / (cast(rp AS double) * cast(cs AS double) / cast(n AS double)))
+             AS chi2
+    FROM m
+    """,
+    cost=0.4,
+)
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic (round 6, staged r7) over the
+    (order priority × order status) contingency table — the categorical
+    drift/association screen: is priority distributed independently of
+    status? Emits the cell count, total, and the χ² sum over observed-vs-
+    expected.
+
+    Determinism: the contingency table is exact integer counts; expected
+    values and χ² terms are IEEE compositions of those identical integers
+    — and the final SUM runs over the BOUNDED cell frame (≤ |priorities|
+    × |statuses| = 15 cells), where both engines sum the same 15 doubles;
+    the orders of summation could differ but the terms are few and
+    benign at 6dp (pinned by the differential at all three SFs).
+
+    Scale: one fact hash agg to the contingency cells; the marginals are
+    windows over the bounded cell frame. χ² over any pair of
+    low-cardinality columns is the same plan."""
+    c = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s"))
+        .agg(F.count("*").alias("o"))
+    )
+    wp = Window.partitionBy("p")
+    ws = Window.partitionBy("s")
+    wall = Window.partitionBy()
+    m = (
+        c.withColumn("rp", F.sum("o").over(wp))
+        .withColumn("cs", F.sum("o").over(ws))
+        .withColumn("n", F.sum("o").over(wall))
+    )
+    e = F.col("rp").cast("double") * F.col("cs").cast("double") / F.col("n").cast("double")
+    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    return m.agg(
+        F.count("*").alias("n_cells"),
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.sum(term).alias("chi2"),
+    )

@@ -1455,3 +1455,59 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_edges = e.agg(F.count("*").alias("n_edges"))
     return n_edges.join(F.broadcast(tri)).select("n_edges", "n_triangles")
+
+
+@query(
+    "sample_balanced_classes",
+    oracle="""
+    WITH mc AS (
+      SELECT min(n) AS min_n
+      FROM (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+    ), ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(text), doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_kept,
+           cast(min(rn) AS bigint) AS first_rn,
+           cast(max(rn) AS bigint) AS last_rn
+    FROM ranked, mc
+    WHERE rn <= min_n
+    GROUP BY lang
+    """,
+    cost=0.4,
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling (round 6, staged r7): keep exactly
+    min-class-count documents per language — the classifier-training
+    prep that prevents the majority class from dominating the loss. Kept
+    rows are chosen by CONTENT-HASH rank (md5(text), doc_id tiebreak), so
+    the sample is deterministic across engines, reruns, partitionings and
+    cluster sizes — `df.sample`'s seed is partitioning-dependent, the
+    reason every sampler in this repo ranks on a content hash instead.
+
+    Determinism: md5 strings compare identically; counts are integers.
+
+    Scale: the per-class rank is a PARTITIONED window (one lang-keyed
+    exchange — bounded per-class row counts per task, never a global
+    sort); the min-class scalar is a 1-row broadcast. The graded output
+    is the per-class audit (counts + rank envelope), not the sampled
+    payload — the op composes as a filter stage in a pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    mc = counts.agg(F.min("n").alias("min_n"))
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    ranked = docs.select("doc_id", "lang", "text").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        ranked.join(F.broadcast(mc))
+        .where(F.col("rn") <= F.col("min_n"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("rn").cast("bigint").alias("first_rn"),
+            F.max("rn").cast("bigint").alias("last_rn"),
+        )
+    )

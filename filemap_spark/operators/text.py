@@ -2603,3 +2603,81 @@ def text_code_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((ratio > 0.02) | (n_indented * 2 > n_lines)).alias("looks_like_code"),
         )
     )
+
+
+_STEM_RULES = (
+    ("(ation|ations)$", "ate"),
+    ("(ies)$", "y"),
+    ("(sses)$", "ss"),
+    ("(ing|ingly)$", ""),
+    ("(edly|ed)$", ""),
+    ("(ly)$", ""),
+    ("(s)$", ""),
+)
+
+
+@query(
+    "text_stem_lite",
+    oracle="""
+    WITH toks AS (
+      SELECT lower(unnest(string_split(text, ' '))) AS w FROM documents
+    ), stemmed AS (
+      SELECT w,
+             CASE WHEN len(w) <= 3 THEN w ELSE
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(w,
+                 '(ation|ations)$', 'ate'),
+                 '(ies)$', 'y'),
+                 '(sses)$', 'ss'),
+                 '(ing|ingly)$', ''),
+                 '(edly|ed)$', ''),
+                 '(ly)$', ''),
+                 '(s)$', '')
+             END AS stem
+      FROM toks
+    )
+    SELECT count(*) AS n_tokens,
+           count(DISTINCT w) AS vocab_raw,
+           count(DISTINCT stem) AS vocab_stemmed,
+           cast(count(DISTINCT stem) AS double)
+             / cast(count(DISTINCT w) AS double) AS vocab_ratio
+    FROM stemmed
+    """,
+    cost=0.4,
+)
+def text_stem_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-stripping stemmer, Porter-lite (round 6, staged r7): a fixed
+    ordered chain of 7 suffix rules (first match wins per rule, rules
+    cascade) applied to every lowercase token, reporting the vocabulary
+    compression it buys — the normalization dial a dedup/tf-idf pipeline
+    turns before building term statistics. Words of ≤3 chars pass
+    through (stemming destroys short words).
+
+    Determinism: pure regex on exact strings — the identical rule chain
+    is spelled in both engines (Spark regexp_replace ≡ DuckDB with these
+    patterns: anchored suffix alternations, no engine-specific syntax);
+    counts are integers and the ratio is a raw IEEE quotient.
+
+    Scale: per-row codegen regex chain (zero UDF) + one distinct-agg
+    pass; the rule list is a constant — no vocabulary state, no shuffle
+    beyond the count-distinct expansion."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    stem = F.col("w")
+    for pat, rep in _STEM_RULES:
+        stem = F.regexp_replace(stem, pat, rep)
+    stemmed = toks.select(
+        "w",
+        F.when(F.length("w") <= 3, F.col("w")).otherwise(stem).alias("stem"),
+    )
+    return stemmed.agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("w").alias("vocab_raw"),
+        F.countDistinct("stem").alias("vocab_stemmed"),
+        (
+            F.countDistinct("stem").cast("double")
+            / F.countDistinct("w").cast("double")
+        ).alias("vocab_ratio"),
+    )
