@@ -1003,3 +1003,39 @@ def test_graded_bucketed_join_shuffle_free_before_agg(spark, sf_dir):
     assert "SortMergeJoin" in plan
     nodes = _tree_nodes(plan)
     assert nodes.count("Exchange") == 1, nodes
+
+
+def test_iqr_fences_broadcast_back(spark, sf_dir):
+    """win_outlier_fence_iqr: the O(types) fence frame broadcasts onto the
+    fact; no nested loop, no cartesian."""
+    plan = plan_of(spark, sf_dir, "win_outlier_fence_iqr")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chi2_windows_ride_bounded_cell_frame(spark, sf_dir):
+    """agg_chi2_independence: ONE fact aggregate; every window runs over
+    the <=15-cell contingency frame."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "agg_chi2_independence")
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) == 1, plan  # single orders scan
+    assert "CartesianProduct" not in plan
+
+
+def test_balanced_classes_rank_is_partitioned(spark, sf_dir):
+    """sample_balanced_classes: the per-class rank partitions by lang (no
+    unpartitioned data window); the min-count scalar broadcasts."""
+    plan = plan_of(spark, sf_dir, "sample_balanced_classes")
+    assert "windowspecdefinition(lang" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_stem_lite_pure_codegen_no_python(spark, sf_dir):
+    """text_stem_lite: the rule cascade is codegen regexp_replace — no
+    Python stage anywhere."""
+    plan = plan_of(spark, sf_dir, "text_stem_lite")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

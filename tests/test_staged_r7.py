@@ -456,3 +456,45 @@ def test_patch_features_tile_exactly_covers_grid(spark):
         w, h = int(dims.loc[aid, "width"]), int(dims.loc[aid, "height"])
         assert (grp.patch_w == w // 2).all() and (grp.patch_h == h // 2).all()
         assert len(grp.patch_sha) == 4
+
+
+def test_chi2_matches_numpy_contingency(spark):
+    """agg_chi2_independence ≡ the numpy observed-vs-expected formula over
+    an independently built contingency table."""
+    row = all_queries()["agg_chi2_independence"](spark, SF).collect()[0]
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    ).toPandas()
+    tab = orders.groupby(["o_orderpriority", "o_orderstatus"]).size().unstack(
+        fill_value=0
+    )
+    obs = tab.to_numpy().astype(float)
+    rp = obs.sum(axis=1, keepdims=True)
+    cs = obs.sum(axis=0, keepdims=True)
+    n = obs.sum()
+    exp = rp @ cs / n
+    mask = obs > 0  # the op iterates observed cells only
+    chi2 = (((obs - exp) ** 2 / exp)[mask]).sum()
+    assert row.n_orders == int(n)
+    assert row.n_cells == int(mask.sum())
+    assert abs(row.chi2 - chi2) < 1e-9
+
+
+def test_balanced_classes_kept_counts_equal_min(spark):
+    """sample_balanced_classes: every class keeps exactly the min class
+    count, and the rank envelope is [1, min_n]."""
+    out = all_queries()["sample_balanced_classes"](spark, SF).toPandas()
+    docs = load_table(spark, SF, "documents").toPandas()
+    min_n = docs.groupby("lang").size().min()
+    assert (out["n_kept"] == min_n).all()
+    assert (out["first_rn"] == 1).all()
+    assert (out["last_rn"] == min_n).all()
+    assert set(out["lang"]) == set(docs["lang"])
+
+
+def test_stem_lite_rules_compress_vocab(spark):
+    """text_stem_lite: the cascade is idempotent-ish sanity — stemmed vocab
+    is no larger than raw vocab, and a known suffix family collapses."""
+    row = all_queries()["text_stem_lite"](spark, SF).collect()[0]
+    assert row.vocab_stemmed <= row.vocab_raw
+    assert 0 < row.vocab_ratio <= 1.0
