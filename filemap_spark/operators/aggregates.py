@@ -3119,3 +3119,278 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("n_orders"),
         F.sum(term).alias("chi2"),
     )
+
+
+@query(
+    "agg_dq_profile",
+    oracle="""
+    WITH a AS (
+      SELECT count(*) AS n_rows,
+             sum(CASE WHEN nullif(o_orderstatus, 'P') IS NULL THEN 1 ELSE 0 END) AS st_null,
+             count(DISTINCT nullif(o_orderstatus, 'P')) AS st_dist,
+             min(nullif(o_orderstatus, 'P')) AS st_min,
+             max(nullif(o_orderstatus, 'P')) AS st_max,
+             count(DISTINCT o_orderpriority) AS pr_dist,
+             min(o_orderpriority) AS pr_min, max(o_orderpriority) AS pr_max,
+             count(DISTINCT o_custkey) AS ck_dist,
+             cast(min(o_custkey) AS varchar) AS ck_min,
+             cast(max(o_custkey) AS varchar) AS ck_max,
+             count(DISTINCT cast(round(o_totalprice * 100) AS bigint)) AS tp_dist,
+             cast(min(cast(round(o_totalprice * 100) AS bigint)) AS varchar) AS tp_min,
+             cast(max(cast(round(o_totalprice * 100) AS bigint)) AS varchar) AS tp_max,
+             count(DISTINCT o_orderdate) AS od_dist,
+             strftime(min(o_orderdate), '%Y-%m-%d') AS od_min,
+             strftime(max(o_orderdate), '%Y-%m-%d') AS od_max
+      FROM orders
+    )
+    SELECT 'o_orderstatus' AS col_name, cast(n_rows AS bigint) AS n_rows,
+           cast(st_null AS bigint) AS n_null, cast(st_dist AS bigint) AS n_distinct,
+           st_min AS min_s, st_max AS max_s FROM a
+    UNION ALL
+    SELECT 'o_orderpriority', cast(n_rows AS bigint), 0, cast(pr_dist AS bigint),
+           pr_min, pr_max FROM a
+    UNION ALL
+    SELECT 'o_custkey', cast(n_rows AS bigint), 0, cast(ck_dist AS bigint),
+           ck_min, ck_max FROM a
+    UNION ALL
+    SELECT 'o_totalprice_cents', cast(n_rows AS bigint), 0, cast(tp_dist AS bigint),
+           tp_min, tp_max FROM a
+    UNION ALL
+    SELECT 'o_orderdate', cast(n_rows AS bigint), 0, cast(od_dist AS bigint),
+           od_min, od_max FROM a
+    """,
+    cost=0.5,
+)
+def agg_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile / data-quality report (round 6, staged r7): the
+    per-column audit a loader publishes next to every dataset — row count,
+    null count, exact distinct cardinality, and deterministic min/max
+    renderings for a heterogeneous column set (enum, string, int key,
+    currency, date) — in ONE scan of the fact. NULLs are manufactured via
+    `nullif(o_orderstatus, 'P')` (FIXTURES: contract data has none).
+
+    Determinism: min/max render through type-appropriate exact channels —
+    strings compare bytewise identically, the currency column is profiled
+    in integer CENTS (a double min formatted as text would be locale/
+    formatting-rule roulette), dates via an explicit yyyy-MM-dd format
+    (Spark date_format pattern ≡ DuckDB strftime %Y-%m-%d on midnight-only
+    values). Distinct counts are exact (the approx twin for 100 TB is
+    agg_approx_count_distinct).
+
+    Scale: one pass + one aggregate; the multi-count(distinct) expands to
+    Spark's Expand node — N_distinct-columns× row replication in the map
+    stage, the standard exact plan (agg_distinct_multi pins it). The
+    unpivot to report rows happens on the 1-row aggregate, free. For wide
+    tables the same shape profiles every column in a single Expand agg."""
+    o = load_table(spark, sf_dir, "orders")
+    st = F.expr("nullif(o_orderstatus, 'P')")
+    cents = F.expr("cast(round(o_totalprice * 100) as bigint)")
+    a = o.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(st.isNull(), 1).otherwise(0)).alias("st_null"),
+        F.countDistinct(st).alias("st_dist"),
+        F.min(st).alias("st_min"),
+        F.max(st).alias("st_max"),
+        F.countDistinct("o_orderpriority").alias("pr_dist"),
+        F.min("o_orderpriority").alias("pr_min"),
+        F.max("o_orderpriority").alias("pr_max"),
+        F.countDistinct("o_custkey").alias("ck_dist"),
+        F.min("o_custkey").cast("string").alias("ck_min"),
+        F.max("o_custkey").cast("string").alias("ck_max"),
+        F.countDistinct(cents).alias("tp_dist"),
+        F.min(cents).cast("string").alias("tp_min"),
+        F.max(cents).cast("string").alias("tp_max"),
+        F.countDistinct("o_orderdate").alias("od_dist"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("od_min"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("od_max"),
+    )
+    zero = F.lit(0).cast("bigint")
+    row = lambda name, nul, dist, mn, mx: F.struct(  # noqa: E731
+        F.lit(name).alias("col_name"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        nul.cast("bigint").alias("n_null"),
+        F.col(dist).cast("bigint").alias("n_distinct"),
+        F.col(mn).alias("min_s"),
+        F.col(mx).alias("max_s"),
+    )
+    return a.select(
+        F.explode(
+            F.array(
+                row("o_orderstatus", F.col("st_null"), "st_dist", "st_min", "st_max"),
+                row("o_orderpriority", zero, "pr_dist", "pr_min", "pr_max"),
+                row("o_custkey", zero, "ck_dist", "ck_min", "ck_max"),
+                row("o_totalprice_cents", zero, "tp_dist", "tp_min", "tp_max"),
+                row("o_orderdate", zero, "od_dist", "od_min", "od_max"),
+            )
+        ).alias("r")
+    ).select("r.*")
+
+
+@query(
+    "agg_ks_two_sample",
+    oracle=EVENTS_NORM_SQL
+    + """,
+    s AS (
+      SELECT value,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS nb
+      FROM events WHERE event_type IN ('click', 'error') GROUP BY value
+    ), c AS (
+      SELECT sum(na) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS ca,
+             sum(nb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cb,
+             sum(na) OVER () AS ta, sum(nb) OVER () AS tb
+      FROM s
+    )
+    SELECT cast(max(ta) AS bigint) AS n_a, cast(max(tb) AS bigint) AS n_b,
+           round(max(abs(cast(ca AS double) / cast(ta AS double)
+                         - cast(cb AS double) / cast(tb AS double))), 6) AS d_stat,
+           round(1.358 * sqrt(cast(max(ta) + max(tb) AS double)
+                              / cast(max(ta) * max(tb) AS double)), 6) AS crit_05,
+           cast(CASE WHEN max(abs(cast(ca AS double) / cast(ta AS double)
+                                  - cast(cb AS double) / cast(tb AS double)))
+                          > 1.358 * sqrt(cast(max(ta) + max(tb) AS double)
+                                         / cast(max(ta) * max(tb) AS double))
+                     THEN 1 ELSE 0 END AS bigint) AS reject_05
+    FROM c
+    """,
+    cost=0.5,
+)
+def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test (round 6, staged r7): the exact
+    sup-distance between the empirical CDFs of click vs error `value`
+    distributions — the standard distribution-drift gate between two data
+    slices (train vs eval split, yesterday vs today). Emits sample sizes,
+    D, the 5% critical value c(0.05)*sqrt((m+n)/mn), and the reject flag.
+
+    The scale problem is the ECDF: a global running count = an
+    unpartitioned window. This op computes BOTH cumulative counts in ONE
+    with_global_cumsum pass (functions/ranks.py) via bit-packing: per
+    distinct value, pack (n_click, n_error) into a single int64 as
+    na*2^32 + nb; integer prefix-sums distribute over the packing, so the
+    running packed sum decodes to (cum_a = cum div 2^32, cum_b = cum mod
+    2^32) exactly — one range exchange carries the whole statistic.
+    Packing contract: each side's total must stay < 2^32 (~4e9 rows);
+    past that, widen to two passes or pre-aggregate coarser value cells.
+
+    Determinism: counts are exact integers; ECDF values are single IEEE
+    divisions of identical integers; D = max over an identical multiset
+    of doubles; sqrt is IEEE-correctly-rounded in both engines, so the
+    critical value and the comparison are bit-identical.
+
+    Scale: fact reduces map-side to distinct (value, counts) cells; the
+    range exchange moves one row per distinct value; the driver sees
+    nothing. The asymptotic-critical-value constant 1.358 is c(α=0.05)."""
+    from filemap_spark.functions.ranks import with_global_cumsum
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "error")
+    )
+    s = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("nb"),
+    )
+    packed = s.select(
+        "value", (F.col("na") * F.lit(2**32) + F.col("nb")).alias("packed")
+    )
+    c = with_global_cumsum(
+        packed, "packed", "value", cumsum_col="cum", total_col="tot"
+    )
+    two32 = F.lit(2**32)
+    ca = F.expr("cum div 4294967296").cast("double")
+    cb = (F.col("cum") % two32).cast("double")
+    ta = F.expr("tot div 4294967296").cast("double")
+    tb = (F.col("tot") % two32).cast("double")
+    d = F.max(F.abs(ca / ta - cb / tb)).alias("d_raw")
+    res = c.agg(
+        F.max(F.expr("tot div 4294967296")).cast("bigint").alias("n_a"),
+        F.max(F.col("tot") % two32).cast("bigint").alias("n_b"),
+        d,
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        / (F.col("n_a") * F.col("n_b")).cast("double")
+    )
+    return res.select(
+        "n_a",
+        "n_b",
+        F.round("d_raw", 6).alias("d_stat"),
+        F.round(crit, 6).alias("crit_05"),
+        F.when(F.col("d_raw") > crit, 1).otherwise(0).cast("bigint").alias("reject_05"),
+    )
+
+
+@query("ts_holt_winters", oracle=None, cost=0.4)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive forecast (round 6, staged r7, rows-only): per
+    event type, triple exponential smoothing (level+trend+weekly seasonal,
+    period 7, alpha=0.3 beta=0.1 gamma=0.2) over the daily event-count
+    series, emitting the 7-day-ahead forecast plus the one-step-ahead
+    in-sample MAE — the capacity-planning / anomaly-baseline primitive
+    (the forecasting sibling of ts_anomaly_mad's retrospective fences).
+
+    Rows-only by design: the recursion is inherently sequential per
+    series — no SQL window expresses the recurrence (same adjudication as
+    ts_downsample_lttb); tests/test_staged_r7.py pins the kernel against
+    an independent pure-python reimplementation of the textbook
+    recurrences, exact to float64.
+
+    Determinism: the daily series is an exact integer count densified
+    over the [min, max] day range (missing days = 0); the smoothing
+    runs float64 left-to-right in day order — a fixed walk, identical
+    across runs and partitionings (each series lives whole in one group).
+
+    Scale: the fact reduces map-side to O(types x days) daily cells; ONE
+    keyed exchange feeds applyInPandas; per-group state is the day-count
+    vector (bounded by calendar length, not corpus size). Millions of
+    independent series (per-user, per-SKU) parallelize freely — this is
+    the classic "many small forecasts" embarrassingly-parallel layout."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+
+    M, ALPHA, BETA, GAMMA, H = 7, 0.3, 0.1, 0.2, 7
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        etype = pdf["event_type"].iloc[0]
+        s = pdf.sort_values("day").set_index("day")["n"]
+        idx = pd.date_range(s.index.min(), s.index.max(), freq="D")
+        y = s.reindex(idx, fill_value=0).astype("float64").to_numpy()
+        n = len(y)
+        if n < 2 * M:  # too short to initialize — emit nothing
+            return pd.DataFrame(
+                columns=["event_type", "h", "forecast", "mae"]
+            ).astype({"event_type": str, "h": "int32", "forecast": "float64",
+                      "mae": "float64"})
+        m1 = y[:M].mean()
+        level = m1
+        trend = (y[M:2 * M].mean() - m1) / M
+        season = [y[i] - m1 for i in range(M)]
+        abs_err, n_err = 0.0, 0
+        for t in range(M, n):
+            yhat = level + trend + season[t % M]
+            abs_err += abs(y[t] - yhat)
+            n_err += 1
+            new_level = ALPHA * (y[t] - season[t % M]) + (1 - ALPHA) * (level + trend)
+            trend = BETA * (new_level - level) + (1 - BETA) * trend
+            season[t % M] = GAMMA * (y[t] - new_level) + (1 - GAMMA) * season[t % M]
+            level = new_level
+        mae = abs_err / n_err
+        rows = [
+            (etype, h, level + h * trend + season[(n + h - 1) % M], mae)
+            for h in range(1, H + 1)
+        ]
+        return pd.DataFrame(rows, columns=["event_type", "h", "forecast", "mae"])
+
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(hw, "event_type string, h int, forecast double, mae double")
+        .select(
+            "event_type",
+            "h",
+            F.round("forecast", 6).alias("forecast"),
+            F.round("mae", 6).alias("mae"),
+        )
+    )

@@ -1772,3 +1772,149 @@ def join_sole_late_shipper_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@query(
+    "join_fk_orphans",
+    oracle="""
+    WITH o_c AS (
+      SELECT count(*) AS n_rows,
+             sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS n_fk,
+             sum(CASE WHEN c.c_custkey IS NULL OR c.c_acctbal <= 0
+                      THEN 1 ELSE 0 END) AS n_policy
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ), l_p AS (
+      SELECT count(*) AS n_rows,
+             sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS n_fk,
+             sum(CASE WHEN p.p_partkey IS NULL OR p.p_size > 25
+                      THEN 1 ELSE 0 END) AS n_policy
+      FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    ), l_o AS (
+      SELECT (SELECT count(*) FROM lineitem) AS n_rows,
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey)) AS n_fk
+    )
+    SELECT 'orders->customer' AS check_name,
+           cast(n_rows AS bigint) AS n_rows, cast(n_fk AS bigint) AS n_viol,
+           round(cast(n_fk AS double) / n_rows, 6) AS viol_rate FROM o_c
+    UNION ALL
+    SELECT 'orders->customer:goodstanding', cast(n_rows AS bigint),
+           cast(n_policy AS bigint), round(cast(n_policy AS double) / n_rows, 6)
+    FROM o_c
+    UNION ALL
+    SELECT 'lineitem->part', cast(n_rows AS bigint), cast(n_fk AS bigint),
+           round(cast(n_fk AS double) / n_rows, 6) FROM l_p
+    UNION ALL
+    SELECT 'lineitem->part:small', cast(n_rows AS bigint),
+           cast(n_policy AS bigint), round(cast(n_policy AS double) / n_rows, 6)
+    FROM l_p
+    UNION ALL
+    SELECT 'lineitem->orders', cast(n_rows AS bigint), cast(n_fk AS bigint),
+           round(cast(n_fk AS double) / n_rows, 6) FROM l_o
+    """,
+    cost=0.6,
+)
+def join_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity / policy audit (round 6, staged r7): the data-
+    quality gate every warehouse load runs before publishing — for each
+    declared FK edge, how many child rows have NO parent (strict orphans)
+    or a parent outside policy (inactive customer, oversize part). Emits
+    one row per check: (check_name, n_rows, n_viol, viol_rate). The strict
+    checks SHOULD be zero on contract data — a nonzero is the alarm; the
+    policy checks are nonzero by construction so the hash grades real
+    counts, not a table of zeros.
+
+    Mechanics: dim-parent checks ride ONE left outer join each (the null
+    parent key detects strict orphans, the parent attribute the policy
+    breach — both flags from the same probe); the fact-sized parent
+    (lineitem->orders) uses a LEFT ANTI join on just the key columns.
+
+    Scale: customer/part broadcast (dim-sized); lineitem->orders anti-join
+    shuffles keys only — both sides project to the single join column
+    before the exchange, so shuffle volume is 8 bytes/row. At 100 TB the
+    anti join is the same shape dedup_cross_split ships; orphan auditing
+    never needs more than the key columns."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+
+    o_c = (
+        orders.select("o_custkey")
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_acctbal")),
+            orders.o_custkey == customer.c_custkey,
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(F.col("c_custkey").isNull(), 1).otherwise(0)
+            ).alias("n_fk"),
+            F.sum(
+                F.when(
+                    F.col("c_custkey").isNull() | (F.col("c_acctbal") <= 0), 1
+                ).otherwise(0)
+            ).alias("n_policy"),
+        )
+    )
+    l_p = (
+        lineitem.select("l_partkey")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_size")),
+            lineitem.l_partkey == part.p_partkey,
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(F.col("p_partkey").isNull(), 1).otherwise(0)
+            ).alias("n_fk"),
+            F.sum(
+                F.when(
+                    F.col("p_partkey").isNull() | (F.col("p_size") > 25), 1
+                ).otherwise(0)
+            ).alias("n_policy"),
+        )
+    )
+    n_li = lineitem.groupBy().agg(F.count("*").alias("n_rows"))
+    l_o = (
+        lineitem.select("l_orderkey")
+        .join(orders.select("o_orderkey"), lineitem.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("n_fk"))
+        .crossJoin(F.broadcast(n_li))
+    )
+
+    # Each audit subtree is referenced ONCE: the two report rows per join
+    # explode out of the 1-row aggregate (a naive union of per-check
+    # selects would re-execute the whole join+agg per row — observed as a
+    # doubled lineitem scan in the physical plan before this rewrite).
+    def rrow(name: str, viol_col: str):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col(viol_col).cast("bigint").alias("n_viol"),
+            F.round(
+                F.col(viol_col).cast("double") / F.col("n_rows"), 6
+            ).alias("viol_rate"),
+        )
+
+    def report(src: DataFrame, *rows) -> DataFrame:
+        return src.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+    return (
+        report(
+            o_c,
+            rrow("orders->customer", "n_fk"),
+            rrow("orders->customer:goodstanding", "n_policy"),
+        )
+        .unionAll(
+            report(
+                l_p,
+                rrow("lineitem->part", "n_fk"),
+                rrow("lineitem->part:small", "n_policy"),
+            )
+        )
+        .unionAll(report(l_o, rrow("lineitem->orders", "n_fk")))
+    )

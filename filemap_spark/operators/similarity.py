@@ -1433,3 +1433,87 @@ def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mean_m / 1000000.0).alias("mean"),
         ((ss / n - mean_m * mean_m) / 1e12).alias("variance"),
     )
+
+
+@query(
+    "emb_hamming_topk",
+    oracle="""
+    WITH sig AS (
+      SELECT vec_id,
+             list_sum(list_transform(range(0, 32),
+               i -> CASE WHEN embedding[i + 1] > 0
+                         THEN 1::BIGINT << i ELSE 0::BIGINT END)) AS w0,
+             list_sum(list_transform(range(0, 32),
+               i -> CASE WHEN embedding[i + 33] > 0
+                         THEN 1::BIGINT << i ELSE 0::BIGINT END)) AS w1
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, w0 AS qw0, w1 AS qw1 FROM sig WHERE vec_id % 64 = 0
+    ), d AS (
+      SELECT q.q_id, s.vec_id,
+             bit_count(xor(s.w0, q.qw0)) + bit_count(xor(s.w1, q.qw1)) AS hamming,
+             row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY bit_count(xor(s.w0, q.qw0)) + bit_count(xor(s.w1, q.qw1)),
+                        s.vec_id) AS rnk
+      FROM sig s CROSS JOIN q
+      WHERE s.vec_id <> q.q_id
+    )
+    SELECT q_id, cast(rnk AS int) AS rnk, vec_id, cast(hamming AS int) AS hamming
+    FROM d WHERE rnk <= 5
+    """,
+    cost=0.5,
+)
+def emb_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binarized (sign-bit) Hamming top-k (round 6, staged r7): each
+    64-dim float vector compresses to a 2x32-bit SIGN SIGNATURE (bit i =
+    dim i > 0) — 16 bytes/vector, 16x smaller than float32 — and nearest
+    neighbors rank by popcount(xor) Hamming distance, the standard
+    billion-scale first-pass retrieval tier (binarized embeddings a la
+    ITQ/simhash; rerank survivors with exact cosine = sim_cosine_topk).
+
+    Every step is exact integer arithmetic so the op hash-matches its
+    oracle end-to-end — the rare ANN family member with a full oracle
+    (sim_ann_ivf/lsh are rows-only): signature packing is a sum of
+    distinct powers of two decided by exact float comparisons on
+    identical float32 values; Hamming is bit_count over int64 XOR —
+    whole-stage codegen, no Python anywhere; ties break by vec_id.
+
+    Scale: the query block (bounded: vec_id % 64 = 0) broadcasts; the
+    candidate side streams — shuffle-free scan x 16-byte signatures, and
+    the per-query top-5 collapses in the window group limit. At 100 TB
+    the same plan holds with the simhash block-pigeonhole prefilter
+    (dedup_simhash) bucketing candidates so each query touches only
+    same-block signatures instead of the full scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pack = (
+        "aggregate(sequence(0, 31), cast(0 as bigint), (acc, i) -> acc + "
+        "IF(element_at(embedding, i + {off}) > 0, "
+        "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
+    )
+    sig = emb.select(
+        "vec_id",
+        F.expr(pack.format(off=1)).alias("w0"),
+        F.expr(pack.format(off=33)).alias("w1"),
+    )
+    q = sig.where(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    d = (
+        sig.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "hamming",
+            (
+                F.bit_count(F.expr("w0 ^ qw0")) + F.bit_count(F.expr("w1 ^ qw1"))
+            ).cast("int"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("hamming", "vec_id")
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("q_id", F.col("rnk").cast("int").alias("rnk"), "vec_id", "hamming")
+    )

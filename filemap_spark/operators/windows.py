@@ -706,3 +706,96 @@ def win_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_spend").cast("double") / F.col("total").cast("double")
         ).alias("cum_share"),
     )
+
+
+@query(
+    "win_interval_coalesce",
+    oracle=EVENTS_NORM_SQL
+    + """,
+    iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 600000000 AS e
+      FROM events
+    ), marked AS (
+      SELECT user_id, event_id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       >= s
+                  THEN 0 ELSE 1 END AS is_new
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s, e,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ), merged AS (
+      SELECT user_id, island, count(*) AS n_events,
+             min(s) AS m_start, max(e) AS m_end
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id, cast(count(*) AS bigint) AS n_intervals,
+           cast(sum(n_events) AS bigint) AS n_events,
+           cast(sum(m_end - m_start) AS bigint) AS covered_us,
+           cast(max(m_end - m_start) AS bigint) AS max_span_us
+    FROM merged GROUP BY user_id
+    """,
+    cost=0.4,
+)
+def win_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing / span merge (round 6, staged r7): each event
+    opens a 10-minute activity interval; overlapping or touching intervals
+    per user merge into maximal spans (the classic "merge bookings" /
+    genomics `bedtools merge` primitive — the coalescing twin of
+    win_gaps_islands, which segments by GAP where this unions by OVERLAP).
+    Emits per-user merged-span count, total covered µs, and longest span.
+
+    Mechanics: the sorted-island decomposition — a span begins exactly
+    where the running max of prior interval ENDS falls short of the
+    current START (touching, >=, merges); a per-user running sum of those
+    begin-flags names each island, and per-island min(start)/max(end) are
+    the merged bounds. Two stacked per-user window passes + two hash aggs,
+    all exact int64 µs arithmetic.
+
+    Determinism: (s, event_id) is a total order (FIXTURES trap #4: ties in
+    s are real); BOTH window passes order by it — the begin-flags and the
+    island labels are then functions of the same fixed walk, so both
+    engines assign identical islands; all arithmetic is exact int64 µs.
+
+    Scale: both windows and both aggregates key on user_id — ONE exchange
+    reused end-to-end, no single-partition window; per-user state is the
+    sorted event run (spillable sort, O(1) frame). 100 TB posture: works
+    per key regardless of corpus size; a pathological single hot user is
+    the only skew surface (same as any per-entity sessionization)."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 600_000_000).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "is_new",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), 0).otherwise(1),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = marked.withColumn("island", F.sum("is_new").over(w_run))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("n_events"),
+        F.min("s").alias("m_start"),
+        F.max("e").alias("m_end"),
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_intervals"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum(F.col("m_end") - F.col("m_start")).cast("bigint").alias("covered_us"),
+        F.max(F.col("m_end") - F.col("m_start")).cast("bigint").alias("max_span_us"),
+    )

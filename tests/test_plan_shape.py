@@ -1039,3 +1039,71 @@ def test_stem_lite_pure_codegen_no_python(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_stem_lite")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_coalesce_single_user_exchange(spark, sf_dir):
+    """win_interval_coalesce: both window passes AND both aggregates ride
+    ONE user_id exchange (hashpartitioning(user_id) satisfies the
+    (user_id, island) clustering); no single-partition window."""
+    plan = plan_of(spark, sf_dir, "win_interval_coalesce")
+    nodes = _tree_nodes(plan)
+    assert nodes.count("Exchange") == 1, nodes
+    assert "windowspecdefinition(user_id" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fk_orphans_each_audit_subtree_once(spark, sf_dir):
+    """join_fk_orphans: the two report rows per audit explode from the
+    1-row aggregate — each join subtree (and thus each fact scan) appears
+    exactly once: orders+customer, lineitem+part, lineitem+orders(anti)
+    + the count-only lineitem scan = 7 scans total. (The naive per-row
+    union doubled them.) Dims broadcast; no cartesian."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "join_fk_orphans")
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) == 7, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dq_profile_one_scan_expand(spark, sf_dir):
+    """agg_dq_profile: one orders scan feeds the multi-count(distinct)
+    Expand aggregate; the unpivot runs on the 1-row result."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "agg_dq_profile")
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) == 1, plan
+    assert "Expand" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ks_two_sample_prefix_sum_range_exchange(spark, sf_dir):
+    """agg_ks_two_sample: the dual ECDF rides the packed prefix-sum — the
+    range exchange is present and no unpartitioned window touches the
+    fact-sized frame (only the bounded numPartitions offset frame)."""
+    plan = plan_of(spark, sf_dir, "agg_ks_two_sample")
+    assert "rangepartitioning" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_holt_winters_single_arrow_group_stage(spark, sf_dir):
+    """ts_holt_winters: daily cells aggregate first (map-side), then ONE
+    applyInPandas stage keyed by series; nothing else is Python."""
+    plan = plan_of(spark, sf_dir, "ts_holt_winters")
+    nodes = _tree_nodes(plan)
+    assert nodes.count("FlatMapGroupsInPandas") == 1, nodes
+    assert nodes.count("Exchange") <= 2, nodes
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hamming_topk_codegen_popcount_group_limit(spark, sf_dir):
+    """emb_hamming_topk: signature packing and popcount are pure codegen
+    (no Python stage); the bounded query block broadcasts; the per-query
+    top-5 collapses in WindowGroupLimit before the final sort."""
+    plan = plan_of(spark, sf_dir, "emb_hamming_topk")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan
