@@ -3394,3 +3394,247 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mae", 6).alias("mae"),
         )
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle=EVENTS_NORM_SQL
+    + """
+    SELECT event_type,
+           cast(count(DISTINCT user_id) AS bigint) AS n_users,
+           cast(count(DISTINCT CASE WHEN value > 50 THEN user_id END)
+                AS bigint) AS n_users_high
+    FROM events GROUP BY event_type
+    """,
+    cost=0.4,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-accelerated EXACT distinct counting (round 6, staged r7):
+    per event type, distinct users overall and within a predicate slice,
+    computed through Spark's roaring-style bitmap aggregates
+    (bitmap_bit_position / bitmap_construct_agg / bitmap_count) instead
+    of count(DISTINCT) — the warehouse trick for repeated exact distincts
+    over dense integer keys (Databricks/ClickHouse bitmap indexes): a
+    32768-bit bucket bitmap per (group, key-bucket) replaces the
+    row-level distinct shuffle, merges are bitwise-OR (associative,
+    partial-agg friendly), and the same materialized bitmaps answer any
+    later union/intersection cardinality without rescanning the fact.
+
+    The oracle is plain count(DISTINCT) — the op is graded on the bitmap
+    path producing EXACTLY the same integers (vs the approximate HLL
+    family, which is rows-only).
+
+    Determinism: bit positions are pure functions of user_id; counts are
+    exact integers.
+
+    Scale: shuffle carries one bitmap per (type, bucket) — size bounded
+    by key density, not row count; map-side construct_agg absorbs
+    duplicates before the exchange (row-distinct Expand plans can't).
+    The predicate slice rides the same pass via a conditional position."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
+    ).agg(
+        F.expr(
+            "bitmap_construct_agg(bitmap_bit_position(user_id))"
+        ).alias("bm_all"),
+        F.expr(
+            "bitmap_construct_agg(CASE WHEN value > 50 "
+            "THEN bitmap_bit_position(user_id) END)"
+        ).alias("bm_high"),
+    )
+    return b.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm_all)")).cast("bigint").alias("n_users"),
+        F.sum(F.expr("bitmap_count(bm_high)")).cast("bigint").alias("n_users_high"),
+    )
+
+
+@query(
+    "ts_stl_lite",
+    oracle=EVENTS_NORM_SQL
+    + """,
+    daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), tr AS (
+      SELECT event_type, day, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+             count(*) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+      FROM daily
+    ), dm AS (
+      SELECT event_type, isodow(day) - 1 AS dow,
+             n * 1000000
+               - cast(round(cast(s7 AS double) * 1000000 / 7) AS bigint)
+               AS dmicro
+      FROM tr WHERE c7 = 7
+    )
+    SELECT event_type, cast(dow AS int) AS dow,
+           cast(count(*) AS bigint) AS n_days,
+           {seasonal} AS seasonal
+    FROM dm GROUP BY event_type, dow
+    """.format(seasonal=mean_micro_6dp("sum(dmicro)", "count(*)")),
+    cost=0.4,
+)
+def ts_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition (round 6, staged r7): classical
+    moving-average decomposition of the daily event-count series — trend
+    = centered 7-day mean (full windows only), seasonal index = mean
+    detrended value per weekday — the additive-decomposition sibling of
+    ts_dow_seasonality (which fingerprints raw shares; this one removes
+    trend FIRST, so a ramping series doesn't masquerade as seasonality).
+
+    Determinism: daily counts are exact ints; the detrended value is kept
+    in exact MICRO-units — n·1e6 − round(s7·1e6/7) — where the rounding
+    target is a denominator-7 rational (never a .5 tie, so Spark HALF_UP
+    and DuckDB both land the same integer); the per-dow mean descends
+    through mean_micro_6dp's integer tie rule — the naive
+    round(sum/cnt, 6) spelling FAILED the differential here (a real
+    half-micro tie at 4.0714285). weekday(Spark) ≡ isodow−1 (DuckDB) per
+    FIXTURES trap #5.
+
+    Scale: fact → O(types × days) daily cells map-side; the trend window
+    and the dow agg both ride the bounded cell frame keyed by type — no
+    fact-sized window, one tiny exchange. The LOESS upgrade path (real
+    STL) slots into the same layout per series via applyInPandas."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.withColumn("s7", F.sum("n").over(w7)).withColumn(
+        "c7", F.count("*").over(w7)
+    )
+    dm = tr.where(F.col("c7") == 7).select(
+        "event_type",
+        F.weekday("day").cast("int").alias("dow"),
+        (
+            F.col("n") * 1_000_000
+            - F.expr("cast(round(cast(s7 as double) * 1000000 / 7) as bigint)")
+        ).alias("dmicro"),
+    )
+    return dm.groupBy("event_type", "dow").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.expr(mean_micro_6dp("sum(dmicro)", "count(*)")).alias("seasonal"),
+    )
+
+
+_MWU_FINAL = """
+    cast(n_a AS bigint) AS n_a, cast(n_b AS bigint) AS n_b,
+    cast(u2 AS double) / 2 AS u_a,
+    round((cast(u2 AS double) - cast(n_a AS double) * cast(n_b AS double))
+          / (2 * sqrt(cast(n_a AS double) * cast(n_b AS double) / 12.0
+                      * ((cast(n_a + n_b AS double) + 1)
+                         - cast(tsum AS double)
+                           / (cast(n_a + n_b AS double)
+                              * (cast(n_a + n_b AS double) - 1))))), 6) AS z,
+    cast(CASE WHEN abs((cast(u2 AS double)
+                        - cast(n_a AS double) * cast(n_b AS double))
+               / (2 * sqrt(cast(n_a AS double) * cast(n_b AS double) / 12.0
+                           * ((cast(n_a + n_b AS double) + 1)
+                              - cast(tsum AS double)
+                                / (cast(n_a + n_b AS double)
+                                   * (cast(n_a + n_b AS double) - 1))))))
+                    > 1.96
+              THEN 1 ELSE 0 END AS bigint) AS reject_05
+"""
+
+
+@query(
+    "win_mann_whitney",
+    oracle=EVENTS_NORM_SQL
+    + f""",
+    s AS (
+      SELECT value,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS nb
+      FROM events WHERE event_type IN ('view', 'purchase') GROUP BY value
+    ), c AS (
+      SELECT na, nb, na + nb AS t,
+             sum(na + nb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+               AS cum_t
+      FROM s
+    ), agg AS (
+      SELECT sum(na) AS n_a, sum(nb) AS n_b,
+             sum(na * (2 * (cum_t - t) + t + 1)) AS ra2,
+             sum(t * t * t - t) AS tsum
+      FROM c
+    ), fin AS (
+      SELECT n_a, n_b, tsum, ra2 - n_a * (n_a + 1) AS u2 FROM agg
+    )
+    SELECT {_MWU_FINAL} FROM fin
+    """,
+    cost=0.5,
+)
+def win_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (round 6, staged r7): the
+    nonparametric two-sample location test (view vs purchase `value`
+    samples) — the median-shift sibling of agg_ks_two_sample's
+    shape-sensitive D. Emits U, the tie-corrected normal z, and the 5%
+    two-sided decision.
+
+    The whole statistic is EXACT INTEGERS until two final divisions:
+    ranks never materialize per row — per distinct value v with t_v tied
+    rows, every tied rank averages to cum_before + (t_v+1)/2, so DOUBLED
+    rank sums stay integral: R_A·2 = Σ n_Av·(2·cum_before + t_v + 1),
+    2U_A = R_A·2 − n_A(n_A+1), and the tie correction Σ(t³−t) is
+    integral too. The one running quantity (cum_t) rides
+    with_global_cumsum's single range exchange — same decomposition as
+    the KS op, no packing needed since one cumulative suffices.
+
+    Determinism: z composes exact integers through IEEE ops spelled
+    identically in both engines (sqrt is correctly rounded); the reject
+    compare sits on the raw double.
+
+    Scale: map-side reduce to distinct-value cells, one range exchange,
+    one bounded agg — identical posture to agg_ks_two_sample."""
+    from filemap_spark.functions.ranks import with_global_cumsum
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    s = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "nb"
+        ),
+    ).withColumn("t", F.col("na") + F.col("nb"))
+    c = with_global_cumsum(s, "t", "value", cumsum_col="cum_t")
+    agg = c.agg(
+        F.sum("na").alias("n_a"),
+        F.sum("nb").alias("n_b"),
+        F.sum(
+            F.col("na") * (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1)
+        ).alias("ra2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tsum"),
+    )
+    fin = agg.select(
+        "n_a",
+        "n_b",
+        "tsum",
+        (F.col("ra2") - F.col("n_a") * (F.col("n_a") + 1)).alias("u2"),
+    )
+    return fin.selectExpr(*[e.strip() for e in _split_select(_MWU_FINAL)])
+
+
+def _split_select(sql_fragment: str) -> list[str]:
+    """Split a SELECT-list fragment on top-level commas (paren-aware) so
+    the identical SQL text drives both engines."""
+    parts, depth, cur = [], 0, []
+    for ch in sql_fragment:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from filemap_spark.functions.numeric import mean_micro_6dp
 from filemap_spark.io import EVENTS_NORM_SQL, load_table
 from filemap_spark.operators.text import JACCARD_PAIR_CTES, SHINGLE_CTE
 from filemap_spark.registry import query
@@ -1509,5 +1510,157 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_kept"),
             F.min("rn").cast("bigint").alias("first_rn"),
             F.max("rn").cast("bigint").alias("last_rn"),
+        )
+    )
+
+
+_NOT_IN_TRAP_SQL = """
+    WITH probe AS (
+      SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+      FROM orders WHERE o_orderstatus = 'P'
+    )
+    SELECT
+      (SELECT count(*) FROM customer) AS n_customers,
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT k FROM probe)) AS n_not_in,
+      (SELECT count(*) FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = c.c_custkey))
+        AS n_not_exists,
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL))
+        AS n_not_in_filtered
+"""
+
+
+@query(
+    "subq_not_in_null_trap",
+    oracle=_NOT_IN_TRAP_SQL,
+    cost=0.4,
+)
+def subq_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap (round 6, staged r7), graded on BOTH engines
+    agreeing about ANSI three-valued logic: a NOT IN whose subquery
+    contains even ONE NULL returns ZERO rows (every comparison is
+    UNKNOWN), while the NOT EXISTS spelling — and NOT IN over the
+    null-filtered list — return the intuitive complement. The probe list
+    manufactures NULLs (o_orderkey % 97) since contract data has none.
+    Emits all four counts in one row; n_not_in = 0 IS the semantic point,
+    and n_not_exists = n_not_in_filtered > 0 the cross-check. The
+    identical SQL text runs on Spark (via the registered contract views)
+    and DuckDB — this op pins dialect agreement on the most notorious
+    subquery semantics divergence in SQL engines.
+
+    Scale: Spark plans NOT IN as a null-aware anti join (broadcast when
+    the probe is small, as here); NOT EXISTS as a plain LEFT ANTI — the
+    exact plans a user's ad-hoc SQL gets; nothing here is driver-side.
+    The practical 100 TB guidance this op encodes: filter NULLs (or use
+    NOT EXISTS) so the anti join stays hash-based instead of the
+    null-aware BNLJ fallback."""
+    from filemap_spark.io import register_views
+
+    return register_views(spark, sf_dir).sql(_NOT_IN_TRAP_SQL)
+
+
+_DSIR_BUCKETS = 64
+# 1e4-quantized per-token log importance ratio of one hashed bucket, with
+# add-one smoothing on both numerator and denominator distributions.
+_DSIR_LRQ = (
+    "cast(round(ln((cast(tc + 1 as double) / (t_tot + {nb}))"
+    " / (cast(cc + 1 as double) / (c_tot + {nb}))) * 10000) as bigint)"
+).format(nb=_DSIR_BUCKETS)
+
+
+@query(
+    "sample_importance_hashed",
+    oracle=f"""
+    WITH toks AS (
+      SELECT d.doc_id, d.lang, unnest(string_split(d.text, ' ')) AS word
+      FROM documents d
+    ), b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(word), 1, 4)) AS INT)
+               % {_DSIR_BUCKETS} AS bucket
+      FROM toks
+    ), db AS (
+      SELECT doc_id, bucket, count(*) AS n FROM b GROUP BY doc_id, bucket
+    ), bs AS (
+      SELECT bucket,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc,
+             count(*) AS cc
+      FROM b GROUP BY bucket
+    ), tot AS (
+      SELECT sum(tc) AS t_tot, sum(cc) AS c_tot FROM bs
+    ), lr AS (
+      SELECT bucket, {_DSIR_LRQ} AS lrq FROM bs CROSS JOIN tot
+    ), dw AS (
+      SELECT db.doc_id, sum(db.n * lr.lrq) AS wq, sum(db.n) AS n_tokens
+      FROM db JOIN lr ON db.bucket = lr.bucket GROUP BY db.doc_id
+    )
+    SELECT dw.doc_id, d.lang, cast(n_tokens AS bigint) AS n_tokens,
+           {mean_micro_6dp("100 * wq", "n_tokens")} AS mean_lr
+    FROM dw JOIN documents d ON dw.doc_id = d.doc_id
+    ORDER BY cast(wq AS double) / n_tokens DESC, dw.doc_id LIMIT 100
+    """,
+    cost=0.6,
+)
+def sample_importance_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed importance resampling, DSIR-lite (round 6, staged r7): rank
+    the corpus by how target-like each document is — the Data Selection
+    via Importance Resampling recipe (Xie et al. 2023) with hashed
+    unigram features: estimate target (lang='en') and corpus bucket
+    distributions over {_DSIR_BUCKETS} md5-hashed buckets (add-one
+    smoothed), score each doc by its mean per-token log importance
+    ratio, keep the top-100. No vocabulary state anywhere — the same
+    hashing-trick property text_hash_features establishes, which is what
+    makes the recipe run at 100 TB (the bucket frame is O(64), the doc
+    score one join + keyed agg away).
+
+    Determinism: the per-bucket log-ratio quantizes at 1e4 into int64
+    (davg_lnsafe libm discipline) so doc scores are exact integer sums;
+    the ranking key wq/n_tokens is one IEEE quotient of exact ints
+    (identical order both engines, doc_id tiebreak); the reported mean
+    descends through mean_micro_6dp's integer tie rule.
+
+    Scale: two wordcount-shaped aggs (doc×bucket, bucket), a 64-row
+    broadcast, one keyed agg, TakeOrdered(100). The target distribution
+    could come from a separate curated corpus — same plan, different
+    scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("int")
+        % _DSIR_BUCKETS
+    )
+    b = toks.select("doc_id", "lang", bucket.alias("bucket"))
+    db = b.groupBy("doc_id", "bucket").agg(F.count("*").alias("n"))
+    bs = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tc"),
+        F.count("*").alias("cc"),
+    )
+    tot = bs.agg(F.sum("tc").alias("t_tot"), F.sum("cc").alias("c_tot"))
+    lr = bs.crossJoin(F.broadcast(tot)).select(
+        "bucket", F.expr(_DSIR_LRQ).alias("lrq")
+    )
+    dw = (
+        db.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n") * F.col("lrq")).alias("wq"),
+            F.sum("n").alias("n_tokens"),
+        )
+    )
+    return (
+        dw.join(docs.select("doc_id", "lang"), "doc_id")
+        .orderBy(
+            (F.col("wq").cast("double") / F.col("n_tokens")).desc(), "doc_id"
+        )
+        .limit(100)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr(mean_micro_6dp("100 * wq", "n_tokens")).alias("mean_lr"),
         )
     )

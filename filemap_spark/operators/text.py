@@ -2681,3 +2681,242 @@ def text_stem_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.countDistinct("w").cast("double")
         ).alias("vocab_ratio"),
     )
+
+
+_NDCG_TERM = "cast(round(rel * 10000 / log2(cast({rk} + 1 as double))) as bigint)"
+
+
+@query(
+    "text_ndcg_eval",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), dfr AS (
+      SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY word
+    ), stats AS (
+      SELECT cast((SELECT count(*) FROM toks) AS double)
+               / (SELECT count(*) FROM documents) AS avgdl,
+             (SELECT count(*) FROM documents) AS n_docs
+    ), q AS (
+      SELECT * FROM (VALUES {", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERY_ROWS)})
+        AS t(query_id, term)
+    ), contrib AS (
+      SELECT q.query_id, tf.doc_id, {_BM25_CONTRIB} AS c
+      FROM q
+      JOIN dfr ON dfr.word = q.term
+      JOIN tf ON tf.word = q.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    ), scores AS (
+      SELECT query_id, doc_id,
+             round(cast(cast(sum(c) AS decimal(38,6)) / 10000 AS double), 6)
+               AS score
+      FROM contrib GROUP BY query_id, doc_id
+    ), ranked AS (
+      SELECT query_id, doc_id,
+             cast(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS int) AS rank
+      FROM scores QUALIFY rank <= {_BM25_TOPK}
+    ), rel AS (
+      SELECT q.query_id, tf.doc_id, cast(sum(tf.tf) AS bigint) AS rel
+      FROM q JOIN tf ON tf.word = q.term
+      GROUP BY q.query_id, tf.doc_id
+    ), got AS (
+      SELECT r.query_id,
+             sum({_NDCG_TERM.format(rk="r.rank")}) AS dcg_q,
+             min(CASE WHEN rel.rel >= 3 THEN r.rank END) AS first_rel
+      FROM ranked r JOIN rel ON r.query_id = rel.query_id
+                            AND r.doc_id = rel.doc_id
+      GROUP BY r.query_id
+    ), ideal AS (
+      SELECT query_id, rel,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rel DESC, doc_id) AS rn
+      FROM rel QUALIFY rn <= {_BM25_TOPK}
+    ), idcg AS (
+      SELECT query_id, sum({_NDCG_TERM.format(rk="rn")}) AS idcg_q
+      FROM ideal GROUP BY query_id
+    ), nrel AS (
+      SELECT query_id, cast(count(*) AS bigint) AS n_rel3
+      FROM rel WHERE rel >= 3 GROUP BY query_id
+    )
+    SELECT g.query_id,
+           round(cast(g.dcg_q AS double) / cast(i.idcg_q AS double), 6)
+             AS ndcg10,
+           CASE WHEN g.first_rel IS NULL THEN 0.0
+                ELSE round(1.0 / g.first_rel, 6) END AS mrr,
+           coalesce(n.n_rel3, 0) AS n_rel3
+    FROM got g JOIN idcg i ON g.query_id = i.query_id
+    LEFT JOIN nrel n ON g.query_id = n.query_id
+    """,
+    cost=0.7,
+)
+def text_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation (round 6, staged r7): NDCG@10 and MRR
+    for the BM25 ranking (text_bm25_topk, reused as-is) against GRADED
+    pseudo-relevance labels — rel(q, d) = total term frequency of q's
+    terms in d (graded gain), binary relevance at rel >= 3 for MRR — the
+    eval harness that closes the retrieval loop next to sim_recall_eval's
+    ANN-vs-exact recall.
+
+    Determinism: relevance gains are exact integer tf sums; each DCG term
+    quantizes rel/log2(rank+1) at 1e4 into int64 BEFORE summing (libm
+    log2 is 1-ulp engine-divergent — the davg_lnsafe discipline), so
+    DCG and ideal-DCG are exact integers and NDCG is a single IEEE
+    quotient of identical integers; MRR is an exact small-int reciprocal.
+
+    Scale: rel is one broadcast-join + keyed agg over the posting lists
+    (O(query terms x matching docs)); the ideal ranking windows per query
+    over its candidate set only; everything downstream is per-query
+    bounded. The BM25 subplan is the graded one — same pushdown story."""
+    ranked = text_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(docs).select("doc_id", "word")
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    q = spark.createDataFrame(
+        list(_BM25_QUERY_ROWS), "query_id string, term string"
+    )
+    rel = (
+        F.broadcast(q)
+        .join(tf, tf.word == F.col("term"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("tf").cast("bigint").alias("rel"))
+    )
+    got = (
+        ranked.join(rel, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.expr(_NDCG_TERM.format(rk="rank"))).alias("dcg_q"),
+            F.min(F.when(F.col("rel") >= 3, F.col("rank"))).alias("first_rel"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("doc_id"))
+    ideal = rel.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _BM25_TOPK
+    )
+    idcg = ideal.groupBy("query_id").agg(
+        F.sum(F.expr(_NDCG_TERM.format(rk="rn"))).alias("idcg_q")
+    )
+    nrel = (
+        rel.where(F.col("rel") >= 3)
+        .groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("n_rel3"))
+    )
+    return (
+        got.join(idcg, "query_id")
+        .join(nrel, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.col("dcg_q").cast("double") / F.col("idcg_q").cast("double"), 6
+            ).alias("ndcg10"),
+            F.when(F.col("first_rel").isNull(), F.lit(0.0))
+            .otherwise(F.round(F.lit(1.0) / F.col("first_rel"), 6))
+            .alias("mrr"),
+            F.coalesce(F.col("n_rel3"), F.lit(0).cast("bigint")).alias("n_rel3"),
+        )
+    )
+
+
+def _llr_term(k: str, r: str, c: str) -> str:
+    """One observed-cell term of Dunning's G² = 2·Σ k·ln(k·N/(R·C)),
+    1e4-quantized into int64 (0·ln0 := 0). Shared verbatim by the Spark
+    plan and the DuckDB oracle."""
+    return (
+        f"(case when {k} > 0 then cast(round(({k}) * ln(cast({k} as double)"
+        f" * m / (cast({r} as double) * ({c}))) * 10000) as bigint)"
+        f" else 0 end)"
+    )
+
+
+_LLR_G2Q = (
+    "2 * ("
+    + _llr_term("cb", "c1", "c2")
+    + " + " + _llr_term("(c1 - cb)", "c1", "(m - c2)")
+    + " + " + _llr_term("(c2 - cb)", "(m - c1)", "c2")
+    + " + " + _llr_term("(m - c1 - c2 + cb)", "(m - c1)", "(m - c2)")
+    + ")"
+)
+
+
+@query(
+    "text_collocation_llr",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ), big AS (
+      SELECT word AS w1,
+             lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM toks
+    ), bc AS (
+      SELECT w1, w2, count(*) AS cb FROM big WHERE w2 IS NOT NULL GROUP BY w1, w2
+    ), r1 AS (SELECT w1, sum(cb) AS c1 FROM bc GROUP BY w1),
+    r2 AS (SELECT w2, sum(cb) AS c2 FROM bc GROUP BY w2),
+    nb AS (SELECT sum(cb) AS m FROM bc),
+    g AS (
+      SELECT bc.w1, bc.w2, cb, {_LLR_G2Q} AS g2q
+      FROM bc JOIN r1 ON bc.w1 = r1.w1 JOIN r2 ON bc.w2 = r2.w2 CROSS JOIN nb
+      WHERE cb >= 5
+    )
+    SELECT w1, w2, cast(cb AS bigint) AS n_pair,
+           round(cast(g2q AS double) / 10000, 6) AS g2
+    FROM g ORDER BY g2q DESC, w1, w2 LIMIT 30
+    """,
+    cost=0.6,
+)
+def text_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining via Dunning's log-likelihood ratio (round 6,
+    staged r7) — the significance-tested complement to text_bigram_pmi:
+    PMI over-ranks rare pairs (two hapaxes co-occurring once score the
+    maximum); G² weighs the full 2x2 contingency of (first word, second
+    word) over all adjacent bigrams, so it surfaces collocations that are
+    both strong AND well-attested — the standard phrase-vocab miner
+    (Dunning 1993; word2phrase uses the same family). Top-30 by G², floor
+    cb >= 5.
+
+    Determinism: all four contingency cells derive from exact bigram
+    integer counts; each k·ln(k·N/(R·C)) term quantizes at 1e4 into int64
+    before the 4-term sum (the davg_lnsafe libm discipline — a raw double
+    G² would be engine-divergent at 6dp), so G² is an exact integer and
+    the ORDER BY is over integers (no FP rank instability). The emitted
+    g2 = g2q/1e4 is an exact <=4dp decimal — identical doubles.
+
+    Scale: bigram counts are the wordcount shape; the two marginal frames
+    derive FROM bc (not a second corpus pass) keyed by w1/w2 — AQE
+    broadcasts them while vocab-sized; the 1-row N broadcasts; top-30
+    collapses to TakeOrdered on the integer key."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bc = (
+        toks.select(F.col("word").alias("w1"), F.lead("word").over(w).alias("w2"))
+        .where(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+    )
+    r1 = bc.groupBy("w1").agg(F.sum("cb").alias("c1"))
+    r2 = bc.groupBy("w2").agg(F.sum("cb").alias("c2"))
+    nb = bc.agg(F.sum("cb").alias("m"))
+    g = (
+        bc.join(r1, "w1")
+        .join(r2, "w2")
+        .crossJoin(F.broadcast(nb))
+        .where(F.col("cb") >= 5)
+        .withColumn("g2q", F.expr(_LLR_G2Q))
+    )
+    return (
+        g.orderBy(F.desc("g2q"), "w1", "w2")
+        .limit(30)
+        .select(
+            "w1",
+            "w2",
+            F.col("cb").cast("bigint").alias("n_pair"),
+            F.round(F.col("g2q").cast("double") / 10000, 6).alias("g2"),
+        )
+    )

@@ -1107,3 +1107,65 @@ def test_hamming_topk_codegen_popcount_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
     assert "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_ndcg_eval_rides_bm25_plan_no_cartesian(spark, sf_dir):
+    """text_ndcg_eval: query/stats frames broadcast; candidate frames are
+    query-bounded; nothing plans a cartesian."""
+    plan = plan_of(spark, sf_dir, "text_ndcg_eval")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_collocation_llr_takeordered_on_integer_key(spark, sf_dir):
+    """text_collocation_llr: top-30 collapses to TakeOrderedAndProject;
+    marginals join on the bigram vocab, never cross."""
+    plan = plan_of(spark, sf_dir, "text_collocation_llr")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_not_in_trap_plans_null_aware_and_plain_anti(spark, sf_dir):
+    """subq_not_in_null_trap: the NOT IN leg plans a null-aware anti join
+    and the NOT EXISTS leg a plain LeftAnti — the two shapes the op
+    exists to contrast."""
+    plan = plan_of(spark, sf_dir, "subq_not_in_null_trap")
+    assert "LeftAnti" in plan, plan
+    assert plan.count("LeftAnti") >= 3  # not-in, not-exists, filtered not-in
+
+
+def test_bitmap_distinct_no_expand_two_exchanges(spark, sf_dir):
+    """agg_bitmap_distinct: the bitmap path must NOT plan the
+    count-distinct Expand (that's the point); two keyed exchanges
+    ((type,bucket) then type) move only bitmap rows."""
+    plan = plan_of(spark, sf_dir, "agg_bitmap_distinct")
+    nodes = _tree_nodes(plan)
+    assert "Expand" not in nodes, nodes
+    assert nodes.count("Exchange") <= 2, nodes
+
+
+def test_stl_lite_windows_ride_bounded_daily_frame(spark, sf_dir):
+    """ts_stl_lite: one fact agg to daily cells; the trend window
+    partitions by event_type (no single-partition window)."""
+    plan = plan_of(spark, sf_dir, "ts_stl_lite")
+    assert "windowspecdefinition(event_type" in plan, plan
+    nodes = _tree_nodes(plan)
+    assert nodes.count("Exchange") <= 2, nodes
+    assert "CartesianProduct" not in plan
+
+
+def test_mann_whitney_prefix_sum_range_exchange(spark, sf_dir):
+    """win_mann_whitney: the rank machinery rides the range exchange
+    (with_global_cumsum); no fact-sized unpartitioned window."""
+    plan = plan_of(spark, sf_dir, "win_mann_whitney")
+    assert "rangepartitioning" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_importance_hashed_broadcasts_bucket_frame(spark, sf_dir):
+    """sample_importance_hashed: the O(64) log-ratio frame broadcasts
+    onto doc-bucket counts; top-100 collapses to TakeOrdered."""
+    plan = plan_of(spark, sf_dir, "sample_importance_hashed")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan

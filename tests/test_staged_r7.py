@@ -664,3 +664,235 @@ def test_hamming_topk_matches_numpy_popcount(spark):
         assert [(int(a), int(b)) for a, b in got] == [
             (int(a), int(b)) for a, b in want
         ], qid
+
+
+def test_ndcg_eval_matches_pure_python_reimplementation(spark):
+    """text_ndcg_eval ≡ an independent pure-python BM25 + NDCG/MRR
+    pipeline from the raw documents (tokenize → tf/df/dl → score → rank →
+    graded-gain DCG with the same 1e4 quantization)."""
+    import math
+    from collections import Counter, defaultdict
+
+    out = (
+        all_queries()["text_ndcg_eval"](spark, SF)
+        .toPandas()
+        .set_index("query_id")
+    )
+    docs = load_table(spark, SF, "documents").toPandas()
+    toks = {r.doc_id: r.text.split(" ") for r in docs.itertuples()}
+    tf = {d: Counter(ws) for d, ws in toks.items()}
+    dl = {d: len(ws) for d, ws in toks.items()}
+    df = Counter()
+    for d, c in tf.items():
+        for w in c:
+            df[w] += 1
+    n_docs = len(docs)
+    avgdl = sum(dl.values()) / n_docs
+    queries = defaultdict(list)
+    for qid, term in [
+        ("q0", "dup"), ("q0", "merge"), ("q0", "hash"),
+        ("q1", "spark"), ("q1", "window"), ("q1", "sort"),
+        ("q2", "table"), ("q2", "scan"), ("q2", "key"), ("q2", "fast"),
+    ]:
+        queries[qid].append(term)
+    for qid, terms in queries.items():
+        scores = Counter()
+        for d in toks:
+            s = 0
+            for t in terms:
+                f = tf[d].get(t, 0)
+                if f:
+                    idf = math.log(1 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+                    s += round(
+                        idf * (f * 2.2 / (f + 1.2 * (0.25 + 0.75 * dl[d] / avgdl)))
+                        * 10000
+                    )
+            if s:
+                scores[d] = s
+        ranked = sorted(scores, key=lambda d: (-scores[d], d))[:10]
+        rel = {
+            d: sum(tf[d].get(t, 0) for t in terms)
+            for d in toks
+            if any(t in tf[d] for t in terms)
+        }
+        dcg = sum(
+            round(rel[d] * 10000 / math.log2(r + 2))
+            for r, d in enumerate(ranked)
+        )
+        ideal = sorted(rel, key=lambda d: (-rel[d], d))[:10]
+        idcg = sum(
+            round(rel[d] * 10000 / math.log2(r + 2))
+            for r, d in enumerate(ideal)
+        )
+        first = next((r + 1 for r, d in enumerate(ranked) if rel[d] >= 3), None)
+        row = out.loc[qid]
+        assert abs(float(row["ndcg10"]) - dcg / idcg) < 2e-6, qid
+        assert abs(float(row["mrr"]) - (1 / first if first else 0.0)) < 1e-9
+        assert int(row["n_rel3"]) == sum(1 for v in rel.values() if v >= 3)
+
+
+def test_collocation_llr_is_global_top30_by_exact_g2(spark):
+    """text_collocation_llr ≡ pure-python Dunning G² over ALL adjacent
+    bigrams with cb>=5 — same quantization, same (g2, w1, w2) order."""
+    import math
+    from collections import Counter
+
+    out = all_queries()["text_collocation_llr"](spark, SF).toPandas()
+    docs = load_table(spark, SF, "documents").toPandas()
+    bc = Counter()
+    for text in docs["text"]:
+        ws = text.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            bc[(a, b)] += 1
+    c1, c2 = Counter(), Counter()
+    for (a, b), n in bc.items():
+        c1[a] += n
+        c2[b] += n
+    m = sum(bc.values())
+
+    def term(k, r, c):
+        return round(k * math.log(k * m / (r * c)) * 10000) if k > 0 else 0
+
+    rows = []
+    for (a, b), cb in bc.items():
+        if cb < 5:
+            continue
+        g2q = 2 * (
+            term(cb, c1[a], c2[b])
+            + term(c1[a] - cb, c1[a], m - c2[b])
+            + term(c2[b] - cb, m - c1[a], c2[b])
+            + term(m - c1[a] - c2[b] + cb, m - c1[a], m - c2[b])
+        )
+        rows.append((-g2q, a, b, cb))
+    rows.sort()
+    want = [(a, b, cb, -negg / 10000) for negg, a, b, cb in rows[:30]]
+    got = list(
+        zip(out["w1"], out["w2"], out["n_pair"].astype(int), out["g2"])
+    )
+    assert [(a, b, c) for a, b, c, _ in got] == [
+        (a, b, c) for a, b, c, _ in want
+    ]
+    assert all(abs(x - y) < 1e-9 for (_, _, _, x), (_, _, _, y) in zip(got, want))
+
+
+def test_not_in_trap_semantics(spark):
+    """subq_not_in_null_trap: NOT IN over a null-bearing list is empty;
+    NOT EXISTS and the filtered NOT IN agree with the pandas complement."""
+    row = all_queries()["subq_not_in_null_trap"](spark, SF).toPandas().iloc[0]
+    cust = load_table(spark, SF, "customer").toPandas()
+    orders = load_table(spark, SF, "orders").toPandas()
+    probe = set(
+        orders.loc[
+            (orders["o_orderstatus"] == "P") & (orders["o_orderkey"] % 97 != 0),
+            "o_custkey",
+        ]
+    )
+    has_null = (
+        (orders["o_orderstatus"] == "P") & (orders["o_orderkey"] % 97 == 0)
+    ).any()
+    assert has_null  # the trap is armed
+    want = int((~cust["c_custkey"].isin(probe)).sum())
+    assert int(row["n_not_in"]) == 0
+    assert int(row["n_not_exists"]) == want
+    assert int(row["n_not_in_filtered"]) == want
+    assert int(row["n_customers"]) == len(cust)
+
+
+def test_bitmap_distinct_equals_pandas_nunique(spark):
+    """agg_bitmap_distinct ≡ pandas groupby nunique, sliced and not."""
+    out = (
+        all_queries()["agg_bitmap_distinct"](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = load_table(spark, SF, "events").toPandas()
+    for etype, grp in ev.groupby("event_type"):
+        assert int(out.loc[etype, "n_users"]) == grp["user_id"].nunique()
+        assert (
+            int(out.loc[etype, "n_users_high"])
+            == grp.loc[grp["value"] > 50, "user_id"].nunique()
+        )
+
+
+def test_stl_lite_matches_pandas_decomposition(spark):
+    """ts_stl_lite ≡ pandas centered rolling(7) detrend + per-dow mean."""
+    out = all_queries()["ts_stl_lite"](spark, SF).toPandas()
+    ev = load_table(spark, SF, "events").toPandas()
+    ev["day"] = ev["ts"].dt.floor("D")
+    for etype, grp in ev.groupby("event_type"):
+        daily = grp.groupby("day").size().sort_index()
+        trend = daily.rolling(7, center=True, min_periods=7).mean()
+        det = (daily - trend).dropna()
+        dows = det.index.dayofweek
+        sub = out[out["event_type"] == etype].set_index("dow")
+        for dow in sorted(set(dows)):
+            vals = det[dows == dow]
+            assert int(sub.loc[dow, "n_days"]) == len(vals)
+            assert abs(float(sub.loc[dow, "seasonal"]) - vals.mean()) < 2e-6
+
+
+def test_mann_whitney_matches_rank_reference(spark):
+    """win_mann_whitney ≡ pandas average-rank U and tie-corrected z."""
+    row = all_queries()["win_mann_whitney"](spark, SF).toPandas().iloc[0]
+    ev = load_table(spark, SF, "events").toPandas()
+    a = ev.loc[ev["event_type"] == "view", "value"]
+    b = ev.loc[ev["event_type"] == "purchase", "value"]
+    pooled = pd.concat([a, b])
+    ranks = pooled.rank(method="average")
+    ra = ranks.iloc[: len(a)].sum()
+    na, nb = len(a), len(b)
+    u = ra - na * (na + 1) / 2
+    assert int(row["n_a"]) == na and int(row["n_b"]) == nb
+    assert abs(float(row["u_a"]) - u) < 1e-9
+    t = pooled.value_counts().to_numpy()
+    tie = (t**3 - t).sum()
+    n = na + nb
+    var = na * nb / 12 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u - na * nb / 2) / np.sqrt(var)
+    assert abs(float(row["z"]) - z) < 1e-6
+    assert int(row["reject_05"]) == int(abs(z) > 1.96)
+
+
+def test_importance_hashed_matches_python_dsir(spark):
+    """sample_importance_hashed ≡ pure-python hashed log-ratio scoring
+    (hashlib md5 buckets, 1e4 quantization, same top-100 order)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    out = all_queries()["sample_importance_hashed"](spark, SF).toPandas()
+    docs = load_table(spark, SF, "documents").toPandas()
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:4], 16) % 64
+
+    tc, cc = Counter(), Counter()
+    per_doc = {}
+    for r in docs.itertuples():
+        bs = Counter(bucket(w) for w in r.text.split(" "))
+        per_doc[r.doc_id] = bs
+        for bkt, n in bs.items():
+            cc[bkt] += n
+            if r.lang == "en":
+                tc[bkt] += n
+    t_tot, c_tot = sum(tc.values()), sum(cc.values())
+    lrq = {
+        bkt: round(
+            math.log(
+                ((tc[bkt] + 1) / (t_tot + 64)) / ((cc[bkt] + 1) / (c_tot + 64))
+            )
+            * 10000
+        )
+        for bkt in cc
+    }
+    scored = []
+    for d, bs in per_doc.items():
+        wq = sum(n * lrq[bkt] for bkt, n in bs.items())
+        ntok = sum(bs.values())
+        scored.append((-(wq / ntok), d, ntok))
+    scored.sort()
+    want_ids = [d for _, d, _ in scored[:100]]
+    assert list(out["doc_id"]) == want_ids
+    en_share = (out["lang"] == "en").mean()
+    corpus_share = (docs["lang"] == "en").mean()
+    assert en_share > corpus_share  # the resampler actually tilts toward target
