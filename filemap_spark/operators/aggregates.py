@@ -3638,3 +3638,166 @@ def _split_select(sql_fragment: str) -> list[str]:
             cur.append(ch)
     parts.append("".join(cur))
     return parts
+
+
+@query(
+    "ts_acf",
+    oracle=EVENTS_NORM_SQL
+    + """,
+    daily AS (
+      SELECT event_type,
+             epoch_us(date_trunc('day', ts)) // 86400000000 AS didx,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+    pairs AS (
+      SELECT a.event_type, l.lag, a.n AS x, b.n AS y
+      FROM daily a CROSS JOIN lags l
+      JOIN daily b ON b.event_type = a.event_type AND b.didx = a.didx + l.lag
+    ), s AS (
+      SELECT event_type, lag, count(*) AS k,
+             sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+             sum(x*x) AS sxx, sum(y*y) AS syy
+      FROM pairs GROUP BY event_type, lag
+    )
+    SELECT event_type, cast(lag AS int) AS lag, cast(k AS bigint) AS k_pairs,
+           CASE WHEN (k*sxx - sx*sx) > 0 AND (k*syy - sy*sy) > 0
+                THEN round(cast(k*sxy - sx*sy AS double)
+                           / sqrt(cast(k*sxx - sx*sx AS double)
+                                  * cast(k*syy - sy*sy AS double)), 6)
+           END AS r
+    FROM s
+    """,
+    cost=0.4,
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (round 6, staged r7): Pearson r between
+    the daily event-count series and its lag-1..7 shifts, per event type
+    — the seasonality/persistence diagnostic that picks the period
+    ts_stl_lite then decomposes (a weekly rhythm shows as an r spike at
+    lag 7). The lag-join sibling of ts_cross_correlation (which
+    correlates two DIFFERENT series).
+
+    Determinism: counts are exact integers; all five power sums are
+    exact int64; r composes them through IEEE ops spelled identically in
+    both engines (sqrt correctly rounded); degenerate (constant) windows
+    emit NULL via the same integer test.
+
+    Scale: the fact reduces map-side to O(types × days) cells; the
+    lag-7 explode and self-join run on that bounded frame (the join key
+    is exact integer day arithmetic — no calendar functions in the hot
+    path). For per-entity ACF at scale the same plan keys by (entity,
+    didx) and the daily frame stays proportional to active entity-days."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr(
+            "unix_micros(date_trunc('day', ts)) div 86400000000"
+        ).alias("didx"),
+    ).agg(F.count("*").alias("n"))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(
+        "event_type", "didx", F.col("n").alias("x")
+    ).crossJoin(F.broadcast(lags))
+    b = daily.select(
+        F.col("event_type").alias("bt"),
+        F.col("didx").alias("bidx"),
+        F.col("n").alias("y"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("bt") == F.col("event_type"))
+        & (F.col("bidx") == F.col("didx") + F.col("lag")),
+    )
+    s = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    vx = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("k").cast("bigint").alias("k_pairs"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                cov.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double")),
+                6,
+            ),
+        ).alias("r"),
+    )
+
+
+_WELCH_STATS = """
+      sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_a,
+      sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_b,
+      sum(CASE WHEN event_type = 'click' THEN q ELSE 0 END) AS sa,
+      sum(CASE WHEN event_type = 'signup' THEN q ELSE 0 END) AS sb,
+      sum(CASE WHEN event_type = 'click' THEN q*q ELSE 0 END) AS ssa,
+      sum(CASE WHEN event_type = 'signup' THEN q*q ELSE 0 END) AS ssb
+"""
+
+# Welch components from exact milli-unit power sums; va/vb are sample
+# variances in VALUE units (the /1e6 descale of milli² units).
+_WELCH_FINAL = """
+    cast(n_a AS bigint) AS n_a, cast(n_b AS bigint) AS n_b,
+    round((cast(sa AS double) / n_a - cast(sb AS double) / n_b) / 1000, 6)
+      AS mean_diff,
+    round(((cast(sa AS double) / n_a - cast(sb AS double) / n_b) / 1000)
+          / sqrt(((cast(n_a AS double) * ssa - cast(sa AS double) * sa)
+                  / (cast(n_a AS double) * (n_a - 1)) / 1000000) / n_a
+                 + ((cast(n_b AS double) * ssb - cast(sb AS double) * sb)
+                    / (cast(n_b AS double) * (n_b - 1)) / 1000000) / n_b), 6)
+      AS t_stat
+"""
+
+
+@query(
+    "agg_welch_ttest",
+    oracle=EVENTS_NORM_SQL
+    + f""",
+    q AS (
+      SELECT event_type, cast(round(value * 1000) AS bigint) AS q
+      FROM events WHERE event_type IN ('click', 'signup')
+    ), s AS (
+      SELECT {_WELCH_STATS} FROM q
+    )
+    SELECT {_WELCH_FINAL} FROM s
+    """,
+    cost=0.4,
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (round 6, staged r7) on click vs
+    signup `value` means — the parametric member of the drift-test suite
+    (agg_chi2_independence: categorical; agg_ks_two_sample: full
+    distribution; win_mann_whitney: rank location; this: mean with
+    normal-ish data). Emits sample sizes, mean difference, and t.
+
+    Determinism: values quantize per-row at 1e3 into int64 (the op's
+    defined statistic — same discipline as agg_skew_kurtosis's deviation
+    quantization); all six power sums are exact integers (q² ≤ 1e10/row,
+    ~1e15 per group at sf0.1 — int64-safe to ~1e8 rows/group, the
+    decimal promotion past that); mean/variance/t compose them through
+    identically-spelled IEEE ops.
+
+    Scale: ONE hash aggregate over the filtered fact (six conditional
+    accumulators, partial-agg friendly) + scalar math on one row."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "signup")
+    )
+    q = ev.select(
+        "event_type", F.expr("cast(round(value * 1000) as bigint)").alias("q")
+    )
+    s = q.agg(
+        *[
+            F.expr(e.strip())
+            for e in _split_select(_WELCH_STATS)
+        ]
+    )
+    return s.selectExpr(*[e.strip() for e in _split_select(_WELCH_FINAL)])

@@ -1664,3 +1664,78 @@ def sample_importance_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(mean_micro_6dp("100 * wq", "n_tokens")).alias("mean_lr"),
         )
     )
+
+
+@query(
+    "graph_jaccard_neighbors",
+    oracle="""
+    WITH po AS (
+      SELECT DISTINCT l_partkey AS p, l_orderkey AS o FROM lineitem
+    ), deg AS (
+      SELECT p, count(*) AS d FROM po GROUP BY p
+    ), inter AS (
+      SELECT a.p AS pa, b.p AS pb, count(*) AS i
+      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING count(*) >= 2
+    )
+    SELECT pa, pb, cast(i AS bigint) AS n_shared,
+           cast(da.d + db.d - i AS bigint) AS n_union,
+           round(cast(i AS double) / (da.d + db.d - i), 6) AS jaccard
+    FROM inter JOIN deg da ON pa = da.p JOIN deg db ON pb = db.p
+    ORDER BY cast(i AS double) / (da.d + db.d - i) DESC, pa, pb
+    LIMIT 30
+    """,
+    cost=0.6,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard link prediction (round 6, staged r7): for the
+    bipartite part-order graph, score part pairs by Jaccard similarity of
+    their order neighborhoods (≥2 shared orders) — the classic
+    collaborative-filtering / link-prediction primitive ("parts bought
+    together"), and the graph sibling of dedup_near_jaccard's shingle
+    Jaccard. Top-30 by (jaccard, pa, pb).
+
+    Mechanics: candidate pairs generate ONLY through the shared-order
+    equi-join (blocking on the co-occurrence witness — never part×part);
+    intersections are counts over that join; degrees come from one agg
+    over the same deduped edge list.
+
+    Determinism: all counts exact integers; jaccard = one IEEE quotient
+    of exact ints (identical ordering both engines, (pa,pb) tiebreak).
+
+    Scale: pair volume is Σ_orders |basket|² — bounded by basket size,
+    not corpus size (same adjudication as graph_triangle_count's wedge
+    join); a pathological mega-basket is the skew surface, handled by
+    capping or salting the hot order key. Degrees join keys on part —
+    AQE broadcasts while the dim is small. TakeOrdered(30) on top."""
+    po = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_orderkey").alias("o"))
+        .distinct()
+    )
+    deg = po.groupBy("p").agg(F.count("*").alias("d"))
+    a = po.select(F.col("p").alias("pa"), "o")
+    b = po.select(F.col("p").alias("pb"), F.col("o").alias("ob"))
+    inter = (
+        a.join(b, (F.col("o") == F.col("ob")) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("i"))
+        .where(F.col("i") >= 2)
+    )
+    da = deg.select(F.col("p").alias("pa"), F.col("d").alias("da"))
+    db = deg.select(F.col("p").alias("pb"), F.col("d").alias("db"))
+    uni = F.col("da") + F.col("db") - F.col("i")
+    jac = F.col("i").cast("double") / uni
+    return (
+        inter.join(da, "pa")
+        .join(db, "pb")
+        .orderBy(jac.desc(), "pa", "pb")
+        .limit(30)
+        .select(
+            "pa",
+            "pb",
+            F.col("i").cast("bigint").alias("n_shared"),
+            uni.cast("bigint").alias("n_union"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

@@ -2920,3 +2920,139 @@ def text_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("g2q").cast("double") / 10000, 6).alias("g2"),
         )
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH {SHINGLE_CTE.strip()}, firsts AS (
+      SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+    ), per_doc AS (
+      SELECT sh.doc_id,
+             count(*) AS n_shingles,
+             sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+      FROM sh JOIN firsts f ON sh.shingle = f.shingle
+      GROUP BY sh.doc_id
+    )
+    SELECT doc_id, cast(n_shingles AS bigint) AS n_shingles,
+           cast(n_novel AS bigint) AS n_novel,
+           round(cast(n_novel AS double) / n_shingles, 6) AS novelty
+    FROM per_doc
+    """,
+    cost=0.5,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty curve (round 6, staged r7): for each document (in
+    doc_id ingest order), the fraction of its distinct 5-gram shingles
+    never seen in any EARLIER document — the corpus-diversity /
+    saturation diagnostic (a feed of boilerplate trends to 0; novelty
+    mass tells you when more crawl stops adding information), and the
+    per-doc attribution twin of dedup_span_exact's corpus-level view.
+
+    Mechanics: first-occurrence attribution is one min(doc_id) agg over
+    the distinct shingle relation (no ordered scan, no state): a shingle
+    is novel IN exactly the doc that owns its minimum.
+
+    Determinism: pure integer counts and one exact-int quotient.
+
+    Scale: wordcount-shaped — shingle agg + membership join back, both
+    keyed on the shingle (hash-before-shuffle applies upstream via
+    _shingle_frame); ingest order generalizes to any total order
+    (timestamp, crawl seq) by min-ing that key instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_frame(docs)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_novel").cast("bigint").alias("n_novel"),
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+        ).alias("novelty"),
+    )
+
+
+_PACK_BUDGET = 256
+_PACK_SHARDS = 8
+
+
+@query("pack_sequences_bestfit", oracle=None, cost=0.4)
+def pack_sequences_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing via first-fit-decreasing (round 6, staged r7,
+    rows-only): assign documents to fixed token-budget training sequences
+    (budget {budget}) with FFD bin packing — the pretraining batch-prep
+    step that minimizes padding waste, upgrading pack_token_budget's
+    greedy ORDER-PRESERVING packing (which cannot look ahead) to the
+    classic 11/9·OPT-guaranteed heuristic.
+
+    Rows-only by design: FFD is inherently sequential within a shard
+    (each placement depends on all previous bins) — no SQL window
+    expresses it; tests/test_staged_r7.py pins conservation (every doc
+    exactly once), budget compliance, the LB ≤ bins ≤ greedy-count
+    sandwich, and cross-run determinism.
+
+    Mechanics: docs shard deterministically by doc_id % {shards} (shards
+    pack independently — the distributed compromise every production
+    packer makes: global FFD is a serial algorithm); within a shard,
+    applyInPandas sorts (n_tokens desc, doc_id) and first-fits into
+    bins; bin ids are (shard, local index).
+
+    Scale: shard count scales with the cluster (each task's state is its
+    open-bin fill array, O(bins)); packing quality loss vs global FFD
+    shrinks as shards grow past a few hundred docs each; the shuffle
+    moves (doc_id, n_tokens) pairs only — the text never travels."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
+        (F.col("doc_id") % _PACK_SHARDS).cast("int").alias("shard"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        rows = sorted(
+            zip(pdf["n_tokens"], pdf["doc_id"]), key=lambda r: (-r[0], r[1])
+        )
+        fills: list[int] = []
+        out = []
+        for n, doc in rows:
+            n = int(n)
+            placed = None
+            for i, f in enumerate(fills):
+                if f + n <= _PACK_BUDGET:
+                    placed = i
+                    break
+            if placed is None:
+                fills.append(n)
+                placed = len(fills) - 1
+            else:
+                fills[placed] += n
+            out.append((shard, placed, int(doc), n))
+        return pd.DataFrame(
+            out, columns=["shard", "bin_idx", "doc_id", "n_tokens"]
+        ).assign(bin_fill=lambda d: d.groupby("bin_idx")["n_tokens"].transform("sum"))
+
+    return (
+        sized.groupBy("shard")
+        .applyInPandas(
+            pack,
+            "shard int, bin_idx int, doc_id bigint, n_tokens int, bin_fill int",
+        )
+    )
+
+
+pack_sequences_bestfit.__doc__ = pack_sequences_bestfit.__doc__.format(
+    budget=_PACK_BUDGET, shards=_PACK_SHARDS
+)

@@ -799,3 +799,98 @@ def win_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("m_end") - F.col("m_start")).cast("bigint").alias("covered_us"),
         F.max(F.col("m_end") - F.col("m_start")).cast("bigint").alias("max_span_us"),
     )
+
+
+@query(
+    "win_concurrency_peak",
+    oracle=EVENTS_NORM_SQL
+    + """,
+    iv AS (
+      SELECT event_type, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 600000000 AS e
+      FROM events
+    ), deltas AS (
+      SELECT event_type, s AS t, 1 AS delta, event_id FROM iv
+      UNION ALL
+      SELECT event_type, e AS t, -1 AS delta, event_id FROM iv
+    ), sweep AS (
+      SELECT event_type, t,
+             sum(delta) OVER (PARTITION BY event_type
+                              ORDER BY t, delta, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run
+      FROM deltas
+    ), peaked AS (
+      SELECT event_type, t, run,
+             max(run) OVER (PARTITION BY event_type) AS peak
+      FROM sweep
+    )
+    SELECT event_type,
+           cast(count(*) / 2 AS bigint) AS n_events,
+           cast(max(peak) AS int) AS peak,
+           cast(min(CASE WHEN run = peak THEN t END) AS bigint)
+             AS t_at_peak_us
+    FROM peaked GROUP BY event_type
+    """,
+    cost=0.5,
+)
+def win_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via the sweep line (round 6, staged r7): each
+    event opens a 10-minute interval; the maximum number simultaneously
+    open per event type, and the earliest instant it is reached — the
+    capacity-sizing primitive (max concurrent sessions/connections/jobs),
+    the counting twin of win_interval_coalesce's span union.
+
+    Mechanics: intervals explode to +1/-1 boundary deltas; a running sum
+    over (t, delta, event_id) — closed-open semantics: at an exact
+    touch the −1 sorts before the +1, so back-to-back intervals never
+    double-count — is the live count; a stacked same-partition window
+    takes the max, and one agg recovers the earliest argmax.
+
+    Determinism: exact int64 µs and integer deltas over a total order;
+    ties at the peak resolve by min(t).
+
+    Scale: both windows and the agg key on event_type — ONE exchange;
+    2 rows per event through it. A single type's sweep serializes per
+    partition (inherent to running state); the with_global_cumsum
+    decomposition (agg_ks_two_sample) is the swap when one key's
+    timeline outgrows a task."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 600_000_000).alias("e"),
+    )
+    deltas = iv.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s").alias("t"),
+                    F.lit(1).alias("delta"),
+                    F.col("event_id").alias("event_id"),
+                ),
+                F.struct(
+                    F.col("e").alias("t"),
+                    F.lit(-1).alias("delta"),
+                    F.col("event_id").alias("event_id"),
+                ),
+            )
+        ).alias("d"),
+    ).select("event_type", "d.t", "d.delta", "d.event_id")
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    sweep = deltas.withColumn("run", F.sum("delta").over(w_run)).withColumn(
+        "peak", F.max(F.sum("delta").over(w_run)).over(w_all)
+    )
+    return sweep.groupBy("event_type").agg(
+        (F.count("*") / 2).cast("bigint").alias("n_events"),
+        F.max("peak").cast("int").alias("peak"),
+        F.min(F.when(F.col("run") == F.col("peak"), F.col("t")))
+        .cast("bigint")
+        .alias("t_at_peak_us"),
+    )

@@ -1169,3 +1169,68 @@ def test_importance_hashed_broadcasts_bucket_frame(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_concurrency_peak_single_type_exchange(spark, sf_dir):
+    """win_concurrency_peak: explode + both stacked windows + the agg all
+    ride one event_type exchange."""
+    plan = plan_of(spark, sf_dir, "win_concurrency_peak")
+    nodes = _tree_nodes(plan)
+    assert nodes.count("Exchange") == 1, nodes
+    assert "windowspecdefinition(event_type" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_acf_lag_join_on_bounded_daily_frame(spark, sf_dir):
+    """ts_acf: one fact agg to daily cells; the lag self-join and power
+    sums run on the bounded frame; the 7-row lag dim broadcasts."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "ts_acf")
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) <= 2, plan  # daily referenced twice at most
+    assert "CartesianProduct" not in plan
+
+
+def test_welch_single_hash_agg(spark, sf_dir):
+    """agg_welch_ttest: one scan, one hash aggregate, pushed-down type
+    filter."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "agg_welch_ttest")
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) == 1, plan
+    assert "PushedFilters: [In(event_type" in plan or "event_type" in next(
+        l for l in plan.splitlines() if "PushedFilters" in l
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_neighbors_blocks_on_shared_order(spark, sf_dir):
+    """graph_jaccard_neighbors: pairs generate via the order equi-join
+    (SMJ/SHJ on the witness key), never a part×part cross."""
+    plan = plan_of(spark, sf_dir, "graph_jaccard_neighbors")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ngram_novelty_shingle_keyed_join(spark, sf_dir):
+    """text_ngram_novelty: first-occurrence agg + membership join key on
+    the shingle; no cross anywhere."""
+    plan = plan_of(spark, sf_dir, "text_ngram_novelty")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_single_arrow_stage_no_text_shuffle(spark, sf_dir):
+    """pack_sequences_bestfit: ONE applyInPandas stage; the shuffled
+    relation carries (doc_id, n_tokens, shard) only — the text column
+    never leaves the scan."""
+    plan = plan_of(spark, sf_dir, "pack_sequences_bestfit")
+    nodes = _tree_nodes(plan)
+    assert nodes.count("FlatMapGroupsInPandas") == 1, nodes
+    ex_lines = [
+        l for l in plan.splitlines() if "Arguments: hashpartitioning" in l
+    ]
+    assert ex_lines and all("text" not in l for l in ex_lines), ex_lines

@@ -896,3 +896,159 @@ def test_importance_hashed_matches_python_dsir(spark):
     en_share = (out["lang"] == "en").mean()
     corpus_share = (docs["lang"] == "en").mean()
     assert en_share > corpus_share  # the resampler actually tilts toward target
+
+
+def test_concurrency_peak_matches_sweep_reference(spark):
+    """win_concurrency_peak ≡ a pure-python event sweep with closed-open
+    [-1 before +1] tie handling."""
+    out = (
+        all_queries()["win_concurrency_peak"](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = (
+        load_table(spark, SF, "events")
+        .select("event_type", "event_id", F.unix_micros("ts").alias("s"))
+        .toPandas()
+    )
+    LEN = 600_000_000
+    for etype, grp in ev.groupby("event_type"):
+        deltas = []
+        for r in grp.itertuples():
+            deltas.append((r.s, 1, r.event_id))
+            deltas.append((r.s + LEN, -1, r.event_id))
+        deltas.sort()
+        run = peak = 0
+        t_at = None
+        for t, d, _ in deltas:
+            run += d
+            if run > peak:
+                peak, t_at = run, t
+        row = out.loc[etype]
+        assert int(row["peak"]) == peak
+        assert int(row["t_at_peak_us"]) == t_at
+        assert int(row["n_events"]) == len(grp)
+
+
+def test_acf_matches_numpy_corrcoef(spark):
+    """ts_acf ≡ np.corrcoef on the dense day-count series shifts."""
+    out = all_queries()["ts_acf"](spark, SF).toPandas()
+    ev = load_table(spark, SF, "events").toPandas()
+    ev["didx"] = ev["ts"].dt.floor("D").astype("int64") // (86_400 * 10**9)
+    for etype, grp in ev.groupby("event_type"):
+        counts = grp.groupby("didx").size()
+        sub = out[out["event_type"] == etype].set_index("lag")
+        for lag in range(1, 8):
+            x, y = [], []
+            for didx, n in counts.items():
+                if didx + lag in counts.index:
+                    x.append(n)
+                    y.append(counts[didx + lag])
+            assert int(sub.loc[lag, "k_pairs"]) == len(x)
+            r = np.corrcoef(x, y)[0, 1]
+            got = sub.loc[lag, "r"]
+            if np.isnan(r):
+                assert pd.isna(got)
+            else:
+                assert abs(float(got) - r) < 1e-6, (etype, lag)
+
+
+def test_welch_ttest_matches_numpy_reference(spark):
+    """agg_welch_ttest ≡ numpy Welch t on the 1e-3-quantized samples
+    (the quantization is part of the op's defined statistic)."""
+    row = all_queries()["agg_welch_ttest"](spark, SF).toPandas().iloc[0]
+    ev = load_table(spark, SF, "events").toPandas()
+    a = (ev.loc[ev["event_type"] == "click", "value"] * 1000).round() / 1000
+    b = (ev.loc[ev["event_type"] == "signup", "value"] * 1000).round() / 1000
+    assert int(row["n_a"]) == len(a) and int(row["n_b"]) == len(b)
+    md = a.mean() - b.mean()
+    t = md / np.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+    assert abs(float(row["mean_diff"]) - md) < 1e-6
+    assert abs(float(row["t_stat"]) - t) < 1e-6
+
+
+def test_jaccard_neighbors_matches_pandas_reference(spark):
+    """graph_jaccard_neighbors ≡ brute-force pandas neighbor Jaccard."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    out = all_queries()["graph_jaccard_neighbors"](spark, SF).toPandas()
+    li = load_table(spark, SF, "lineitem").toPandas()
+    orders_of = defaultdict(set)
+    for r in li.itertuples():
+        orders_of[r.l_partkey].add(r.l_orderkey)
+    pair_inter = defaultdict(int)
+    by_order = defaultdict(set)
+    for r in li.itertuples():
+        by_order[r.l_orderkey].add(r.l_partkey)
+    for parts in by_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            pair_inter[(a, b)] += 1
+    rows = []
+    for (a, b), i in pair_inter.items():
+        if i >= 2:
+            u = len(orders_of[a]) + len(orders_of[b]) - i
+            rows.append((-(i / u), a, b, i, u))
+    rows.sort()
+    want = [(a, b, i, u) for _, a, b, i, u in rows[:30]]
+    got = list(
+        zip(out["pa"], out["pb"], out["n_shared"].astype(int),
+            out["n_union"].astype(int))
+    )
+    assert [(int(a), int(b), i, u) for a, b, i, u in got] == want
+
+
+def test_ngram_novelty_first_doc_attribution(spark):
+    """text_ngram_novelty ≡ python first-occurrence scan in doc_id order;
+    novelty over the whole corpus conserves to the distinct shingle
+    count."""
+    out = all_queries()["text_ngram_novelty"](spark, SF).toPandas()
+    docs = load_table(spark, SF, "documents").toPandas().sort_values("doc_id")
+    seen = set()
+    want = {}
+    all_shingles = set()
+    for r in docs.itertuples():
+        ws = r.text.split(" ")
+        sh = {" ".join(ws[i:i + 5]) for i in range(len(ws) - 4)}
+        novel = sh - seen
+        want[r.doc_id] = (len(sh), len(novel))
+        seen |= sh
+        all_shingles |= sh
+    got = out.set_index("doc_id")
+    for d, (n_sh, n_nov) in want.items():
+        assert int(got.loc[d, "n_shingles"]) == n_sh
+        assert int(got.loc[d, "n_novel"]) == n_nov
+    assert int(out["n_novel"].sum()) == len(all_shingles)
+
+
+def test_pack_sequences_conservation_and_bounds(spark):
+    """pack_sequences_bestfit: every doc packed exactly once, no bin over
+    budget, bin count within [LB, greedy-arrival count]; deterministic
+    across runs."""
+    out = all_queries()["pack_sequences_bestfit"](spark, SF).toPandas()
+    docs = load_table(spark, SF, "documents").toPandas()
+    B = 256
+    assert sorted(out["doc_id"]) == sorted(docs["doc_id"])
+    fills = out.groupby(["shard", "bin_idx"]).agg(
+        fill=("n_tokens", "sum"), reported=("bin_fill", "first")
+    )
+    assert (fills["fill"] == fills["reported"]).all()
+    assert (fills["fill"] <= B).all()
+    # shard-local optimality sandwich
+    sizes = docs.assign(n=docs["text"].str.split(" ").str.len())
+    for shard, grp in out.groupby("shard"):
+        ssize = sizes[sizes["doc_id"] % 8 == shard]
+        lb = int(np.ceil(ssize["n"].sum() / B))
+        n_bins = grp["bin_idx"].nunique()
+        # greedy arrival-order packing (pack_token_budget's semantics)
+        greedy, fill = 1, 0
+        for n in ssize.sort_values("doc_id")["n"]:
+            if fill + n > B:
+                greedy += 1
+                fill = 0
+            fill += n
+        assert lb <= n_bins <= greedy, (shard, lb, n_bins, greedy)
+    out2 = all_queries()["pack_sequences_bestfit"](spark, SF).toPandas()
+    assert out.sort_values(["shard", "bin_idx", "doc_id"]).reset_index(
+        drop=True
+    ).equals(out2.sort_values(["shard", "bin_idx", "doc_id"]).reset_index(drop=True))
