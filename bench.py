@@ -129,6 +129,14 @@ STAGED_HEADLINE = (
     "sim_maxsim_multivector",
     "agg_decile_lift",
     "win_pareto_share",
+    # waves 7-9 (this session): representative heavy members
+    "agg_ks_two_sample",
+    "text_ndcg_eval",
+    "emb_hamming_topk",
+    "graph_jaccard_neighbors",
+    "text_ngram_novelty",
+    "pack_sequences_bestfit",
+    "win_concurrency_peak",
 )
 
 
