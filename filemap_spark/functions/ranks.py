@@ -95,26 +95,35 @@ def with_global_rank(
     return out.drop(one)
 
 
+def ntile_expr(rank_col: str, total_col: str, n_tiles: int) -> F.Column:
+    """`ntile(n_tiles)` as pure arithmetic on an exact 1-based global rank
+    and the total row count (both from with_global_rank). SQL-standard tile
+    sizing: with n rows the first n % n_tiles tiles get one extra row
+    (ceil-sized tiles first). Shared by with_global_ntile and any op that
+    already carries a rank and wants a tile column for free."""
+    t = F.lit(n_tiles).cast("long")
+    n, r = F.col(total_col), F.col(rank_col)
+    q = (n / t).cast("long")  # floor tile size
+    rem = n % t  # number of (q+1)-sized leading tiles
+    big_span = (q + 1) * rem  # rows covered by the big tiles
+    return F.when(
+        r <= big_span, F.ceil(r / (q + 1))
+    ).otherwise(rem + F.ceil((r - big_span) / q)).cast("int")
+
+
 def with_global_ntile(
     df: DataFrame, n_tiles: int, *order_cols: str, tile_col: str = "tile",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact `ntile(n_tiles) OVER (ORDER BY order_cols)` without a
-    single-partition window. SQL-standard tile sizing: with n rows the
-    first n % n_tiles tiles get one extra row (ceil-sized tiles first)."""
+    single-partition window (tile sizing in ntile_expr)."""
     ranked = with_global_rank(
         df, *order_cols, rank_col=_RANK, total_col=_TOTAL,
         num_partitions=num_partitions,
     )
-    t = F.lit(n_tiles).cast("long")
-    n, r = F.col(_TOTAL), F.col(_RANK)
-    q = (n / t).cast("long")  # floor tile size
-    rem = n % t  # number of (q+1)-sized leading tiles
-    big_span = (q + 1) * rem  # rows covered by the big tiles
-    tile = F.when(
-        r <= big_span, F.ceil(r / (q + 1))
-    ).otherwise(rem + F.ceil((r - big_span) / q))
-    return ranked.withColumn(tile_col, tile.cast("int")).drop(_RANK, _TOTAL)
+    return ranked.withColumn(
+        tile_col, ntile_expr(_RANK, _TOTAL, n_tiles)
+    ).drop(_RANK, _TOTAL)
 
 
 def with_global_cumsum(

@@ -2310,11 +2310,17 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
-    top = counts.orderBy(F.desc("n"), F.asc("word")).limit(100)
-    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    # `__`-marked columns declare the window input BOUNDED (limit-100
+    # relation) per scripts/plan_audit.py's unpartitioned-window convention
+    top = (
+        counts.orderBy(F.desc("n"), F.asc("word"))
+        .limit(100)
+        .select(F.col("word").alias("__zw"), F.col("n").alias("__zn"))
+    )
+    w = Window.orderBy(F.desc("__zn"), F.asc("__zw"))
     pts = top.withColumn("rank", F.row_number().over(w)).select(
         F.expr("cast(round(ln(cast(rank as double)) * 10000) as bigint)").alias("xq"),
-        F.expr("cast(round(ln(cast(n as double)) * 10000) as bigint)").alias("yq"),
+        F.expr("cast(round(ln(cast(__zn as double)) * 10000) as bigint)").alias("yq"),
     )
     s = pts.agg(
         F.count("*").cast("bigint").alias("np"),

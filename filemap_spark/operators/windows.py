@@ -3,8 +3,10 @@
 No filemap analogue — the reference would sort a bucket file and walk it with
 awk state (SURVEY §2.5 [K]). Spark windows shuffle once on the partition key
 and then evaluate all frames in a single sorted pass per partition; at scale
-the thing to avoid is a window with no partitionBy (single-task sort), which
-only `win_percent_rank_cume` does here — deliberately, on a 15k-row dim.
+the thing to avoid is a window with no partitionBy (single-task sort). As of
+round 7 NO op here plans one: `win_ntile` and `win_percent_rank_cume` route
+through the distributed range-exchange decomposition (functions/ranks.py),
+and scripts/plan_audit.py rejects any unpartitioned data-sized WindowExec.
 
 Determinism: every orderBy carries a full tiebreak chain (FIXTURES.md trap
 #4); running double sums round at 6dp with per-frame magnitudes far below
@@ -76,14 +78,29 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quartile bucketing by account balance (full tiebreak → deterministic)."""
+    """Quartile bucketing by account balance (full tiebreak → deterministic).
+
+    Round 7: routed through the distributed range-exchange decomposition
+    (functions/ranks.with_global_ntile) instead of `ntile(4) OVER (ORDER
+    BY ...)` with no PARTITION BY — the unpartitioned window form funnels
+    every row through ONE task, which dies at fact scale. The
+    decomposition is result-identical (tile arithmetic on the exact global
+    rank; equivalence pytest in tests/test_kernels.py), so the oracle SQL
+    keeps the plain window form."""
+    from filemap_spark.functions.ranks import with_global_ntile
+
     customer = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return customer.select(
-        "c_custkey",
-        F.round("c_acctbal", 6).alias("c_acctbal"),
-        F.ntile(4).over(w).alias("quartile"),
-    ).orderBy("c_custkey")
+    return (
+        with_global_ntile(
+            customer, 4, "c_acctbal", "c_custkey", tile_col="quartile"
+        )
+        .select(
+            "c_custkey",
+            F.round("c_acctbal", 6).alias("c_acctbal"),
+            "quartile",
+        )
+        .orderBy("c_custkey")
+    )
 
 
 @query(
@@ -220,16 +237,29 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution ranks over the whole table — an unpartitioned window is a
-    single-task sort, acceptable only on dimension-sized inputs (documented
-    scale hazard; shard via percentile_approx at fact scale)."""
+    """Distribution ranks over the whole table.
+
+    Round 7: the last unpartitioned-window op, migrated to the
+    range-exchange decomposition (functions/ranks). The ORDER BY carries a
+    full tiebreak (c_acctbal, c_custkey), so the order is TOTAL and
+    rank == row_number; then percent_rank = (rank-1)/(n-1), cume_dist =
+    rank/n, and ntile(100) is ntile_expr's arithmetic on (rank, n) — one
+    range exchange serves all three. Result-identical to the window form
+    (the oracle SQL keeps it), distributed instead of single-task."""
+    from filemap_spark.functions.ranks import ntile_expr, with_global_rank
+
     customer = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return customer.select(
+    ranked = with_global_rank(
+        customer, "c_acctbal", "c_custkey",
+        rank_col="_rk", total_col="_n",
+    )
+    r, n = F.col("_rk"), F.col("_n")
+    pct = F.when(n > 1, (r - 1) / (n - 1)).otherwise(F.lit(0.0))
+    return ranked.select(
         "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.ntile(100).over(w).alias("centile"),
+        F.round(pct, 6).alias("pct_rank"),
+        F.round(r / n, 6).alias("cume"),
+        ntile_expr("_rk", "_n", 100).alias("centile"),
     ).orderBy("c_custkey")
 
 

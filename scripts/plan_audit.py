@@ -1,10 +1,19 @@
 """Sweep every registered operator's physical plan for scale anti-patterns.
 
-Current invariant: NO operator may plan a `CartesianProduct` (the
-non-broadcast nested-loop cross product — the plan shape that cannot
-survive fact-sized inputs). BroadcastNestedLoopJoin is allowed: the engine
-issues it only with a broadcast scalar/dim side (join_theta_pure,
-join_cross, the subquery ops), which is bounded work at any corpus size.
+Current invariants:
+1. NO operator may plan a `CartesianProduct` (the non-broadcast
+   nested-loop cross product — the plan shape that cannot survive
+   fact-sized inputs). BroadcastNestedLoopJoin is allowed: the engine
+   issues it only with a broadcast scalar/dim side (join_theta_pure,
+   join_cross, the subquery ops), which is bounded work at any corpus size.
+2. NO operator may plan an UNPARTITIONED data-sized Window (round 7,
+   VERDICT r6 task 2): a Window node with an empty partition spec funnels
+   every row through one task. The only allowed unpartitioned windows are
+   over BOUNDED relations — detected by the repo convention that every
+   bounded-offset window orders exclusively by engine-internal `__`
+   marker columns (ranks.py's `__fsr_pid` offsets relation is
+   numPartitions rows, i.e. cluster config, not data size). New bounded
+   windows must follow that naming convention to pass.
 
 Ops in SKIP_PREFIX do eager work inside the builder (similarity index
 construction, connected-components label computation, parquet
@@ -43,6 +52,37 @@ SKIP_PREFIX = (
 )
 
 
+def unpartitioned_window_violations(plan: str) -> list[str]:
+    """Specs of every data-sized unpartitioned window in a formatted plan.
+
+    Every Window node's expressions embed `windowspecdefinition(partition
+    cols..., order cols ASC|DESC..., specifiedwindowframe(...))`.
+    Partition columns print WITHOUT a sort direction, so the spec's FIRST
+    argument classifies it: a bare attribute ⇒ partitioned (fine); a
+    direction-suffixed attribute ⇒ ORDER-only (single-task sort); a frame
+    ⇒ neither (whole input on one task). Bounded-relation windows — every
+    order column an engine-internal `__` marker, e.g. ranks.py's
+    `__fsr_pid` offsets cumsum over a numPartitions-row relation — are
+    exempt by convention."""
+    import re
+
+    out = []
+    for m in re.finditer(r"windowspecdefinition\(([^,()]+)[,)]", plan):
+        first = m.group(1).strip()
+        if first.startswith("specifiedwindowframe"):
+            out.append("(no partition, no order)")
+            continue
+        if not re.search(r"\b(ASC|DESC)\b", first):
+            continue  # bare column ⇒ partitioned window
+        # order-only spec: collect its order columns for the exemption
+        tail = plan[m.start() : m.start() + 400]
+        cols = re.findall(r"(\w+)#\d+L? (?:ASC|DESC)", tail)
+        if cols and all(c.startswith("__") for c in set(cols)):
+            continue  # bounded offsets relation — allowed by convention
+        out.append(m.group(0)[:100])
+    return sorted(set(out))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
@@ -59,8 +99,11 @@ def main() -> int:
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
             checked += 1
-            if "CartesianProduct" in buf.getvalue():
+            plan = buf.getvalue()
+            if "CartesianProduct" in plan:
                 bad.append((name, "CartesianProduct"))
+            for order in unpartitioned_window_violations(plan):
+                bad.append((name, f"unpartitioned Window over [{order}]"))
         except Exception as e:  # noqa: BLE001 — report, keep sweeping
             bad.append((name, f"builder error: {e!r:.120}"))
     for name, why in bad:

@@ -1200,9 +1200,10 @@ def test_welch_single_hash_agg(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "agg_welch_ttest")
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
     assert len(scans) == 1, plan
-    assert "PushedFilters: [In(event_type" in plan or "event_type" in next(
-        l for l in plan.splitlines() if "PushedFilters" in l
-    )
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and (
+        "PushedFilters: [In(event_type" in plan or "event_type" in pushed[0]
+    ), plan
     assert "CartesianProduct" not in plan
 
 
@@ -1234,3 +1235,67 @@ def test_pack_sequences_single_arrow_stage_no_text_shuffle(spark, sf_dir):
         l for l in plan.splitlines() if "Arguments: hashpartitioning" in l
     ]
     assert ex_lines and all("text" not in l for l in ex_lines), ex_lines
+
+
+def test_no_unpartitioned_window_class_pin(spark, sf_dir):
+    """VERDICT r6 task 2 (class kill): the last two unpartitioned-window
+    ops (win_ntile, win_percent_rank_cume) now route through the
+    range-exchange decomposition, so NO graded window op plans a
+    data-sized ORDER-only WindowExec. The registry-wide sweep lives in
+    scripts/plan_audit.py (same detector, all eligible plans, run
+    per-round); this pin covers the two rewritten ops plus the window
+    family explicitly so a regression fails fast in pytest."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+    from scripts.plan_audit import unpartitioned_window_violations
+
+    for name in (
+        "win_ntile",
+        "win_percent_rank_cume",
+        "win_pareto_share",
+        "win_rolling_zscore",
+        "win_topk_per_group",
+        "text_zipf_fit",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        bad = unpartitioned_window_violations(plan)
+        assert not bad, (name, bad)
+
+
+def test_percent_rank_cume_decomposition_matches_window_form(spark):
+    """percent_rank/cume_dist/ntile(100) from the range-exchange rank must
+    equal Spark's own unpartitioned-window results on data WITH duplicate
+    order values (the total-order tiebreak makes rank == row_number, which
+    is what licenses the (r-1)/(n-1) and r/n arithmetic)."""
+    from pyspark.sql import Window, functions as F
+
+    from filemap_spark.functions.ranks import ntile_expr, with_global_rank
+
+    rows = [(i, float((i * 7) % 13)) for i in range(1, 402)]  # many ties
+    df = spark.createDataFrame(rows, "id int, score double")
+
+    w = Window.orderBy("score", "id")
+    want = {
+        r["id"]: (r["p"], r["c"], r["t"])
+        for r in df.select(
+            "id",
+            F.round(F.percent_rank().over(w), 6).alias("p"),
+            F.round(F.cume_dist().over(w), 6).alias("c"),
+            F.ntile(100).over(w).alias("t"),
+        ).collect()
+    }
+
+    ranked = with_global_rank(df, "score", "id", rank_col="_rk", total_col="_n")
+    r, n = F.col("_rk"), F.col("_n")
+    pct = F.when(n > 1, (r - 1) / (n - 1)).otherwise(F.lit(0.0))
+    got = {
+        row["id"]: (row["p"], row["c"], row["t"])
+        for row in ranked.select(
+            "id",
+            F.round(pct, 6).alias("p"),
+            F.round(r / n, 6).alias("c"),
+            ntile_expr("_rk", "_n", 100).alias("t"),
+        ).collect()
+    }
+    assert got == want
