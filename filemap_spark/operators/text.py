@@ -2989,7 +2989,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PACK_BUDGET = 256
-_PACK_SHARDS = 8
+_PACK_SHARD_DOCS = 4096  # target docs per FFD shard (bounds task state)
 
 
 @query("pack_sequences_bestfit", oracle=None, cost=0.4)
@@ -3007,23 +3007,40 @@ def pack_sequences_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once), budget compliance, the LB ≤ bins ≤ greedy-count
     sandwich, and cross-run determinism.
 
-    Mechanics: docs shard deterministically by doc_id % {shards} (shards
-    pack independently — the distributed compromise every production
-    packer makes: global FFD is a serial algorithm); within a shard,
+    Mechanics: docs shard deterministically by pmod(hash(doc_id),
+    n_shards) where n_shards = ceil(n_docs / {shard_docs}) — shard COUNT
+    grows with the corpus so per-shard rows stay ~{shard_docs} at any
+    scale (round 7, VERDICT r6 task 3; the r6 form's FIXED 8 shards made
+    each pandas group hold n/8 rows — corpus-sized state). Shards pack
+    independently — the distributed compromise every production packer
+    makes: global FFD is a serial algorithm; within a shard,
     applyInPandas sorts (n_tokens desc, doc_id) and first-fits into
     bins; bin ids are (shard, local index).
 
-    Scale: shard count scales with the cluster (each task's state is its
-    open-bin fill array, O(bins)); packing quality loss vs global FFD
-    shrinks as shards grow past a few hundred docs each; the shuffle
-    moves (doc_id, n_tokens) pairs only — the text never travels."""
+    Scale: each task's state is its open-bin fill array, O(bins) with
+    bins bounded by the shard's ~{shard_docs} docs; packing quality loss
+    vs global FFD shrinks as shards grow past a few hundred docs each;
+    the shuffle moves (doc_id, n_tokens) pairs only — the text never
+    travels. The shard count reaches the workers as a broadcast 1-row
+    relation (declarative, no driver collect)."""
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents")
-    sized = docs.select(
-        "doc_id",
-        F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
-        (F.col("doc_id") % _PACK_SHARDS).cast("int").alias("shard"),
+    n_shards = docs.agg(
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.count("*") / F.lit(_PACK_SHARD_DOCS)),
+        ).cast("int").alias("n_shards")
+    )
+    sized = (
+        docs.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(n_shards))
+        .withColumn(
+            "shard", F.pmod(F.hash("doc_id"), F.col("n_shards")).cast("int")
+        )
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -3051,7 +3068,8 @@ def pack_sequences_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).assign(bin_fill=lambda d: d.groupby("bin_idx")["n_tokens"].transform("sum"))
 
     return (
-        sized.groupBy("shard")
+        sized.drop("n_shards")
+        .groupBy("shard")
         .applyInPandas(
             pack,
             "shard int, bin_idx int, doc_id bigint, n_tokens int, bin_fill int",
@@ -3060,5 +3078,5 @@ def pack_sequences_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 pack_sequences_bestfit.__doc__ = pack_sequences_bestfit.__doc__.format(
-    budget=_PACK_BUDGET, shards=_PACK_SHARDS
+    budget=_PACK_BUDGET, shard_docs=_PACK_SHARD_DOCS
 )

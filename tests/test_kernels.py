@@ -508,11 +508,64 @@ def test_semdedup_report_matches_numpy(spark, sf_dir):
         assert row["n_removed"] == int(dup.any(axis=0).sum())
 
 
+def _lttb_select_loop(x, y, k):
+    """Pure-loop classic LTTB point selection (indices), written
+    independently of the operator's vectorized kernel: same bucket edges,
+    same triangle rule, same tie behavior (first argmax)."""
+    n = len(x)
+    if k <= 0:
+        return []
+    if n <= k:
+        return list(range(n))
+    if k == 1:
+        return [0]
+    edges = np.linspace(1, n - 1, k - 1).astype(int)
+    sel = [0]
+    a = 0
+    for b in range(k - 2):
+        lo, hi = edges[b], edges[b + 1]
+        nxt_lo = hi
+        nxt_hi = edges[b + 2] if b + 2 < k - 1 else n
+        cx = sum(x[nxt_lo:nxt_hi]) / (nxt_hi - nxt_lo)
+        cy = sum(y[nxt_lo:nxt_hi]) / (nxt_hi - nxt_lo)
+        best, best_area = lo, -1.0
+        for i in range(lo, hi):
+            area = abs((x[a] - cx) * (y[i] - y[a]) - (x[a] - x[i]) * (cy - y[a]))
+            if area > best_area:
+                best, best_area = i, area
+        sel.append(best)
+        a = best
+    sel.append(n - 1)
+    return sel
+
+
+def _chunked_lttb_loop(x, y, points, chunk_rows):
+    """Pure-loop mirror of the round-7 chunked operator: R coarse time
+    ranges, exact integer proportional budgets, classic LTTB per chunk."""
+    n = len(x)
+    r = -(-n // chunk_rows)  # ceil
+    tmin, tmax = x[0], x[-1]
+    width = -(-(tmax - tmin + 1) // r)
+    chunks: dict[int, list[int]] = {}
+    for i in range(n):
+        chunks.setdefault((x[i] - tmin) // width, []).append(i)
+    out = []
+    ccum = 0
+    for c in sorted(chunks):
+        idx = chunks[c]
+        nc = len(idx)
+        ccum += nc
+        k = (points * ccum) // n - (points * (ccum - nc)) // n
+        cx = [x[i] for i in idx]
+        cy = [y[i] for i in idx]
+        out.extend(idx[j] for j in _lttb_select_loop(cx, cy, k))
+    return out
+
+
 def test_lttb_matches_independent_reimplementation(spark, sf_dir):
-    """ts_downsample_lttb vs a pure-loop LTTB written independently of the
-    operator's vectorized form: same bucket edges, same triangle rule,
-    same tie behavior (first argmax) — plus endpoint pinning and
-    rerun-identity."""
+    """ts_downsample_lttb (round-7 chunked form) vs a pure-loop
+    reimplementation of the same algorithm — plus the single-chunk ≡
+    classic-LTTB property and rerun-identity."""
     from filemap_spark import all_queries
     from filemap_spark.io import load_table
 
@@ -532,33 +585,25 @@ def test_lttb_matches_independent_reimplementation(spark, sf_dir):
     for etype, g in pdf.groupby("event_type"):
         x = list(g["ts_us"])
         y = list(g["value"])
-        n, n_out = len(x), 20
-        if n <= n_out:
-            want = x
-        else:
-            edges = np.linspace(1, n - 1, n_out - 1).astype(int)
-            sel = [0]
-            a = 0
-            for b in range(n_out - 2):
-                lo, hi = edges[b], edges[b + 1]
-                nxt_lo = hi
-                nxt_hi = edges[b + 2] if b + 2 < n_out - 1 else n
-                cx = sum(x[nxt_lo:nxt_hi]) / (nxt_hi - nxt_lo)
-                cy = sum(y[nxt_lo:nxt_hi]) / (nxt_hi - nxt_lo)
-                best, best_area = lo, -1.0
-                for i in range(lo, hi):
-                    area = abs((x[a] - cx) * (y[i] - y[a]) - (x[a] - x[i]) * (cy - y[a]))
-                    if area > best_area:
-                        best, best_area = i, area
-                sel.append(best)
-                a = best
-            sel.append(n - 1)
-            want = [x[i] for i in sel]
+        sel = _chunked_lttb_loop(x, y, 20, 4096)
+        want = sorted(x[i] for i in sel)
         assert got[etype] == want, etype
         assert got[etype][0] == x[0] and got[etype][-1] == x[-1]
+        # ≤ 20 points, exactly 20 when no chunk's budget exceeds its rows
+        assert len(got[etype]) <= 20 or len(x) <= 20
 
     again_rows = all_queries()["ts_downsample_lttb"](spark, sf_dir).collect()
     assert sorted(map(tuple, again_rows)) == sorted(map(tuple, got_rows))
+
+
+def test_chunked_lttb_single_chunk_is_classic_lttb():
+    """With n <= chunk rows the proportional allocation degenerates to one
+    chunk with the full budget — the chunked selection must be identical
+    to whole-series classic LTTB."""
+    rng = np.random.RandomState(7)
+    x = sorted(rng.choice(10**6, size=3000, replace=False).tolist())
+    y = rng.randn(3000).tolist()
+    assert _chunked_lttb_loop(x, y, 20, 4096) == _lttb_select_loop(x, y, 20)
 
 
 def test_corr_cov_matches_numpy(spark, sf_dir):

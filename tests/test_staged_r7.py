@@ -1034,10 +1034,12 @@ def test_pack_sequences_conservation_and_bounds(spark):
     )
     assert (fills["fill"] == fills["reported"]).all()
     assert (fills["fill"] <= B).all()
-    # shard-local optimality sandwich
+    # shard-local optimality sandwich (membership from the output itself —
+    # the round-7 op shards by pmod(hash(doc_id), ceil(n/target)), so the
+    # test must not hard-code a shard function)
     sizes = docs.assign(n=docs["text"].str.split(" ").str.len())
     for shard, grp in out.groupby("shard"):
-        ssize = sizes[sizes["doc_id"] % 8 == shard]
+        ssize = sizes[sizes["doc_id"].isin(set(grp["doc_id"]))]
         lb = int(np.ceil(ssize["n"].sum() / B))
         n_bins = grp["bin_idx"].nunique()
         # greedy arrival-order packing (pack_token_budget's semantics)
