@@ -3309,15 +3309,21 @@ def agg_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s
     )
     SELECT cast(max(ta) AS bigint) AS n_a, cast(max(tb) AS bigint) AS n_b,
-           round(max(abs(cast(ca AS double) / cast(ta AS double)
-                         - cast(cb AS double) / cast(tb AS double))), 6) AS d_stat,
-           round(1.358 * sqrt(cast(max(ta) + max(tb) AS double)
-                              / cast(max(ta) * max(tb) AS double)), 6) AS crit_05,
-           cast(CASE WHEN max(abs(cast(ca AS double) / cast(ta AS double)
-                                  - cast(cb AS double) / cast(tb AS double)))
-                          > 1.358 * sqrt(cast(max(ta) + max(tb) AS double)
-                                         / cast(max(ta) * max(tb) AS double))
-                     THEN 1 ELSE 0 END AS bigint) AS reject_05
+           CASE WHEN max(ta) > 0 AND max(tb) > 0 THEN
+             round(max(abs(cast(ca AS double) / cast(ta AS double)
+                           - cast(cb AS double) / cast(tb AS double))), 6)
+           END AS d_stat,
+           CASE WHEN max(ta) > 0 AND max(tb) > 0 THEN
+             round(1.358 * sqrt(cast(max(ta) + max(tb) AS double)
+                                / cast(max(ta) * max(tb) AS double)), 6)
+           END AS crit_05,
+           cast(CASE WHEN max(ta) > 0 AND max(tb) > 0 THEN
+                  CASE WHEN max(abs(cast(ca AS double) / cast(ta AS double)
+                                    - cast(cb AS double) / cast(tb AS double)))
+                            > 1.358 * sqrt(cast(max(ta) + max(tb) AS double)
+                                           / cast(max(ta) * max(tb) AS double))
+                       THEN 1 ELSE 0 END
+                END AS bigint) AS reject_05
     FROM c
     """,
     cost=0.5,
@@ -3365,8 +3371,11 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     two32 = F.lit(2**32)
     ca = F.expr("cum div 4294967296").cast("double")
     cb = (F.col("cum") % two32).cast("double")
-    ta = F.expr("tot div 4294967296").cast("double")
-    tb = (F.col("tot") % two32).cast("double")
+    # nullif'd denominators: under ANSI mode a 0 total would ERROR inside
+    # the aggregate before the outer empty-sample guard ever applies; with
+    # NULL it propagates and max() ignores it (ADVICE r6)
+    ta = F.nullif(F.expr("tot div 4294967296").cast("double"), F.lit(0.0))
+    tb = F.nullif((F.col("tot") % two32).cast("double"), F.lit(0.0))
     d = F.max(F.abs(ca / ta - cb / tb)).alias("d_raw")
     res = c.agg(
         F.max(F.expr("tot div 4294967296")).cast("bigint").alias("n_a"),
@@ -3375,14 +3384,19 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     crit = F.lit(1.358) * F.sqrt(
         (F.col("n_a") + F.col("n_b")).cast("double")
-        / (F.col("n_a") * F.col("n_b")).cast("double")
+        / F.nullif((F.col("n_a") * F.col("n_b")).cast("double"), F.lit(0.0))
     )
+    # empty-sample guard (ADVICE r6): with n_a or n_b = 0 the ECDF and
+    # critical-value divisions are 0/0 — emit NULL stats, not Inf/NaN
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
     return res.select(
         "n_a",
         "n_b",
-        F.round("d_raw", 6).alias("d_stat"),
-        F.round(crit, 6).alias("crit_05"),
-        F.when(F.col("d_raw") > crit, 1).otherwise(0).cast("bigint").alias("reject_05"),
+        F.when(ok, F.round("d_raw", 6)).alias("d_stat"),
+        F.when(ok, F.round(crit, 6)).alias("crit_05"),
+        F.when(ok, F.when(F.col("d_raw") > crit, 1).otherwise(0))
+        .cast("bigint")
+        .alias("reject_05"),
     )
 
 
@@ -3591,24 +3605,33 @@ def ts_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Tie-corrected variance of U (double). Guarded: NULL when the pooled
+# sample has < 2 rows (the N(N-1) denominator would be 0); downstream z /
+# reject_05 guard on vau > 0, which also catches the all-values-identical
+# degenerate (variance exactly 0) instead of emitting Inf/NaN — mirroring
+# ts_acf's constant-window NULL discipline (ADVICE r6).
+_MWU_VAR = """
+    CASE WHEN n_a + n_b > 1 THEN
+      cast(n_a AS double) * cast(n_b AS double) / 12.0
+      * ((cast(n_a + n_b AS double) + 1)
+         - cast(tsum AS double)
+           / (cast(n_a + n_b AS double)
+              * (cast(n_a + n_b AS double) - 1)))
+    END AS vau
+"""
+
 _MWU_FINAL = """
     cast(n_a AS bigint) AS n_a, cast(n_b AS bigint) AS n_b,
     cast(u2 AS double) / 2 AS u_a,
-    round((cast(u2 AS double) - cast(n_a AS double) * cast(n_b AS double))
-          / (2 * sqrt(cast(n_a AS double) * cast(n_b AS double) / 12.0
-                      * ((cast(n_a + n_b AS double) + 1)
-                         - cast(tsum AS double)
-                           / (cast(n_a + n_b AS double)
-                              * (cast(n_a + n_b AS double) - 1))))), 6) AS z,
-    cast(CASE WHEN abs((cast(u2 AS double)
-                        - cast(n_a AS double) * cast(n_b AS double))
-               / (2 * sqrt(cast(n_a AS double) * cast(n_b AS double) / 12.0
-                           * ((cast(n_a + n_b AS double) + 1)
-                              - cast(tsum AS double)
-                                / (cast(n_a + n_b AS double)
-                                   * (cast(n_a + n_b AS double) - 1))))))
-                    > 1.96
-              THEN 1 ELSE 0 END AS bigint) AS reject_05
+    CASE WHEN vau > 0 THEN
+      round((cast(u2 AS double) - cast(n_a AS double) * cast(n_b AS double))
+            / (2 * sqrt(vau)), 6) END AS z,
+    cast(CASE WHEN vau > 0 THEN
+           CASE WHEN abs((cast(u2 AS double)
+                          - cast(n_a AS double) * cast(n_b AS double))
+                         / (2 * sqrt(vau))) > 1.96
+                THEN 1 ELSE 0 END
+         END AS bigint) AS reject_05
 """
 
 
@@ -3633,8 +3656,10 @@ _MWU_FINAL = """
       FROM c
     ), fin AS (
       SELECT n_a, n_b, tsum, ra2 - n_a * (n_a + 1) AS u2 FROM agg
+    ), fin2 AS (
+      SELECT *, {_MWU_VAR} FROM fin
     )
-    SELECT {_MWU_FINAL} FROM fin
+    SELECT {_MWU_FINAL} FROM fin2
     """,
     cost=0.5,
 )
@@ -3686,23 +3711,30 @@ def win_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tsum",
         (F.col("ra2") - F.col("n_a") * (F.col("n_a") + 1)).alias("u2"),
     )
-    return fin.selectExpr(*[e.strip() for e in _split_select(_MWU_FINAL)])
+    fin2 = fin.selectExpr("*", _MWU_VAR.strip())
+    return fin2.selectExpr(*[e.strip() for e in _split_select(_MWU_FINAL)])
 
 
 def _split_select(sql_fragment: str) -> list[str]:
-    """Split a SELECT-list fragment on top-level commas (paren-aware) so
-    the identical SQL text drives both engines."""
-    parts, depth, cur = [], 0, []
+    """Split a SELECT-list fragment on top-level commas so the identical
+    SQL text drives both engines. Paren-aware AND string-literal-aware: a
+    comma or paren inside a '...' literal is content, not structure (SQL
+    escapes a quote by doubling it — the naive toggle handles '' since
+    toggling twice restores the state)."""
+    parts, depth, cur, in_str = [], 0, [], False
     for ch in sql_fragment:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
-            parts.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+                continue
+        cur.append(ch)
     parts.append("".join(cur))
     return parts
 
@@ -3711,11 +3743,20 @@ def _split_select(sql_fragment: str) -> list[str]:
     "ts_acf",
     oracle=EVENTS_NORM_SQL
     + """,
-    daily AS (
+    sparse AS (
       SELECT event_type,
              epoch_us(date_trunc('day', ts)) // 86400000000 AS didx,
              count(*) AS n
       FROM events GROUP BY 1, 2
+    ), spans AS (
+      SELECT event_type, min(didx) AS d0, max(didx) AS d1
+      FROM sparse GROUP BY event_type
+    ), dense AS (
+      SELECT event_type, unnest(generate_series(d0, d1)) AS didx FROM spans
+    ), daily AS (
+      SELECT d.event_type, d.didx, coalesce(x.n, 0) AS n
+      FROM dense d LEFT JOIN sparse x
+        ON x.event_type = d.event_type AND x.didx = d.didx
     ), lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
     pairs AS (
       SELECT a.event_type, l.lag, a.n AS x, b.n AS y
@@ -3743,7 +3784,10 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the seasonality/persistence diagnostic that picks the period
     ts_stl_lite then decomposes (a weekly rhythm shows as an r spike at
     lag 7). The lag-join sibling of ts_cross_correlation (which
-    correlates two DIFFERENT series).
+    correlates two DIFFERENT series). The series is DENSIFIED over each
+    type's [min, max] day span (missing days count 0, matching
+    ts_holt_winters / ts_stl_lite), so lag pairs never silently skip
+    gaps and k_pairs = span − lag.
 
     Determinism: counts are exact integers; all five power sums are
     exact int64; r composes them through IEEE ops spelled identically in
@@ -3756,12 +3800,26 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     path). For per-entity ACF at scale the same plan keys by (entity,
     didx) and the daily frame stays proportional to active entity-days."""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
+    sparse = ev.groupBy(
         "event_type",
         F.expr(
             "unix_micros(date_trunc('day', ts)) div 86400000000"
         ).alias("didx"),
     ).agg(F.count("*").alias("n"))
+    # densify the [min, max] day span with 0-count cells (ADVICE r6): a
+    # zero-event day is a real observation of the daily series — dropping
+    # it biases lag-k r on gappy series, and the siblings
+    # (ts_holt_winters, ts_stl_lite) already densify. The dense frame
+    # stays calendar-bounded: O(types × span days).
+    spans = sparse.groupBy("event_type").agg(
+        F.min("didx").alias("d0"), F.max("didx").alias("d1")
+    )
+    dense = spans.select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("didx")
+    )
+    daily = dense.join(sparse, ["event_type", "didx"], "left").select(
+        "event_type", "didx", F.coalesce("n", F.lit(0)).alias("n")
+    )
     lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
     a = daily.select(
         "event_type", "didx", F.col("n").alias("x")

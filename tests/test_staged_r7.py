@@ -1054,3 +1054,52 @@ def test_pack_sequences_conservation_and_bounds(spark):
     assert out.sort_values(["shard", "bin_idx", "doc_id"]).reset_index(
         drop=True
     ).equals(out2.sort_values(["shard", "bin_idx", "doc_id"]).reset_index(drop=True))
+
+
+def test_split_select_ignores_commas_and_parens_in_literals():
+    """ADVICE r6: a quoted literal containing a comma or unbalanced paren
+    must not split the fragment (SQL's doubled-quote escape included)."""
+    from filemap_spark.operators.aggregates import _split_select
+
+    parts = _split_select(
+        "concat('a,b', ')', x) AS a, 'it''s, (fine' AS b, 1 AS c"
+    )
+    assert [p.strip().rsplit(" ", 1)[-1] for p in parts] == ["a", "b", "c"]
+
+
+def test_mwu_and_ks_degenerate_inputs_emit_null_not_inf(spark, tmp_path):
+    """ADVICE r6 guards: all pooled values identical → tie-corrected
+    variance 0 → NULL z / reject_05 (not Inf); one sample empty → NULL
+    d_stat / crit_05 / reject_05 (not 0/0)."""
+    ev = load_table(spark, SF, "events")
+
+    const_dir = str(tmp_path / "const")
+    ev.withColumn("value", F.lit(42.0)).write.parquet(
+        const_dir + "/events.parquet"
+    )
+    row = all_queries()["win_mann_whitney"](spark, const_dir).collect()[0]
+    assert row["n_a"] > 0 and row["n_b"] > 0
+    assert row["z"] is None and row["reject_05"] is None
+
+    noerr_dir = str(tmp_path / "noerr")
+    ev.where(F.col("event_type") != "error").write.parquet(
+        noerr_dir + "/events.parquet"
+    )
+    row = all_queries()["agg_ks_two_sample"](spark, noerr_dir).collect()[0]
+    assert row["n_a"] > 0 and row["n_b"] == 0
+    assert row["d_stat"] is None
+    assert row["crit_05"] is None and row["reject_05"] is None
+
+
+def test_acf_densifies_missing_days(spark, tmp_path):
+    """ADVICE r6: ts_acf must observe zero-event days as 0-count cells —
+    on a series with only days {d0, d0+3} present, every lag-k pair count
+    is span − k (4-day span), not the sparse form's near-zero overlap."""
+    ev = load_table(spark, SF, "events")
+    didx = F.expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+    d0 = ev.agg(F.min(didx)).collect()[0][0]
+    gap_dir = str(tmp_path / "gap")
+    ev.where(didx.isin(d0, d0 + 3)).write.parquet(gap_dir + "/events.parquet")
+    out = all_queries()["ts_acf"](spark, gap_dir).toPandas()
+    assert len(out) > 0
+    assert (out["k_pairs"] == 4 - out["lag"].clip(upper=4)).all(), out
