@@ -2989,7 +2989,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PACK_BUDGET = 256
-_PACK_SHARD_DOCS = 4096  # target docs per FFD shard (bounds task state)
+_PACK_SHARD_DOCS = 1024  # target docs per FFD shard (bounds task state)
 
 
 @query("pack_sequences_bestfit", oracle=None, cost=0.4)
