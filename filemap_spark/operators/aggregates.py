@@ -3817,8 +3817,15 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = spans.select(
         "event_type", F.explode(F.sequence("d0", "d1")).alias("didx")
     )
-    daily = dense.join(sparse, ["event_type", "didx"], "left").select(
-        "event_type", "didx", F.coalesce("n", F.lit(0)).alias("n")
+    daily = (
+        dense.join(sparse, ["event_type", "didx"], "left")
+        .select("event_type", "didx", F.coalesce("n", F.lit(0)).alias("n"))
+        # the daily frame feeds BOTH sides of the lag self-join; without a
+        # lineage cut each side re-plans the whole fact scan+agg (4 scans
+        # statically). localCheckpoint materializes the bounded
+        # O(types × span-days) frame once — ONE fact scan total, and the
+        # self-join runs on the checkpointed cells
+        .localCheckpoint(eager=True)
     )
     lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
     a = daily.select(

@@ -1182,13 +1182,16 @@ def test_concurrency_peak_single_type_exchange(spark, sf_dir):
 
 
 def test_acf_lag_join_on_bounded_daily_frame(spark, sf_dir):
-    """ts_acf: one fact agg to daily cells; the lag self-join and power
-    sums run on the bounded frame; the 7-row lag dim broadcasts."""
+    """ts_acf (round-7 densified form): the fact reduces to daily cells
+    ONCE — the densified frame is localCheckpointed, so the lag self-join
+    and boundary branches replan zero parquet scans (the r6 sparse form
+    scanned twice; densification without the lineage cut would scan 4×)."""
     import re
 
     plan = plan_of(spark, sf_dir, "ts_acf")
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
-    assert len(scans) <= 2, plan  # daily referenced twice at most
+    assert len(scans) == 0, plan  # both join sides read checkpointed cells
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
     assert "CartesianProduct" not in plan
 
 
