@@ -491,18 +491,25 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one file = one row = one task input; for millions of SMALL
     files compose with sink_compact_small_files' lesson — pack decoded
     payloads into parquet binary columns early (mm_binary_metadata's
-    layout) and never re-scan loose files."""
+    layout) and never re-scan loose files. Fixture construction is
+    itself distributed (round 7): each task writes its own partition's
+    files via foreachPartition — the driver holds no document rows, so
+    the construction side scales with the corpus exactly like the read
+    side (on a cluster the target dir is the shared store)."""
     out = _tmpdir("binfiles")
-    docs = (
+
+    def _write_partition(rows) -> None:
+        for r in rows:
+            name = f"doc_{r['doc_id']:06d}.bin"
+            with open(os.path.join(out, name), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+
+    (
         load_table(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 20 == 0)
         .select("doc_id", "text")
-        .collect()
+        .foreachPartition(_write_partition)
     )
-    for r in docs:
-        name = f"doc_{r['doc_id']:06d}.bin"
-        with open(os.path.join(out, name), "wb") as f:
-            f.write(r["text"].encode("utf-8"))
     bf = spark.read.format("binaryFile").load(out)
     return (
         bf.select(
