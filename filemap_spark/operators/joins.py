@@ -1895,8 +1895,10 @@ def join_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("check_name"),
             F.col("n_rows").cast("bigint").alias("n_rows"),
             F.col(viol_col).cast("bigint").alias("n_viol"),
+            # try_divide: NULL (not an ANSI error) when the audited table
+            # is empty — matching DuckDB's NULL-on-zero-divisor oracle
             F.round(
-                F.col(viol_col).cast("double") / F.col("n_rows"), 6
+                F.try_divide(F.col(viol_col).cast("double"), F.col("n_rows")), 6
             ).alias("viol_rate"),
         )
 

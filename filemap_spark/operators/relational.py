@@ -634,6 +634,8 @@ def pagerank_undirected(
     deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
     nodes = deg.select(F.col("u").alias("node")).localCheckpoint()
     n = nodes.count()
+    if n == 0:  # no edges (empty corpus / no duplicate pairs): no ranks
+        return nodes.withColumn("rank", F.lit(0.0))
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(iters):

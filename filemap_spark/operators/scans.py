@@ -65,8 +65,13 @@ def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(_tmpdir("part"), "documents")
     docs = load_table(spark, sf_dir, "documents")
     docs.write.mode("overwrite").partitionBy("lang").parquet(out)
-    return spark.read.parquet(out).where(F.col("lang") == "en").select(
-        "doc_id", "text", "lang", "source", "n_chars"
+    # explicit read schema: inference needs >=1 data file, and a 0-row
+    # corpus writes none — the declared contract covers it either way
+    return (
+        spark.read.schema(docs.schema)
+        .parquet(out)
+        .where(F.col("lang") == "en")
+        .select("doc_id", "text", "lang", "source", "n_chars")
     )
 
 
@@ -383,7 +388,8 @@ def sink_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFr
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return (
-        spark.read.parquet(base)
+        spark.read.schema(docs.schema)  # explicit: no files on a 0-row corpus
+        .parquet(base)
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
@@ -603,6 +609,10 @@ def scan_jsonl_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation.select(line.alias("value")).write.mode("overwrite").text(out)
     parsed = spark.read.option("mode", "PERMISSIVE").json(out)
     fields = parsed.schema.fields
+    if not fields:  # 0-line corpus: inference honestly yields no columns
+        return spark.createDataFrame(
+            [], "col_name string, col_type string, n_nonnull bigint"
+        )
     # ONE agg referencing every column (a _corrupt_record-only projection is
     # disallowed on raw JSON scans), then stack the single row out to one
     # audit row per column.
@@ -647,7 +657,7 @@ def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(_tmpdir("prune"), "documents")
     docs = load_table(spark, sf_dir, "documents")
     docs.write.mode("overwrite").partitionBy("lang").parquet(out)
-    back = spark.read.parquet(out)
+    back = spark.read.schema(docs.schema).parquet(out)  # 0-row corpus: no files
     return (
         back.where(F.col("lang").isin("en", "de"))
         .groupBy("lang", "source")
@@ -700,7 +710,7 @@ def sink_manifest_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("lang")
         .parquet(out_dir)
     )
-    back = spark.read.parquet(out_dir)
+    back = spark.read.schema(docs.schema).parquet(out_dir)  # 0-row: no files
     row_hash = F.expr(
         "cast(conv(substr(md5(concat(cast(doc_id as string), ':', text)), 1, 15),"
         " 16, 10) as bigint)"
@@ -755,7 +765,7 @@ def join_dpp_partitioned_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(_tmpdir("dpp"), "orders_part")
     orders = load_table(spark, sf_dir, "orders")
     orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
-    fact = spark.read.parquet(out)
+    fact = spark.read.schema(orders.schema).parquet(out)  # 0-row: no files
     dim = (
         orders.select("o_orderpriority")
         .distinct()

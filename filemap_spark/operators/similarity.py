@@ -59,8 +59,14 @@ _COSINE_ORACLE_CORE = """
 
 
 def _normalized_matrix(df_pandas: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
-    """(ids, row-normalized float64 matrix) from an embeddings pandas frame."""
+    """(ids, row-normalized float64 matrix) from an embeddings pandas frame.
+
+    Empty input yields (0-length ids, (0, 0) matrix): at corpus scale an
+    empty frame is a routine event (a filter that matched nothing, an
+    empty shard), and np.vstack cannot stack zero arrays."""
     ids = df_pandas["vec_id"].to_numpy(dtype=np.int64)
+    if len(ids) == 0:
+        return ids, np.zeros((0, 0))
     mat = np.vstack(df_pandas["embedding"].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -572,7 +578,10 @@ def _lsh_signature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed in Arrow batches against broadcast planes; nothing is
     collected."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    # first() is None on an empty corpus; any positive dim works then —
+    # sigs() never sees a non-empty batch, so the planes are never applied
+    first = emb.select(F.size("embedding").alias("d")).first()
+    dim = first["d"] if first is not None else 1
     bc = spark.sparkContext.broadcast(_lsh_planes(dim))
 
     def sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -827,6 +836,8 @@ def pca_components(emb: DataFrame, dim: int = 64) -> tuple[np.ndarray, np.ndarra
 
     rows = gram_partials(emb, dim).collect()  # <= one row per input partition
     rows.sort(key=lambda r: r["min_id"])
+    if not rows:  # empty corpus: no partials — zero mean, zero components
+        return np.zeros(dim), np.zeros((dim, _PCA_COMPONENTS))
     n = sum(r["n"] for r in rows)
     s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
     xtx = np.sum([np.asarray(r["xtx"]) for r in rows], axis=0).reshape(dim, dim)

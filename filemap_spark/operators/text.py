@@ -2682,9 +2682,11 @@ def text_stem_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_tokens"),
         F.countDistinct("w").alias("vocab_raw"),
         F.countDistinct("stem").alias("vocab_stemmed"),
-        (
-            F.countDistinct("stem").cast("double")
-            / F.countDistinct("w").cast("double")
+        # try_divide: NULL (not an ANSI error) on an empty corpus, the
+        # same NULL DuckDB's oracle produces for 0/0
+        F.try_divide(
+            F.countDistinct("stem").cast("double"),
+            F.countDistinct("w").cast("double"),
         ).alias("vocab_ratio"),
     )
 

@@ -252,7 +252,10 @@ def pipe_map_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = bucketed.pipe("sh -c 'sort | uniq -c'").map(
         lambda line: (int(line.strip().split(" ", 1)[0]), line.strip().split(" ", 1)[1])
     )
-    out = spark.createDataFrame(counted.map(lambda t: Row(word=t[1], n=t[0])))
+    # explicit schema: inference scans the RDD and raises on an empty one
+    out = spark.createDataFrame(
+        counted.map(lambda t: Row(word=t[1], n=t[0])), "word string, n bigint"
+    )
     return out.orderBy(F.desc("n"), F.asc("word")).limit(20)
 
 
@@ -328,7 +331,17 @@ def pipe_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.write.format("noop").mode("overwrite").save()  # one real pass
     m = obs.get
+
+    def _opt_int(v):  # sum/max observe as NULL over zero rows — keep it
+        return None if v is None else int(v)
+
     return spark.createDataFrame(
-        [(int(m["n_kept"]), int(m["sum_value_micros"]), int(m["max_user_id"]))],
+        [
+            (
+                int(m["n_kept"]),
+                _opt_int(m["sum_value_micros"]),
+                _opt_int(m["max_user_id"]),
+            )
+        ],
         "n_kept bigint, sum_value_micros bigint, max_user_id bigint",
     )
