@@ -210,11 +210,16 @@ def _baseline_pricing_form(spark, sf_dir: str):
     )
 
 
-def _time_incremental_delta(spark, sf_dir: str, n: int = 3) -> float:
+def _time_incremental_delta(spark, sf_dir: str, n: int = 3) -> tuple[float, float]:
     """Warm timing of the incremental-LSH DELTA ingest: build the base
     index once (untimed), then per run hand a fresh COPY of that state to
     the ingest of the arriving split — re-ingesting into the same state
-    would hit the seen-docs ledger and time an empty no-op instead."""
+    would hit the seen-docs ledger and time an empty no-op instead.
+
+    Returns (ingest_best, state_copy_best) separately (VERDICT r7 task 6):
+    the copytree is bench fixture I/O, not engine work, so the 2x bar
+    tracks only the ingest component; the copy cost is recorded alongside
+    it in BENCH_DETAIL for transparency."""
     import shutil
     import tempfile
 
@@ -231,17 +236,20 @@ def _time_incremental_delta(spark, sf_dir: str, n: int = 3) -> float:
         ).collect()
         delta_docs = docs.where(F.col("doc_id") % 10 == 0)
         best = float("inf")
+        copy_best = float("inf")
         for _ in range(n):
             run_dir = tempfile.mkdtemp(prefix="lsh_bench_run_")
             shutil.rmtree(run_dir, ignore_errors=True)
+            t0 = time.time()
             shutil.copytree(base_dir, run_dir)
+            copy_best = min(copy_best, time.time() - t0)
             try:
                 t0 = time.time()
                 incremental_lsh_ingest(spark, delta_docs, run_dir).collect()
                 best = min(best, time.time() - t0)
             finally:
                 shutil.rmtree(run_dir, ignore_errors=True)
-        return round(best, 3)
+        return round(best, 3), round(copy_best, 3)
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
 
@@ -305,9 +313,8 @@ def main() -> None:
         if fn is None:
             continue
         llm_timings[name] = _time_best(fn, spark, sf_dir)
-    llm_timings["dedup_incremental_lsh_delta"] = _time_incremental_delta(
-        spark, sf_dir
-    )
+    lsh_ingest, lsh_state_copy = _time_incremental_delta(spark, sf_dir)
+    llm_timings["dedup_incremental_lsh_delta"] = lsh_ingest
 
     # Same-rig calibration, ALTERNATING runs so both forms see identical JVM
     # warmth (a sequential tail measurement hands the later form a fully-JIT'd
@@ -325,6 +332,10 @@ def main() -> None:
         "agg_pricing_summary_same_warmth": round(ours_best, 3),
         "agg_pricing_summary_baseline_form": round(base_best, 3),
         "agg_pricing_summary_ratio_same_rig": round(ours_best / base_best, 3),
+        # VERDICT r7 task 6: the LSH delta metric split into engine work
+        # (ingest — the barred number) vs bench fixture I/O (state copy).
+        "dedup_incremental_lsh_delta_ingest": lsh_ingest,
+        "dedup_incremental_lsh_delta_state_copy": lsh_state_copy,
     }
 
     # Wordcount methodology calibration: BASELINE.md table 2's "warm" was the
@@ -378,7 +389,15 @@ def main() -> None:
         if breach:
             confirmed = []
             for name in breach:
-                retimed = _time_best(queries[name], spark, sf_dir)
+                fn = queries.get(name)
+                if fn is None:
+                    # synthetic metric (dedup_incremental_lsh_delta is not a
+                    # registry op) — retime through its own harness (ADVICE
+                    # r7: queries[name] would KeyError and abort the bench
+                    # before the breach report lands in BENCH_DETAIL).
+                    retimed, _copy = _time_incremental_delta(spark, sf_dir)
+                else:
+                    retimed = _time_best(fn, spark, sf_dir)
                 best = min(all_timings[name], retimed)
                 all_timings[name] = best
                 for suite in (timings, ext_timings, llm_timings):
@@ -422,7 +441,7 @@ def main() -> None:
     # Final stdout line: MUST stay well under the driver's 2000-char tail
     # (BENCH_r05 lost its head to an oversized line). With 42 timed
     # queries, seconds are rounded to 2dp with compact separators, and
-    # bar_ratios reports only the queries at >= 0.5 of their bar plus the
+    # bar_ratios reports only the queries at >= 0.7 of their bar plus the
     # summary fields — the full per-query map lives in BENCH_DETAIL.json.
     bar_max_q = max(bar_ratios, key=bar_ratios.get) if bar_ratios else None
     print(

@@ -1410,41 +1410,46 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     the largest triangle with the previously-kept point and the next
     bucket's centroid.
 
-    Scale (round 7, VERDICT r6 task 3): the series is pre-bucketed into
-    R = ceil(n / _LTTB_CHUNK_ROWS) coarse time ranges, each output-point
-    budget k_i allocated by exact integer proportional split
-    (floor(P*C_i/n) - floor(P*C_{i-1}/n) over cumulative chunk counts —
-    sums to exactly P), and LTTB runs per (type, chunk) group — the
-    standard partitioned/streaming LTTB adaptation. Per-group rows stay
-    ~_LTTB_CHUNK_ROWS no matter the corpus size, so no worker ever holds
-    a corpus-sized series; with a single chunk (n <= chunk rows) the
-    result is bit-identical to whole-series LTTB. Rows-only: the greedy
-    selection is not SQL; the pytest pins the chunked algorithm against
-    an independent pure-loop reimplementation, the single-chunk case
-    against classic LTTB, and rerun-identity."""
+    Scale (round 8, ADVICE r7): the series is pre-bucketed into
+    contiguous ROW-RANK blocks of exactly _LTTB_CHUNK_ROWS (last block
+    partial), each output-point budget k_i allocated by exact integer
+    proportional split (floor(P*C_i/n) - floor(P*C_{i-1}/n) over
+    cumulative chunk counts — sums to exactly P), and LTTB runs per
+    (type, chunk) group — the standard partitioned/streaming LTTB
+    adaptation. Round 7 chunked by uniform TIME ranges, which bounds
+    group RAM only under uniform density (a temporally skewed series
+    could concentrate nearly all rows in one time bucket); the row-rank
+    chunking — an exact per-type rank from the distributed
+    range-exchange decomposition (functions/ranks.py), no
+    single-partition window — bounds every applyInPandas group at
+    _LTTB_CHUNK_ROWS unconditionally. With a single chunk
+    (n <= chunk rows) the result is bit-identical to whole-series LTTB.
+    Rows-only: the greedy selection is not SQL; the pytest pins the
+    chunked algorithm against an independent pure-loop
+    reimplementation, the single-chunk case against classic LTTB, and
+    rerun-identity."""
+    from filemap_spark.functions.ranks import with_global_rank
+
     ev = load_table(spark, sf_dir, "events")
     pts = ev.withColumn("ts_us", F.unix_micros("ts")).select(
         "event_type", "event_id", "ts_us", "value"
     )
-    # per-type extent stats: O(|event types|) rows — a domain-bounded enum,
-    # broadcastable at any corpus size
-    stats = (
-        pts.groupBy("event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.min("ts_us").alias("tmin"),
-            F.max("ts_us").alias("tmax"),
-        )
-        .withColumn(
-            "r", F.ceil(F.col("n") / F.lit(_LTTB_CHUNK_ROWS)).cast("long")
-        )
-        .withColumn(
-            "width",
-            F.ceil((F.col("tmax") - F.col("tmin") + 1) / F.col("r")).cast("long"),
-        )
+    # exact within-type row rank: global rank over the total order
+    # (event_type, ts_us, event_id) minus the type's min rank. Per-type
+    # stats are O(|event types|) rows — a domain-bounded enum,
+    # broadcastable at any corpus size.
+    ranked = with_global_rank(
+        pts, "event_type", "ts_us", "event_id", rank_col="__gr"
     )
-    chunked = pts.join(F.broadcast(stats), "event_type").withColumn(
-        "chunk", F.expr("(ts_us - tmin) DIV width")
+    stats = ranked.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.min("__gr").alias("__gr0")
+    )
+    chunked = (
+        ranked.join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "chunk", F.expr(f"(__gr - __gr0) DIV {_LTTB_CHUNK_ROWS}")
+        )
+        .drop("__gr", "__gr0")
     )
     # integer proportional point budget per chunk (exact: DIV, not fp floor)
     wcum = (
@@ -2759,7 +2764,8 @@ def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: orders reduce map-side per customer; the outer join co-shuffles
     on custkey; the decile cut is the range-exchange + bounded-offset-join
     rank (NO single-partition window over customers); the final frame is
-    10 rows, so its population-total window is bounded."""
+    10 persisted rows and the population total a broadcast 1-row
+    aggregate — no unpartitioned Window node anywhere in the plan."""
     from filemap_spark.functions.ranks import with_global_ntile
 
     sp = (
@@ -2785,11 +2791,20 @@ def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tiled = with_global_ntile(base, 10, "neg_bal", "c_custkey", tile_col="decile")
+    # 10-row decile frame, read by the population-total branch AND the
+    # per-decile output: persist() gives one runtime pass (the ntile
+    # scaffold never re-runs) and the total arrives via a broadcast 1-row
+    # aggregate instead of an OVER () window — the round-8 plan_audit
+    # regex fix (ADVICE r7) made frame-first unpartitioned windows
+    # detectable, and the repo bans the node shape outright rather than
+    # carving a boundedness exemption the sweep cannot verify from plans.
     dec = tiled.groupBy("decile").agg(
         F.count("*").alias("n_cust"), F.sum("spend_micro").alias("dec_sum")
+    ).persist()
+    tot = dec.agg(
+        F.sum("dec_sum").alias("t_sum"), F.sum("n_cust").alias("t_n")
     )
-    wall = Window.partitionBy()
-    return dec.select(
+    return dec.crossJoin(F.broadcast(tot)).select(
         "decile",
         F.col("n_cust").cast("bigint").alias("n_cust"),
         F.expr(
@@ -2797,10 +2812,7 @@ def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_spend"),
         (
             (F.col("dec_sum").cast("double") / F.col("n_cust").cast("double"))
-            / (
-                F.sum("dec_sum").over(wall).cast("double")
-                / F.sum("n_cust").over(wall).cast("double")
-            )
+            / (F.col("t_sum").cast("double") / F.col("t_n").cast("double"))
         ).alias("lift"),
     )
 
@@ -3163,21 +3175,28 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the orders of summation could differ but the terms are few and
     benign at 6dp (pinned by the differential at all three SFs).
 
-    Scale: one fact hash agg to the contingency cells; the marginals are
-    windows over the bounded cell frame. χ² over any pair of
-    low-cardinality columns is the same plan."""
+    Scale: one fact hash agg to the contingency cells (persisted — both
+    consumers read the cached ≤15 rows); the marginals are PARTITIONED
+    windows over the bounded cell frame and the grand total a broadcast
+    1-row aggregate. χ² over any pair of low-cardinality columns is the
+    same plan."""
+    # ≤15-cell contingency frame, read by the marginal windows AND the
+    # grand-total branch: persist() gives one runtime fact pass and the
+    # total arrives via a broadcast 1-row aggregate instead of an OVER ()
+    # window (same rationale as agg_decile_lift — the repo bans the
+    # frame-first unpartitioned Window node shape outright).
     c = (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s"))
         .agg(F.count("*").alias("o"))
-    )
+    ).persist()
     wp = Window.partitionBy("p")
     ws = Window.partitionBy("s")
-    wall = Window.partitionBy()
+    tot = c.agg(F.sum("o").alias("n"))
     m = (
         c.withColumn("rp", F.sum("o").over(wp))
         .withColumn("cs", F.sum("o").over(ws))
-        .withColumn("n", F.sum("o").over(wall))
+        .crossJoin(F.broadcast(tot))
     )
     e = F.col("rp").cast("double") * F.col("cs").cast("double") / F.col("n").cast("double")
     term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
@@ -3820,12 +3839,18 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         dense.join(sparse, ["event_type", "didx"], "left")
         .select("event_type", "didx", F.coalesce("n", F.lit(0)).alias("n"))
-        # the daily frame feeds BOTH sides of the lag self-join; without a
-        # lineage cut each side re-plans the whole fact scan+agg (4 scans
-        # statically). localCheckpoint materializes the bounded
-        # O(types × span-days) frame once — ONE fact scan total, and the
-        # self-join runs on the checkpointed cells
-        .localCheckpoint(eager=True)
+        # the daily frame feeds BOTH sides of the lag self-join; without
+        # reuse each side re-plans the whole fact scan+agg. persist()
+        # materializes the bounded O(types × span-days) frame once at
+        # first action — ONE runtime fact scan, both sides read the same
+        # cached blocks — while (unlike round 7's eager localCheckpoint,
+        # ADVICE r7) keeping the pre-cache segment IN the logical plan,
+        # so plan_audit/test_plan_shape still sweep the scan+agg+join for
+        # CartesianProduct/window violations, and building the plan runs
+        # no job. Cache lives until session end (same bounded-leak
+        # posture as functions/ranks.py); eviction recompute is safe —
+        # the cells are deterministic aggregates.
+        .persist()
     )
     lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
     a = daily.select(

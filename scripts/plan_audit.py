@@ -13,7 +13,12 @@ Current invariants:
    bounded-offset window orders exclusively by engine-internal `__`
    marker columns (ranks.py's `__fsr_pid` offsets relation is
    numPartitions rows, i.e. cluster config, not data size). New bounded
-   windows must follow that naming convention to pass.
+   windows must follow that naming convention to pass. Frame-first specs
+   (no partition AND no order, e.g. `sum(x) OVER ()`) became detectable
+   in round 8 (the ADVICE r7 regex fix) and are banned OUTRIGHT — they
+   carry no order columns for the convention to exempt, and the two ops
+   that planned them over bounded frames (agg_decile_lift,
+   agg_chi2_independence) now broadcast a 1-row total instead.
 
 Ops in SKIP_PREFIX do eager work inside the builder (similarity index
 construction, connected-components label computation, parquet
@@ -67,7 +72,13 @@ def unpartitioned_window_violations(plan: str) -> list[str]:
     import re
 
     out = []
-    for m in re.finditer(r"windowspecdefinition\(([^,()]+)[,)]", plan):
+    # First-arg alternation (ADVICE r7): a frame-first spec's next char is
+    # '(' — `[^,()]+` alone can never match it, so `count(*) OVER ()`
+    # windows silently evaded the sweep. Maximal munch makes the trailing
+    # delimiter class redundant for the attribute branch.
+    for m in re.finditer(
+        r"windowspecdefinition\((specifiedwindowframe|[^,()]+)", plan
+    ):
         first = m.group(1).strip()
         if first.startswith("specifiedwindowframe"):
             out.append("(no partition, no order)")

@@ -540,19 +540,16 @@ def _lttb_select_loop(x, y, k):
 
 
 def _chunked_lttb_loop(x, y, points, chunk_rows):
-    """Pure-loop mirror of the round-7 chunked operator: R coarse time
-    ranges, exact integer proportional budgets, classic LTTB per chunk."""
+    """Pure-loop mirror of the round-8 chunked operator: contiguous
+    ROW-RANK blocks of chunk_rows (last partial), exact integer
+    proportional budgets, classic LTTB per chunk. (Round 7 chunked by
+    uniform time ranges; ADVICE r7 showed that only bounds group RAM
+    under uniform density.)"""
     n = len(x)
-    r = -(-n // chunk_rows)  # ceil
-    tmin, tmax = x[0], x[-1]
-    width = -(-(tmax - tmin + 1) // r)
-    chunks: dict[int, list[int]] = {}
-    for i in range(n):
-        chunks.setdefault((x[i] - tmin) // width, []).append(i)
     out = []
     ccum = 0
-    for c in sorted(chunks):
-        idx = chunks[c]
+    for start in range(0, n, chunk_rows):
+        idx = list(range(start, min(start + chunk_rows, n)))
         nc = len(idx)
         ccum += nc
         k = (points * ccum) // n - (points * (ccum - nc)) // n

@@ -1182,17 +1182,20 @@ def test_concurrency_peak_single_type_exchange(spark, sf_dir):
 
 
 def test_acf_lag_join_on_bounded_daily_frame(spark, sf_dir):
-    """ts_acf (round-7 densified form): the fact reduces to daily cells
-    ONCE — the densified frame is localCheckpointed, so the lag self-join
-    and boundary branches replan zero parquet scans (the r6 sparse form
-    scanned twice; densification without the lineage cut would scan 4×)."""
-    import re
+    """ts_acf (round-8 persist form): the densified daily frame is
+    persist()ed, so BOTH lag self-join sides read the same cached cells
+    (one runtime fact scan) while — unlike round 7's eager
+    localCheckpoint, ADVICE r7 — the pre-cache scan+agg+join segment
+    stays in the explained plan for the CartesianProduct/window sweep,
+    and building the plan runs no Spark job."""
+    from scripts.plan_audit import unpartitioned_window_violations
 
     plan = plan_of(spark, sf_dir, "ts_acf")
-    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
-    assert len(scans) == 0, plan  # both join sides read checkpointed cells
-    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+    # both join sides hit the cache, and the cached segment is visible
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "Scan parquet" in plan, plan  # pre-cache segment auditable
     assert "CartesianProduct" not in plan
+    assert not unpartitioned_window_violations(plan), plan
 
 
 def test_welch_single_hash_agg(spark, sf_dir):
@@ -1260,10 +1263,43 @@ def test_no_unpartitioned_window_class_pin(spark, sf_dir):
         "win_rolling_zscore",
         "win_topk_per_group",
         "text_zipf_fit",
+        # round 8: frame-first OVER () evaders caught by the regex fix,
+        # rewritten to persisted-frame + broadcast 1-row totals
+        "agg_decile_lift",
+        "agg_chi2_independence",
     ):
         plan = plan_of(spark, sf_dir, name)
         bad = unpartitioned_window_violations(plan)
         assert not bad, (name, bad)
+
+
+def test_window_violation_detector_on_synthetic_specs():
+    """Pure-string pins for the three windowspecdefinition classes the
+    detector must separate — including the frame-first case that the
+    round-7 regex could never match (ADVICE r7: `[^,()]+` cannot consume
+    a '(', so `count(*) OVER ()` windows silently evaded the sweep)."""
+    from scripts.plan_audit import unpartitioned_window_violations
+
+    # partitioned window: first arg is a bare attribute — fine
+    assert not unpartitioned_window_violations(
+        "windowspecdefinition(event_type#5, ts#7L ASC NULLS FIRST, "
+        "specifiedwindowframe(RangeFrame, unboundedpreceding$(), currentrow$()))"
+    )
+    # ORDER-only window over a data-sized relation — violation
+    assert unpartitioned_window_violations(
+        "windowspecdefinition(score#3 ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))"
+    )
+    # ORDER-only over the engine-internal bounded offsets relation — exempt
+    assert not unpartitioned_window_violations(
+        "windowspecdefinition(__fsr_pid#9 ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))"
+    )
+    # frame-first (no partition, no order) — violation, previously missed
+    assert unpartitioned_window_violations(
+        "windowspecdefinition(specifiedwindowframe(RowFrame, "
+        "unboundedpreceding$(), unboundedfollowing$()))"
+    )
 
 
 def test_percent_rank_cume_decomposition_matches_window_form(spark):
