@@ -395,7 +395,18 @@ def main() -> None:
                     # registry op) — retime through its own harness (ADVICE
                     # r7: queries[name] would KeyError and abort the bench
                     # before the breach report lands in BENCH_DETAIL).
-                    retimed, _copy = _time_incremental_delta(spark, sf_dir)
+                    retimed, recopy = _time_incremental_delta(spark, sf_dir)
+                    # keep the calibration keys coherent with the retimed
+                    # metric (ADVICE r8: the earlier-written summary fields
+                    # otherwise carry a stale, different value).
+                    calibration["dedup_incremental_lsh_delta_ingest"] = min(
+                        calibration["dedup_incremental_lsh_delta_ingest"],
+                        retimed,
+                    )
+                    calibration["dedup_incremental_lsh_delta_state_copy"] = min(
+                        calibration["dedup_incremental_lsh_delta_state_copy"],
+                        recopy,
+                    )
                 else:
                     retimed = _time_best(fn, spark, sf_dir)
                 best = min(all_timings[name], retimed)

