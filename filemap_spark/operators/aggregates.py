@@ -3371,7 +3371,10 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: fact reduces map-side to distinct (value, counts) cells; the
     range exchange moves one row per distinct value; the driver sees
-    nothing. The asymptotic-critical-value constant 1.358 is c(α=0.05)."""
+    nothing. The asymptotic-critical-value constant 1.358 is c(α=0.05).
+    10× replica smoke (SCALE.md, round 9): SCALE-FLAT (0.66 s at both
+    sizes) — replicated rows collapse in the first partial agg; max
+    range-partition 435 of 13,209 distinct values."""
     from filemap_spark.functions.ranks import with_global_cumsum
 
     ev = load_table(spark, sf_dir, "events").where(

@@ -2317,16 +2317,16 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline uses for contamination probes, eval-set mining, and hybrid
     (BM25 + dense) search next to sim_cosine_topk.
 
-    Plan shape (round 9, VERDICT r8 task 1): the posting lists tf are ONE
-    hash agg over the exploded token relation, localCheckpointed, and
-    every other statistic (dl = Σtf per doc, df = posting count per word,
-    avgdl = Σtf / n_docs) derives from the checkpointed frame — one
-    tokenize scan total where the r6-r8 plan re-tokenized for each of
-    tf/dl/df/n_toks. The query relation (a few rows) BROADCASTS onto the
-    df-filtered posting lists — only postings of query terms survive the
-    join, so the scored relation is O(query terms × matching docs), never
-    corpus-sized. The per-query top-k is a window over each query's
-    candidate set.
+    Plan shape (round 9, VERDICT r8 task 1): ONE rollup hash agg over the
+    masked token relation (_bm25_tf — query-term tf rows, per-doc dl
+    rows, and the corpus total in the same pass), localCheckpointed, and
+    every statistic (dl, df, avgdl, n_docs) derives from the checkpointed
+    frame — one tokenize scan total where the r6-r8 plan re-tokenized for
+    each of tf/dl/df/n_toks. The query relation (a few rows) BROADCASTS
+    onto the df-filtered posting lists — only postings of query terms
+    survive the join, so the scored relation is O(query terms × matching
+    docs), never corpus-sized. The per-query top-k is a window over each
+    query's candidate set.
 
     Scale: posting lists bucket by term (the df/tf joins shuffle on word),
     candidates carry dl via a doc_id-partitioned window — never

@@ -86,7 +86,11 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     every row through ONE task, which dies at fact scale. The
     decomposition is result-identical (tile arithmetic on the exact global
     rank; equivalence pytest in tests/test_kernels.py), so the oracle SQL
-    keeps the plain window form."""
+    keeps the plain window form.
+
+    10× replica smoke (SCALE.md, round 9): 1.8× wall for 10× rows and 10×
+    output, max range-partition 5,223 of 150k rows — per-task state is
+    the range slice (~n/32), never the table."""
     from filemap_spark.functions.ranks import with_global_ntile
 
     customer = load_table(spark, sf_dir, "customer")
@@ -245,7 +249,11 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank == row_number; then percent_rank = (rank-1)/(n-1), cume_dist =
     rank/n, and ntile(100) is ntile_expr's arithmetic on (rank, n) — one
     range exchange serves all three. Result-identical to the window form
-    (the oracle SQL keeps it), distributed instead of single-task."""
+    (the oracle SQL keeps it), distributed instead of single-task.
+
+    10× replica smoke (SCALE.md, round 9): 2.5× wall for 10× rows and 10×
+    output, max range-partition 5,223 of 150k rows — the balanced-slice
+    bound of the decomposition holds."""
     from filemap_spark.functions.ranks import ntile_expr, with_global_rank
 
     customer = load_table(spark, sf_dir, "customer")
@@ -711,7 +719,9 @@ def win_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the negated-micro trick.
 
     Scale: orders reduce map-side per customer; then ONE range exchange —
-    the same plan ntile/rank use; no single-partition window anywhere."""
+    the same plan ntile/rank use; no single-partition window anywhere.
+    10× replica smoke (SCALE.md, round 9): 2.0× wall for 10× rows and 10×
+    output, max range-partition 5,232 of ~150k customers."""
     from filemap_spark.functions.ranks import with_global_cumsum
 
     sp = (

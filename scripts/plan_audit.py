@@ -8,17 +8,18 @@ Current invariants:
    join_cross, the subquery ops), which is bounded work at any corpus size.
 2. NO operator may plan an UNPARTITIONED data-sized Window (round 7,
    VERDICT r6 task 2): a Window node with an empty partition spec funnels
-   every row through one task. The only allowed unpartitioned windows are
-   over BOUNDED relations — detected by the repo convention that every
-   bounded-offset window orders exclusively by engine-internal `__`
-   marker columns (ranks.py's `__fsr_pid` offsets relation is
-   numPartitions rows, i.e. cluster config, not data size). New bounded
-   windows must follow that naming convention to pass. Frame-first specs
-   (no partition AND no order, e.g. `sum(x) OVER ()`) became detectable
-   in round 8 (the ADVICE r7 regex fix) and are banned OUTRIGHT — they
-   carry no order columns for the convention to exempt, and the two ops
-   that planned them over bounded frames (agg_decile_lift,
-   agg_chi2_independence) now broadcast a 1-row total instead.
+   every row through one task. Round 9 made this detection STRUCTURAL
+   (VERDICT r8 task 6): the sweep walks the physical plan tree, reads
+   `partitionSpec().isEmpty()` directly (no spec-string parsing — the
+   r1-r8 regex could be evaded by expression-ordered specs), and flags
+   any empty-partition window with a file scan anywhere in its input
+   subtree regardless of naming. The `__` marker-column convention
+   (ranks.py's `__fsr_pid` offsets relation — numPartitions rows, i.e.
+   cluster config, not data size) remains as documentation and as the
+   residual evidence for scan-free subtrees behind cache/checkpoint
+   leaves. Frame-first specs (no partition AND no order, e.g.
+   `sum(x) OVER ()`) stay banned OUTRIGHT. Synthetic pins for every
+   branch: tests/test_plan_audit.py.
 
 Ops in SKIP_PREFIX do eager work inside the builder (similarity index
 construction, connected-components label computation, parquet
@@ -57,40 +58,98 @@ SKIP_PREFIX = (
 )
 
 
-def unpartitioned_window_violations(plan: str) -> list[str]:
-    """Specs of every data-sized unpartitioned window in a formatted plan.
+# Physical scan node classes that read DATA-SIZED relations straight off
+# storage. An unpartitioned window with one of these anywhere below it is
+# a single-task funnel of corpus-sized input — always a violation.
+_FILE_SCAN_CLASSES = frozenset({
+    "FileSourceScanExec",
+    "BatchScanExec",
+    "RowDataSourceScanExec",
+    "HiveTableScanExec",
+})
 
-    Every Window node's expressions embed `windowspecdefinition(partition
-    cols..., order cols ASC|DESC..., specifiedwindowframe(...))`.
-    Partition columns print WITHOUT a sort direction, so the spec's FIRST
-    argument classifies it: a bare attribute ⇒ partitioned (fine); a
-    direction-suffixed attribute ⇒ ORDER-only (single-task sort); a frame
-    ⇒ neither (whole input on one task). Bounded-relation windows — every
-    order column an engine-internal `__` marker, e.g. ranks.py's
-    `__fsr_pid` offsets cumsum over a numPartitions-row relation — are
-    exempt by convention."""
-    import re
 
+# Nodes that BOUND the row count of everything above them to a literal
+# limit — a window over a TakeOrdered/GlobalLimit frame sees ≤ k rows no
+# matter what the scan below produced (text_zipf_fit's top-100 rank).
+_ROW_BOUNDING_CLASSES = frozenset({
+    "TakeOrderedAndProjectExec",
+    "GlobalLimitExec",
+    "CollectLimitExec",
+})
+
+
+def _walk(jnode, stop_at_bounds: bool = False):
+    yield jnode
+    if stop_at_bounds and jnode.getClass().getSimpleName() in _ROW_BOUNDING_CLASSES:
+        return
+    kids = jnode.children()
+    for i in range(kids.size()):
+        yield from _walk(kids.apply(i), stop_at_bounds)
+
+
+def unpartitioned_window_violations(df) -> list[str]:
+    """STRUCTURAL sweep (round 9, VERDICT r8 task 6 + ADVICE r8): walk the
+    pre-AQE physical plan tree and flag every Window-family node whose
+    partitionSpec is EMPTY, unless it is provably bounded:
+
+      - any file-scan node (_FILE_SCAN_CLASSES) in the window's input
+        subtree ⇒ VIOLATION, no exemption — the r1-r8 regex classifier
+        could be evaded by expression-ordered specs (`lower(x) ASC`
+        extracts to a `_w0` projected alias the old first-arg parse
+        misread); the tree check cannot, because it never parses specs.
+      - no file scan below AND every order column an engine-internal `__`
+        marker (ranks.py's offsets cumsum — a numPartitions-row relation
+        behind an InMemoryTableScan) ⇒ allowed; the naming convention is
+        now DOCUMENTATION of intent, not the load-bearing detector.
+      - no order columns at all (frame-first `agg OVER ()`) ⇒ VIOLATION
+        outright, as before.
+
+    Residual blind spot, recorded: a data-sized window whose lineage is
+    severed by a checkpoint/cache (RDDScanExec / InMemoryTableScanExec
+    leaves) AND whose order columns are deliberately `__`-named would
+    pass — the scan classes hide their upstream plan, so boundedness
+    there rests on the convention. Every current exempt window is the
+    ranks.py offsets relation, pinned bounded by construction
+    (numPartitions rows) and by tests/test_plan_audit.py."""
     out = []
-    # First-arg alternation (ADVICE r7): a frame-first spec's next char is
-    # '(' — `[^,()]+` alone can never match it, so `count(*) OVER ()`
-    # windows silently evaded the sweep. Maximal munch makes the trailing
-    # delimiter class redundant for the attribute branch.
-    for m in re.finditer(
-        r"windowspecdefinition\((specifiedwindowframe|[^,()]+)", plan
-    ):
-        first = m.group(1).strip()
-        if first.startswith("specifiedwindowframe"):
-            out.append("(no partition, no order)")
+    jplan = df._jdf.queryExecution().sparkPlan()
+    for node in _walk(jplan):
+        cls = node.getClass().getSimpleName()
+        if cls not in ("WindowExec", "WindowGroupLimitExec", "WindowInPandasExec"):
             continue
-        if not re.search(r"\b(ASC|DESC)\b", first):
-            continue  # bare column ⇒ partitioned window
-        # order-only spec: collect its order columns for the exemption
-        tail = plan[m.start() : m.start() + 400]
-        cols = re.findall(r"(\w+)#\d+L? (?:ASC|DESC)", tail)
-        if cols and all(c.startswith("__") for c in set(cols)):
-            continue  # bounded offsets relation — allowed by convention
-        out.append(m.group(0)[:100])
+        if not node.partitionSpec().isEmpty():
+            continue
+        # stop descending at row-bounding nodes: a scan BELOW a global
+        # limit cannot make the window's input data-sized
+        scans = {
+            n.getClass().getSimpleName()
+            for n in _walk(node, stop_at_bounds=True)
+            if n.getClass().getSimpleName().endswith("ScanExec")
+            or n.getClass().getSimpleName() == "InMemoryTableScanExec"
+        }
+        order = node.orderSpec()
+        cols = []
+        for i in range(order.size()):
+            child = order.apply(i).child()
+            try:
+                cols.append(child.name())
+            except Exception:  # noqa: BLE001 — non-attribute order expr
+                cols.append(child.toString())
+        bounded = any(
+            n.getClass().getSimpleName() in _ROW_BOUNDING_CLASSES
+            for n in _walk(node, stop_at_bounds=True)
+        )
+        file_scans = scans & _FILE_SCAN_CLASSES
+        if file_scans:
+            out.append(
+                f"{cls}[order={','.join(cols) or '(frame-only)'}]"
+                f" over {sorted(file_scans)}"
+            )
+        elif not cols:
+            out.append(f"{cls}[no partition, no order]")
+        elif not (bounded or all(c.startswith("__") for c in cols)):
+            out.append(f"{cls}[order={','.join(cols)}] unbounded-unexempt")
     return sorted(set(out))
 
 
@@ -113,7 +172,7 @@ def main() -> int:
             plan = buf.getvalue()
             if "CartesianProduct" in plan:
                 bad.append((name, "CartesianProduct"))
-            for order in unpartitioned_window_violations(plan):
+            for order in unpartitioned_window_violations(df):
                 bad.append((name, f"unpartitioned Window over [{order}]"))
         except Exception as e:  # noqa: BLE001 — report, keep sweeping
             bad.append((name, f"builder error: {e!r:.120}"))

@@ -1223,12 +1223,13 @@ def test_acf_lag_join_on_bounded_daily_frame(spark, sf_dir):
     and building the plan runs no Spark job."""
     from scripts.plan_audit import unpartitioned_window_violations
 
+    df = QUERIES["ts_acf"](spark, sf_dir)
     plan = plan_of(spark, sf_dir, "ts_acf")
     # both join sides hit the cache, and the cached segment is visible
     assert plan.count("InMemoryTableScan") >= 2, plan
     assert "Scan parquet" in plan, plan  # pre-cache segment auditable
     assert "CartesianProduct" not in plan
-    assert not unpartitioned_window_violations(plan), plan
+    assert not unpartitioned_window_violations(df), plan
 
 
 def test_welch_single_hash_agg(spark, sf_dir):
@@ -1281,9 +1282,10 @@ def test_no_unpartitioned_window_class_pin(spark, sf_dir):
     ops (win_ntile, win_percent_rank_cume) now route through the
     range-exchange decomposition, so NO graded window op plans a
     data-sized ORDER-only WindowExec. The registry-wide sweep lives in
-    scripts/plan_audit.py (same detector, all eligible plans, run
-    per-round); this pin covers the two rewritten ops plus the window
-    family explicitly so a regression fails fast in pytest."""
+    scripts/plan_audit.py (round 9: the STRUCTURAL tree-walking detector;
+    its synthetic per-branch pins live in tests/test_plan_audit.py); this
+    pin covers the two rewritten ops plus the window family explicitly so
+    a regression fails fast in pytest."""
     import sys
 
     sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
@@ -1301,38 +1303,9 @@ def test_no_unpartitioned_window_class_pin(spark, sf_dir):
         "agg_decile_lift",
         "agg_chi2_independence",
     ):
-        plan = plan_of(spark, sf_dir, name)
-        bad = unpartitioned_window_violations(plan)
+        df = QUERIES[name](spark, sf_dir)
+        bad = unpartitioned_window_violations(df)
         assert not bad, (name, bad)
-
-
-def test_window_violation_detector_on_synthetic_specs():
-    """Pure-string pins for the three windowspecdefinition classes the
-    detector must separate — including the frame-first case that the
-    round-7 regex could never match (ADVICE r7: `[^,()]+` cannot consume
-    a '(', so `count(*) OVER ()` windows silently evaded the sweep)."""
-    from scripts.plan_audit import unpartitioned_window_violations
-
-    # partitioned window: first arg is a bare attribute — fine
-    assert not unpartitioned_window_violations(
-        "windowspecdefinition(event_type#5, ts#7L ASC NULLS FIRST, "
-        "specifiedwindowframe(RangeFrame, unboundedpreceding$(), currentrow$()))"
-    )
-    # ORDER-only window over a data-sized relation — violation
-    assert unpartitioned_window_violations(
-        "windowspecdefinition(score#3 ASC NULLS FIRST, "
-        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))"
-    )
-    # ORDER-only over the engine-internal bounded offsets relation — exempt
-    assert not unpartitioned_window_violations(
-        "windowspecdefinition(__fsr_pid#9 ASC NULLS FIRST, "
-        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))"
-    )
-    # frame-first (no partition, no order) — violation, previously missed
-    assert unpartitioned_window_violations(
-        "windowspecdefinition(specifiedwindowframe(RowFrame, "
-        "unboundedpreceding$(), unboundedfollowing$()))"
-    )
 
 
 def test_percent_rank_cume_decomposition_matches_window_form(spark):

@@ -177,6 +177,8 @@ def _protobuf_available() -> bool:
     # site-packages copy to vendor (only pyi stubs under a typeshed and
     # pyspark's own .proto-generated SQL modules, which need the runtime);
     # `pip download protobuf --no-deps` produces nothing (no network).
+    # Round-9 re-probe (VERDICT r8 task 8), 2026-08-14: still
+    # ModuleNotFoundError ("No module named 'google'") — unchanged.
     # The skip stands until the container gains the package; the legacy
     # applyInPandasWithState twin keeps the stateful contract covered.
     try:
