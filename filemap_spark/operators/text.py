@@ -3051,33 +3051,34 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Mechanics: first-occurrence attribution is one min(doc_id) agg over
     the distinct shingle relation (no ordered scan, no state): a shingle
-    is novel IN exactly the doc that owns its minimum.
+    is novel IN exactly the doc that owns its minimum — so n_novel per
+    doc is just a COUNT of firsts by owner (round 9: the r6-r8 plan
+    joined the corpus-sized shingle relation back onto firsts to test
+    membership; counting firsts by first_doc is the same number without
+    the corpus-sized join).
 
     Determinism: pure integer counts and one exact-int quotient.
 
-    Scale: wordcount-shaped — shingle agg + membership join back, both
-    keyed on the shingle (hash-before-shuffle applies upstream via
-    _shingle_frame); ingest order generalizes to any total order
-    (timestamp, crawl seq) by min-ing that key instead."""
+    Scale: wordcount-shaped — ONE shingle-keyed agg (map-side partial
+    min) for attribution plus one doc-keyed count (collapses map-side;
+    both over the zero-shuffle map-side _shingle_frame), then a doc-keyed
+    join of two DOC-sized frames — no corpus-sized join survives. Ingest
+    order generalizes to any total order (timestamp, crawl seq) by
+    min-ing that key instead."""
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingle_frame(docs)
     firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        sh.join(firsts, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
+    novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").alias("n_novel")
     )
-    return per_doc.select(
+    tot = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    n_novel = F.coalesce("n_novel", F.lit(0))
+    return tot.join(novel, "doc_id", "left").select(
         "doc_id",
         F.col("n_shingles").cast("bigint").alias("n_shingles"),
-        F.col("n_novel").cast("bigint").alias("n_novel"),
+        n_novel.cast("bigint").alias("n_novel"),
         F.round(
-            F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+            n_novel.cast("double") / F.col("n_shingles"), 6
         ).alias("novelty"),
     )
 
