@@ -907,3 +907,128 @@ def test_cumsum_rank_col_equals_window_row_number(spark):
         .collect()
     }
     assert got == want
+
+
+def test_mapside_shingle_frame_equals_lead_window_form(spark, sf_dir):
+    """Round-9 rewrite pin: the map-side _shingle_frame (per-doc
+    array_distinct over transform'd 5-gram slices, zero shuffle) must
+    produce EXACTLY the distinct (doc_id, shingle) set of the r1-r8
+    lead-window reference form — the property every LSH/ngram oracle hash
+    rests on."""
+    from filemap_spark.operators.text import _shingle_frame
+
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {(r["doc_id"], r["shingle"]) for r in _shingle_frame(docs).collect()}
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    ref = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                "word",
+                F.lead("word", 1).over(w),
+                F.lead("word", 2).over(w),
+                F.lead("word", 3).over(w),
+                F.lead("word", 4).over(w),
+            ).alias("shingle"),
+            F.lead("word", 4).over(w).alias("w4"),
+        )
+        .where(F.col("w4").isNotNull())
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+    want = {(r["doc_id"], r["shingle"]) for r in ref.collect()}
+    assert got == want and got  # non-vacuous
+
+
+def test_band_buckets_equal_wide_column_reference(spark, sf_dir):
+    """Round-9 rewrite pin: the posexploded-hash-array _band_buckets must
+    emit bit-identical (doc_id, band, bucket) rows to the r3-r8
+    wide-column form (128 hash cols -> 128 min aggs -> 32 hash(m4i..)
+    band cols) — bucket hash argument order is part of the contract
+    (signatures from different batches/rounds stay comparable)."""
+    from filemap_spark.operators.text import (
+        _LSH_BANDS,
+        _LSH_HASHES,
+        _band_buckets,
+        _shingle_frame,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    sh = _shingle_frame(docs).localCheckpoint()
+    got = {
+        (r["doc_id"], r["band"], r["bucket"])
+        for r in _band_buckets(sh).collect()
+    }
+
+    sigs = sh.select(
+        "doc_id",
+        *[
+            F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"h{i}")
+            for i in range(_LSH_HASHES)
+        ],
+    ).groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(_LSH_HASHES)]
+    )
+    rpb = _LSH_HASHES // _LSH_BANDS
+    rows = sigs.select(
+        "doc_id",
+        *[
+            F.hash(*[F.col(f"m{b * rpb + r}") for r in range(rpb)]).alias(f"b{b}")
+            for b in range(_LSH_BANDS)
+        ],
+    ).collect()
+    want = {
+        (r["doc_id"], b, r[f"b{b}"]) for r in rows for b in range(_LSH_BANDS)
+    }
+    assert got == want and got
+
+
+def test_bm25_rollup_stats_equal_direct_token_aggregation(spark, sf_dir):
+    """Round-9 rewrite pin: every statistic the rolled-up masked postings
+    frame (_bm25_tf) claims to carry — per-term tf, per-doc dl, per-term
+    df, corpus n_toks, n_docs — must equal the same statistic aggregated
+    directly from the raw token relation."""
+    from filemap_spark.operators.text import _BM25_QUERY_ROWS, _bm25_tf, _tokens
+
+    tfm = _bm25_tf(spark, sf_dir).localCheckpoint()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = _tokens(docs).select("doc_id", "word")
+    terms = sorted({t for _q, t in _BM25_QUERY_ROWS})
+
+    # per-term tf (gid=0, non-null word)
+    got_tf = {
+        (r["doc_id"], r["word"]): r["tf"]
+        for r in tfm.where(
+            (F.col("gid") == 0) & F.col("word").isNotNull()
+        ).collect()
+    }
+    want_tf = {
+        (r["doc_id"], r["word"]): r["n"]
+        for r in toks.where(F.col("word").isin(terms))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got_tf == want_tf and got_tf
+
+    # per-doc dl (gid=1)
+    got_dl = {
+        r["doc_id"]: r["tf"] for r in tfm.where(F.col("gid") == 1).collect()
+    }
+    want_dl = {
+        r["doc_id"]: r["n"]
+        for r in toks.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got_dl == want_dl
+
+    # corpus totals (gid=3) and n_docs
+    n_toks = tfm.where(F.col("gid") == 3).collect()[0]["tf"]
+    assert n_toks == toks.count()
+    assert tfm.where(F.col("gid") == 1).count() == docs.count()
