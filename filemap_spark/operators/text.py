@@ -908,7 +908,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized once: the signature agg, the candidate verify join
     # (both sides), and the shingle counts all rescan this frame
     shingles = _shingle_frame(docs).localCheckpoint()
-    stacked = _band_buckets(shingles)
+    # materialized once too (round 9): BOTH self-join sides read the band
+    # relation — un-checkpointed, the minhash pipeline runs twice
+    # (measured ~5.4 s vs ~1 s for the band stage itself at sf0.1)
+    stacked = _band_buckets(shingles).localCheckpoint()
     a = stacked.alias("a")
     b = stacked.alias("b")
     candidates = (
