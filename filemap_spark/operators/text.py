@@ -833,7 +833,13 @@ def _band_buckets(shingles: DataFrame) -> DataFrame:
     (doc_id, i) (bounded state, map-side partial min), and reassembles
     the bounded 128-element signature array per doc for the band hash.
     Shuffle volume is the same docs×128 longs the wide-column partial-agg
-    moved; warm stage time dropped 1.8 s → 0.9 s at sf0.1."""
+    moved (the explode's 128× row blow-up collapses in the map-side
+    partial min before the exchange); end-to-end, the incremental delta
+    ingest this stage dominates dropped 3.2 s → 2.2 s warm at sf0.1. On
+    a FULL-corpus pass the explode's CPU cost and the old form's fixed
+    analysis cost are comparable (~2-4 s either way at sf0.1) — the
+    exploded form wins on delta-sized batches, which is the shape the
+    ingest path exists for."""
     rows_per_band = _LSH_HASHES // _LSH_BANDS
     ih = shingles.select(
         "doc_id",
