@@ -736,29 +736,15 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash_lsh). The shingle equi-join shuffles on the shingle, so
     cost is bounded by shingle-bucket sizes, not the doc-pair cross product."""
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = (
-        _tokens(docs)
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                "word",
-                F.lead("word", 1).over(w),
-                F.lead("word", 2).over(w),
-                F.lead("word", 3).over(w),
-                F.lead("word", 4).over(w),
-            ).alias("shingle"),
-            F.lead("word", 4).over(w).alias("w4"),
-        )
-        .where(F.col("w4").isNotNull())
-        .select("doc_id", "shingle")
-        .distinct()
-        # materialized once: counts and BOTH self-join sides scan this frame,
-        # and Spark does not dedupe common subplans — without this the
-        # window+distinct stage runs three times per query
-        .localCheckpoint()
-    )
+    # materialized once: counts and BOTH self-join sides scan this frame,
+    # and Spark does not dedupe common subplans — without this the
+    # shingle build runs three times per query. Round 9: the shared
+    # map-side _shingle_frame replaces the inline window+distinct form —
+    # measured EQUAL warm time under identical JIT conditions (1.31 s vs
+    # 1.31 s at sf0.1; an apparent 0.84 vs 1.3 gap was bench-suite JIT
+    # warmth, not the form) with two shuffles fewer, and the rows are
+    # bit-identical (tests/test_kernels.py).
+    sh = _shingle_frame(docs).localCheckpoint()
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
