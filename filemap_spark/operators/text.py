@@ -1885,9 +1885,12 @@ def text_ngram_coverage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: same shingle equi-join layout as dedup_cross_split — the train
     shingle set is DISTINCT (Zipf-bounded), the join is a left semi-ish
-    hash join keyed by shingle, never doc×doc."""
+    hash join keyed by shingle, never doc×doc. The shingle frame is
+    materialized once (round 9): the train and held splits are both
+    slices of it, and without the checkpoint the map-side shingle build
+    runs once per split."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingle_frame(docs)
+    sh = _shingle_frame(docs).localCheckpoint()
     train = (
         sh.where(F.col("doc_id") % 10 != 0).select("shingle").distinct()
         .withColumn("hit", F.lit(1))
