@@ -476,3 +476,36 @@ def test_mean_micro_6dp_batch_cross_engine(spark):
         con.close()
     expect = [exact(s, n) for s, n in pairs]
     assert got_spark == got_duck == expect
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from(list("ab ")), min_size=0, max_size=40),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_mapside_shingles_match_pure_python_on_adversarial_texts(spark, texts):
+    """Round-9 shingle-rewrite property: on arbitrary texts — empty
+    strings, runs of spaces (empty tokens), docs shorter than the 5-gram
+    width, heavy repetition — the map-side _shingle_frame must equal the
+    pure-python definition: distinct space-joined 5-token windows of
+    split(text, ' ')."""
+    from filemap_spark.operators.text import _shingle_frame
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {(r["doc_id"], r["shingle"]) for r in _shingle_frame(docs).collect()}
+
+    want = set()
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        for p in range(len(w) - 4):
+            want.add((i, " ".join(w[p : p + 5])))
+    assert got == want
