@@ -647,6 +647,16 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     p = sub.add_parser(
+        "ops",
+        help="list the registered operator catalog (id, check type, semantics)",
+    )
+    p.add_argument(
+        "--family",
+        default=None,
+        help="filter to one operator module (e.g. text, joins, aggregates)",
+    )
+
+    p = sub.add_parser(
         "compact",
         help="rewrite a fragmented parquet dataset as few range-clustered files",
     )
@@ -657,6 +667,24 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-records-per-file", type=int, default=2_000_000)
 
     args = ap.parse_args(argv)
+    if args.verb == "ops":
+        # registry-only: no SparkSession needed to browse the catalog
+        from filemap_spark.registry import _META, all_oracle, all_queries
+
+        queries = all_queries()
+        oracle = set(all_oracle())
+        shown = 0
+        for name in sorted(queries):
+            family = _META[name][0]
+            if args.family and family != args.family:
+                continue
+            doc = (queries[name].__doc__ or "").strip().splitlines()
+            sem = doc[0].strip() if doc else "(undocumented)"
+            check = "oracle" if name in oracle else "rows-only"
+            print(f"{name}\t{family}\t{check}\t{sem}")
+            shown += 1
+        print(f"{shown} operators", file=sys.stderr)
+        return 0
     if args.verb == "query":
         from filemap_spark.session import get_spark
 

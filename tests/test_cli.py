@@ -398,3 +398,25 @@ def test_tpch_verb_runs_selected_queries(spark, sf_dir, tmp_path, capsys):
     got = spark.read.parquet(os.path.join(out, "q13.parquet"))
     direct = run_tpch(spark, sf_dir, which=["q13"])
     assert got.count() == direct[0][2]
+
+
+def test_ops_catalog_lists_full_registry(capsys):
+    """`filemap_spark ops` browses the whole registry without a
+    SparkSession; --family filters to one module; every line carries
+    (id, family, check-type, first-docstring-line)."""
+    rc = main(["ops"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    from filemap_spark.registry import _META
+
+    assert len(lines) == len(_META) == 297
+    ids = [l.split("\t")[0] for l in lines]
+    assert ids == sorted(ids)
+    assert all(len(l.split("\t")) == 4 for l in lines)
+
+    rc = main(["ops", "--family", "windows"])
+    assert rc == 0
+    fam_lines = capsys.readouterr().out.strip().splitlines()
+    assert fam_lines and all(l.split("\t")[1] == "windows" for l in fam_lines)
+    checks = {l.split("\t")[2] for l in lines}
+    assert checks == {"oracle", "rows-only"}
