@@ -568,3 +568,27 @@ def test_moving_median_matches_pure_python(spark, sf_dir):
             assert min(frame) <= got[r["event_id"]] <= max(frame)
             checked += 1
     assert checked == len(ev)
+
+
+def test_incremental_lsh_three_batches_partition_exact_pairs(spark, sf_dir, tmp_path):
+    """Batch-count independence (round 9): ingesting the corpus in THREE
+    sequential batches surfaces every true >=0.8-Jaccard pair EXACTLY
+    once — each pair in the batch that completes it — and their union is
+    the same exact pair set the one-shot oracle computes. The make
+    property must not depend on how the feed is chunked."""
+    from filemap_spark.operators.text import incremental_lsh_ingest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    state = str(tmp_path / "lsh_state3")
+    got_all: dict = {}
+    for k in (0, 1, 2):
+        batch = docs.where(F.col("doc_id") % 3 == k)
+        pairs = incremental_lsh_ingest(spark, batch, state)
+        got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+        assert not set(got) & set(got_all), "a pair surfaced twice"
+        got_all.update(got)
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["dedup_near_jaccard"](spark, sf_dir).collect()
+    }
+    assert got_all == exact
