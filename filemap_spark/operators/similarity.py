@@ -1067,7 +1067,14 @@ def emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     elems = emb.select(
         "label", F.posexplode("embedding").alias("pos", "v")
     ).withColumn("v", F.col("v").cast("double"))
-    means = elems.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("m"))
+    # materialized once (round 9): the a/b join sides AND the two norm
+    # consumers all read this O(labels × dim) frame — un-checkpointed,
+    # the data-sized explode+mean ran four times per query
+    means = (
+        elems.groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("m"))
+        .localCheckpoint()
+    )
     term = lambda x: F.round(x * 1e12).cast("bigint")  # noqa: E731
     norms = means.groupBy("label").agg(
         F.sum(term(F.col("m") * F.col("m"))).cast("bigint").alias("n2s")

