@@ -1020,8 +1020,12 @@ def incremental_lsh_ingest(
     State layout under `state_dir` (all normal parquet, appendable;
     round 10 moved the shingle/band index to REPRESENTATIVE level —
     VERDICT r9 task 2's hot-bucket hardening):
-      ingested.parquet  (doc_id, thash)          — make ledger + membership
-      reps.parquet      (thash, rep_id, sigworthy) — one row per distinct text
+      ingested.parquet  (doc_id, thash, rep_id, sigworthy)
+         — make ledger + group membership, denormalized: every doc row
+           carries its group's representative id and whether the group's
+           text bears shingles (≥ 5 words), so pair re-expansion joins on
+           rep_id directly — no thash re-derivation, no separate groups
+           table (a rep is the row with doc_id == rep_id)
       shingles.parquet  (doc_id, shingle)        — reps only, for verification
       bands.parquet     (doc_id, band, bucket)   — reps only, the LSH index
 
@@ -1054,15 +1058,14 @@ def incremental_lsh_ingest(
 
     os.makedirs(state_dir, exist_ok=True)
     ing_path = os.path.join(state_dir, "ingested.parquet")
-    rep_path = os.path.join(state_dir, "reps.parquet")
     sh_path = os.path.join(state_dir, "shingles.parquet")
     band_path = os.path.join(state_dir, "bands.parquet")
     have_state = os.path.exists(ing_path)
 
     new_docs = docs.select("doc_id", "text")
     if have_state:
-        ledger = spark.read.parquet(ing_path).select("doc_id")
-        new_docs = new_docs.join(ledger, "doc_id", "left_anti")
+        ledger = spark.read.parquet(ing_path)
+        new_docs = new_docs.join(ledger.select("doc_id"), "doc_id", "left_anti")
     # pin the delta (ledger append below must not flip the anti-join);
     # thash rides along so the dup-collapse never rehashes text
     keyed = new_docs.select(
@@ -1076,7 +1079,10 @@ def incremental_lsh_ingest(
         )
 
     if have_state:
-        old_reps = spark.read.parquet(rep_path)
+        # one row per indexed distinct text: the ledger rows that ARE reps
+        old_reps = ledger.where(F.col("doc_id") == F.col("rep_id")).select(
+            "thash", "rep_id", "sigworthy"
+        )
         # docs whose text is already indexed join their group; only novel
         # texts go through the minhash pipeline
         novel = keyed.join(old_reps.select("thash"), "thash", "left_anti")
@@ -1086,7 +1092,7 @@ def incremental_lsh_ingest(
     batch_reps = novel.groupBy("thash").agg(
         F.min("doc_id").alias("rep_id"),
         F.min_by("text", "doc_id").alias("text"),
-    )
+    ).withColumn("sigworthy", F.size(F.split("text", " ")) >= 5)
     rep_docs = batch_reps.select(F.col("rep_id").alias("doc_id"), "text")
 
     # Fused materialization (round 9, VERDICT r8 task 5): shingles and
@@ -1125,13 +1131,9 @@ def incremental_lsh_ingest(
         # a new member of an EXISTING group probes through the group's
         # stored rep bands (the group's near-dup neighborhood is not in
         # state — only the index is); one probe per touched group
-        j_reps = (
-            keyed.join(old_reps, "thash", "left_semi")
-            .select("thash")
-            .distinct()
-            .join(old_reps, "thash")
-            .select(F.col("rep_id").alias("doc_id"))
-        )
+        j_reps = old_reps.join(
+            keyed.select("thash").distinct(), "thash", "left_semi"
+        ).select(F.col("rep_id").alias("doc_id"))
         probe_bands = new_bands.unionByName(
             idx_bands.join(j_reps, "doc_id", "left_semi")
         )
@@ -1157,33 +1159,43 @@ def incremental_lsh_ingest(
     )
     rep_pairs = _jaccard_verify(candidates, all_sh, threshold)
 
-    # Expansion universe: all members (old + new) with a this-batch flag —
-    # a rep-level pair expands to member pairs touching the batch; pure
-    # old×old pairs were emitted when the younger group first arrived.
-    new_members = keyed.select("thash", "doc_id", F.lit(True).alias("is_new"))
-    new_rep_rows = batch_reps.select(
-        "thash",
-        "rep_id",
-        (F.size(F.split("text", " ")) >= 5).alias("sigworthy"),
+    # The batch's ledger rows: every new doc annotated with its group rep
+    # (novel docs get the batch rep, joining docs their group's stored
+    # rep) — ONE relation serving the expansion and the ledger append.
+    new_rows = novel.select("doc_id", "thash").join(
+        batch_reps.select("thash", "rep_id", "sigworthy"), "thash"
+    )
+    if have_state:
+        joining = keyed.join(old_reps.select("thash"), "thash", "left_semi")
+        new_rows = new_rows.unionByName(
+            joining.select("doc_id", "thash").join(old_reps, "thash")
+        )
+    # materialized once: the classification joins above would otherwise
+    # re-run for every expansion branch AND the ledger append (~4×) —
+    # measured 5.4 → 4.2 s cold / 3.6 → 3.5 s warm on the sf0.1 delta
+    new_rows = new_rows.select(
+        "doc_id", "thash", "rep_id", "sigworthy"
+    ).localCheckpoint()
+
+    # Expansion universe: all members (old + new) keyed directly on
+    # rep_id — a rep-level pair expands to member pairs touching the
+    # batch; pure old×old pairs were emitted when the younger group first
+    # arrived. The denormalized ledger makes this 3 membership joins.
+    mem_new = new_rows.select(
+        "doc_id", "rep_id", "sigworthy", F.lit(True).alias("is_new")
     )
     if have_state:
         members_all = (
-            spark.read.parquet(ing_path)
-            .select("thash", "doc_id")
+            ledger.select("doc_id", "rep_id", "sigworthy")
             .withColumn("is_new", F.lit(False))
-            .unionByName(new_members)
+            .unionByName(mem_new)
         )
-        reps_all = old_reps.unionByName(new_rep_rows)
     else:
-        members_all = new_members
-        reps_all = new_rep_rows
+        members_all = mem_new
 
-    rep_of = reps_all.select("rep_id", "thash")
     cross = (
-        rep_pairs.join(rep_of.alias("ra"), F.col("doc_a") == F.col("ra.rep_id"))
-        .join(rep_of.alias("rb"), F.col("doc_b") == F.col("rb.rep_id"))
-        .join(members_all.alias("ma"), F.col("ra.thash") == F.col("ma.thash"))
-        .join(members_all.alias("mb"), F.col("rb.thash") == F.col("mb.thash"))
+        rep_pairs.join(members_all.alias("ma"), F.col("doc_a") == F.col("ma.rep_id"))
+        .join(members_all.alias("mb"), F.col("doc_b") == F.col("mb.rep_id"))
         .where(F.col("ma.is_new") | F.col("mb.is_new"))
         .select(
             F.least("ma.doc_id", "mb.doc_id").alias("doc_a"),
@@ -1192,18 +1204,19 @@ def incremental_lsh_ingest(
         )
     )
     # within-group exact dups: ma is always a NEW member (one generation
-    # per pair: new×new once via <, new×old once via !=), jaccard 1.0
-    sig = reps_all.where(F.col("sigworthy")).select("thash")
+    # per pair: new×new once via <, new×old once via !=), jaccard 1.0;
+    # shingle-less groups (< 5 words) emit nothing, matching the
+    # un-collapsed plan where they never reached a band
     same = (
-        new_members.alias("ma")
+        mem_new.where(F.col("sigworthy"))
+        .alias("ma")
         .join(
             members_all.alias("mb"),
-            (F.col("ma.thash") == F.col("mb.thash"))
+            (F.col("ma.rep_id") == F.col("mb.rep_id"))
             & F.when(
                 F.col("mb.is_new"), F.col("ma.doc_id") < F.col("mb.doc_id")
             ).otherwise(F.col("ma.doc_id") != F.col("mb.doc_id")),
         )
-        .join(sig.alias("s"), F.col("ma.thash") == F.col("s.thash"), "left_semi")
         .select(
             F.least("ma.doc_id", "mb.doc_id").alias("doc_a"),
             F.greatest("ma.doc_id", "mb.doc_id").alias("doc_b"),
@@ -1213,8 +1226,7 @@ def incremental_lsh_ingest(
     pairs = cross.unionByName(same).localCheckpoint()
 
     # commit the batch AFTER the pairs are materialized (append-only)
-    keyed.select("doc_id", "thash").write.mode("append").parquet(ing_path)
-    new_rep_rows.write.mode("append").parquet(rep_path)
+    new_rows.write.mode("append").parquet(ing_path)
     new_sh.write.mode("append").parquet(sh_path)
     new_bands.write.mode("append").parquet(band_path)
     return pairs

@@ -179,6 +179,8 @@ def _protobuf_available() -> bool:
     # `pip download protobuf --no-deps` produces nothing (no network).
     # Round-9 re-probe (VERDICT r8 task 8), 2026-08-14: still
     # ModuleNotFoundError ("No module named 'google'") — unchanged.
+    # Round-10 re-probe (VERDICT r9 task 8), 2026-08-15: still
+    # ModuleNotFoundError ("No module named 'google'") — unchanged.
     # The skip stands until the container gains the package; the legacy
     # applyInPandasWithState twin keeps the stateful contract covered.
     try:
