@@ -281,6 +281,25 @@ def main() -> None:
     if first is not None:
         first(spark, sf_dir).collect()
 
+    # Page-cache warmup (round 10): on a freshly-booted rig the FIRST
+    # sf0.1 read of each table comes off disk — measured canary 1.91 s
+    # cold vs 0.69 s on the very next run of the same session, with the
+    # whole suite uniformly ~1.3-2.8× inflated. The canary's job is to
+    # measure CPU contention (its CANARY_REF was recorded warm), so scan
+    # every table once untimed first; real I/O regressions still show in
+    # the timed queries, just not multiplied into every bar denominator.
+    from filemap_spark.io import TABLES, load_table
+
+    for t in TABLES:
+        try:
+            # xxhash64(*) touches every column JVM-side — a count() would
+            # satisfy itself from parquet row-group metadata and warm nothing
+            load_table(spark, sf_dir, t).selectExpr(
+                "sum(xxhash64(*))"
+            ).collect()
+        except Exception:  # noqa: BLE001 — missing optional table
+            pass
+
     # Rig-load canary: fixed JVM-side query, measured before anything else
     # so its number reflects the same rig state the suite is about to see.
     canary = _time_best(_baseline_pricing_form, spark, sf_dir)

@@ -937,41 +937,49 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _train_centroids(spark, sf_dir)
     idx = _cell_index(spark, sf_dir, cents).select("vec_id", "cell", "embedding")
 
-    def cell_report(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        mat = np.vstack(pdf["embedding"].to_numpy())[order]
-        n = len(ids)
-        block = 2048
-        n_pairs = 0
-        removed = np.zeros(n, dtype=bool)  # has a smaller-id nbr above t
-        col = np.arange(n)[None, :]
-        for s in range(0, n, block):
-            e = min(s + block, n)
-            sims = np.round(mat[s:e] @ mat.T, 6)
-            dup = (sims >= _SEMDEDUP_T) & (np.arange(s, e)[:, None] < col)
-            n_pairs += int(dup.sum())
-            removed |= dup.any(axis=0)
-        n_removed = int(removed.sum())
-        return pd.DataFrame(
-            {
-                "cell": [int(pdf["cell"].iloc[0])],
-                "n_vectors": [n],
-                "n_dup_pairs": [n_pairs],
-                "n_removed": [n_removed],
-                "keep_rate": [round((n - n_removed) / n, 6)],
-            }
-        )
-
     return (
         idx.groupBy("cell")
         .applyInPandas(
-            cell_report,
+            _semdedup_cell_report,
             schema="cell int, n_vectors long, n_dup_pairs long, "
             "n_removed long, keep_rate double",
         )
         .orderBy("cell")
+    )
+
+
+def _semdedup_cell_report(
+    pdf: pd.DataFrame, *, block: int = 2048
+) -> pd.DataFrame:
+    """One cell's SemDeDup report — module-level so the blocked kernel is
+    unit-testable past the block boundary (the contract corpus's cells
+    are all ≪ one block; tests/test_kernels.py drives a >2048-row cell
+    through this directly). `block` is keyword-only: applyInPandas
+    passes the group KEY as a second positional arg to two-positional
+    functions."""
+    ids = pdf["vec_id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    mat = np.vstack(pdf["embedding"].to_numpy())[order]
+    n = len(ids)
+    n_pairs = 0
+    removed = np.zeros(n, dtype=bool)  # has a smaller-id nbr above t
+    col = np.arange(n)[None, :]
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        sims = np.round(mat[s:e] @ mat.T, 6)
+        dup = (sims >= _SEMDEDUP_T) & (np.arange(s, e)[:, None] < col)
+        n_pairs += int(dup.sum())
+        removed |= dup.any(axis=0)
+    n_removed = int(removed.sum())
+    return pd.DataFrame(
+        {
+            "cell": [int(pdf["cell"].iloc[0])],
+            "n_vectors": [n],
+            "n_dup_pairs": [n_pairs],
+            "n_removed": [n_removed],
+            "keep_rate": [round((n - n_removed) / n, 6)],
+        }
     )
 
 
