@@ -107,6 +107,32 @@ BASELINE_WARM_SF01 = {
 # round 6 on a quiet rig.
 CANARY_REF = 0.52
 
+# Second, SHUFFLE-shaped canary (round 10): the scan canary hit parity
+# (0.513 vs 0.52) on a rig where shuffle/write-heavy queries still ran
+# ~1.2-1.4× their r8 records — a single scan+agg shape cannot separate
+# "same CPU, slower shuffle path" from contention. This form is one full
+# lineitem shuffle (150k-group hash agg) + a second tiny exchange.
+# Informational only — recorded in BENCH_DETAIL for cross-round drift
+# attribution, NOT folded into the bar denominators (its r10-recorded
+# reference has one round of history; promote it only if it proves
+# stable). Reference: min-of-3 at its exact position in this script
+# (right after the scan canary), recorded round 10 at rig_load 0.987.
+SHUFFLE_CANARY_REF = 0.60
+
+
+def _shuffle_canary_form(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from filemap_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"), F.count("*").alias("n"))
+        .groupBy((F.col("q") % 10).cast("long").alias("b"))
+        .agg(F.count("*").alias("n_orders"), F.sum("n").alias("n_items"))
+    )
+
 # Round-4 LLM-pipeline additions (BASELINE.md Table 3): reported separately
 # so the 8-query `value` total stays comparable across rounds. The
 # incremental-LSH entry times the DELTA ingest only (fresh copy of a
@@ -293,9 +319,12 @@ def main() -> None:
     for t in TABLES:
         try:
             # xxhash64(*) touches every column JVM-side — a count() would
-            # satisfy itself from parquet row-group metadata and warm nothing
+            # satisfy itself from parquet row-group metadata and warm
+            # nothing. MAX, not SUM: summing uniform 64-bit hashes
+            # overflows long under ANSI mode (and the except here would
+            # swallow it, silently skipping the warmup — observed).
             load_table(spark, sf_dir, t).selectExpr(
-                "sum(xxhash64(*))"
+                "max(xxhash64(*))"
             ).collect()
         except Exception:  # noqa: BLE001 — missing optional table
             pass
@@ -304,6 +333,7 @@ def main() -> None:
     # so its number reflects the same rig state the suite is about to see.
     canary = _time_best(_baseline_pricing_form, spark, sf_dir)
     rig_load_factor = round(canary / CANARY_REF, 3) if sf == 0.1 else 1.0
+    shuffle_canary = _time_best(_shuffle_canary_form, spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -459,6 +489,10 @@ def main() -> None:
         },
         "canary_seconds": canary,
         "rig_load_factor": rig_load_factor,
+        "shuffle_canary_seconds": shuffle_canary,
+        "shuffle_rig_factor": round(shuffle_canary / SHUFFLE_CANARY_REF, 3)
+        if sf == 0.1
+        else 1.0,
         "vs_prev": vs_prev,
         "calibration": calibration,
         "bar_ratios": bar_ratios,

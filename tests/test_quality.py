@@ -310,6 +310,58 @@ def test_minhash_lsh_identical_cluster_output_pinned(spark, tmp_path):
     assert exact == want
 
 
+def test_minhash_lsh_randomized_dup_groups_match_brute_force(spark, tmp_path):
+    """Breadth pin for the rep-collapse expansion (round 10): a seeded
+    random corpus with duplicate groups of size 1-6, interleaved doc_ids
+    (group members NOT contiguous), shingle-less short docs inside dup
+    groups, and word-overlap near-dups — output must equal the
+    brute-force all-pairs Jaccard ≥ 0.8 set exactly. Deterministic: the
+    seed is fixed and every hash in the pipeline is seeded, so banding
+    recall is a constant of the fixture (verified == exact here)."""
+    import random
+
+    rng = random.Random(20260815)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = {}
+    next_id = 0
+    for g in range(25):
+        size = rng.choice((1, 1, 1, 2, 2, 3, 6))
+        if g % 7 == 3:
+            base = " ".join(rng.choices(vocab, k=rng.randint(1, 4)))  # short
+        elif g % 3 == 0:
+            # long enough that a changed-last-word neighbor still clears
+            # 0.8 Jaccard ((n-9)/(n+1) ≥ 0.8 needs n ≥ 49 words)
+            base = " ".join(rng.choices(vocab, k=rng.randint(52, 60)))
+        else:
+            base = " ".join(rng.choices(vocab, k=rng.randint(12, 30)))
+        for _ in range(size):
+            texts[next_id * 37 % 1000] = base  # interleave ids
+            next_id += 1
+        if len(base.split()) >= 52 and rng.random() < 0.7:
+            # a near-dup neighbor of the whole GROUP (cross-group
+            # expansion must pair it with every member): same prefix,
+            # one word changed at the end
+            words = base.split()
+            words[-1] = "zz"
+            texts[next_id * 37 % 1000] = " ".join(words)
+            next_id += 1
+    assert len(texts) == next_id  # the id scatter must not collide
+    spark.createDataFrame(
+        [(i, t, "en", "fixture", len(t)) for i, t in sorted(texts.items())],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    want = _brute_force_jaccard_pairs(texts)
+    # the fixture must exercise BOTH expansion paths: within-group exact
+    # pairs (jaccard 1.0) and cross-group near-dup pairs (< 1.0)
+    assert any(j == 1.0 for j in want.values())
+    assert any(j < 1.0 for j in want.values())
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["dedup_minhash_lsh"](spark, str(tmp_path)).collect()
+    }
+    assert got == want
+
+
 def test_incremental_lsh_identical_cluster_across_batches(spark, tmp_path):
     """Replica-corpus pin for the incremental path: identical docs arriving
     across THREE batches (cluster members split among them, incl. a batch
