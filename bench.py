@@ -326,8 +326,12 @@ def main() -> None:
             load_table(spark, sf_dir, t).selectExpr(
                 "max(xxhash64(*))"
             ).collect()
-        except Exception:  # noqa: BLE001 — missing optional table
-            pass
+        except Exception as e:  # noqa: BLE001 — missing optional table
+            # LOUD skip (review finding, round 10): a silent pass here
+            # already swallowed one real bug (the SUM overflow) — a
+            # cold-canary artifact would then inflate every bar
+            # denominator with no trace of why.
+            print(f"WARMUP SKIPPED for {t}: {e}", file=sys.stderr)
 
     # Rig-load canary: fixed JVM-side query, measured before anything else
     # so its number reflects the same rig state the suite is about to see.

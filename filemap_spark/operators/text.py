@@ -799,9 +799,18 @@ def _shingle_frame(docs: DataFrame) -> DataFrame:
 _LSH_HASHES, _LSH_BANDS = 128, 32
 
 
-def _exact_dup_collapse(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(members, reps) exact-duplicate pre-collapse for the LSH family
-    (round 10, VERDICT r9 task 2 — hot band-bucket hardening).
+def _keyed_by_text(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, thash): the md5 text-equality key the dup-collapse
+    family shares. A false 128-bit collision (p ≈ n²/2¹²⁸) would merge
+    two distinct texts — the same convention dedup_paragraph_jaccard
+    already uses for paragraph hashes."""
+    return docs.select("doc_id", "text", F.md5("text").alias("thash"))
+
+
+def _dup_groups(keyed: DataFrame) -> DataFrame:
+    """One row per distinct text: (thash, rep_id, text, sigworthy) —
+    the exact-duplicate pre-collapse for the LSH family (round 10,
+    VERDICT r9 task 2, hot band-bucket hardening).
 
     k identical documents put k identical signatures in EVERY band, so the
     naive band-bucket self-join generates k·(k-1)/2 candidate rows per band
@@ -812,18 +821,17 @@ def _exact_dup_collapse(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     and the required k² output pairs are re-expanded at the END as a cheap
     membership join that never touches shingles.
 
-    members = (thash, doc_id) for every doc; reps = (thash, doc_id, text)
-    with doc_id = min over the group (deterministic). Text equality is
-    md5-keyed: a false 128-bit collision (p ≈ n²/2¹²⁸) would merge two
-    distinct texts — the same convention dedup_paragraph_jaccard already
-    uses for paragraph hashes."""
-    keyed = docs.select(F.md5("text").alias("thash"), "doc_id", "text")
-    members = keyed.select("thash", "doc_id")
-    reps = keyed.groupBy("thash").agg(
-        F.min("doc_id").alias("doc_id"),
+    rep_id = min doc_id over the group (deterministic); `sigworthy`
+    mirrors _shingle_frame's width-5 condition (≥ 5 words ⇔ ≥ 1 shingle
+    ⇔ the rep reaches a band) — defined HERE ONCE so the expansion's
+    within-group rule can never drift from the shingle pipeline's.
+    The map-side partial agg collapses duplicate texts per partition
+    before the exchange, so the text shuffle volume is bounded by
+    distinct-texts-per-partition, not corpus size."""
+    return keyed.groupBy("thash").agg(
+        F.min("doc_id").alias("rep_id"),
         F.min_by("text", "doc_id").alias("text"),
-    )
-    return members, reps
+    ).withColumn("sigworthy", F.size(F.split("text", " ")) >= 5)
 
 
 def _expand_rep_pairs(
@@ -833,15 +841,16 @@ def _expand_rep_pairs(
 ) -> DataFrame:
     """Re-expand representative-level verified pairs (doc_a, doc_b,
     jaccard) to all member pairs, plus the within-group exact-duplicate
-    pairs at jaccard 1.0 (identical texts ⇒ jaccard exactly 1.0; groups
-    whose text has < 5 words have no shingles and are skipped, matching
-    the un-collapsed plan where shingle-less docs never reach a band).
+    pairs at jaccard 1.0 (identical texts ⇒ jaccard exactly 1.0;
+    non-sigworthy groups have no shingles and are skipped, matching the
+    un-collapsed plan where shingle-less docs never reach a band).
 
-    The expansion joins are membership lookups keyed on thash — they move
+    members = (thash, doc_id); reps as produced by _dup_groups. The
+    expansion joins are membership lookups keyed on thash — they move
     (thash, doc_id) rows only, never shingles or signatures, so the
     unavoidable k² output of a k-member duplicate group is produced by
     the cheapest possible operator."""
-    rep_of = reps.select(F.col("doc_id").alias("rep_id"), "thash")
+    rep_of = reps.select("rep_id", "thash")
     cross = (
         rep_pairs.join(rep_of.alias("ra"), F.col("doc_a") == F.col("ra.rep_id"))
         .join(rep_of.alias("rb"), F.col("doc_b") == F.col("rb.rep_id"))
@@ -853,7 +862,7 @@ def _expand_rep_pairs(
             "jaccard",
         )
     )
-    sig = reps.where(F.size(F.split("text", " ")) >= 5).select("thash")
+    sig = reps.where(F.col("sigworthy")).select("thash")
     same = (
         members.alias("ma")
         .join(
@@ -972,19 +981,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     before shingling, so a k-member identical cluster contributes ONE
     signature instead of k²/2 candidate rows per band; the k² output
     pairs re-expand from the membership table at the end
-    (_exact_dup_collapse / _expand_rep_pairs). Output is bit-identical to
+    (_dup_groups / _expand_rep_pairs). Output is bit-identical to
     the un-collapsed plan (identical texts share signatures, so rep-level
     band collisions are exactly member-level ones) — pinned on a
     10-identical-docs replica corpus in tests/test_quality.py."""
     docs = load_table(spark, sf_dir, "documents")
-    members, reps = _exact_dup_collapse(docs)
+    # ONE documents scan + md5 pass: members and reps both derive from
+    # this checkpoint (un-checkpointed, each downstream checkpoint would
+    # rescan and rehash the whole corpus — review finding, round 10)
+    keyed = _keyed_by_text(docs).localCheckpoint()
+    members = keyed.select("thash", "doc_id")
     # materialized once: the rep relation feeds shingling, the sigworthy
     # filter, and both expansion joins
-    reps = reps.localCheckpoint()
-    members = members.localCheckpoint()
+    reps = _dup_groups(keyed).localCheckpoint()
     # materialized once: the signature agg, the candidate verify join
     # (both sides), and the shingle counts all rescan this frame
-    shingles = _shingle_frame(reps).localCheckpoint()
+    shingles = _shingle_frame(
+        reps.select(F.col("rep_id").alias("doc_id"), "text")
+    ).localCheckpoint()
     # materialized once too (round 9): BOTH self-join sides read the band
     # relation — un-checkpointed, the minhash pipeline runs twice
     # (measured ~5.4 s vs ~1 s for the band stage itself at sf0.1)
@@ -1065,12 +1079,17 @@ def incremental_lsh_ingest(
     new_docs = docs.select("doc_id", "text")
     if have_state:
         ledger = spark.read.parquet(ing_path)
+        if "rep_id" not in ledger.columns:
+            raise ValueError(
+                f"{ing_path} uses the pre-rep-level state layout "
+                "(doc_id-only ledger; per-doc shingle/band index). The "
+                "rep-level ingest cannot read it — delete the state dir "
+                "and re-ingest the corpus to rebuild."
+            )
         new_docs = new_docs.join(ledger.select("doc_id"), "doc_id", "left_anti")
     # pin the delta (ledger append below must not flip the anti-join);
     # thash rides along so the dup-collapse never rehashes text
-    keyed = new_docs.select(
-        "doc_id", "text", F.md5("text").alias("thash")
-    ).localCheckpoint()
+    keyed = _keyed_by_text(new_docs).localCheckpoint()
     if not keyed.take(1):
         # nothing unseen: skip the whole band/verify machinery (a no-op
         # batch otherwise pays ~5 s of plan overhead — measured sf0.1)
@@ -1089,10 +1108,7 @@ def incremental_lsh_ingest(
     else:
         old_reps = None
         novel = keyed
-    batch_reps = novel.groupBy("thash").agg(
-        F.min("doc_id").alias("rep_id"),
-        F.min_by("text", "doc_id").alias("text"),
-    ).withColumn("sigworthy", F.size(F.split("text", " ")) >= 5)
+    batch_reps = _dup_groups(novel)
     rep_docs = batch_reps.select(F.col("rep_id").alias("doc_id"), "text")
 
     # Fused materialization (round 9, VERDICT r8 task 5): shingles and

@@ -310,6 +310,28 @@ def test_minhash_lsh_identical_cluster_output_pinned(spark, tmp_path):
     assert exact == want
 
 
+def test_incremental_lsh_rejects_pre_rep_level_state(spark, tmp_path):
+    """A state dir written by the pre-round-10 layout (doc_id-only
+    ledger, per-doc band index) must be refused LOUDLY — silently
+    anti-joining against it would treat the old per-doc index as
+    rep-level and corrupt the pair output (review finding, round 10)."""
+    import pytest
+
+    from filemap_spark.operators.text import incremental_lsh_ingest
+
+    state = tmp_path / "old_state"
+    state.mkdir()
+    spark.createDataFrame([(1,), (2,)], "doc_id long").write.parquet(
+        str(state / "ingested.parquet")
+    )
+    docs = spark.createDataFrame(
+        [(3, "some brand new document text arriving now")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="pre-rep-level state layout"):
+        incremental_lsh_ingest(spark, docs, str(state))
+
+
 def test_minhash_lsh_randomized_dup_groups_match_brute_force(spark, tmp_path):
     """Breadth pin for the rep-collapse expansion (round 10): a seeded
     random corpus with duplicate groups of size 1-6, interleaved doc_ids
