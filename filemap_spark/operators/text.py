@@ -11,7 +11,7 @@ shuffle on the shingle hash, which is the standard dedup layout.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -838,12 +838,18 @@ def _expand_rep_pairs(
     rep_pairs: DataFrame,
     members: DataFrame,
     reps: DataFrame,
+    value_col: str = "jaccard",
+    same_value: Column | None = None,
+    sig_only: bool = True,
 ) -> DataFrame:
     """Re-expand representative-level verified pairs (doc_a, doc_b,
-    jaccard) to all member pairs, plus the within-group exact-duplicate
-    pairs at jaccard 1.0 (identical texts ⇒ jaccard exactly 1.0;
-    non-sigworthy groups have no shingles and are skipped, matching the
-    un-collapsed plan where shingle-less docs never reach a band).
+    <value_col>) to all member pairs, plus the within-group
+    exact-duplicate pairs at `same_value` (identical texts ⇒ jaccard
+    exactly 1.0 / hamming exactly 0). With sig_only (the Jaccard
+    family), non-sigworthy groups are skipped — they have no shingles,
+    matching the un-collapsed plan where shingle-less docs never reach a
+    band; SimHash signs every doc (even one token), so it passes
+    sig_only=False.
 
     members = (thash, doc_id); reps as produced by _dup_groups. The
     expansion joins are membership lookups keyed on thash — they move
@@ -859,10 +865,13 @@ def _expand_rep_pairs(
         .select(
             F.least("ma.doc_id", "mb.doc_id").alias("doc_a"),
             F.greatest("ma.doc_id", "mb.doc_id").alias("doc_b"),
-            "jaccard",
+            value_col,
         )
     )
-    sig = reps.where(F.col("sigworthy")).select("thash")
+    if same_value is None:
+        same_value = F.lit(1.0)
+    groups = reps.where(F.col("sigworthy")) if sig_only else reps
+    sig = groups.select("thash")
     same = (
         members.alias("ma")
         .join(
@@ -874,7 +883,7 @@ def _expand_rep_pairs(
         .select(
             F.col("ma.doc_id").alias("doc_a"),
             F.col("mb.doc_id").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
+            same_value.alias(value_col),
         )
     )
     return cross.unionByName(same)
@@ -1289,7 +1298,12 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per doc: sign-sum over xxhash64(token) bits —
     deterministic, shared by the pair query and the mechanism tests."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _simhash_of(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_of(docs: DataFrame) -> DataFrame:
+    """SimHash signatures for an arbitrary (doc_id, text) frame — split
+    out (round 10) so the dedup op can sign REPRESENTATIVES only."""
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     h = F.xxhash64("word")
     bit_sums = toks.groupBy("doc_id").agg(
@@ -1321,10 +1335,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ 7 differing bits must agree on at least one whole block, so a
     block-equality join (scales like LSH, no cross product) has PERFECT
     recall at the threshold — verified against brute-force all-pairs in
-    tests/test_quality.py."""
+    tests/test_quality.py.
+
+    Round 10: exact duplicates pre-collapse to one representative per
+    distinct text before signing — identical docs share every block, so
+    a k-member cluster generated 8·k²/2 candidate rows; now it signs
+    once and the k² output pairs re-expand from the membership join
+    (same hardening as dedup_minhash_lsh; identical texts ⇒ identical
+    simhash ⇒ rep-level block agreement is exactly member-level).
+    SimHash signs EVERY doc (even one token), so the expansion's
+    within-group rule applies to all groups (sig_only=False), at
+    hamming 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    # ONE documents scan + md5 pass feeds members and reps
+    keyed = _keyed_by_text(docs).localCheckpoint()
+    members = keyed.select("thash", "doc_id")
+    reps = _dup_groups(keyed).localCheckpoint()
     # materialized once: both self-join sides scan the 64-column
-    # signature aggregate
-    sig = simhash_signatures(spark, sf_dir).localCheckpoint()
+    # signature aggregate (reps only)
+    sig = _simhash_of(
+        reps.select(F.col("rep_id").alias("doc_id"), "text")
+    ).localCheckpoint()
     n_blocks = 8
     # Explode each signature into (block_idx, block_val) rows and equi-join
     # on BOTH. An OR of 8 block equalities cannot hash-join (Spark falls
@@ -1346,7 +1377,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = blocks.alias("a")
     b = blocks.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.blk_idx") == F.col("b.blk_idx"))
@@ -1360,8 +1391,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming.cast("int").alias("hamming"),
         )
         .distinct()  # a pair can agree on several blocks
-        .orderBy("doc_a", "doc_b")
     )
+    return _expand_rep_pairs(
+        rep_pairs,
+        members,
+        reps,
+        value_col="hamming",
+        same_value=F.lit(0).cast("int"),
+        sig_only=False,
+    ).orderBy("doc_a", "doc_b")
 
 
 @query(

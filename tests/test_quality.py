@@ -308,6 +308,33 @@ def test_minhash_lsh_identical_cluster_output_pinned(spark, tmp_path):
         for r in QUERIES["dedup_near_jaccard"](spark, str(tmp_path)).collect()
     }
     assert exact == want
+    # dedup_simhash shares the round-10 collapse: on the same replica
+    # corpus it must equal a brute-force hamming scan over the per-doc
+    # signatures (identical texts ⇒ identical simhash ⇒ the 45
+    # within-cluster pairs appear at hamming 0, incl. the SHORT group —
+    # simhash signs every doc, unlike the shingle family)
+    from filemap_spark.operators.text import simhash_signatures
+
+    sigs = simhash_signatures(spark, str(tmp_path)).collect()
+    ids = [r["doc_id"] for r in sigs]
+    vals = [r["simhash"] & 0xFFFFFFFFFFFFFFFF for r in sigs]
+    assert len(ids) == len(texts)  # every doc signed, reps expanded back
+    brute = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = (vals[i] ^ vals[j]).bit_count()
+            if d <= 7:
+                a, b = ids[i], ids[j]
+                brute[(min(a, b), max(a, b))] = d
+    got_sh = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in QUERIES["dedup_simhash"](spark, str(tmp_path)).collect()
+    }
+    assert got_sh == brute
+    hot_pairs = {(a, b) for (a, b) in brute if a < 10 and b < 10}
+    assert len(hot_pairs) == 45 and all(brute[p] == 0 for p in hot_pairs)
+    short_pairs = {(a, b) for (a, b) in brute if 30 <= a < 33 and 30 <= b < 33}
+    assert len(short_pairs) == 3  # the short identical group IS signed
 
 
 def test_incremental_lsh_rejects_pre_rep_level_state(spark, tmp_path):
