@@ -734,7 +734,13 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact Jaccard over word-5-gram shingles (graded
     exact form per SURVEY §2.11; MinHashLSH is the 100 TB strategy — see
     dedup_minhash_lsh). The shingle equi-join shuffles on the shingle, so
-    cost is bounded by shingle-bucket sizes, not the doc-pair cross product."""
+    cost is bounded by shingle-bucket sizes, not the doc-pair cross
+    product — EXCEPT for exact-duplicate clusters, which put k copies of
+    every shingle in its bucket (k² join rows per shared shingle); the
+    scale path neutralizes that with the _dup_groups representative
+    collapse (round 10), deliberately NOT applied here so this op stays
+    the naive exact reference the oracle and the LSH parity pins grade
+    against."""
     docs = load_table(spark, sf_dir, "documents")
     # materialized once: counts and BOTH self-join sides scan this frame,
     # and Spark does not dedupe common subplans — without this the
