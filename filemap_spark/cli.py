@@ -314,6 +314,13 @@ def run_dedup_stream(
     )
     q.awaitTermination()
 
+    # post-drain state compaction (round 10): each micro-batch APPENDS a
+    # file set per state table, so a long-running arrival loop otherwise
+    # accumulates unbounded small files the next run's probes pay for
+    from filemap_spark.operators.text import compact_lsh_state
+
+    compact_lsh_state(spark, state_dir)
+
     from filemap_spark.operators.relational import alternating_star_components
 
     ledger_path = os.path.join(state_dir, "ingested.parquet")

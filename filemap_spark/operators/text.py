@@ -1263,6 +1263,62 @@ def incremental_lsh_ingest(
     return pairs
 
 
+_LSH_STATE_TABLES = ("ingested.parquet", "shingles.parquet", "bands.parquet")
+
+
+def compact_lsh_state(
+    spark: SparkSession, state_dir: str, target_bytes: int = 64 << 20
+) -> dict[str, tuple[int, int]]:
+    """Rewrite each LSH state table into ~target_bytes-sized files.
+
+    Every `incremental_lsh_ingest` batch APPENDS one file set per table,
+    so a long-running ingest loop accumulates thousands of small parquet
+    files — each later probe then pays per-file open/footer cost and the
+    scan parallelism degenerates to file count (the classic small-files
+    problem; `sink_compact_small_files` demonstrates the generic fix).
+    This is the state-specific compaction: read → repartition to
+    ceil(dir_bytes / target_bytes) → write AS A NEW DIRECTORY → swap.
+    Row order is irrelevant (every consumer joins/anti-joins on keys),
+    so a rewrite is semantics-free; the swap is rename-based so a
+    concurrent READER sees either the old or the new directory, never a
+    half-written one. Do not run it concurrently with an ingest.
+
+    Returns {table: (files_before, files_after)} for observability; a
+    missing table (empty state) is skipped."""
+    import math
+    import os
+    import shutil
+
+    report: dict[str, tuple[int, int]] = {}
+    for name in _LSH_STATE_TABLES:
+        path = os.path.join(state_dir, name)
+        if not os.path.isdir(path):
+            continue
+        parts = [
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        ]
+        size = sum(os.path.getsize(os.path.join(path, f)) for f in parts)
+        n_out = max(1, math.ceil(size / target_bytes))
+        if len(parts) <= n_out:
+            report[name] = (len(parts), len(parts))
+            continue
+        tmp = path + ".compact_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.read.parquet(path).repartition(n_out).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        old = path + ".compact_old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        report[name] = (
+            len(parts),
+            len([f for f in os.listdir(path) if f.endswith(".parquet")]),
+        )
+    return report
+
+
 @query(
     "dedup_incremental_lsh",
     cost=6.0,

@@ -337,6 +337,51 @@ def test_minhash_lsh_identical_cluster_output_pinned(spark, tmp_path):
     assert len(short_pairs) == 3  # the short identical group IS signed
 
 
+def test_compact_lsh_state_preserves_ingest_semantics(spark, sf_dir, tmp_path):
+    """State compaction (round 10): after several batch appends each
+    state table holds one file set per batch; compacting must shrink
+    file counts without changing ANY future ingest's behavior — same
+    delta pairs as an uncompacted twin state, re-ingest still a no-op."""
+    import os
+
+    from filemap_spark.operators.text import (
+        compact_lsh_state,
+        incremental_lsh_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batches = [docs.where(F.col("doc_id") % 3 == k) for k in range(3)]
+    s_compact = str(tmp_path / "compacted")
+    s_plain = str(tmp_path / "plain")
+    for state in (s_compact, s_plain):
+        for b in batches[:2]:
+            incremental_lsh_ingest(spark, b, state)
+
+    def n_files(state, table):
+        d = os.path.join(state, table)
+        return len([f for f in os.listdir(d) if f.endswith(".parquet")])
+
+    before = n_files(s_compact, "bands.parquet")
+    assert before >= 2  # one file set per batch append
+    report = compact_lsh_state(spark, s_compact, target_bytes=1 << 30)
+    assert report["bands.parquet"][1] == 1  # tiny state -> single file
+    assert n_files(s_compact, "bands.parquet") == 1
+    assert not os.path.exists(
+        os.path.join(s_compact, "bands.parquet.compact_tmp")
+    )
+
+    # the third batch behaves identically on compacted vs plain state
+    def pairs(state):
+        return {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in incremental_lsh_ingest(spark, batches[2], state).collect()
+        }
+
+    assert pairs(s_compact) == pairs(s_plain)
+    # and the ledger survived: re-ingesting everything is still a no-op
+    assert incremental_lsh_ingest(spark, docs, s_compact).count() == 0
+
+
 def test_incremental_lsh_rejects_pre_rep_level_state(spark, tmp_path):
     """A state dir written by the pre-round-10 layout (doc_id-only
     ledger, per-doc band index) must be refused LOUDLY — silently
