@@ -314,12 +314,20 @@ def run_dedup_stream(
     )
     q.awaitTermination()
 
-    # post-drain state compaction (round 10): each micro-batch APPENDS a
-    # file set per state table, so a long-running arrival loop otherwise
-    # accumulates unbounded small files the next run's probes pay for
-    from filemap_spark.operators.text import compact_lsh_state
+    # post-drain compaction (round 10): each micro-batch APPENDS a file
+    # set per state table AND to the accumulated-pairs dir, so a
+    # long-running arrival loop otherwise collects unbounded small files
+    # the next run's probes and pair re-reads pay for; the hysteresis in
+    # compact_parquet_dir keeps this from rewriting the full state on
+    # every drain
+    from filemap_spark.operators.text import (
+        compact_lsh_state,
+        compact_parquet_dir,
+    )
 
     compact_lsh_state(spark, state_dir)
+    if os.path.isdir(pairs_dir):
+        compact_parquet_dir(spark, pairs_dir)
 
     from filemap_spark.operators.relational import alternating_star_components
 

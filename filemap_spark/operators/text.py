@@ -1080,15 +1080,23 @@ def incremental_lsh_ingest(
 
     Scale: per batch the shuffles touch O(|distinct new texts|) signature
     fragments plus the probed buckets of the index; the index itself is an
-    appended columnar table that never rewrites — and now grows with
-    distinct texts, not raw docs. Deterministic seeded permutations make
-    signatures from different batches comparable by construction."""
+    appended columnar table that ingest never rewrites — and now grows
+    with distinct texts, not raw docs. (The separate `compact_lsh_state`
+    utility DOES rewrite, to fold accumulated per-batch file sets; its
+    hysteresis amortizes that cost over ≥ (slack−1)·ideal appends.)
+    Deterministic seeded permutations make signatures from different
+    batches comparable by construction."""
     import os
 
     os.makedirs(state_dir, exist_ok=True)
     ing_path = os.path.join(state_dir, "ingested.parquet")
     sh_path = os.path.join(state_dir, "shingles.parquet")
     band_path = os.path.join(state_dir, "bands.parquet")
+    # heal any compaction interrupted mid-swap BEFORE trusting absence:
+    # a missing ledger with an intact .compact_old must not read as
+    # "fresh state" (that would orphan every old membership row)
+    for p in (ing_path, sh_path, band_path):
+        _recover_compact_swap(p)
     have_state = os.path.exists(ing_path)
 
     new_docs = docs.select("doc_id", "text")
@@ -1266,57 +1274,109 @@ def incremental_lsh_ingest(
 _LSH_STATE_TABLES = ("ingested.parquet", "shingles.parquet", "bands.parquet")
 
 
+def _recover_compact_swap(path: str) -> None:
+    """Heal a parquet-dir compaction interrupted mid-swap (crash between
+    the two renames): if the live dir is missing but `<path>.compact_old`
+    survives, the old data is intact — rename it back; if both exist,
+    the swap completed and the backup is garbage. Leftover
+    `.compact_tmp` is always garbage (rewrite output, possibly partial).
+    Idempotent; called by every reader/writer entry point so a crashed
+    compaction can never silently present as an EMPTY state (an absent
+    ledger would make the next ingest start fresh and drop the old
+    membership rows — review finding, round 10)."""
+    import os
+    import shutil
+
+    old = path + ".compact_old"
+    if os.path.isdir(old):
+        if os.path.isdir(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
+    shutil.rmtree(path + ".compact_tmp", ignore_errors=True)
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 64 << 20,
+    min_files: int = 16,
+    slack: int = 4,
+) -> tuple[int, int]:
+    """Compact ONE append-grown parquet directory to ~target_bytes files
+    via rewrite-then-rename; returns (files_before, files_after).
+
+    Hysteresis (review finding, round 10): rewriting costs O(dir), so
+    compacting whenever file count exceeds the ideal ceil(size/target)
+    would rewrite the FULL state on every appending drain — the
+    O(total)-per-batch cost the incremental design exists to avoid. A
+    dir is left alone until it holds more than max(slack·ideal,
+    min_files) files; each rewrite then amortizes over at least
+    (slack-1)·ideal (or min_files) subsequent appends.
+
+    Crash safety: the two renames are not one atomic step — a crash
+    between them leaves the live dir missing with the data intact in
+    `.compact_old`; _recover_compact_swap (run here first, and by the
+    LSH ingest itself) renames it back. A CONCURRENT reader can still
+    hit the gap and fail loudly (path-not-found — never partial data);
+    don't run compaction concurrently with readers or ingests."""
+    import math
+    import os
+    import shutil
+
+    _recover_compact_swap(path)
+    if not os.path.isdir(path):
+        return (0, 0)
+    parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    size = sum(os.path.getsize(os.path.join(path, f)) for f in parts)
+    n_out = max(1, math.ceil(size / target_bytes))
+    if len(parts) <= max(slack * n_out, min_files):
+        return (len(parts), len(parts))
+    tmp = path + ".compact_tmp"
+    spark.read.parquet(path).repartition(n_out).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    old = path + ".compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return (
+        len(parts),
+        len([f for f in os.listdir(path) if f.endswith(".parquet")]),
+    )
+
+
 def compact_lsh_state(
-    spark: SparkSession, state_dir: str, target_bytes: int = 64 << 20
+    spark: SparkSession,
+    state_dir: str,
+    target_bytes: int = 64 << 20,
+    min_files: int = 16,
+    slack: int = 4,
 ) -> dict[str, tuple[int, int]]:
-    """Rewrite each LSH state table into ~target_bytes-sized files.
+    """Compact every LSH state table (see compact_parquet_dir for the
+    rewrite/hysteresis/crash-safety contract).
 
     Every `incremental_lsh_ingest` batch APPENDS one file set per table,
     so a long-running ingest loop accumulates thousands of small parquet
     files — each later probe then pays per-file open/footer cost and the
     scan parallelism degenerates to file count (the classic small-files
     problem; `sink_compact_small_files` demonstrates the generic fix).
-    This is the state-specific compaction: read → repartition to
-    ceil(dir_bytes / target_bytes) → write AS A NEW DIRECTORY → swap.
-    Row order is irrelevant (every consumer joins/anti-joins on keys),
-    so a rewrite is semantics-free; the swap is rename-based so a
-    concurrent READER sees either the old or the new directory, never a
-    half-written one. Do not run it concurrently with an ingest.
-
-    Returns {table: (files_before, files_after)} for observability; a
-    missing table (empty state) is skipped."""
-    import math
+    Returns {table: (files_before, files_after)}; a missing table
+    (empty state) is skipped."""
     import os
-    import shutil
 
-    report: dict[str, tuple[int, int]] = {}
-    for name in _LSH_STATE_TABLES:
-        path = os.path.join(state_dir, name)
-        if not os.path.isdir(path):
-            continue
-        parts = [
-            f for f in os.listdir(path) if f.endswith(".parquet")
-        ]
-        size = sum(os.path.getsize(os.path.join(path, f)) for f in parts)
-        n_out = max(1, math.ceil(size / target_bytes))
-        if len(parts) <= n_out:
-            report[name] = (len(parts), len(parts))
-            continue
-        tmp = path + ".compact_tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        spark.read.parquet(path).repartition(n_out).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        old = path + ".compact_old"
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
-        report[name] = (
-            len(parts),
-            len([f for f in os.listdir(path) if f.endswith(".parquet")]),
+    return {
+        name: compact_parquet_dir(
+            spark,
+            os.path.join(state_dir, name),
+            target_bytes,
+            min_files,
+            slack,
         )
-    return report
+        for name in _LSH_STATE_TABLES
+        if os.path.isdir(os.path.join(state_dir, name))
+        or os.path.isdir(os.path.join(state_dir, name) + ".compact_old")
+    }
 
 
 @query(

@@ -363,12 +363,24 @@ def test_compact_lsh_state_preserves_ingest_semantics(spark, sf_dir, tmp_path):
 
     before = n_files(s_compact, "bands.parquet")
     assert before >= 2  # one file set per batch append
-    report = compact_lsh_state(spark, s_compact, target_bytes=1 << 30)
+    # production hysteresis would skip a 2-file dir (threshold
+    # max(slack·ideal, min_files)); pin BOTH behaviors
+    untouched = compact_lsh_state(spark, s_compact, target_bytes=1 << 30)
+    assert untouched["bands.parquet"] == (before, before)
+    report = compact_lsh_state(
+        spark, s_compact, target_bytes=1 << 30, min_files=1, slack=1
+    )
     assert report["bands.parquet"][1] == 1  # tiny state -> single file
     assert n_files(s_compact, "bands.parquet") == 1
     assert not os.path.exists(
         os.path.join(s_compact, "bands.parquet.compact_tmp")
     )
+    # crash recovery: simulate dying between the two swap renames (live
+    # dir gone, data stranded in .compact_old) — the next ingest must
+    # HEAL the state, not mistake it for fresh
+    ing = os.path.join(s_compact, "ingested.parquet")
+    os.rename(ing, ing + ".compact_old")
+    assert not os.path.exists(ing)
 
     # the third batch behaves identically on compacted vs plain state
     def pairs(state):
