@@ -291,11 +291,20 @@ def run_dedup_stream(
     cheap no-op drain. tests/test_cli.py pins: two-batch arrival, the
     second run touching only batch-2 docs, and the final corpus matching
     a from-scratch batch dedup of the union."""
-    from filemap_spark.operators.text import incremental_lsh_ingest
+    from filemap_spark.operators.text import (
+        _recover_compact_swap,
+        incremental_lsh_ingest,
+    )
 
     state_dir = os.path.join(output, "_lsh_state")
     pairs_dir = os.path.join(output, "_pairs")
     checkpoint = os.path.join(output, "_checkpoint")
+    # heal a crashed _pairs compaction BEFORE the stream can append: a
+    # fresh append into a missing _pairs would otherwise recreate the dir
+    # and the post-drain recovery would then delete .compact_old — i.e.
+    # every historical pair (review finding, round 10; the three state
+    # tables get the same healing inside incremental_lsh_ingest itself)
+    _recover_compact_swap(pairs_dir)
     schema = spark.read.parquet(input_dir).schema
 
     def sink(batch_df, _batch_id):

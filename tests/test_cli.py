@@ -283,6 +283,19 @@ def test_dedup_stream_incremental_two_batches(spark, tmp_path):
     kept3, total3 = run_dedup_stream(spark, str(corpus), out)
     assert (kept3, total3) == (kept2, 4)
 
+    # crash-recovery (round 10): a _pairs compaction that died between
+    # its two swap renames leaves the accumulated pairs stranded in
+    # _pairs.compact_old — the next run must HEAL before the stream can
+    # append (a fresh append would recreate _pairs and the post-drain
+    # recovery would then delete the historical pairs), so the survivor
+    # corpus comes out unchanged
+    pairs_dir = os.path.join(out, "_pairs")
+    os.rename(pairs_dir, pairs_dir + ".compact_old")
+    kept4, total4 = run_dedup_stream(spark, str(corpus), out)
+    assert (kept4, total4) == (kept2, 4)
+    assert os.path.isdir(pairs_dir)
+    assert not os.path.exists(pairs_dir + ".compact_old")
+
 
 def test_compact_verb_rewrites_fragmented_dataset(spark, sf_dir, tmp_path):
     """`compact` rewrites a many-small-files dataset as the requested file

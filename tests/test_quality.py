@@ -363,9 +363,14 @@ def test_compact_lsh_state_preserves_ingest_semantics(spark, sf_dir, tmp_path):
 
     before = n_files(s_compact, "bands.parquet")
     assert before >= 2  # one file set per batch append
-    # production hysteresis would skip a 2-file dir (threshold
-    # max(slack·ideal, min_files)); pin BOTH behaviors
-    untouched = compact_lsh_state(spark, s_compact, target_bytes=1 << 30)
+    # hysteresis leaves a below-threshold dir alone (threshold
+    # max(slack·ideal, min_files)); pin BOTH behaviors — min_files is
+    # explicit because per-append file count tracks shuffle partitions
+    # and data size, so the default 16 could legitimately compact on a
+    # larger FILEMAP_TEST_SF_DIR (review finding, round 10)
+    untouched = compact_lsh_state(
+        spark, s_compact, target_bytes=1 << 30, min_files=10_000
+    )
     assert untouched["bands.parquet"] == (before, before)
     report = compact_lsh_state(
         spark, s_compact, target_bytes=1 << 30, min_files=1, slack=1
