@@ -116,8 +116,10 @@ CANARY_REF = 0.52
 # attribution, NOT folded into the bar denominators (its r10-recorded
 # reference has one round of history; promote it only if it proves
 # stable). Reference: min-of-3 at its exact position in this script
-# (right after the scan canary), recorded round 10 at rig_load 0.987.
-SHUFFLE_CANARY_REF = 0.60
+# (right after the scan canary) — 0.476 s in BOTH round-10 quiet-rig
+# runs (scan rig_load 0.806 and 0.867), so the recorded reference is
+# the in-position measurement, not a standalone-session estimate.
+SHUFFLE_CANARY_REF = 0.48
 
 
 def _shuffle_canary_form(spark, sf_dir: str):
