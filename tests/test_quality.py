@@ -337,6 +337,50 @@ def test_minhash_lsh_identical_cluster_output_pinned(spark, tmp_path):
     assert len(short_pairs) == 3  # the short identical group IS signed
 
 
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    ("live", "old", "tmp", "want_live_from"),
+    [
+        (True, False, False, "live"),   # healthy — no-op
+        (True, False, True, "live"),    # crash before first rename
+        (False, True, False, "old"),    # crash between the two renames
+        (False, True, True, "old"),     # same, rewrite output also present
+        (True, True, False, "live"),    # crash after swap, before cleanup
+        (True, True, True, "live"),     # pathological pile-up
+    ],
+)
+def test_recover_compact_swap_state_machine(
+    tmp_path, live, old, tmp, want_live_from
+):
+    """Exhaustive pin of the compaction crash-recovery transitions: for
+    every reachable (live, .compact_old, .compact_tmp) presence combo,
+    recovery must end with exactly the right data live and both scratch
+    dirs gone. Pure-filesystem (no Spark) — the marker files tell which
+    directory's contents survived."""
+    import os
+
+    from filemap_spark.operators.text import _recover_compact_swap
+
+    path = str(tmp_path / "table.parquet")
+    for present, name, marker in (
+        (live, path, "live"),
+        (old, path + ".compact_old", "old"),
+        (tmp, path + ".compact_tmp", "tmp"),
+    ):
+        if present:
+            os.makedirs(name)
+            open(os.path.join(name, f"{marker}.marker"), "w").close()
+
+    _recover_compact_swap(path)
+
+    assert os.path.isdir(path)
+    assert os.listdir(path) == [f"{want_live_from}.marker"]
+    assert not os.path.exists(path + ".compact_old")
+    assert not os.path.exists(path + ".compact_tmp")
+
+
 def test_compact_lsh_state_preserves_ingest_semantics(spark, sf_dir, tmp_path):
     """State compaction (round 10): after several batch appends each
     state table holds one file set per batch; compacting must shrink
