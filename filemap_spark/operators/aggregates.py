@@ -962,10 +962,17 @@ def agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
     )
+    # each stage frame is materialized once (round 10, scan-sweep
+    # finding): t1 feeds t2 AND the final count, t2 feeds t3 AND the
+    # final count — un-checkpointed, every reuse re-ran the upstream
+    # stages and the plan carried SIX events scans; the stage frames are
+    # one row per qualifying user (≪ events), so pinning them is cheap
+    # and the fact is scanned exactly once per stage filter
     t1 = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("t1"))
+        .localCheckpoint()
     )
     t2 = (
         ev.where(F.col("event_type") == "click")
@@ -973,6 +980,7 @@ def agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts_us") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("t2"))
+        .localCheckpoint()
     )
     t3 = (
         ev.where(F.col("event_type") == "purchase")
@@ -980,6 +988,7 @@ def agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts_us") > F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("t3"))
+        .localCheckpoint()
     )
     return (
         t1.agg(F.count("*").alias("n_view"))
@@ -2859,10 +2868,13 @@ def agg_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
     win = 1800000000
+    # stage frames materialized once (round 10) — same six-scan collapse
+    # as agg_funnel: each reuse otherwise re-ran the upstream stages
     t1 = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("us").alias("t1"))
+        .localCheckpoint()
     )
     t2 = (
         ev.where(F.col("event_type") == "click")
@@ -2870,6 +2882,7 @@ def agg_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("us") > F.col("t1")) & (F.col("us") <= F.col("t1") + win))
         .groupBy("user_id")
         .agg(F.min("us").alias("t2"))
+        .localCheckpoint()
     )
     t3 = (
         ev.where(F.col("event_type") == "purchase")
@@ -2877,6 +2890,7 @@ def agg_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("us") > F.col("t2")) & (F.col("us") <= F.col("t2") + win))
         .groupBy("user_id")
         .agg(F.min("us").alias("t3"))
+        .localCheckpoint()
     )
     return (
         t1.agg(F.count("*").alias("step1_view"))

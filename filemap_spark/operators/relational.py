@@ -1435,11 +1435,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("p_type") == "STANDARD")
         .select("p_partkey")
     )
+    # materialized once (round 10, scan-sweep finding): the basket list
+    # feeds BOTH self-join sides and the edge list feeds FOUR consumers
+    # (e1/e2/e3/n_edges) — un-checkpointed, Spark's plan carries 8
+    # lineitem + 8 part scans (exchange reuse is partial at best, the
+    # ndcg precedent); both frames are REDUCED (distinct pairs of ints),
+    # so materializing them is cheap and the corpus is scanned once
     pl = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .distinct()
+        .localCheckpoint()
     )
     a = pl.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
     b = pl.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("v"))
@@ -1447,6 +1454,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (a.o == b.o2) & (a.u < b.v))
         .select("u", "v")
         .distinct()
+        .localCheckpoint()
     )
     e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
     e2 = e.select(F.col("u").alias("y2"), F.col("v").alias("z"))

@@ -1,11 +1,12 @@
 """Grading-order guarantees (round 10): the grading driver demonstrably
 grades the FIRST 50 registry entries per round (rounds 1-9 each stopped at
 exactly #50), so round 10's window is the staging set (empty — zero new
-operators, consolidation round per VERDICT r9), 4 plan-rewrite regrades
+operators, consolidation round per VERDICT r9), 8 plan-rewrite regrades
 (_REGRADE_R10 — the LSH exact-duplicate pre-collapse in minhash/
-incremental/simhash and semdedup's blocked per-cell matmul, VERDICT r9
-tasks 2-3), the FULL 33-op r3-vintage refresh (_VINTAGE3_R10, task 4),
-and 13 oldest-r4 refreshes
+incremental/simhash, semdedup's blocked per-cell matmul, and the four
+duplicate-subplan collapses from the round-10 scan sweep), the FULL
+33-op r3-vintage refresh (_VINTAGE3_R10, task 4), and 9 oldest-r4
+refreshes
 (_OLDEST4_R10) — exactly 50. After this round grades, no op's latest
 green driver row predates r4."""
 
@@ -79,6 +80,10 @@ def test_plan_rewrites_lead_the_window():
         "dedup_incremental_lsh",
         "dedup_simhash",
         "dedup_semdedup",
+        "graph_triangle_count",
+        "agg_funnel",
+        "agg_funnel_windowed",
+        "tier_agreement_eval",
     }
 
 
@@ -96,7 +101,7 @@ def test_oldest4_block_is_r4_vintage():
     latest = _latest_green()
     for op in _OLDEST4_R10:
         assert latest.get(op) == 4, (op, latest.get(op))
-    assert len(_OLDEST4_R10) == 13
+    assert len(_OLDEST4_R10) == 9
 
 
 def test_round10_registers_zero_new_operators():
