@@ -410,14 +410,12 @@ def main() -> None:
     calibration["text_wordcount_rebuild"] = timings.get("text_wordcount")
 
     # Mechanical regression guard: this_round / prev_round per query
-    # (>1.0 = slower than the previous committed round).
+    # (>1.0 = slower than the previous committed round). Computed AFTER
+    # the breach-confirmation pass below updates all_timings (round 10:
+    # vs_prev used to capture the PRE-retime spike — a transient that
+    # the retime proved away still read as a 3× "regression").
     all_timings = {**timings, **ext_timings, **llm_timings}
     prev = _prev_round_timings(here, sf)
-    vs_prev = {
-        name: round(t / prev[name], 3)
-        for name, t in all_timings.items()
-        if prev.get(name)
-    }
 
     # Per-query 2x-bar ratios + loud breach list (bars are declared for
     # sf0.1 only — at other SFs the bar fields are omitted). The bar
@@ -480,6 +478,14 @@ def main() -> None:
                 f"BENCH BREACH: {breach} exceed their rig-adjusted 2x bar",
                 file=sys.stderr,
             )
+
+    # post-retime: transient spikes the confirmation pass disproved are
+    # reported at their confirmed timings
+    vs_prev = {
+        name: round(t / prev[name], 3)
+        for name, t in all_timings.items()
+        if prev.get(name)
+    }
 
     # Detail sidecar + stderr: everything the judge wants but the driver's
     # 2000-char stdout tail can't hold. BENCH_r05 recorded parsed:null

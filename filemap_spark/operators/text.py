@@ -464,8 +464,14 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("w2").isNotNull())
     )
-    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    # the bigram count table is materialized once and the w1-marginal
+    # derives FROM it (sum of c12 over w1 ≡ count of bigrams starting
+    # with w1 — exact integers), round-10 scan sweep: the r5-r10 form
+    # re-ran the corpus bigram window for each count (4 corpus scans →
+    # 3). bg itself stays un-checkpointed deliberately — it is
+    # corpus-sized per-bigram rows, the bm25 full-tf lesson.
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12")).localCheckpoint()
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     v = toks.agg(F.countDistinct("word").alias("v"))
     return (
         bg.join(c12, ["w1", "w2"])
@@ -2207,14 +2213,20 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_unigram_logprob); top-50 collapses to TakeOrdered."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens(docs)
-    uni = toks.groupBy("word").agg(F.count("*").alias("c"))
-    n_uni = toks.agg(F.count("*").alias("n"))
+    # both count tables materialized once (round-10 scan sweep): u1/u2
+    # each re-ran the unigram agg and n_big/main each re-ran the bigram
+    # window+agg — 5 corpus scans; checkpointing the two REDUCED count
+    # frames and deriving the token total as sum(c) over the unigram
+    # table (identical integer by construction) leaves exactly 2
+    uni = toks.groupBy("word").agg(F.count("*").alias("c")).localCheckpoint()
+    n_uni = uni.agg(F.sum("c").alias("n"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     bc = (
         toks.select(F.col("word").alias("w1"), F.lead("word").over(w).alias("w2"))
         .where(F.col("w2").isNotNull())
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("cb"))
+        .localCheckpoint()
     )
     n_big = bc.agg(F.sum("cb").alias("m"))
     u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
@@ -3392,11 +3404,15 @@ def text_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens(docs)
     w = Window.partitionBy("doc_id").orderBy("pos")
+    # materialized once (round-10 scan sweep): r1/r2/nb/main each re-ran
+    # the corpus bigram window+agg — 4 corpus scans; the count table is
+    # REDUCED (distinct bigrams), so one checkpoint leaves exactly 1
     bc = (
         toks.select(F.col("word").alias("w1"), F.lead("word").over(w).alias("w2"))
         .where(F.col("w2").isNotNull())
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("cb"))
+        .localCheckpoint()
     )
     r1 = bc.groupBy("w1").agg(F.sum("cb").alias("c1"))
     r2 = bc.groupBy("w2").agg(F.sum("cb").alias("c2"))

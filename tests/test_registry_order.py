@@ -1,11 +1,11 @@
 """Grading-order guarantees (round 10): the grading driver demonstrably
 grades the FIRST 50 registry entries per round (rounds 1-9 each stopped at
 exactly #50), so round 10's window is the staging set (empty — zero new
-operators, consolidation round per VERDICT r9), 8 plan-rewrite regrades
+operators, consolidation round per VERDICT r9), 11 plan-rewrite regrades
 (_REGRADE_R10 — the LSH exact-duplicate pre-collapse in minhash/
-incremental/simhash, semdedup's blocked per-cell matmul, and the four
+incremental/simhash, semdedup's blocked per-cell matmul, and the seven
 duplicate-subplan collapses from the round-10 scan sweep), the FULL
-33-op r3-vintage refresh (_VINTAGE3_R10, task 4), and 9 oldest-r4
+33-op r3-vintage refresh (_VINTAGE3_R10, task 4), and 6 oldest-r4
 refreshes
 (_OLDEST4_R10) — exactly 50. After this round grades, no op's latest
 green driver row predates r4."""
@@ -84,6 +84,9 @@ def test_plan_rewrites_lead_the_window():
         "agg_funnel",
         "agg_funnel_windowed",
         "tier_agreement_eval",
+        "text_bigram_pmi",
+        "text_collocation_llr",
+        "text_bigram_logprob",
     }
 
 
@@ -101,7 +104,7 @@ def test_oldest4_block_is_r4_vintage():
     latest = _latest_green()
     for op in _OLDEST4_R10:
         assert latest.get(op) == 4, (op, latest.get(op))
-    assert len(_OLDEST4_R10) == 9
+    assert len(_OLDEST4_R10) == 6
 
 
 def test_round10_registers_zero_new_operators():
