@@ -681,6 +681,24 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     p = sub.add_parser(
+        "memo",
+        help="inspect or invalidate the content-addressed result warehouse",
+    )
+    p.add_argument("action", choices=("ls", "rm", "evict"))
+    p.add_argument(
+        "--warehouse",
+        default=None,
+        help="warehouse dir (default $FILEMAP_WAREHOUSE or the tmp default)",
+    )
+    p.add_argument("--key", default=None, help="key prefix filter for rm")
+    p.add_argument(
+        "--max-bytes",
+        type=int,
+        default=0,
+        help="evict least-recently-used entries until the warehouse fits",
+    )
+
+    p = sub.add_parser(
         "compact",
         help="rewrite a fragmented parquet dataset as few range-clustered files",
     )
@@ -691,6 +709,26 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-records-per-file", type=int, default=2_000_000)
 
     args = ap.parse_args(argv)
+    if args.verb == "memo":
+        # warehouse maintenance is pure filesystem work: no SparkSession
+        from filemap_spark.plans.memo import (
+            evict_lru,
+            invalidate,
+            warehouse_entries,
+        )
+
+        if args.action == "ls":
+            entries = warehouse_entries(args.warehouse)
+            for e in entries:
+                print(f"{e['key']}\t{e['bytes']}\t{int(e['mtime'])}\t{e['files']}")
+            print(f"{len(entries)} entries", file=sys.stderr)
+        elif args.action == "rm":
+            n = invalidate(args.warehouse, prefix=args.key)
+            print(f"{n} entries dropped", file=sys.stderr)
+        else:
+            keys = evict_lru(args.warehouse, args.max_bytes)
+            print(f"{len(keys)} entries evicted", file=sys.stderr)
+        return 0
     if args.verb == "ops":
         # registry-only: no SparkSession needed to browse the catalog
         from filemap_spark.registry import _META, all_oracle, all_queries

@@ -729,6 +729,7 @@ JACCARD_PAIR_CTES = f"""
 
 @query(
     "dedup_near_jaccard",
+    memo=("documents",),
     cost=1.2,
     oracle=f"""
     WITH {JACCARD_PAIR_CTES}
@@ -2482,6 +2483,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_line_level",
+    memo=("documents",),
     cost=1.0,
     oracle=f"""
     WITH toks AS (
@@ -2888,6 +2890,7 @@ def dedup_token_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_rouge2_recall",
+    memo=("documents",),
     oracle="""
     WITH toks AS (
       SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS word,
@@ -3199,6 +3202,7 @@ _NDCG_TERM = "cast(round(rel * 10000 / log2(cast({rk} + 1 as double))) as bigint
 
 @query(
     "text_ndcg_eval",
+    memo=("documents",),
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
@@ -3438,6 +3442,7 @@ def text_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_ngram_novelty",
+    memo=("documents",),
     oracle=f"""
     WITH {SHINGLE_CTE.strip()}, firsts AS (
       SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle

@@ -86,6 +86,13 @@ def cached(
     out = os.path.join(warehouse, key)
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
+        # LRU touch: eviction orders entries by marker mtime, so a hit
+        # must refresh it or a hot entry ages out under a cold one.
+        try:
+            os.utime(marker)
+        except OSError:
+            pass  # concurrent eviction won the race; the read below still
+            # sees either the full dataset or a clean miss on retry
         return spark.read.parquet(out), True
     # Materialize to a temp dir and atomically rename into place: writing the
     # final path directly with overwrite races concurrent sessions sharing a
@@ -110,4 +117,134 @@ def cached(
                 raise
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+    max_bytes = os.environ.get("FILEMAP_WAREHOUSE_MAX_BYTES")
+    if max_bytes:
+        evict_lru(warehouse, int(max_bytes))
     return spark.read.parquet(out), False
+
+
+def _entry_bytes(path: str) -> int:
+    total = 0
+    for dirpath, _dirnames, filenames in os.walk(path):
+        for fname in filenames:
+            try:
+                total += os.stat(os.path.join(dirpath, fname)).st_size
+            except OSError:
+                pass
+    return total
+
+
+def warehouse_entries(warehouse: str | None = None) -> list[dict]:
+    """Committed warehouse entries, LRU-first (oldest marker mtime first).
+
+    Only dirs carrying a `_SUCCESS` marker count — staging dirs and
+    crashed half-writes are invisible here exactly as they are to
+    `cached()`'s hit check.
+    """
+    warehouse = warehouse or os.environ.get("FILEMAP_WAREHOUSE", _DEFAULT_WAREHOUSE)
+    entries: list[dict] = []
+    if not os.path.isdir(warehouse):
+        return entries
+    for name in os.listdir(warehouse):
+        path = os.path.join(warehouse, name)
+        marker = os.path.join(path, "_SUCCESS")
+        if name.startswith(".") or not os.path.exists(marker):
+            continue
+        entries.append(
+            {
+                "key": name,
+                "bytes": _entry_bytes(path),
+                "mtime": os.stat(marker).st_mtime,
+                "files": sum(len(f) for _, _, f in os.walk(path)),
+            }
+        )
+    entries.sort(key=lambda e: e["mtime"])
+    return entries
+
+
+def evict_lru(warehouse: str | None = None, max_bytes: int = 0) -> list[str]:
+    """Delete least-recently-USED entries until the warehouse fits
+    `max_bytes`. Returns the evicted keys.
+
+    - "Used" = marker mtime; `cached()` touches the marker on every hit.
+    - The single most-recent entry is never evicted, so the result just
+      materialized survives even when it alone exceeds the bound.
+    - Deletion renames the entry to a dot-prefixed trash dir first (one
+      atomic rename — concurrent `cached()` hit checks see the entry
+      either fully present or gone, never half-deleted), then removes it.
+    - Eviction can still race a reader that PASSED the marker check but
+      has not collected yet (Spark reads are lazy). In a shared
+      warehouse, run eviction from one maintenance cron, not inline in
+      every session — the inline env-var path is meant for single-session
+      local use.
+    """
+    import shutil
+
+    warehouse = warehouse or os.environ.get("FILEMAP_WAREHOUSE", _DEFAULT_WAREHOUSE)
+    entries = warehouse_entries(warehouse)
+    total = sum(e["bytes"] for e in entries)
+    evicted: list[str] = []
+    for entry in entries[:-1]:  # newest always survives
+        if total <= max_bytes:
+            break
+        path = os.path.join(warehouse, entry["key"])
+        trash = os.path.join(warehouse, "." + entry["key"] + ".evicting")
+        try:
+            os.rename(path, trash)
+        except OSError:
+            continue  # concurrent evictor/invalidator won
+        shutil.rmtree(trash, ignore_errors=True)
+        total -= entry["bytes"]
+        evicted.append(entry["key"])
+    return evicted
+
+
+def invalidate(warehouse: str | None = None, prefix: str | None = None) -> int:
+    """Drop committed entries whose key starts with `prefix` (all when
+    None). Returns the number dropped. Same rename-then-delete discipline
+    as eviction."""
+    import shutil
+
+    warehouse = warehouse or os.environ.get("FILEMAP_WAREHOUSE", _DEFAULT_WAREHOUSE)
+    dropped = 0
+    for entry in warehouse_entries(warehouse):
+        if prefix and not entry["key"].startswith(prefix):
+            continue
+        path = os.path.join(warehouse, entry["key"])
+        trash = os.path.join(warehouse, "." + entry["key"] + ".evicting")
+        try:
+            os.rename(path, trash)
+        except OSError:
+            continue
+        shutil.rmtree(trash, ignore_errors=True)
+        dropped += 1
+    return dropped
+
+
+def memoized_query(fn, tables: tuple[str, ...]):
+    """Wrap a registry query `(spark, sf_dir) -> DataFrame` in the
+    warehouse (filemap's make-semantics applied to a whole graded op).
+
+    The memoized result is a FINAL query output, so it is written as one
+    file (`coalesce(1)`): Spark orders read partitions by file-split
+    offset, which makes the hit-path collect order identical to the
+    uncached plan's — an op ending in orderBy keeps its ordering through
+    the cache. Query results are small (top-k/report-shaped) by
+    construction; the generic `cached()` stays multi-file for large
+    intermediates.
+
+    Input fingerprints cover exactly the declared source tables, so
+    touching any byte of an input re-runs the op (and ONLY ops reading
+    that table) — the make edge filemap users expect [K].
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = fn(spark, sf_dir)
+        inputs = [os.path.join(sf_dir, f"{t}.parquet") for t in tables]
+        result, _hit = cached(spark, df.coalesce(1), inputs)
+        return result
+
+    wrapped.__filemap_memo_tables__ = tables
+    return wrapped

@@ -112,3 +112,195 @@ def test_crashed_writer_leftover_is_replaced(spark, sf_dir):
     assert hit is False
     assert os.path.exists(os.path.join(stale, "_SUCCESS"))
     assert canonical_rows(r.toPandas()) == canonical_rows(_agg(spark, sf_dir).toPandas())
+
+
+# ---------------------------------------------------------------------------
+# Round 11 (VERDICT r10 tasks 1/8/9): registry-level memoization, LRU
+# eviction, concurrent-writer safety, CLI maintenance verb.
+# ---------------------------------------------------------------------------
+
+
+def _fresh_warehouse(monkeypatch):
+    wh = tempfile.mkdtemp(prefix="memo_wh_")
+    monkeypatch.setenv("FILEMAP_WAREHOUSE", wh)
+    return wh
+
+
+def test_registry_memo_ops_hit_path_row_identity(spark, sf_dir, monkeypatch):
+    """VERDICT r10 task 1's grading pin: for EVERY memo-capable registry
+    op, the first wrapped run materializes, the second is a warehouse hit,
+    and both return exactly the raw (uncached) op's rows — including row
+    ORDER, which the single-file write preserves through the cache."""
+    from filemap_spark.plans.memo import warehouse_entries
+    from filemap_spark.registry import _QUERIES, memo_queries
+
+    wh = _fresh_warehouse(monkeypatch)
+    wrapped = memo_queries()
+    assert set(wrapped) == {
+        "dedup_line_level",
+        "dedup_near_jaccard",
+        "text_ndcg_eval",
+        "text_ngram_novelty",
+        "text_rouge2_recall",
+    }
+    for name, fn in wrapped.items():
+        raw = _QUERIES[name](spark, sf_dir).toPandas()
+        first = fn(spark, sf_dir).toPandas()
+        n_before = len(warehouse_entries(wh))
+        second = fn(spark, sf_dir).toPandas()
+        assert len(warehouse_entries(wh)) == n_before, name  # hit: no new entry
+        # ORDER-SENSITIVE identity: stringified row tuples without sorting
+        def rows(pdf):
+            cols = sorted(pdf.columns)
+            return [
+                tuple(str(v) for v in r)
+                for r in pdf.reindex(cols, axis=1).itertuples(index=False, name=None)
+            ]
+
+        assert rows(first) == rows(raw), name
+        assert rows(second) == rows(raw), name
+
+
+def test_all_queries_env_gate(spark, sf_dir, monkeypatch):
+    """FILEMAP_MEMO unset → all_queries() serves the RAW functions (what
+    the driver grades and bench times); =1 → the memo-capable ops come
+    wrapped."""
+    from filemap_spark.registry import _MEMO, _QUERIES, all_queries
+
+    monkeypatch.delenv("FILEMAP_MEMO", raising=False)
+    q = all_queries()
+    for name in _MEMO:
+        assert q[name] is _QUERIES[name]
+    monkeypatch.setenv("FILEMAP_MEMO", "1")
+    _fresh_warehouse(monkeypatch)
+    q = all_queries()
+    for name in _MEMO:
+        assert q[name] is not _QUERIES[name]
+        assert q[name].__filemap_memo_tables__ == _MEMO[name]
+
+
+def test_memo_input_edge_only_declared_tables(spark, sf_dir, monkeypatch):
+    """make-semantics precision: the memo key covers the DECLARED tables
+    only, so touching an unrelated table must NOT invalidate."""
+    import shutil
+
+    from filemap_spark.plans.memo import warehouse_entries
+    from filemap_spark.registry import memo_queries
+
+    wh = _fresh_warehouse(monkeypatch)
+    # private sf copy so the utime below can't dirty shared fixtures
+    priv = tempfile.mkdtemp(prefix="memo_sf_")
+    for t in ("documents", "nation"):
+        shutil.copytree(f"{sf_dir}/{t}.parquet", f"{priv}/{t}.parquet")
+    fn = memo_queries()["dedup_near_jaccard"]
+    fn(spark, priv).collect()
+    assert len(warehouse_entries(wh)) == 1
+    os.utime(f"{priv}/nation.parquet")  # unrelated table
+    fn(spark, priv).collect()
+    assert len(warehouse_entries(wh)) == 1, "unrelated input invalidated"
+    os.utime(next(
+        os.path.join(f"{priv}/documents.parquet", f)
+        for f in os.listdir(f"{priv}/documents.parquet")
+        if f.endswith(".parquet")
+    ))  # declared table
+    fn(spark, priv).collect()
+    assert len(warehouse_entries(wh)) == 2, "declared input did not invalidate"
+    shutil.rmtree(priv, ignore_errors=True)
+
+
+def test_evict_lru_drops_oldest_keeps_hot_and_newest(spark, sf_dir):
+    """LRU discipline: a HIT refreshes an entry's recency (marker utime),
+    eviction drops the least-recently-used first, and the newest entry
+    survives even when the bound is 0."""
+    from pyspark.sql import functions as F
+
+    from filemap_spark.plans.memo import cached, evict_lru, warehouse_entries
+
+    wh = tempfile.mkdtemp(prefix="memo_wh_")
+    inputs = [f"{sf_dir}/nation.parquet"]
+    frames = [
+        _agg(spark, sf_dir),
+        _agg(spark, sf_dir).where(F.col("n") > 0),
+        _agg(spark, sf_dir).where(F.col("n") > 1),
+    ]
+    for df in frames:
+        cached(spark, df, inputs, warehouse=wh)
+        time.sleep(0.02)
+    # touch entry 0 via a hit: it becomes the most recently USED
+    cached(spark, frames[0], inputs, warehouse=wh)
+    entries = warehouse_entries(wh)
+    assert len(entries) == 3
+    total = sum(e["bytes"] for e in entries)
+    # bound that forces exactly one eviction: the LRU victim is frames[1]
+    evicted = evict_lru(wh, total - 1)
+    assert len(evicted) == 1
+    keys = {e["key"] for e in warehouse_entries(wh)}
+    assert len(keys) == 2
+    # frames[0] (hot) and frames[2]-or-frames[0]... recompute: remaining
+    # must include the hit-refreshed entry
+    r0, hit0 = cached(spark, frames[0], inputs, warehouse=wh)
+    assert hit0, "hit-refreshed entry was evicted before colder ones"
+    # bound 0: everything but the newest goes
+    evict_lru(wh, 0)
+    assert len(warehouse_entries(wh)) == 1
+
+
+def test_concurrent_writers_no_torn_reads(spark, sf_dir):
+    """Two sessions sharing a warehouse race to materialize the SAME key:
+    both must return the full correct rows (loser adopts the winner's
+    committed entry), and exactly one committed entry remains."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from filemap_spark.plans.memo import cached, warehouse_entries
+
+    wh = tempfile.mkdtemp(prefix="memo_wh_")
+    inputs = [f"{sf_dir}/lineitem.parquet"]
+
+    def build():
+        from filemap_spark.io import load_table
+
+        li = load_table(spark, sf_dir, "lineitem")
+        return (
+            li.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+            .orderBy("l_returnflag")
+        )
+
+    expected = canonical_rows(build().toPandas())
+
+    def run(_i):
+        df, _hit = cached(spark, build(), inputs, warehouse=wh)
+        return canonical_rows(df.toPandas())
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(run, range(4)))
+    for got in results:
+        assert got == expected
+    assert len(warehouse_entries(wh)) == 1
+    entries = os.listdir(wh)
+    assert all(not e.startswith(".") for e in entries), entries  # no staging left
+
+
+def test_cli_memo_ls_rm_evict(spark, sf_dir, capsys):
+    """The `memo` CLI verb: ls prints key/bytes/mtime/files rows, rm
+    drops by key prefix, evict applies the LRU bound."""
+    from pyspark.sql import functions as F
+
+    from filemap_spark.cli import main as cli_main
+    from filemap_spark.plans.memo import cached, warehouse_entries
+
+    wh = tempfile.mkdtemp(prefix="memo_wh_")
+    inputs = [f"{sf_dir}/nation.parquet"]
+    cached(spark, _agg(spark, sf_dir), inputs, warehouse=wh)
+    cached(spark, _agg(spark, sf_dir).where(F.col("n") > 0), inputs, warehouse=wh)
+    rc = cli_main(["memo", "ls", "--warehouse", wh])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 2 and all(len(l.split("\t")) == 4 for l in out)
+    victim = out[0].split("\t")[0]
+    rc = cli_main(["memo", "rm", "--warehouse", wh, "--key", victim[:16]])
+    assert rc == 0
+    assert {e["key"] for e in warehouse_entries(wh)} == {out[1].split("\t")[0]}
+    rc = cli_main(["memo", "evict", "--warehouse", wh, "--max-bytes", "0"])
+    assert rc == 0
+    assert len(warehouse_entries(wh)) == 1  # newest always survives
