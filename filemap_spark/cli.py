@@ -692,10 +692,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--key", default=None, help="key prefix filter for rm")
     p.add_argument(
+        "--all",
+        action="store_true",
+        dest="rm_all",
+        help="rm: drop EVERY committed entry (required when --key is absent)",
+    )
+    p.add_argument(
         "--max-bytes",
         type=int,
-        default=0,
-        help="evict least-recently-used entries until the warehouse fits",
+        default=None,
+        help="evict least-recently-used entries until the warehouse fits "
+        "(required for evict; 0 keeps only the newest entry)",
     )
 
     p = sub.add_parser(
@@ -723,9 +730,19 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"{e['key']}\t{e['bytes']}\t{int(e['mtime'])}\t{e['files']}")
             print(f"{len(entries)} entries", file=sys.stderr)
         elif args.action == "rm":
+            # destructive-default guard: a bare `memo rm` must not silently
+            # drop the whole warehouse — demand --key or an explicit --all
+            if args.key is None and not args.rm_all:
+                print("memo rm: pass --key PREFIX, or --all to drop every entry",
+                      file=sys.stderr)
+                return 2
             n = invalidate(args.warehouse, prefix=args.key)
             print(f"{n} entries dropped", file=sys.stderr)
         else:
+            if args.max_bytes is None:
+                print("memo evict: --max-bytes is required "
+                      "(0 keeps only the newest entry)", file=sys.stderr)
+                return 2
             keys = evict_lru(args.warehouse, args.max_bytes)
             print(f"{len(keys)} entries evicted", file=sys.stderr)
         return 0

@@ -1368,20 +1368,31 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     the score is rounded at 6dp BEFORE the threshold compare in BOTH
     engines, so a boundary value cannot flip between them.
 
-    Scale: two grouped exact percentiles (per-group sort — the exact
-    path; swap percentile_approx at 100 TB per the approx-tier playbook)
-    + one broadcast-joined scoring scan; group count is event-type-sized."""
+    Scale: ONE scan, ONE exchange (round-12 rewrite — the r7 shape
+    scanned events three times: once for the median agg, twice through
+    the join-back for MAD and scoring). Both exact percentiles run as
+    unbounded-frame WINDOW aggregates over the SAME partitionBy
+    (event_type): the second window and the final groupBy reuse the
+    first window's hash partitioning (HashPartitioning(event_type)
+    satisfies clustering on any key set containing event_type), so
+    Catalyst plans exactly one Exchange. Exact per-group percentile
+    needs the whole group resident either way — swap percentile_approx
+    at 100 TB per the approx-tier playbook; group count is
+    event-type-sized."""
+    from pyspark.sql.window import Window
+
     ev = load_table(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
-    )
-    with_med = ev.join(F.broadcast(med), "event_type")
-    mad = with_med.groupBy("event_type").agg(
-        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
-    )
-    scored = with_med.join(F.broadcast(mad), "event_type").withColumn(
-        "score",
-        F.round(F.abs(F.col("value") - F.col("med")) / (1.4826 * F.col("mad")), 6),
+    w = Window.partitionBy("event_type")
+    scored = (
+        ev.select("event_type", "value")
+        .withColumn("med", F.expr("percentile(value, 0.5)").over(w))
+        .withColumn("mad", F.expr("percentile(abs(value - med), 0.5)").over(w))
+        .withColumn(
+            "score",
+            F.round(
+                F.abs(F.col("value") - F.col("med")) / (1.4826 * F.col("mad")), 6
+            ),
+        )
     )
     return (
         scored.groupBy("event_type", "med", "mad")

@@ -1827,14 +1827,21 @@ def join_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Mechanics: dim-parent checks ride ONE left outer join each (the null
     parent key detects strict orphans, the parent attribute the policy
-    breach — both flags from the same probe); the fact-sized parent
-    (lineitem->orders) uses a LEFT ANTI join on just the key columns.
+    breach — both flags from the same probe). ALL THREE lineitem-rooted
+    checks share ONE lineitem scan (round-12 rewrite — the r7 shape
+    scanned lineitem three times: part probe, total count, orders anti
+    join): the broadcast part probe computes per-row flags map-side, the
+    orders membership check runs as a LEFT OUTER join on the key (an
+    anti join is a left join + null filter — folding it keeps the
+    matched rows, whose flags the same aggregate consumes), and one
+    1-row agg emits every lineitem counter.
 
-    Scale: customer/part broadcast (dim-sized); lineitem->orders anti-join
-    shuffles keys only — both sides project to the single join column
-    before the exchange, so shuffle volume is 8 bytes/row. At 100 TB the
-    anti join is the same shape dedup_cross_split ships; orphan auditing
-    never needs more than the key columns."""
+    Scale: customer/part broadcast (dim-sized); the lineitem->orders
+    probe shuffles the key plus two small int flags per row — within
+    rounding of the old keys-only anti-join exchange, for two fewer
+    full fact scans. At 100 TB the join is the same shape
+    dedup_cross_split ships; orphan auditing never needs more than the
+    key columns."""
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     customer = load_table(spark, sf_dir, "customer")
@@ -1859,34 +1866,38 @@ def join_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_policy"),
         )
     )
-    l_p = (
-        lineitem.select("l_partkey")
+    li_flags = (
+        lineitem.select("l_partkey", "l_orderkey")
         .join(
             F.broadcast(part.select("p_partkey", "p_size")),
-            lineitem.l_partkey == part.p_partkey,
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left",
+        )
+        .select(
+            "l_orderkey",
+            F.when(F.col("p_partkey").isNull(), 1).otherwise(0).alias("p_fk"),
+            F.when(F.col("p_partkey").isNull() | (F.col("p_size") > 25), 1)
+            .otherwise(0)
+            .alias("p_policy"),
+        )
+    )
+    l_all = (
+        li_flags.join(
+            orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
             "left",
         )
         .agg(
             F.count("*").alias("n_rows"),
-            F.sum(
-                F.when(F.col("p_partkey").isNull(), 1).otherwise(0)
-            ).alias("n_fk"),
-            F.sum(
-                F.when(
-                    F.col("p_partkey").isNull() | (F.col("p_size") > 25), 1
-                ).otherwise(0)
-            ).alias("n_policy"),
+            F.sum("p_fk").alias("n_fk_part"),
+            F.sum("p_policy").alias("n_policy_part"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+                "n_fk_orders"
+            ),
         )
     )
-    n_li = lineitem.groupBy().agg(F.count("*").alias("n_rows"))
-    l_o = (
-        lineitem.select("l_orderkey")
-        .join(orders.select("o_orderkey"), lineitem.l_orderkey == orders.o_orderkey, "left_anti")
-        .agg(F.count("*").alias("n_fk"))
-        .crossJoin(F.broadcast(n_li))
-    )
 
-    # Each audit subtree is referenced ONCE: the two report rows per join
+    # Each audit subtree is referenced ONCE: the report rows per join
     # explode out of the 1-row aggregate (a naive union of per-check
     # selects would re-execute the whole join+agg per row — observed as a
     # doubled lineitem scan in the physical plan before this rewrite).
@@ -1905,18 +1916,15 @@ def join_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     def report(src: DataFrame, *rows) -> DataFrame:
         return src.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
 
-    return (
+    return report(
+        o_c,
+        rrow("orders->customer", "n_fk"),
+        rrow("orders->customer:goodstanding", "n_policy"),
+    ).unionAll(
         report(
-            o_c,
-            rrow("orders->customer", "n_fk"),
-            rrow("orders->customer:goodstanding", "n_policy"),
+            l_all,
+            rrow("lineitem->part", "n_fk_part"),
+            rrow("lineitem->part:small", "n_policy_part"),
+            rrow("lineitem->orders", "n_fk_orders"),
         )
-        .unionAll(
-            report(
-                l_p,
-                rrow("lineitem->part", "n_fk"),
-                rrow("lineitem->part:small", "n_policy"),
-            )
-        )
-        .unionAll(report(l_o, rrow("lineitem->orders", "n_fk")))
     )

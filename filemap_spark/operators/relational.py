@@ -1631,10 +1631,17 @@ def sample_importance_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (identical order both engines, doc_id tiebreak); the reported mean
     descends through mean_micro_6dp's integer tie rule.
 
-    Scale: two wordcount-shaped aggs (doc×bucket, bucket), a 64-row
-    broadcast, one keyed agg, TakeOrdered(100). The target distribution
-    could come from a separate curated corpus — same plan, different
-    scan."""
+    Scale: ONE tokenize scan (round-12 rewrite — the r7 shape exploded
+    and md5-hashed the full token stream TWICE, once per distribution):
+    the doc×bucket agg keeps `lang` as a grouping key (functionally
+    dependent on doc_id — zero extra groups), and the bucket
+    distribution re-aggregates THAT token-count frame (corpus tokens →
+    doc×bucket rows, orders of magnitude smaller). Both consumers of
+    the doc×bucket agg hang off one identical exchange subtree, which
+    Spark's ReuseExchange dedupes — the scan+explode+hash pipeline runs
+    once per query. Then a 64-row broadcast, one keyed agg,
+    TakeOrdered(100). The target distribution could come from a
+    separate curated corpus — same plan, different scan."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
@@ -1643,11 +1650,22 @@ def sample_importance_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("int")
         % _DSIR_BUCKETS
     )
-    b = toks.select("doc_id", "lang", bucket.alias("bucket"))
-    db = b.groupBy("doc_id", "bucket").agg(F.count("*").alias("n"))
-    bs = b.groupBy("bucket").agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tc"),
-        F.count("*").alias("cc"),
+    dbl = (
+        toks.select("doc_id", "lang", bucket.alias("bucket"))
+        # explicit no-op null guards: the downstream joins infer
+        # isnotnull() on their keys and push them into SOME branches of
+        # this shared subtree — asymmetric filters make the three branch
+        # plans non-identical, which defeats ReuseExchange and triples
+        # the tokenize scan. Declaring the guards here keeps every
+        # branch's pushed-filter set (hence canonical plan) identical.
+        .where(F.col("doc_id").isNotNull() & F.col("bucket").isNotNull())
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    db = dbl.select("doc_id", "bucket", "n")
+    bs = dbl.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0)).alias("tc"),
+        F.sum("n").alias("cc"),
     )
     tot = bs.agg(F.sum("tc").alias("t_tot"), F.sum("cc").alias("c_tot"))
     lr = bs.crossJoin(F.broadcast(tot)).select(

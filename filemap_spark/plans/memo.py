@@ -55,10 +55,26 @@ def plan_key(df: DataFrame, input_paths: Iterable[str]) -> str:
     self-join), silently returning the wrong cached result. Renumbering
     keeps plan-equivalent queries on one key while distinct column
     references stay distinguishable.
+
+    Higher-order-function lambda variables need the same treatment:
+    `NamedLambdaVariable` prints as `lambda x_N#id` where N comes from a
+    session-global JVM counter, so `transform(arr, x -> ...)` yields
+    `lambda x_1#4` on one build and `lambda x_3#8` on the next. The `#id`
+    suffix is covered by the exprId pass; the `x_N` NAME is renumbered
+    here by first occurrence (v0, v1, ...), keeping distinct variables in
+    one plan distinct (nested lambdas) while two builds of the same query
+    share a key. Every occurrence of the variable — declaration and body —
+    prints with the `lambda ` prefix, so the anchored rewrite is total.
     """
     import re
 
     plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lams: dict[str, str] = {}
+    plan = re.sub(
+        r"\blambda (\w+?_\d+)#",
+        lambda m: "lambda " + lams.setdefault(m.group(1), f"v{len(lams)}") + "#",
+        plan,
+    )
     ids: dict[str, str] = {}
     plan = re.sub(
         r"#(\d+L?)", lambda m: "#" + ids.setdefault(m.group(1), f"e{len(ids)}"), plan
@@ -70,30 +86,37 @@ def plan_key(df: DataFrame, input_paths: Iterable[str]) -> str:
     return digest.hexdigest()
 
 
-def cached(
+def cached_by_key(
     spark: SparkSession,
-    df: DataFrame,
-    input_paths: Iterable[str],
+    key: str,
+    build: "callable",
     warehouse: str | None = None,
 ) -> tuple[DataFrame, bool]:
-    """Memoize df's result. Returns (result_df, was_hit).
+    """Key-first memoization core. Returns (result_df, was_hit).
 
-    Miss: materialize to warehouse/<key> and return a scan over it.
-    Hit: return the scan without touching the computation.
+    `build` is a zero-arg callable producing the DataFrame to materialize
+    — it is invoked ONLY on a miss, so a hit never constructs (or eagerly
+    materializes — e.g. localCheckpoint inside an op builder) the plan.
+
+    Hit: return a scan over warehouse/<key>, refreshing LRU recency.
+    Miss: materialize build() to warehouse/<key> and return a scan.
     """
     warehouse = warehouse or os.environ.get("FILEMAP_WAREHOUSE", _DEFAULT_WAREHOUSE)
-    key = plan_key(df, input_paths)
     out = os.path.join(warehouse, key)
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         # LRU touch: eviction orders entries by marker mtime, so a hit
         # must refresh it or a hot entry ages out under a cold one.
+        hit = True
         try:
             os.utime(marker)
         except OSError:
-            pass  # concurrent eviction won the race; the read below still
-            # sees either the full dataset or a clean miss on retry
-        return spark.read.parquet(out), True
+            # concurrent eviction won the race — the entry may be gone.
+            # Re-check and, if so, fall through to the miss path instead
+            # of returning a scan over a deleted directory.
+            hit = os.path.exists(marker)
+        if hit:
+            return spark.read.parquet(out), True
     # Materialize to a temp dir and atomically rename into place: writing the
     # final path directly with overwrite races concurrent sessions sharing a
     # warehouse (overwrite deletes _SUCCESS mid-flight under a reader that
@@ -101,6 +124,7 @@ def cached(
     # won — their result is byte-equivalent by construction of the key.
     import shutil
 
+    df = build()
     os.makedirs(warehouse, exist_ok=True)
     staging = tempfile.mkdtemp(dir=warehouse, prefix=f".{key[:16]}.tmp.")
     tmp_out = os.path.join(staging, "data")
@@ -121,6 +145,21 @@ def cached(
     if max_bytes:
         evict_lru(warehouse, int(max_bytes))
     return spark.read.parquet(out), False
+
+
+def cached(
+    spark: SparkSession,
+    df: DataFrame,
+    input_paths: Iterable[str],
+    warehouse: str | None = None,
+) -> tuple[DataFrame, bool]:
+    """Memoize df's result under its canonical-plan key. Returns
+    (result_df, was_hit). Miss: materialize to warehouse/<key> and return
+    a scan over it. Hit: return the scan without touching the computation.
+    """
+    return cached_by_key(
+        spark, plan_key(df, input_paths), lambda: df, warehouse=warehouse
+    )
 
 
 def _entry_bytes(path: str) -> int:
@@ -221,9 +260,37 @@ def invalidate(warehouse: str | None = None, prefix: str | None = None) -> int:
     return dropped
 
 
+def _fn_fingerprint(fn) -> str:
+    """Code-version token for the make edge 'command changed': the op's
+    own source text. A rewrite of the op function invalidates its cached
+    results even in a persistent warehouse. (Helpers the op calls are not
+    covered — a helper rewrite that changes semantics warrants a manual
+    `filemap memo rm`; in exchange the key needs NO plan construction.)"""
+    import inspect
+
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):  # REPL-defined / builtin — identity only
+        src = getattr(fn, "__qualname__", repr(fn))
+    return hashlib.sha256(src.encode()).hexdigest()
+
+
 def memoized_query(fn, tables: tuple[str, ...]):
     """Wrap a registry query `(spark, sf_dir) -> DataFrame` in the
     warehouse (filemap's make-semantics applied to a whole graded op).
+
+    The key is make-style — sha256(op identity ⊕ op source hash ⊕ input
+    fingerprints) — NOT the Catalyst plan, deliberately:
+    - it mirrors the reference's (inputs, command) fingerprint exactly:
+      the "command" is the op's code, inputs are its declared tables [K];
+    - it is computable WITHOUT building the plan, so a hit skips plan
+      construction entirely. Ops that `localCheckpoint` an intermediate
+      (dedup_near_jaccard's shingle frame, text_ndcg_eval's tf frame)
+      would otherwise eagerly materialize their heaviest subplan on every
+      HIT — and that checkpointed subplan prints as an opaque LogicalRDD
+      node, so a plan-string key would also miss code changes under it;
+    - the source hash closes the 'command changed' edge the LogicalRDD
+      hole would open: rewriting the op re-keys it.
 
     The memoized result is a FINAL query output, so it is written as one
     file (`coalesce(1)`): Spark orders read partitions by file-split
@@ -239,11 +306,20 @@ def memoized_query(fn, tables: tuple[str, ...]):
     """
     import functools
 
+    code_fp = _fn_fingerprint(fn)
+
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        df = fn(spark, sf_dir)
         inputs = [os.path.join(sf_dir, f"{t}.parquet") for t in tables]
-        result, _hit = cached(spark, df.coalesce(1), inputs)
+        digest = hashlib.sha256()
+        digest.update(f"op:{fn.__module__}.{fn.__qualname__}".encode())
+        digest.update(b"\x00")
+        digest.update(code_fp.encode())
+        digest.update(b"\x00")
+        digest.update(_input_fingerprint(inputs).encode())
+        result, _hit = cached_by_key(
+            spark, digest.hexdigest(), lambda: fn(spark, sf_dir).coalesce(1)
+        )
         return result
 
     wrapped.__filemap_memo_tables__ = tables

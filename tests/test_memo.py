@@ -71,6 +71,47 @@ def test_self_join_left_vs_right_projection_distinct_keys(spark, sf_dir):
     assert plan_key(left, inputs) == plan_key(left2, inputs)
 
 
+def test_lambda_plan_key_stable_across_builds(spark, sf_dir):
+    """Round-11 regression (VERDICT r11 task 1): NamedLambdaVariable names
+    come from a session-global JVM counter (`lambda x_1#4` on one build,
+    `lambda x_3#8` on the next), so without lambda-name canonicalization
+    every higher-order-function plan got a fresh key per construction and
+    the cache never hit. Two FRESH constructions of the same lambda-bearing
+    query must share a key."""
+    inputs = [f"{sf_dir}/documents.parquet"]
+
+    def build():
+        d = load_table(spark, sf_dir, "documents")
+        return d.select(
+            "doc_id",
+            F.array_sort(F.split("text", r"\s+")).alias("toks"),
+            F.transform(F.split("text", r"\s+"), lambda w: F.length(w)).alias("lens"),
+            F.filter(F.split("text", r"\s+"), lambda w: F.length(w) > 3).alias("big"),
+        )
+
+    assert plan_key(build(), inputs) == plan_key(build(), inputs)
+
+
+def test_lambda_plan_key_distinct_for_different_lambdas(spark, sf_dir):
+    """Negative pin: canonicalizing lambda NAMES must not merge plans whose
+    lambda BODIES differ, nor confuse two distinct variables in one plan."""
+    inputs = [f"{sf_dir}/documents.parquet"]
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", r"\s+")
+    a = d.select(F.transform(toks, lambda w: F.length(w)).alias("v"))
+    b = d.select(F.transform(toks, lambda w: F.length(w) + 1).alias("v"))
+    assert plan_key(a, inputs) != plan_key(b, inputs)
+    # nested lambdas: two variables in one plan stay distinct — swapping
+    # which variable the inner body references must change the key
+    nested_outer = d.select(
+        F.transform(toks, lambda w: F.transform(toks, lambda u: F.length(w))).alias("v")
+    )
+    nested_inner = d.select(
+        F.transform(toks, lambda w: F.transform(toks, lambda u: F.length(u))).alias("v")
+    )
+    assert plan_key(nested_outer, inputs) != plan_key(nested_inner, inputs)
+
+
 def test_materialization_leaves_no_staging_dirs(spark, sf_dir):
     """The atomic temp-dir + rename path must clean its staging dirs on
     success and leave exactly the keyed dataset behind."""
@@ -188,21 +229,27 @@ def test_memo_input_edge_only_declared_tables(spark, sf_dir, monkeypatch):
     from filemap_spark.registry import memo_queries
 
     wh = _fresh_warehouse(monkeypatch)
-    # private sf copy so the utime below can't dirty shared fixtures
+    # private sf copy so the utime below can't dirty shared fixtures.
+    # Tables are a single parquet FILE at sf0.001 and a directory at
+    # larger SFs (the r11 copytree-only version broke on the file case).
     priv = tempfile.mkdtemp(prefix="memo_sf_")
     for t in ("documents", "nation"):
-        shutil.copytree(f"{sf_dir}/{t}.parquet", f"{priv}/{t}.parquet")
+        src, dst = f"{sf_dir}/{t}.parquet", f"{priv}/{t}.parquet"
+        shutil.copytree(src, dst) if os.path.isdir(src) else shutil.copy2(src, dst)
     fn = memo_queries()["dedup_near_jaccard"]
     fn(spark, priv).collect()
     assert len(warehouse_entries(wh)) == 1
     os.utime(f"{priv}/nation.parquet")  # unrelated table
     fn(spark, priv).collect()
     assert len(warehouse_entries(wh)) == 1, "unrelated input invalidated"
-    os.utime(next(
-        os.path.join(f"{priv}/documents.parquet", f)
-        for f in os.listdir(f"{priv}/documents.parquet")
-        if f.endswith(".parquet")
-    ))  # declared table
+    docs = f"{priv}/documents.parquet"
+    os.utime(
+        docs
+        if os.path.isfile(docs)
+        else next(
+            os.path.join(docs, f) for f in os.listdir(docs) if f.endswith(".parquet")
+        )
+    )  # declared table
     fn(spark, priv).collect()
     assert len(warehouse_entries(wh)) == 2, "declared input did not invalidate"
     shutil.rmtree(priv, ignore_errors=True)
@@ -298,6 +345,12 @@ def test_cli_memo_ls_rm_evict(spark, sf_dir, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 2 and all(len(l.split("\t")) == 4 for l in out)
     victim = out[0].split("\t")[0]
+    # destructive-default guards: bare rm and unbounded evict must refuse
+    rc = cli_main(["memo", "rm", "--warehouse", wh])
+    assert rc == 2 and len(warehouse_entries(wh)) == 2
+    rc = cli_main(["memo", "evict", "--warehouse", wh])
+    assert rc == 2 and len(warehouse_entries(wh)) == 2
+    capsys.readouterr()
     rc = cli_main(["memo", "rm", "--warehouse", wh, "--key", victim[:16]])
     assert rc == 0
     assert {e["key"] for e in warehouse_entries(wh)} == {out[1].split("\t")[0]}
