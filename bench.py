@@ -479,6 +479,42 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    # Memo hit-latency calibration (VERDICT r11 task 5): for every
+    # memo-capable registry op — raw uncached plan, warehouse MISS
+    # (compute + single-file write + rename), warehouse HIT (key check +
+    # scan of the materialized result) — same session, same SF, so the
+    # hit-vs-raw speedup and the miss write-overhead are apples-to-
+    # apples. Raw reuses the suite's min-of-3 where the op is already
+    # timed; miss/hit are single runs into a throwaway warehouse (a hit
+    # is key hashing + a small parquet scan — noise floor, not worth 3x).
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from filemap_spark.registry import memo_queries
+
+    memo_detail: dict[str, dict[str, float]] = {}
+    memo_wh = _tempfile.mkdtemp(prefix="bench_memo_wh_")
+    prev_wh = os.environ.get("FILEMAP_WAREHOUSE")
+    os.environ["FILEMAP_WAREHOUSE"] = memo_wh
+    try:
+        for name, wrapped in sorted(memo_queries().items()):
+            raw_t = all_timings.get(name)
+            if raw_t is None:
+                raw_t = _time_best(queries[name], spark, sf_dir, n=1)
+            t0 = time.time()
+            wrapped(spark, sf_dir).collect()
+            miss_t = round(time.time() - t0, 3)
+            t0 = time.time()
+            wrapped(spark, sf_dir).collect()
+            hit_t = round(time.time() - t0, 3)
+            memo_detail[name] = {"raw": raw_t, "miss": miss_t, "hit": hit_t}
+    finally:
+        if prev_wh is None:
+            os.environ.pop("FILEMAP_WAREHOUSE", None)
+        else:
+            os.environ["FILEMAP_WAREHOUSE"] = prev_wh
+        _shutil.rmtree(memo_wh, ignore_errors=True)
+
     # post-retime: transient spikes the confirmation pass disproved are
     # reported at their confirmed timings
     vs_prev = {
@@ -509,6 +545,7 @@ def main() -> None:
         "calibration": calibration,
         "bar_ratios": bar_ratios,
         "breach": breach,
+        "memo": memo_detail,
     }
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)

@@ -1714,6 +1714,7 @@ def sample_importance_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 30
     """,
     cost=0.6,
+    memo=("lineitem",),
 )
 def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighbor-set Jaccard link prediction (round 6, staged r7): for the

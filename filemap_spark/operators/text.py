@@ -2200,6 +2200,7 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE cb >= 5
     ORDER BY pmi DESC, w1, w2 LIMIT 50
     """,
+    memo=("documents",),
 )
 def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining via pointwise mutual information — the classic

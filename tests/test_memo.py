@@ -180,6 +180,8 @@ def test_registry_memo_ops_hit_path_row_identity(spark, sf_dir, monkeypatch):
     assert set(wrapped) == {
         "dedup_line_level",
         "dedup_near_jaccard",
+        "graph_jaccard_neighbors",
+        "text_bigram_pmi",
         "text_ndcg_eval",
         "text_ngram_novelty",
         "text_rouge2_recall",
@@ -253,6 +255,26 @@ def test_memo_input_edge_only_declared_tables(spark, sf_dir, monkeypatch):
     fn(spark, priv).collect()
     assert len(warehouse_entries(wh)) == 2, "declared input did not invalidate"
     shutil.rmtree(priv, ignore_errors=True)
+
+
+def test_memo_wrapped_op_stays_oracle_green(spark, sf_dir, monkeypatch):
+    """Round-12 coverage-growth pin (VERDICT r11 task 9): the newly
+    memo-capable ops pass the SAME differential oracle check the driver
+    runs — once on the miss path (materializing) and once on the hit path
+    (scanning the warehouse). The driver path (wrap off) is covered by
+    the regular grading ledger; this pins the wrapped path."""
+    from filemap_spark.registry import all_oracle, all_queries
+    from filemap_spark.testing import run_one
+
+    _fresh_warehouse(monkeypatch)
+    monkeypatch.setenv("FILEMAP_MEMO", "1")
+    q = all_queries()
+    oracles = all_oracle()
+    for name in ("graph_jaccard_neighbors", "text_bigram_pmi"):
+        miss = run_one(name, q[name], oracles[name], spark, sf_dir)
+        assert miss.ok, (name, miss)
+        hit = run_one(name, q[name], oracles[name], spark, sf_dir)
+        assert hit.ok, (name, hit)
 
 
 def test_evict_lru_drops_oldest_keeps_hot_and_newest(spark, sf_dir):

