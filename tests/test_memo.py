@@ -257,6 +257,40 @@ def test_memo_input_edge_only_declared_tables(spark, sf_dir, monkeypatch):
     shutil.rmtree(priv, ignore_errors=True)
 
 
+def test_hit_racing_eviction_falls_through_to_recompute(
+    spark, sf_dir, monkeypatch
+):
+    """ADVICE r11: a hit whose entry is deleted by a concurrent evictor
+    between the marker check and the LRU utime must RECOMPUTE (miss
+    path), not return a scan over the deleted directory. Injected by a
+    utime that deletes the entry then raises OSError — the exact race,
+    collapsed to one thread."""
+    import os as _os
+    import shutil
+
+    wh = tempfile.mkdtemp(prefix="memo_wh_")
+    inputs = [f"{sf_dir}/nation.parquet"]
+    _r, hit = cached(spark, _agg(spark, sf_dir), inputs, warehouse=wh)
+    assert hit is False
+    entry = next(e for e in os.listdir(wh) if not e.startswith("."))
+
+    real_utime = _os.utime
+
+    def racing_utime(path, *a, **k):
+        if path.endswith("_SUCCESS"):
+            shutil.rmtree(os.path.join(wh, entry), ignore_errors=True)
+            raise OSError("concurrent eviction")
+        return real_utime(path, *a, **k)
+
+    monkeypatch.setattr("filemap_spark.plans.memo.os.utime", racing_utime)
+    r, hit = cached(spark, _agg(spark, sf_dir), inputs, warehouse=wh)
+    monkeypatch.undo()
+    assert hit is False  # fell through to the miss path
+    assert canonical_rows(r.toPandas()) == canonical_rows(
+        _agg(spark, sf_dir).toPandas()
+    )
+
+
 def test_memo_wrapped_op_stays_oracle_green(spark, sf_dir, monkeypatch):
     """Round-12 coverage-growth pin (VERDICT r11 task 9): the newly
     memo-capable ops pass the SAME differential oracle check the driver
@@ -275,6 +309,47 @@ def test_memo_wrapped_op_stays_oracle_green(spark, sf_dir, monkeypatch):
         assert miss.ok, (name, miss)
         hit = run_one(name, q[name], oracles[name], spark, sf_dir)
         assert hit.ok, (name, hit)
+
+
+def test_memoized_query_source_rewrite_invalidates(
+    spark, sf_dir, monkeypatch, tmp_path
+):
+    """The 'command changed' make edge (ADVICE r11 medium): the registry
+    memo key folds in the op's SOURCE hash, so rewriting an op — same
+    module, same qualname — re-keys it even though the plan may be
+    hidden behind an opaque checkpointed subplan. Same source twice must
+    still share one entry."""
+    import importlib.util
+    import linecache
+
+    from filemap_spark.plans.memo import memoized_query, warehouse_entries
+
+    wh = _fresh_warehouse(monkeypatch)
+    mod_path = tmp_path / "memo_op_mod.py"
+    src = (
+        "from pyspark.sql import functions as F\n"
+        "from filemap_spark.io import load_table\n"
+        "def op(spark, sf_dir):\n"
+        "    return (load_table(spark, sf_dir, 'nation')\n"
+        "        .groupBy('n_regionkey')\n"
+        "        .agg(F.count('*').alias('{alias}'))\n"
+        "        .orderBy('n_regionkey'))\n"
+    )
+
+    def load(alias: str):
+        mod_path.write_text(src.format(alias=alias))
+        linecache.clearcache()  # getsource caches file lines by path
+        spec = importlib.util.spec_from_file_location("memo_op_mod", mod_path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.op
+
+    memoized_query(load("n"), ("nation",))(spark, sf_dir).collect()
+    assert len(warehouse_entries(wh)) == 1
+    memoized_query(load("n"), ("nation",))(spark, sf_dir).collect()
+    assert len(warehouse_entries(wh)) == 1, "identical source re-keyed"
+    memoized_query(load("n2"), ("nation",))(spark, sf_dir).collect()
+    assert len(warehouse_entries(wh)) == 2, "source rewrite did not invalidate"
 
 
 def test_evict_lru_drops_oldest_keeps_hot_and_newest(spark, sf_dir):

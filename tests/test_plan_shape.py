@@ -1097,16 +1097,18 @@ def test_interval_coalesce_single_user_exchange(spark, sf_dir):
 
 
 def test_fk_orphans_each_audit_subtree_once(spark, sf_dir):
-    """join_fk_orphans: the two report rows per audit explode from the
-    1-row aggregate — each join subtree (and thus each fact scan) appears
-    exactly once: orders+customer, lineitem+part, lineitem+orders(anti)
-    + the count-only lineitem scan = 7 scans total. (The naive per-row
-    union doubled them.) Dims broadcast; no cartesian."""
+    """join_fk_orphans: the report rows per audit explode from the 1-row
+    aggregates — each join subtree (and thus each fact scan) appears
+    exactly once. Since the r12 single-pass rewrite ALL THREE
+    lineitem-rooted checks share one lineitem scan: orders+customer,
+    lineitem+part(broadcast)+orders(left) = 5 scans total (was 7 with
+    the separate count + anti-join passes; the naive per-row union
+    doubled even those). Dims broadcast; no cartesian."""
     import re
 
     plan = plan_of(spark, sf_dir, "join_fk_orphans")
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
-    assert len(scans) == 7, plan
+    assert len(scans) == 5, plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 

@@ -158,8 +158,8 @@ def test_survey_and_readme_counts_match_registry():
     registry itself; this pins the documented counts to it."""
     import re
 
-    n_ops = len(_META)
-    n_oracle = len(all_oracle())
+    n_oracle = len(all_oracle())  # triggers the lazy registry load —
+    n_ops = len(_META)  # — so _META is populated when run standalone
     n_rows_only = n_ops - n_oracle
 
     survey = open(os.path.join(REPO, "SURVEY.md")).read()
