@@ -2528,7 +2528,21 @@ def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash equi-join keyed by the line hash (never doc×doc); reassembly is
     one keyed agg per doc. At 100 TB, hash lines to 128-bit BEFORE the
     shuffle so the popularity exchange moves 16-byte keys, not line text
-    — the md5 here already is that discipline."""
+    — the md5 here already is that discipline.
+
+    Round-12 single-tokenize rewrite: the r5 form scanned + tokenized +
+    line-aggregated the corpus THREE times (popularity branch, kept
+    branch, per-doc total branch — the optimizer specializes each
+    branch's aggregate differently, e.g. the total branch drops the
+    collect_list, so ReuseExchange can never fire; verified in the
+    post-AQE sweep). Now the line frame is materialized ONCE
+    (localCheckpoint — the dedup_near_jaccard discipline; safe under
+    memoization since the make-style key never builds the plan on a
+    hit), and the survivors and totals come from ONE final per-doc
+    aggregate: count(*) is n_paras, the kept count/reassembly ride
+    conditional aggregates (collect_list skips the NULLs the popularity
+    flag leaves on boilerplate lines) — which also deletes the old
+    tot⟕ka join and its shuffle."""
     paras = (
         _tokens(load_table(spark, sf_dir, "documents"))
         .groupBy(
@@ -2544,27 +2558,30 @@ def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("para")
         )
         .withColumn("h", F.md5("para"))
+        .localCheckpoint()
     )
     pop = paras.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
-    kept = paras.join(pop, "h").where(F.col("n_docs") == 1)
-    tot = paras.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
-    ka = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pidx", "para"))),
-                lambda s: s.para,
-            ),
-            " ",
-        ).alias("clean_text"),
-    )
     return (
-        tot.join(ka, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_paras",
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        paras.join(pop, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("n_docs") == 1, F.struct("pidx", "para")
+                            )
+                        )
+                    ),
+                    lambda s: s.para,
+                ),
+                " ",
+            ).alias("clean_text"),
         )
         .orderBy("doc_id")
     )
