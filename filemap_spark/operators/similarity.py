@@ -1253,8 +1253,15 @@ def emb_pair_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     both operands are small exact integers, the quotient's floor is exact.)
 
     Scale: pair generation is a map (one broadcast n); the only data-sized
-    shuffles are the two vec_id joins and the O(n)-group sim agg. The
-    histogram output is O(41) rows."""
+    shuffles are the two vec_id joins — of WHOLE VECTOR ROWS, not
+    elements. (Round-12 rewrite: the r7 form posexploded both join sides
+    and re-assembled each pair through an n×dim-row equi-join plus an
+    n-group aggregate — the quantized per-element terms are int64, and
+    integer addition is order-free, so the same exact sums now fold
+    map-side with zip_with/aggregate over the joined array columns: the
+    element explosion, the (id, pos) join blow-up, and the whole sim
+    aggregate disappear from the shuffle graph.) The histogram output is
+    O(41) rows."""
     emb = load_table(spark, sf_dir, "embeddings")
     nn = emb.agg(F.count("*").cast("bigint").alias("n"))
     cand = (F.col("vec_id") * 7919 + 104729) % F.col("n")
@@ -1268,43 +1275,53 @@ def emb_pair_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("id_b"),
         )
     )
-    elems = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("pos", "vf")
-    ).withColumn("v", F.col("vf").cast("double"))
-    term = lambda x: F.expr(f"cast(round({x} * 1000000000000) as bigint)")  # noqa: E731
-    a = elems.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("label").alias("label_a"),
-        "pos",
-        F.col("v").alias("va"),
+    vecs = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    b = elems.select(
-        F.col("vec_id").alias("bid"),
-        F.col("label").alias("label_b"),
-        F.col("pos").alias("pos_b"),
-        F.col("v").alias("vb"),
-    )
-    terms = (
-        pairs.join(a, "id_a")
-        .join(b, (F.col("id_b") == F.col("bid")) & (F.col("pos") == F.col("pos_b")))
-        .select(
+
+    def isum(arr):  # exact-int64 fold; addition order is immaterial
+        return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    def term(x):  # 1e-12-quantized int64 term (the shared discipline)
+        return F.round(x * F.lit(1000000000000.0), 0).cast("long")
+
+    sims = (
+        pairs.join(
+            vecs.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("label").alias("label_a"),
+                F.col("v").alias("va"),
+            ),
             "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("label").alias("label_b"),
+                F.col("v").alias("vb"),
+            ),
             "id_b",
+        )
+        .select(
             "label_a",
             "label_b",
-            term("va * vb").alias("dt"),
-            term("va * va").alias("at2"),
-            term("vb * vb").alias("bt2"),
+            isum(F.zip_with("va", "vb", lambda x, y: term(x * y))).alias("dt"),
+            isum(F.transform("va", lambda x: term(x * x))).alias("at2"),
+            isum(F.transform("vb", lambda x: term(x * x))).alias("bt2"),
         )
-    )
-    sims = terms.groupBy("id_a", "id_b", "label_a", "label_b").agg(
-        F.expr(
-            "cast(round("
-            "(cast(sum(dt) as double) / 1000000000000)"
-            " / (sqrt(cast(sum(at2) as double) / 1000000000000)"
-            "    * sqrt(cast(sum(bt2) as double) / 1000000000000))"
-            " * 1000) as bigint)"
-        ).alias("cos_milli")
+        .select(
+            "label_a",
+            "label_b",
+            F.expr(
+                "cast(round("
+                "(cast(dt as double) / 1000000000000)"
+                " / (sqrt(cast(at2 as double) / 1000000000000)"
+                "    * sqrt(cast(bt2 as double) / 1000000000000))"
+                " * 1000) as bigint)"
+            ).alias("cos_milli"),
+        )
     )
     return (
         sims.groupBy(

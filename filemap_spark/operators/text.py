@@ -105,11 +105,23 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf with ln(N/df); top term per doc (tiebreak: word asc). The
-    corpus size N rides along as a broadcast scalar — no driver collect."""
+    corpus size N rides along as a broadcast scalar — no driver collect.
+
+    Round-12 single-tokenize form: df derives FROM the tf count table
+    (count of (doc, word) rows per word ≡ countDistinct(doc_id) — exact
+    integers), and tf is checkpointed once (the c12 count-table
+    discipline: checkpoint the AGGREGATED frame, never the raw token
+    stream) — the r6 form tokenized the corpus twice, and ReuseExchange
+    can't rescue it because the optimizer specializes the two branches'
+    partial aggregates differently (the df branch drops the count)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens(docs)
-    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    df = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    tf = (
+        toks.groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(df, "word")
@@ -500,10 +512,17 @@ def _unigram_scored(docs: DataFrame, with_count: bool = False) -> DataFrame:
     is an executor OOM at 100 TB. AQE broadcasts it when it is actually
     small (pinned by tests/test_plan_shape.py); a shuffled hash/merge join
     on `word` is the correct fallback at scale. The token-total frame is a
-    single row — always broadcast."""
+    single row — always broadcast.
+
+    Round-12 two-tokenize form (was three): the LM table is checkpointed
+    once (vocab-sized — the cheapest checkpoint in the repo) and the
+    token total derives from it as sum(c) — exact integers — instead of
+    re-counting the exploded stream. The raw token stream itself stays
+    un-checkpointed (corpus-sized; the bm25 full-tf lesson), so the
+    scoring join pays the second, final tokenize."""
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    wc = toks.groupBy("word").agg(F.count("*").alias("c"))
-    tot = toks.agg(F.count("*").alias("n"))
+    wc = toks.groupBy("word").agg(F.count("*").alias("c")).localCheckpoint()
+    tot = wc.agg(F.sum("c").alias("n"))
     aggs = [
         F.expr(davg("ln(cast(n AS double)) - ln(cast(c AS double))", "avg_neg_logp"))
     ]

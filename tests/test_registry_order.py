@@ -1,10 +1,10 @@
 """Grading-order guarantees (round 12): the grading driver demonstrably
 grades the FIRST 50 registry entries per round (rounds 1-11 each stopped
 at exactly #50), so round 12's window is the staging set (empty —
-consolidation round per VERDICT r11), the 6 regrades (_REGRADE_R12: the
-four single-pass plan rewrites + the two newly memo-capable ops), the
-FULL 17-op r5-vintage drain (_OLDEST5_R12), and 27 oldest-r6 refreshes
-(_VINTAGE6_R12) — exactly 50. After this round grades, no op's latest
+consolidation round per VERDICT r11), the 12 regrades (_REGRADE_R12:
+the ten single-pass plan rewrites + the two newly memo-capable ops),
+the FULL 17-op r5-vintage drain (_OLDEST5_R12), and 21 oldest-r6
+refreshes (_VINTAGE6_R12) — exactly 50. After this round grades, no op's latest
 green driver row predates r6.
 
 Round-agnosticism (ADVICE r10 / VERDICT r10 task 2): the r10 versions of
@@ -82,24 +82,29 @@ def test_window_is_staging_regrades_then_oldest5_then_vintage6():
 
 
 def test_rewrites_and_memo_growth_lead_the_window():
-    """The ops round-12 work touches take the first slots — the four
+    """The ops round-12 work touches take the first slots — the ten
     single-pass plan rewrites (their PLANS changed, so their oracle rows
-    must be re-earned first) and the two ops that gained `memo=` table
-    declarations this round."""
+    must be re-earned first: the three VERDICT-r11 task-6 rewrites, then
+    the post-AQE scan-sweep batch) and the two ops that gained `memo=`
+    table declarations this round."""
     assert set(_REGRADE_R12) == {
         "ts_anomaly_mad",
         "join_fk_orphans",
         "sample_importance_hashed",
         "dedup_line_level",
+        "emb_pair_distance_hist",
+        "text_tfidf",
+        "text_unigram_logprob",
+        "text_quality_tiers",
+        "sample_quality_mix",
+        "tier_agreement_eval",
         "graph_jaccard_neighbors",
         "text_bigram_pmi",
     }
     # the plan rewrites come before the (plan-unchanged) memo additions
-    assert list(_REGRADE_R12)[:4] == [
-        "ts_anomaly_mad",
-        "join_fk_orphans",
-        "sample_importance_hashed",
-        "dedup_line_level",
+    assert list(_REGRADE_R12)[-2:] == [
+        "graph_jaccard_neighbors",
+        "text_bigram_pmi",
     ]
 
 
@@ -127,7 +132,7 @@ def test_vintage6_block_is_r6_vintage():
     latest = _latest_green()
     for op in _VINTAGE6_R12:
         assert latest.get(op) == 6, (op, latest.get(op))
-    assert len(_VINTAGE6_R12) == 27
+    assert len(_VINTAGE6_R12) == 21
 
 
 def test_round12_registers_zero_new_operators():
