@@ -1974,6 +1974,7 @@ _PARA_TOKENS = 10  # aligned paragraph granularity (tokens per pseudo-paragraph)
 @query(
     "dedup_paragraph_jaccard",
     cost=1.2,
+    memo=("documents",),
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS word,

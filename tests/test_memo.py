@@ -180,6 +180,7 @@ def test_registry_memo_ops_hit_path_row_identity(spark, sf_dir, monkeypatch):
     assert set(wrapped) == {
         "dedup_line_level",
         "dedup_near_jaccard",
+        "dedup_paragraph_jaccard",
         "graph_jaccard_neighbors",
         "text_bigram_pmi",
         "text_ndcg_eval",
