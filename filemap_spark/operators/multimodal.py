@@ -708,3 +708,234 @@ def mm_patch_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="asset_id long, patch_row int, patch_col int, "
         "patch_w int, patch_h int, patch_sha string",
     )
+
+
+def _parse_png(data: bytes) -> tuple[int, int, int, int, bytes]:
+    """Minimal real PNG decoder on stdlib zlib + numpy: signature check,
+    chunk walk with CRC32 verification, IHDR parse, IDAT concat +
+    zlib.decompress, then per-scanline UNfiltering (filter types 0-4).
+
+    Deliberately a different algorithm than the builder in
+    `mm_decode_png` (which computes forward differences by array
+    slicing): reconstruction here is cumulative — Sub via per-pixel
+    cumsum down the row, Up via add-previous-row, Average/Paeth via the
+    spec's sequential recurrences — so a symmetric filter-math bug in
+    builder and decoder cannot cancel out.
+
+    Returns (width, height, bit_depth, color_type, raw_pixel_bytes).
+    Supports what a training-data thumbnail path needs: 8-bit depth,
+    color types 0 (gray) and 2 (RGB), no interlace.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError(f"bad PNG signature: {data[:8]!r}")
+    pos = 8
+    idat = bytearray()
+    w = h = bit_depth = color_type = None
+    while pos + 12 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if comp != 0 or filt != 0 or inter != 0:
+                raise ValueError("unsupported PNG compression/filter/interlace")
+            if bit_depth != 8 or color_type not in (0, 2):
+                raise ValueError(
+                    f"unsupported PNG depth/color: {bit_depth}/{color_type}"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    bpp = 3 if color_type == 2 else 1
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG filtered stream is {len(raw)} bytes, want {h * (stride + 1)}"
+        )
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    off = 0
+    for r in range(h):
+        f = raw[off]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=off + 1
+        ).astype(np.int64)
+        off += stride + 1
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: cumulative sum down each pixel column of the row
+            rec = np.cumsum(line.reshape(w, bpp), axis=0).reshape(stride) % 256
+        elif f == 2:  # Up
+            rec = (line + prev) % 256
+        elif f == 3:  # Average: sequential recurrence per the spec
+            rec = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (line[i] + (a + prev[i]) // 2) % 256
+        elif f == 4:  # Paeth predictor: sequential recurrence per the spec
+            rec = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {f} at row {r}")
+        out[r] = rec.astype(np.uint8)
+        prev = rec
+    return w, h, bit_depth, color_type, out.tobytes()
+
+
+@query(
+    "mm_decode_png",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, text, n_chars,
+             cast(n_chars % 12 + 4 AS int) AS w,
+             cast(floor(n_chars / 5) % 10 + 4 AS int) AS h
+      FROM documents
+    ), buf AS (
+      SELECT doc_id, w, h,
+             substr(repeat(text, cast(ceil((w * h * 3.0) / n_chars) AS int)),
+                    1, w * h * 3) AS pix
+      FROM dims
+    )
+    SELECT doc_id AS asset_id, w AS width, h AS height,
+           8 AS bit_depth, 2 AS color_type,
+           md5(pix) AS pixel_sha
+    FROM buf ORDER BY asset_id
+    """,
+    cost=0.7,
+)
+def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode with ZERO codec libraries — the format
+    a web-scale training corpus actually ingests. Each doc is rendered as
+    a genuine PNG (8-bit RGB, IHDR/IDAT/IEND chunks with correct CRC32s,
+    scanlines filtered with types 0/1/2 cycling by row, deflate via
+    stdlib zlib) by a struct.pack builder, then decoded by `_parse_png` —
+    chunk walk + CRC verify + zlib.decompress + numpy UNfiltering, a
+    deliberately different algorithm (cumulative reconstruction) than the
+    builder's forward differencing, so symmetric filter bugs cannot
+    cancel. The oracle reconstructs the raw pixel buffer from the text
+    formula and md5s it: a decoder that misparses a chunk, drops an IDAT
+    byte, or unfilters wrong hash-mismatches. This retires the last
+    'needs PIL' gap for PNG (VERDICT r12 task 2); JPEG stays behind
+    `_real_decode_stub`.
+
+    Scale: builder and decoder are embarrassingly parallel per Arrow
+    batch; at 100 TB the builder stage is replaced by `binaryFile` reads
+    of real PNGs and the decode stage is unchanged. Deflate state is per
+    image — no cross-row or cross-batch coupling.
+
+    Contract: documents.text is single-byte ASCII (FIXTURES.md); the
+    builder hard-fails on multibyte text rather than diverging from the
+    char-counted oracle."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+
+    def _chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def build_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = []
+            for text in pdf["text"]:
+                try:
+                    eb = text.encode("ascii")
+                except UnicodeEncodeError as e:
+                    raise ValueError(
+                        "mm_decode_png: documents.text must be ASCII (the "
+                        "FIXTURES.md contract) — the char-counted oracle "
+                        "reconstruction assumes single-byte text"
+                    ) from e
+                n = len(eb)
+                w = n % 12 + 4
+                h = (n // 5) % 10 + 4
+                need = w * h * 3
+                pix = (eb * -(-need // n))[:need]
+                arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w * 3)
+                filtered = bytearray()
+                for r in range(h):
+                    f = r % 3
+                    line = arr[r].astype(np.int64)
+                    if f == 0:
+                        enc = line
+                    elif f == 1:  # Sub: forward difference vs left pixel
+                        enc = line.copy()
+                        enc[3:] = (line[3:] - line[:-3]) % 256
+                    else:  # Up: forward difference vs row above (r >= 2 here)
+                        enc = (line - arr[r - 1].astype(np.int64)) % 256
+                    filtered.append(f)
+                    filtered += enc.astype(np.uint8).tobytes()
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + _chunk(
+                        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                    )
+                    + _chunk(b"IDAT", zlib.compress(bytes(filtered), 6))
+                    + _chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {
+                "asset_id": [], "width": [], "height": [],
+                "bit_depth": [], "color_type": [], "pixel_sha": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, depth, ctype, pix = _parse_png(bytes(payload))
+                rows["asset_id"].append(aid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["bit_depth"].append(depth)
+                rows["color_type"].append(ctype)
+                rows["pixel_sha"].append(hashlib.md5(pix).hexdigest())
+            out = pd.DataFrame(rows)
+            for c in ("width", "height", "bit_depth", "color_type"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    assets = docs.mapInPandas(
+        build_batches, schema="asset_id long, payload binary"
+    )
+    return assets.mapInPandas(
+        decode_batches,
+        schema="asset_id long, width int, height int, bit_depth int, "
+        "color_type int, pixel_sha string",
+    ).orderBy("asset_id")

@@ -1,11 +1,11 @@
-"""Grading-order guarantees (round 12): the grading driver demonstrably
-grades the FIRST 50 registry entries per round (rounds 1-11 each stopped
-at exactly #50), so round 12's window is the staging set (empty —
-consolidation round per VERDICT r11), the 12 regrades (_REGRADE_R12:
-the ten single-pass plan rewrites + the two newly memo-capable ops),
-the FULL 17-op r5-vintage drain (_OLDEST5_R12), and 21 oldest-r6
-refreshes (_VINTAGE6_R12) — exactly 50. After this round grades, no op's latest
-green driver row predates r6.
+"""Grading-order guarantees (round 13): the grading driver demonstrably
+grades the FIRST 50 registry entries per round (rounds 1-12 each stopped
+at exactly #50), so round 13's window is the staging set (mm_decode_png —
+the one new op, VERDICT r12 task 2), the plan-changed regrade
+(_REGRADE_R13: emb_pair_distance_hist, task 7's scan-allowlist shrink),
+the FULL 26-op r6-vintage drain (_VINTAGE6_R13, task 1), and 22 oldest-r7
+refreshes (_VINTAGE7_R13) — exactly 50. After this round grades, no op's
+latest green driver row predates r7.
 
 Round-agnosticism (ADVICE r10 / VERDICT r10 task 2): the r10 versions of
 the vintage tests scanned ALL CORRECTNESS ledgers (range(1, 99)) and
@@ -24,10 +24,10 @@ from filemap_spark import all_oracle, all_queries
 from filemap_spark.registry import (
     _DRIVER_GREEN,
     _META,
-    _OLDEST5_R12,
-    _REGRADE_R12,
+    _REGRADE_R13,
     _STAGING,
-    _VINTAGE6_R12,
+    _VINTAGE6_R13,
+    _VINTAGE7_R13,
     LEDGER_CAP,
 )
 
@@ -57,96 +57,77 @@ def _latest_green() -> dict[str, int]:
     return latest
 
 
-def test_board_is_closed_and_blocks_are_green():
-    """Round 8 graded the last never-graded op: the ledger covers the
-    whole registry (staging empty this round), and every r12 window
-    block is a green subset."""
+def test_staging_has_the_one_new_op_and_blocks_are_green():
+    """Round 13 registers exactly one new op (mm_decode_png), which enters
+    via _STAGING (the only legal path — it has no driver row yet); every
+    other window block is a green-ledger subset."""
     order = list(all_queries())
-    assert _STAGING == ()  # consolidation round: zero new operators
-    assert _DRIVER_GREEN == set(_META)
-    for block in (_REGRADE_R12, _OLDEST5_R12, _VINTAGE6_R12):
+    assert _STAGING == ("mm_decode_png",)
+    assert "mm_decode_png" not in _DRIVER_GREEN
+    assert _DRIVER_GREEN | set(_STAGING) == set(_META)
+    for block in (_REGRADE_R13, _VINTAGE6_R13, _VINTAGE7_R13):
         assert set(block) <= _DRIVER_GREEN
     assert len(order) == len(set(order)) == len(_META)
 
 
-def test_window_is_staging_regrades_then_oldest5_then_vintage6():
+def test_window_is_staging_regrade_then_vintage6_then_vintage7():
     order = list(all_queries())
     head = (
         list(_STAGING)
-        + list(_REGRADE_R12)
-        + list(_OLDEST5_R12)
-        + list(_VINTAGE6_R12)
+        + list(_REGRADE_R13)
+        + list(_VINTAGE6_R13)
+        + list(_VINTAGE7_R13)
     )
     assert order[: len(head)] == head
     assert len(head) == len(set(head)) == WINDOW
 
 
-def test_rewrites_and_memo_growth_lead_the_window():
-    """The ops round-12 work touches take the first slots — the ten
-    single-pass plan rewrites (their PLANS changed, so their oracle rows
-    must be re-earned first: the three VERDICT-r11 task-6 rewrites, then
-    the post-AQE scan-sweep batch) and the two ops that gained `memo=`
-    table declarations this round."""
-    assert set(_REGRADE_R12) == {
-        "ts_anomaly_mad",
-        "join_fk_orphans",
-        "sample_importance_hashed",
-        "dedup_line_level",
-        "emb_pair_distance_hist",
-        "text_tfidf",
-        "text_unigram_logprob",
-        "text_quality_tiers",
-        "sample_quality_mix",
-        "tier_agreement_eval",
-        "graph_jaccard_neighbors",
-        "text_bigram_pmi",
-    }
-    # the plan rewrites come before the (plan-unchanged) memo additions
-    assert list(_REGRADE_R12)[-2:] == [
-        "graph_jaccard_neighbors",
-        "text_bigram_pmi",
-    ]
+def test_regrade_block_is_the_plan_changed_ops():
+    """The ops round-13 work touches take the first post-staging slots —
+    emb_pair_distance_hist's plan changed (VERDICT r12 task 7: count +
+    pair-map ids now derive from the one loaded embeddings frame), so its
+    oracle row must be re-earned."""
+    assert set(_REGRADE_R13) == {"emb_pair_distance_hist"}
 
 
-def test_no_op_stranded_before_vintage5():
+def test_no_op_stranded_before_vintage6():
     """Freshness floor: in the capped pre-round ledger, every registered
-    op has been graded, and none's latest green predates round 5 (the r11
-    window drained the r4 vintage)."""
+    op except the staged debut has been graded, and none's latest green
+    predates round 6 (the r12 window drained the r5 vintage)."""
     latest = _latest_green()
-    assert set(latest) >= set(_META)
-    assert min(latest[op] for op in _META) >= 5
+    assert set(latest) >= set(_META) - set(_STAGING)
+    assert min(latest[op] for op in _META if op not in _STAGING) >= 6
 
 
-def test_oldest5_block_drains_the_r5_vintage():
-    """_OLDEST5_R12 + the regraded ts_anomaly_mad must cover EVERY op
-    whose latest green driver row in the capped pre-round ledger is
-    round 5 — so a stale block can't silently strand an r5 row past this
-    round."""
+def test_vintage6_block_drains_the_r6_vintage():
+    """_VINTAGE6_R13 must cover EVERY op whose latest green driver row in
+    the capped pre-round ledger is round 6 — so a stale block can't
+    silently strand an r6 row past this round."""
     latest = _latest_green()
-    r5 = {op for op, rnd in latest.items() if rnd == 5 and op in _META}
-    assert set(_OLDEST5_R12) | {"ts_anomaly_mad"} == r5
-    assert len(_OLDEST5_R12) == 17
+    r6 = {op for op, rnd in latest.items() if rnd == 6 and op in _META}
+    assert set(_VINTAGE6_R13) == r6
+    assert len(_VINTAGE6_R13) == 26
 
 
-def test_vintage6_block_is_r6_vintage():
+def test_vintage7_block_is_r7_vintage():
     latest = _latest_green()
-    for op in _VINTAGE6_R12:
-        assert latest.get(op) == 6, (op, latest.get(op))
-    assert len(_VINTAGE6_R12) == 21
+    for op in _VINTAGE7_R13:
+        assert latest.get(op) == 7, (op, latest.get(op))
+    assert len(_VINTAGE7_R13) == 22
 
 
-def test_round12_registers_zero_new_operators():
-    assert len(_META) == 297
-    assert len(all_oracle()) == 279
+def test_round13_registers_exactly_one_new_operator():
+    assert len(_META) == 298
+    assert len(all_oracle()) == 280
 
 
 def test_green_tail_cost_tiers_nondecreasing():
     order = list(all_queries())
     head = (
         set(_STAGING)
-        | set(_REGRADE_R12)
-        | set(_OLDEST5_R12)
-        | set(_VINTAGE6_R12)
+        | set(_REGRADE_R13)
+        | set(_VINTAGE6_R13)
+        | set(_VINTAGE7_R13)
     )
     green_tail = [n for n in order if n not in head]
     tiers = [_tier(n) for n in green_tail]
