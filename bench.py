@@ -301,6 +301,15 @@ def main() -> None:
     match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(match.group(1)) if match else None
     spark = get_spark("filemap-bench")
+    # The whole suite (and the memo calibration's 'raw' leg) must time the
+    # UNCACHED plans: with FILEMAP_MEMO=1 all_queries() serves memo-wrapped
+    # forms, so every 'raw' number would really be a warehouse hit and the
+    # raw/miss/hit ratios meaningless (ADVICE r12). Drop the env var for
+    # this process rather than bailing — bench owns its own measurement
+    # discipline.
+    if os.environ.pop("FILEMAP_MEMO", None) is not None:
+        print("bench: ignoring FILEMAP_MEMO=1 — suite times raw plans",
+              file=sys.stderr)
     queries = all_queries()
 
     # Untimed warmup: JVM/JIT/codegen/Arrow initialization otherwise lands

@@ -260,26 +260,68 @@ def invalidate(warehouse: str | None = None, prefix: str | None = None) -> int:
     return dropped
 
 
+# Bump to mass-invalidate persistent warehouses on a semantic change the
+# source fingerprint cannot see (e.g. a helper moved to ANOTHER module).
+_CACHE_VERSION = "2"
+
+
+def _code_fingerprint(code) -> str:
+    """Deterministic fingerprint of a compiled code object: bytecode +
+    names + consts, recursing into nested code objects (their repr holds
+    a memory address, so repr() alone is NOT stable across processes)."""
+    parts = [code.co_code.hex(), repr(code.co_names), repr(code.co_varnames)]
+    for const in code.co_consts:
+        if hasattr(const, "co_code"):
+            parts.append(_code_fingerprint(const))
+        else:
+            parts.append(repr(const))
+    return hashlib.sha256("\x01".join(parts).encode()).hexdigest()
+
+
 def _fn_fingerprint(fn) -> str:
-    """Code-version token for the make edge 'command changed': the op's
-    own source text. A rewrite of the op function invalidates its cached
-    results even in a persistent warehouse. (Helpers the op calls are not
-    covered — a helper rewrite that changes semantics warrants a manual
-    `filemap memo rm`; in exchange the key needs NO plan construction.)"""
+    """Code-version token for the make edge 'command changed' (ADVICE r12
+    medium): the source of the op's whole MODULE, not just the op
+    function — memoized ops call module-shared helpers (_tokens,
+    _unigram_scored) and read module constants (_PARA_TOKENS), so a
+    semantic edit to one must invalidate dependent cache entries even in
+    a persistent warehouse, without anyone remembering to run
+    `filemap memo rm`. The trade is coarser invalidation (any edit to the
+    module re-keys every memoized op in it) for a closed correctness
+    edge — the right side of that trade: the reference re-runs whenever
+    the COMMAND changes, and the module is the command's closure here.
+
+    When source is unavailable (zip/frozen installs, ADVICE r12 low) the
+    fallback is the function's compiled bytecode + consts — never the
+    bare qualname, which would let two different code versions share a
+    warehouse key."""
     import inspect
 
+    parts = [_CACHE_VERSION]
     try:
-        src = inspect.getsource(fn)
-    except (OSError, TypeError):  # REPL-defined / builtin — identity only
-        src = getattr(fn, "__qualname__", repr(fn))
-    return hashlib.sha256(src.encode()).hexdigest()
+        # the module's source FILE, not inspect.getmodule(): module objects
+        # loaded via importlib specs aren't always in sys.modules, and the
+        # file read needs no linecache (which serves stale lines after an
+        # in-place rewrite)
+        srcfile = inspect.getsourcefile(fn)
+        if srcfile and os.path.isfile(srcfile):
+            with open(srcfile, encoding="utf-8") as fh:
+                parts.append(fh.read())
+        else:
+            parts.append(inspect.getsource(fn))
+    except (OSError, TypeError, UnicodeDecodeError):
+        code = getattr(fn, "__code__", None)
+        if code is not None:
+            parts.append(_code_fingerprint(code))
+        else:  # builtin/C-implemented — identity is all there is
+            parts.append(getattr(fn, "__qualname__", repr(fn)))
+    return hashlib.sha256("\x00".join(parts).encode()).hexdigest()
 
 
 def memoized_query(fn, tables: tuple[str, ...]):
     """Wrap a registry query `(spark, sf_dir) -> DataFrame` in the
     warehouse (filemap's make-semantics applied to a whole graded op).
 
-    The key is make-style — sha256(op identity ⊕ op source hash ⊕ input
+    The key is make-style — sha256(op identity ⊕ op-module source hash ⊕ input
     fingerprints) — NOT the Catalyst plan, deliberately:
     - it mirrors the reference's (inputs, command) fingerprint exactly:
       the "command" is the op's code, inputs are its declared tables [K];

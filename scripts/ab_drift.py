@@ -84,11 +84,13 @@ def main() -> int:
                     [sys.executable, runner, tree, *args.queries],
                     capture_output=True, text=True,
                 )
-                line = (proc.stdout.strip().splitlines() or ["{}"])[-1]
-                print(line, flush=True)
                 if proc.returncode != 0:
+                    # do NOT emit a placeholder record into the JSONL
+                    # stream consumers min-of-runs over (ADVICE r12)
                     print(proc.stderr[-500:], file=sys.stderr)
                     return 1
+                line = (proc.stdout.strip().splitlines() or ["{}"])[-1]
+                print(line, flush=True)
     finally:
         os.unlink(runner)
     return 0

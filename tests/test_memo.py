@@ -455,3 +455,70 @@ def test_cli_memo_ls_rm_evict(spark, sf_dir, capsys):
     rc = cli_main(["memo", "evict", "--warehouse", wh, "--max-bytes", "0"])
     assert rc == 0
     assert len(warehouse_entries(wh)) == 1  # newest always survives
+
+
+def test_memoized_query_helper_rewrite_invalidates(
+    spark, sf_dir, monkeypatch, tmp_path
+):
+    """ADVICE r12 medium: the fingerprint covers the op's whole MODULE, so
+    rewriting a shared HELPER the op calls — op function source unchanged —
+    re-keys the cache entry. Round 12 itself rewrote such a helper
+    (_unigram_scored); a persistent warehouse must not serve stale results
+    across that edit."""
+    import importlib.util
+    import linecache
+
+    from filemap_spark.plans.memo import memoized_query, warehouse_entries
+
+    wh = _fresh_warehouse(monkeypatch)
+    mod_path = tmp_path / "memo_helper_mod.py"
+    src = (
+        "from pyspark.sql import functions as F\n"
+        "from filemap_spark.io import load_table\n"
+        "def helper(df):\n"
+        "    return df.groupBy('n_regionkey').agg(F.count('*').alias('{a}'))\n"
+        "def op(spark, sf_dir):\n"
+        "    return helper(load_table(spark, sf_dir, 'nation'))"
+        ".orderBy('n_regionkey')\n"
+    )
+
+    def load(alias: str):
+        mod_path.write_text(src.format(a=alias))
+        linecache.clearcache()
+        spec = importlib.util.spec_from_file_location(
+            "memo_helper_mod", mod_path
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.op
+
+    memoized_query(load("n"), ("nation",))(spark, sf_dir).collect()
+    assert len(warehouse_entries(wh)) == 1
+    memoized_query(load("n"), ("nation",))(spark, sf_dir).collect()
+    assert len(warehouse_entries(wh)) == 1, "identical module re-keyed"
+    # rewrite ONLY the helper body: op's own source is byte-identical
+    memoized_query(load("m"), ("nation",))(spark, sf_dir).collect()
+    assert len(warehouse_entries(wh)) == 2, (
+        "helper rewrite did not invalidate the dependent op"
+    )
+
+
+def test_fn_fingerprint_bytecode_fallback_is_stable_and_distinct():
+    """ADVICE r12 low: when inspect.getsource fails (zip/frozen installs),
+    the fallback hashes compiled bytecode — stable across separate
+    compiles of the same source (even with nested lambdas, whose repr
+    holds a memory address) and DISTINCT for different code, so two code
+    versions never share a warehouse key."""
+    from filemap_spark.plans.memo import _fn_fingerprint
+
+    def compile_fn(body: str):
+        ns: dict = {}
+        exec(body, ns)  # exec'd code has no retrievable source
+        return ns["op"]
+
+    src_a = "def op(x):\n    f = lambda v: v * 2\n    return f(x) + 1\n"
+    src_b = "def op(x):\n    f = lambda v: v * 3\n    return f(x) + 1\n"
+    a1, a2 = _fn_fingerprint(compile_fn(src_a)), _fn_fingerprint(compile_fn(src_a))
+    b = _fn_fingerprint(compile_fn(src_b))
+    assert a1 == a2, "same exec'd source must fingerprint identically"
+    assert a1 != b, "different bytecode must not share a key"
