@@ -1260,13 +1260,25 @@ def emb_pair_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer addition is order-free, so the same exact sums now fold
     map-side with zip_with/aggregate over the joined array columns: the
     element explosion, the (id, pos) join blow-up, and the whole sim
-    aggregate disappear from the shuffle graph.) The histogram output is
-    O(41) rows."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    nn = emb.agg(F.count("*").cast("bigint").alias("n"))
+    aggregate disappear from the shuffle graph.) Round-13 rewrite
+    (VERDICT r12 task 7): the vector frame is checkpointed ONCE and the
+    row count, the pair map, and both join sides all derive from it —
+    one embeddings scan total (the sweep's last allowlisted thin re-read
+    for this op is gone); the checkpoint is O(n·dim), the same state a
+    cluster run would persist. The histogram output is O(41) rows."""
+    vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .localCheckpoint()
+    )
+    nn = vecs.agg(F.count("*").cast("bigint").alias("n"))
     cand = (F.col("vec_id") * 7919 + 104729) % F.col("n")
     pairs = (
-        emb.select("vec_id")
+        vecs.select("vec_id")
         .crossJoin(F.broadcast(nn))
         .select(
             F.col("vec_id").alias("id_a"),
@@ -1274,11 +1286,6 @@ def emb_pair_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(cand)
             .alias("id_b"),
         )
-    )
-    vecs = emb.select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
 
     def isum(arr):  # exact-int64 fold; addition order is immaterial

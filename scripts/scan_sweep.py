@@ -13,9 +13,10 @@ final plan's per-table scan counts are reported.
 Usage: python scripts/scan_sweep.py [--sf /root/testdata/sf0.001] [name ...]
 
 Exit code 1 if any op not on the triaged allowlist scans one table 3+
-times — so future rounds can run this as a gate. The allowlist carries
-the round-12 triage: thin-column re-reads (no text/embedding bytes) and
-deliberate exactness choices.
+times; exit code 2 if any op ERRORED at the sweep SF (reported
+separately — an error is not a multi-scan finding, ADVICE r12). The
+allowlist carries the round-12 triage: thin-column re-reads (no
+text/embedding bytes) and deliberate exactness choices.
 """
 
 from __future__ import annotations
@@ -30,17 +31,35 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from filemap_spark import all_queries, get_spark
 
-# Triaged ≥3-scan ops (round 12): every scan past the first re-reads only
-# thin key/flag columns (verified column sets recorded in SCALE.md), or
-# the re-read is a deliberate exactness choice.
+# Triaged ≥3-scan ops (round 12; emb_pair_distance_hist dropped round 13 —
+# its pair map and count now derive from the one loaded frame): every scan
+# past the first re-reads only thin key/flag columns (verified column sets
+# recorded in SCALE.md), or the re-read is a deliberate exactness choice.
 ALLOWED = {
     "sample_temperature_mix",   # doc_id/lang only — dimension-sized reads
     "sample_domain_mix",        # doc_id/source only
     "sample_negative_pairs",    # doc_id/source only
     "agg_skew_kurtosis",        # two numeric columns; centered moments by choice
-    "emb_pair_distance_hist",   # ONE full read; the other two scans are
-                                # vec_id-only (pair map) and count-only (n)
 }
+
+# A scan's Location lists the TABLE directory (".../<table>.parquet") but can
+# also list individual part files (".../<table>.parquet/part-...snappy.parquet")
+# at multi-file SFs — so count SCAN NODES (one Location: line each), taking
+# the first table-directory component per line, instead of counting every
+# ".parquet" occurrence in the whole plan (ADVICE r12: the old
+# r"(\w+)\.parquet" findall inflated counts once per listed part file).
+_TABLE_RE = re.compile(r"/(\w+)\.parquet(?:[,/\]\s]|$)")
+
+
+def _scan_counts(plan: str) -> Counter:
+    tables: Counter = Counter()
+    for line in plan.splitlines():
+        if "Location" not in line:
+            continue
+        m = _TABLE_RE.search(line)
+        if m:
+            tables[m.group(1)] += 1
+    return tables
 
 
 def main() -> int:
@@ -53,6 +72,7 @@ def main() -> int:
     queries = all_queries()
     names = args.names or sorted(queries)
     offenders = 0
+    errors = 0
     for name in names:
         fn = queries.get(name)
         if fn is None:
@@ -69,9 +89,9 @@ def main() -> int:
             )
         except Exception as exc:  # surface, keep sweeping
             print(f"[ERR ] {name}: {type(exc).__name__}: {str(exc)[:160]}")
-            offenders += 1
+            errors += 1
             continue
-        tables = Counter(re.findall(r"(\w+)\.parquet", plan))
+        tables = _scan_counts(plan)
         worst = max(tables.values()) if tables else 0
         if worst >= 3:
             flag = "allowed" if name in ALLOWED else "OFFENDER"
@@ -79,8 +99,11 @@ def main() -> int:
                 offenders += 1
             print(f"[{flag}] {name} {dict(tables)} "
                   f"reused={plan.count('ReusedExchange')}")
-    print(f"swept {len(names)} ops, {offenders} unallowed multi-scan")
-    return 1 if offenders else 0
+    print(
+        f"swept {len(names)} ops, {offenders} unallowed multi-scan, "
+        f"{errors} errored"
+    )
+    return 1 if offenders else (2 if errors else 0)
 
 
 if __name__ == "__main__":
