@@ -93,6 +93,44 @@ BASELINE_WARM_SF01 = {
     "win_concurrency_peak": 0.45,
 }
 
+# Per-family bar scaling (round 13, VERDICT r12 task 3). The r12 interleaved
+# A/B (AB_DRIFT_r12.jsonl) proved rig drift is FAMILY-shaped: the shuffle
+# canary swung ±15% within one session while the scan canary stayed quiet —
+# yet every bar scaled only by the scan-based rig_load_factor, so
+# shuffle-bound queries read as false regressions on a shuffle-bursty rig
+# (the r10→r11 +13% mystery). Each enforced query is classified by its
+# dominant cost stage and its bar scales by ITS family's canary.
+# Classification provenance: executed-plan audit at sf0.01 (exchange count /
+# corpus-sized-exchange check, r13 session) + the per-op plan notes in
+# SCALE.md. Queries whose dominant stage is a data-sized exchange — shingle
+# or token hash-aggs, shuffle joins of corpus-sized sides, window sorts over
+# the full corpus — are shuffle-dominated; single-scan aggs, broadcast-join
+# stars, numpy-CPU kernels, and I/O-bound sinks follow the scan canary.
+SHUFFLE_DOMINATED = {
+    "agg_decile_lift",
+    "agg_ks_two_sample",
+    "dedup_incremental_lsh_delta",
+    "dedup_line_level",
+    "dedup_near_jaccard",
+    "dedup_paragraph_jaccard",
+    "graph_jaccard_neighbors",
+    "graph_triangle_count",
+    "join_min_cost_supplier_q2",
+    "join_multiway_star",
+    "join_point_in_time_scd2",
+    "join_sole_late_shipper_q21",
+    "sample_temperature_mix",
+    "sim_maxsim_multivector",
+    "text_hash_features",
+    "text_ndcg_eval",
+    "text_ngram_novelty",
+    "text_rouge2_recall",
+    "text_unigram_logprob",
+    "text_wordcount",
+    "win_cumulative_distinct",
+    "win_pareto_share",
+}
+
 # Rig-load canary (VERDICT r5 task 5): BASELINE.md's own plain-sum pricing
 # form, measured BEFORE the timed suite on this rig vs its recorded
 # idle-rig seconds. rig_load_factor = canary_now / CANARY_REF separates
@@ -112,13 +150,19 @@ CANARY_REF = 0.52
 # ~1.2-1.4× their r8 records — a single scan+agg shape cannot separate
 # "same CPU, slower shuffle path" from contention. This form is one full
 # lineitem shuffle (150k-group hash agg) + a second tiny exchange.
-# Informational only — recorded in BENCH_DETAIL for cross-round drift
-# attribution, NOT folded into the bar denominators (its r10-recorded
-# reference has one round of history; promote it only if it proves
-# stable). Reference: min-of-3 at its exact position in this script
-# (right after the scan canary) — 0.476 s in BOTH round-10 quiet-rig
-# runs (scan rig_load 0.806 and 0.867), so the recorded reference is
-# the in-position measurement, not a standalone-session estimate.
+# Informational in rounds 10-12; PROMOTED round 13 into the bar
+# denominators of the SHUFFLE_DOMINATED queries (VERDICT r12 task 3) now
+# that it has three rounds of history (r10 1.18, r11 1.24, r12 1.23) and
+# the r12 interleaved A/B pinned the drift it measures to the rig, not
+# the code. Its burst amplitude (±15% in-session) is why the shuffle rig
+# factor is CAPPED at 1.5 in the bar math. Reference: min-of-3 at its
+# exact position in this script (right after the scan canary) — 0.476 s
+# in BOTH round-10 quiet-rig runs (scan rig_load 0.806 and 0.867), so
+# the recorded reference is the in-position measurement, not a
+# standalone-session estimate. NOTE: the factor has sat at 1.18-1.24 for
+# three straight rounds — if it never returns under ~1.1, the reference
+# itself is stale and should be re-recorded with a certified-quiet rig
+# (BASELINE.md Table 5b' protocol) rather than loosening bars forever.
 SHUFFLE_CANARY_REF = 0.48
 
 
@@ -428,17 +472,29 @@ def main() -> None:
 
     # Per-query 2x-bar ratios + loud breach list (bars are declared for
     # sf0.1 only — at other SFs the bar fields are omitted). The bar
-    # denominator scales by the canary's rig_load_factor (floored at 1):
-    # uniform rig contention can't manufacture breaches, a true
+    # denominator scales by the query's FAMILY canary (round 13: scan- vs
+    # shuffle-dominated, each floored at 1, shuffle capped at 1.5):
+    # family-shaped rig contention can't manufacture breaches, a true
     # single-query regression on a quiet rig still fires.
     bar_ratios: dict[str, float] = {}
     breach: list[str] = []
+    shuffle_rig_factor = (
+        round(shuffle_canary / SHUFFLE_CANARY_REF, 3) if sf == 0.1 else 1.0
+    )
     if sf == 0.1:
-        rig = max(1.0, rig_load_factor)
+        scan_rig = max(1.0, rig_load_factor)
+        # Capped at 1.5: the shuffle canary is burstier than the scan one
+        # (±15% within a session, r12 A/B) — the cap bounds how far a
+        # single contended sample can loosen the shuffle-family bars.
+        shuffle_rig = min(1.5, max(1.0, shuffle_rig_factor))
+
+        def _rig(name: str) -> float:
+            return shuffle_rig if name in SHUFFLE_DOMINATED else scan_rig
+
         for name, t in all_timings.items():
             base = BASELINE_WARM_SF01.get(name)
             if base:
-                ratio = round(t / (2 * base * rig), 3)
+                ratio = round(t / (2 * base * _rig(name)), 3)
                 bar_ratios[name] = ratio
                 if ratio > 1.0:
                     breach.append(name)
@@ -476,7 +532,7 @@ def main() -> None:
                 for suite in (timings, ext_timings, llm_timings):
                     if name in suite:
                         suite[name] = best
-                ratio = round(best / (2 * BASELINE_WARM_SF01[name] * rig), 3)
+                ratio = round(best / (2 * BASELINE_WARM_SF01[name] * _rig(name)), 3)
                 calibration[f"breach_retime_{name}"] = retimed
                 bar_ratios[name] = ratio
                 if ratio > 1.0:
@@ -547,9 +603,7 @@ def main() -> None:
         "canary_seconds": canary,
         "rig_load_factor": rig_load_factor,
         "shuffle_canary_seconds": shuffle_canary,
-        "shuffle_rig_factor": round(shuffle_canary / SHUFFLE_CANARY_REF, 3)
-        if sf == 0.1
-        else 1.0,
+        "shuffle_rig_factor": shuffle_rig_factor,
         "vs_prev": vs_prev,
         "calibration": calibration,
         "bar_ratios": bar_ratios,
@@ -584,6 +638,7 @@ def main() -> None:
                 },
                 "breach": breach,
                 "rig_load_factor": rig_load_factor,
+                "shuffle_rig_factor": shuffle_rig_factor,
             },
             separators=(",", ":"),
         )
