@@ -112,6 +112,70 @@ def test_pipeline_chains_stages_with_per_stage_memo(spark, tmp_path, capsys):
     assert os.path.getmtime(os.path.join(final, "_SUCCESS")) != mtimes["final"]
 
 
+def _dataset_bytes(d: str) -> dict[str, bytes]:
+    """Per-partition data-file bytes of a stage dir, keyed by partition
+    index (part file names embed a per-job UUID; the index + contents are
+    the deterministic artifact)."""
+    return {
+        f.split("-")[1]: open(os.path.join(d, f), "rb").read()
+        for f in sorted(os.listdir(d))
+        if f.startswith("part-")
+    }
+
+
+def test_pipeline_middle_stage_edit_recomputes_downstream_only(
+    spark, tmp_path
+):
+    """Filemap's actual make semantics at pipeline depth (VERDICT r12
+    task 5): in a 3-stage memoized pipeline, editing the MIDDLE stage's
+    command in one run must (a) reuse stage 0 (memo hit, output
+    untouched), (b) recompute stages 1..n, and (c) leave artifacts
+    byte-identical to a cold run of the edited pipeline — proving the
+    cascade recomputes from the right inputs, not from stale state."""
+    src = tmp_path / "in"
+    _write_lines(str(src / "a.txt"), ["a b a", "b a c"])
+    _write_lines(str(src / "b.txt"), ["c a"])
+    out = str(tmp_path / "out")
+    stages = [
+        ("map", "tr ' ' '\\n'"),
+        ("reduce", "sort | uniq -c | awk '{print $2, $1}'"),
+        ("map", "cat"),
+    ]
+    run_pipeline(spark, str(src), out, stages, buckets=4, memo=True)
+    mtimes = {
+        d: os.path.getmtime(os.path.join(out, d, "_SUCCESS"))
+        for d in ("stage00", "stage01", "final")
+    }
+
+    # edit the MIDDLE stage: count -> presence flag
+    stages2 = [
+        stages[0],
+        ("reduce", "sort | uniq | awk '{print $1, \"seen\"}'"),
+        stages[2],
+    ]
+    run_pipeline(spark, str(src), out, stages2, buckets=4, memo=True)
+    final = os.path.join(out, "final")
+    got = dict(
+        r["value"].split(" ") for r in spark.read.text(final).collect()
+    )
+    assert got == {"a": "seen", "b": "seen", "c": "seen"}
+    # upstream reuse: stage 0 untouched; downstream invalidation: 1 + final
+    assert (
+        os.path.getmtime(os.path.join(out, "stage00", "_SUCCESS"))
+        == mtimes["stage00"]
+    )
+    for d in ("stage01", "final"):
+        assert os.path.getmtime(os.path.join(out, d, "_SUCCESS")) != mtimes[d], d
+
+    # byte-identity vs a cold run of the edited pipeline into a fresh dir
+    cold = str(tmp_path / "cold")
+    run_pipeline(spark, str(src), cold, stages2, buckets=4, memo=True)
+    for d in ("stage01", "final"):
+        assert _dataset_bytes(os.path.join(out, d)) == _dataset_bytes(
+            os.path.join(cold, d)
+        ), d
+
+
 def test_pipeline_cli_verb_orders_stages(tmp_path):
     """`pipeline` verb collects --cmd/--reduce in command-line order."""
     src = tmp_path / "in"
