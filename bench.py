@@ -82,13 +82,15 @@ BASELINE_WARM_SF01 = {
     "agg_decile_lift": 0.50,
     "win_pareto_share": 0.41,
     # waves 7-9 (BASELINE.md Table 5b = round-6 driver bench run at
-    # rig_load 1.21 — denominators carry that inflation; recorded as
-    # measured, honestly loose rather than synthetically de-rigged)
+    # rig_load 1.21; Table 5b' r13 re-recorded all seven on a
+    # certified-quiet rig — only the two entries marked below came out
+    # FASTER, so per min(old, new-certified) they tightened and the
+    # other five keep their stricter r6 denominators)
     "agg_ks_two_sample": 0.47,
     "text_ndcg_eval": 1.58,
     "emb_hamming_topk": 0.33,
-    "graph_jaccard_neighbors": 1.52,
-    "text_ngram_novelty": 1.22,
+    "graph_jaccard_neighbors": 1.44,  # 5b' re-record r13
+    "text_ngram_novelty": 1.02,  # 5b' re-record r13
     "pack_sequences_bestfit": 0.35,
     "win_concurrency_peak": 0.45,
 }
