@@ -509,3 +509,65 @@ def test_mapside_shingles_match_pure_python_on_adversarial_texts(spark, texts):
         for p in range(len(w) - 4):
             want.add((i, " ".join(w[p : p + 5])))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Codec round-trip properties (round 13): arbitrary images, not fixed seeds
+# ---------------------------------------------------------------------------
+
+_img_dims = st.tuples(
+    st.integers(min_value=1, max_value=5),  # height / 8
+    st.integers(min_value=1, max_value=5),  # width / 8
+)
+
+
+@given(dims=_img_dims, data=st.data())
+@settings(max_examples=30, deadline=None)
+def test_jpeg_entropy_layer_roundtrip_property(dims, data):
+    """For ANY 8-bit grayscale image with dims multiple of 8, the decoder
+    recovers the encoder's quantized coefficient blocks bit-exactly —
+    the lossless-layer contract of mm_decode_jpeg, hypothesis-wide."""
+    import numpy as np
+
+    from filemap_spark.functions.jpeg import decode_gray, encode_gray
+
+    h, w = dims[0] * 8, dims[1] * 8
+    seed = data.draw(st.integers(min_value=0, max_value=2**31 - 1))
+    img = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w), dtype=np.uint8
+    )
+    payload, enc = encode_gray(img, quality=90)
+    rw, rh, _pix, dec = decode_gray(payload)
+    assert (rw, rh) == (w, h)
+    assert (enc == dec).all()
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=16),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    data=st.data(),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_decode_inverts_arbitrary_filter_sequences(w, h, seed, data):
+    """For ANY RGB image and ANY per-row filter-type sequence (0-4),
+    _parse_png recovers the exact pixel bytes — the full-filter-set
+    contract of mm_decode_png, hypothesis-wide (the graded builder only
+    emits 0-2; this covers the decoder surface real-world PNGs use)."""
+    import numpy as np
+
+    from filemap_spark.operators.multimodal import _parse_png
+    from tests.test_kernels import _encode_png_reference
+
+    filters = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=4), min_size=h, max_size=h
+        )
+    )
+    pixels = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w * 3), dtype=np.uint8
+    )
+    png = _encode_png_reference(pixels, filters)
+    rw, rh, depth, ctype, raw = _parse_png(png)
+    assert (rw, rh, depth, ctype) == (w, h, 8, 2)
+    assert raw == pixels.tobytes()
