@@ -168,6 +168,19 @@ CANARY_REF = 0.52
 SHUFFLE_CANARY_REF = 0.48
 
 
+def scan_rig(raw_factor: float) -> float:
+    """Scan-family bar multiplier: floored at 1 so a quiet rig never
+    tightens bars below their recorded denominators."""
+    return max(1.0, raw_factor)
+
+
+def shuffle_rig(raw_factor: float) -> float:
+    """Shuffle-family bar multiplier: floored at 1, capped at 1.5 — the
+    shuffle canary is bursty (±15% in-session, r12 A/B), and the cap
+    bounds how far one contended sample can loosen the family's bars."""
+    return min(1.5, max(1.0, raw_factor))
+
+
 def _shuffle_canary_form(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
@@ -484,14 +497,11 @@ def main() -> None:
         round(shuffle_canary / SHUFFLE_CANARY_REF, 3) if sf == 0.1 else 1.0
     )
     if sf == 0.1:
-        scan_rig = max(1.0, rig_load_factor)
-        # Capped at 1.5: the shuffle canary is burstier than the scan one
-        # (±15% within a session, r12 A/B) — the cap bounds how far a
-        # single contended sample can loosen the shuffle-family bars.
-        shuffle_rig = min(1.5, max(1.0, shuffle_rig_factor))
+        scan_mult = scan_rig(rig_load_factor)
+        shuffle_mult = shuffle_rig(shuffle_rig_factor)
 
         def _rig(name: str) -> float:
-            return shuffle_rig if name in SHUFFLE_DOMINATED else scan_rig
+            return shuffle_mult if name in SHUFFLE_DOMINATED else scan_mult
 
         for name, t in all_timings.items():
             base = BASELINE_WARM_SF01.get(name)

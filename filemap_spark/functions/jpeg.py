@@ -75,6 +75,8 @@ AC_VALS = [
 
 def scale_qt(qt: np.ndarray, quality: int = 90) -> np.ndarray:
     """libjpeg-convention quality scaling of a quantization table."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"JPEG quality must be in 1..100, got {quality}")
     s = 5000 // quality if quality < 50 else 200 - 2 * quality
     return np.clip((qt * s + 50) // 100, 1, 255).astype(np.int32)
 
@@ -184,6 +186,8 @@ class BitReader:
         self.pos = 0
 
     def bit(self) -> int:
+        if self.pos >= len(self.bits):
+            raise ValueError("truncated JPEG entropy stream")
         b = self.bits[self.pos]
         self.pos += 1
         return int(b)
@@ -191,6 +195,8 @@ class BitReader:
     def read_bits(self, k: int) -> int:
         if k == 0:
             return 0
+        if self.pos + k > len(self.bits):
+            raise ValueError("truncated JPEG entropy stream")
         v = 0
         for b in self.bits[self.pos : self.pos + k]:
             v = (v << 1) | int(b)
@@ -347,11 +353,15 @@ def decode_gray(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
     ):
         raise ValueError("missing required JPEG segment")
     br = BitReader(data[scan_start:])
-    out = np.zeros((h, w), dtype=np.uint8)
+    # real-world baseline JPEGs carry TRUE dims in SOF while the entropy
+    # stream covers the 8-aligned MCU grid — decode the padded grid and
+    # crop to the declared dims
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    out = np.zeros((ph, pw), dtype=np.uint8)
     coefs = []
     prev_dc = 0
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
             zz = np.zeros(64, dtype=np.int32)
             size = _read_code(br, dc_dec)
             prev_dc += extend(br.read_bits(size), size)
@@ -375,4 +385,4 @@ def decode_gray(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
             out[by : by + 8, bx : bx + 8] = np.clip(
                 np.round(pix.reshape(8, 8) + 128.0), 0, 255
             ).astype(np.uint8)
-    return w, h, out, np.stack(coefs)
+    return w, h, out[:h, :w], np.stack(coefs)

@@ -265,16 +265,27 @@ def invalidate(warehouse: str | None = None, prefix: str | None = None) -> int:
 _CACHE_VERSION = "2"
 
 
+def _const_token(const) -> str:
+    """Cross-process-stable token for one code-object constant. repr()
+    alone is NOT stable for two cases: nested code objects embed a memory
+    address, and frozensets (set-literal membership tests compile to
+    frozenset consts) iterate in PYTHONHASHSEED-dependent order — both
+    would re-key the warehouse every process."""
+    if hasattr(const, "co_code"):
+        return _code_fingerprint(const)
+    if isinstance(const, frozenset):
+        return "frozenset{" + ",".join(sorted(map(repr, const))) + "}"
+    if isinstance(const, tuple):
+        return "(" + ",".join(_const_token(c) for c in const) + ")"
+    return repr(const)
+
+
 def _code_fingerprint(code) -> str:
     """Deterministic fingerprint of a compiled code object: bytecode +
-    names + consts, recursing into nested code objects (their repr holds
-    a memory address, so repr() alone is NOT stable across processes)."""
+    names + consts, recursing into nested code objects, with
+    hash-order-dependent consts canonicalized (see _const_token)."""
     parts = [code.co_code.hex(), repr(code.co_names), repr(code.co_varnames)]
-    for const in code.co_consts:
-        if hasattr(const, "co_code"):
-            parts.append(_code_fingerprint(const))
-        else:
-            parts.append(repr(const))
+    parts += [_const_token(c) for c in code.co_consts]
     return hashlib.sha256("\x01".join(parts).encode()).hexdigest()
 
 

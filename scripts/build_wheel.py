@@ -20,8 +20,12 @@ import base64
 import hashlib
 import os
 import sys
-import tomllib
 import zipfile
+
+try:
+    import tomllib  # Python >= 3.11
+except ModuleNotFoundError:  # pragma: no cover - 3.10 fallback
+    import tomli as tomllib  # type: ignore[no-redef]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -86,13 +90,20 @@ def main() -> int:
     os.makedirs(out_dir, exist_ok=True)
     out = os.path.join(out_dir, wheel_name)
     fixed_date = (2026, 1, 1, 0, 0, 0)
-    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+
+    def _info(arc: str) -> zipfile.ZipInfo:
+        # explicit ZipInfo ignores the ZipFile-level compression default,
+        # so set compress_type per entry (else everything ships STORED)
+        # and give entries sane 0644 permissions
+        zi = zipfile.ZipInfo(arc, date_time=fixed_date)
+        zi.compress_type = zipfile.ZIP_DEFLATED
+        zi.external_attr = 0o644 << 16
+        return zi
+
+    with zipfile.ZipFile(out, "w") as zf:
         for arc, data in sorted(files.items()):
-            zf.writestr(zipfile.ZipInfo(arc, date_time=fixed_date), data)
-        zf.writestr(
-            zipfile.ZipInfo(f"{dist_info}/RECORD", date_time=fixed_date),
-            record,
-        )
+            zf.writestr(_info(arc), data)
+        zf.writestr(_info(f"{dist_info}/RECORD"), record)
     print(out)
     return 0
 

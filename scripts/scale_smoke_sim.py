@@ -50,7 +50,9 @@ def build_replica_dir(spark, reps: int) -> str:
     from pyspark.sql import functions as F
 
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
-    n = emb.count()
+    # offset by max(vec_id)+1, not count(): uniqueness must not assume
+    # dense 0..n-1 ids
+    n = emb.agg(F.max("vec_id")).collect()[0][0] + 1
     rep = (
         emb.crossJoin(
             F.broadcast(

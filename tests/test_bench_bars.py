@@ -15,7 +15,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import BASELINE_WARM_SF01, SHUFFLE_DOMINATED
+from bench import BASELINE_WARM_SF01, SHUFFLE_DOMINATED, scan_rig, shuffle_rig
 
 
 def test_shuffle_family_is_subset_of_enforced_bars():
@@ -35,14 +35,15 @@ def test_every_enforced_bar_has_exactly_one_family():
 
 
 def test_family_factor_floor_and_cap():
-    """The exact factor expressions bench.py applies: floors keep a quiet
-    rig from TIGHTENING bars below their recorded denominators; the 1.5
-    cap keeps one bursty shuffle sample from loosening the family's bars
-    unboundedly."""
+    """bench.py's ACTUAL factor functions (imported, not re-derived —
+    a hand-copied expression here couldn't detect drift): floors keep a
+    quiet rig from TIGHTENING bars below their recorded denominators;
+    the 1.5 cap keeps one bursty shuffle sample from loosening the
+    family's bars unboundedly."""
     for raw, expect in ((0.8, 1.0), (1.0, 1.0), (1.24, 1.24), (2.0, 1.5)):
-        assert min(1.5, max(1.0, raw)) == expect
-    for raw, expect in ((0.8, 1.0), (1.3, 1.3)):
-        assert max(1.0, raw) == expect
+        assert shuffle_rig(raw) == expect
+    for raw, expect in ((0.8, 1.0), (1.3, 1.3), (2.0, 2.0)):
+        assert scan_rig(raw) == expect
 
 
 def test_known_drift_regressors_are_shuffle_family():

@@ -1330,3 +1330,68 @@ def test_mm_decode_jpeg_op_pins(spark, sf_dir):
     assert (
         out["n_blocks"] == (out["width"] // 8) * (out["height"] // 8)
     ).all()
+
+
+def test_jpeg_decoder_crops_mcu_padded_dims():
+    """Real-world baseline JPEGs carry TRUE dims in SOF while the entropy
+    stream covers the 8-aligned MCU grid. Synthesize one: encode a 24x32
+    padded image, patch SOF to declare 20x28, decode -> the cropped
+    region of the padded decode, coefficient blocks still all recovered."""
+    import struct
+
+    from filemap_spark.functions.jpeg import decode_gray, encode_gray
+
+    rng = np.random.default_rng(3)
+    padded = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+    data, enc_coefs = encode_gray(padded, quality=90)
+    sof_at = data.index(b"\xFF\xC0")
+    patched = (
+        data[: sof_at + 5]
+        + struct.pack(">HH", 20, 28)  # true dims inside the SOF body
+        + data[sof_at + 9 :]
+    )
+    w, h, pix, dec_coefs = decode_gray(patched)
+    assert (w, h) == (28, 20)
+    assert pix.shape == (20, 28)
+    assert (enc_coefs == dec_coefs).all()  # full MCU grid still decoded
+    # and the pixels equal the unpatched decode's cropped region
+    _w2, _h2, full, _c2 = decode_gray(data)
+    assert (pix == full[:20, :28]).all()
+
+
+def test_jpeg_quality_range_and_truncation_are_loud():
+    from filemap_spark.functions.jpeg import decode_gray, encode_gray, scale_qt
+
+    with pytest.raises(ValueError, match="quality"):
+        scale_qt(np.ones((8, 8), dtype=np.int32), 0)
+    img = np.random.default_rng(5).integers(0, 256, (16, 16), dtype=np.uint8)
+    data, _ = encode_gray(img, quality=90)
+    # chop the tail of the entropy stream (keep headers): decode must
+    # raise the truncation error, not return garbage coefficients
+    sos_at = data.index(b"\xFF\xDA")
+    cut = data[: sos_at + 40]
+    with pytest.raises(ValueError):
+        decode_gray(cut)
+
+
+def test_code_fingerprint_frozenset_consts_are_canonicalized():
+    """Set-literal membership tests compile to frozenset consts whose
+    iteration order depends on PYTHONHASHSEED — the fallback fingerprint
+    must canonicalize them (sorted element reprs) or a zip/frozen install
+    re-keys the warehouse every process. Pin the canonical token directly
+    and via the public fingerprint."""
+    from filemap_spark.plans.memo import _const_token, _fn_fingerprint
+
+    tok = _const_token(frozenset({"b", "a", "c"}))
+    assert tok == "frozenset{'a','b','c'}"
+    assert _const_token((1, frozenset({2, 3}))) == "(1,frozenset{2,3})"
+
+    def compile_fn(body: str):
+        ns: dict = {}
+        exec(body, ns)
+        return ns["op"]
+
+    src = "def op(x):\n    return x in {'alpha', 'beta', 'gamma'}\n"
+    a = _fn_fingerprint(compile_fn(src))
+    b = _fn_fingerprint(compile_fn(src))
+    assert a == b
