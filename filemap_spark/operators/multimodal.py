@@ -1066,3 +1066,190 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="asset_id long, width int, height int, n_blocks int, "
         "entropy_roundtrip boolean, max_abs_err int",
     ).orderBy("asset_id")
+
+
+def _dhash64(gray) -> int:
+    """64-bit difference hash of a grayscale array (h>=8, w>=9): block-mean
+    the image to an 8x9 grid, emit bit (r*8+c) = cell[r][c+1] > cell[r][c].
+    Returned as a SIGNED int64 (bit 63 wraps negative) so it lands in a
+    Spark long and XOR/bit_count work unchanged."""
+    import numpy as np
+
+    rows = np.array_split(gray, 8, axis=0)
+    cells = np.array(
+        [[c.mean() for c in np.array_split(r, 9, axis=1)] for r in rows]
+    )
+    bits = (cells[:, 1:] > cells[:, :-1]).reshape(64)
+    v = 0
+    for i in range(64):
+        if bits[i]:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+@query(
+    "mm_dhash_near_dup",
+    cost=1.2,
+)
+def mm_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE-level near-duplicate detection over REAL decoded pixels
+    (round 13) — the multimodal member of the dedup family: perceptual
+    difference-hash (dHash) on images decoded from genuine PNGs, then the
+    block-pigeonhole candidate join the text dedup ops use. A
+    training-data pipeline runs exactly this to drop re-encoded /
+    near-identical images that byte-level hashing misses.
+
+    Mechanism: each doc renders as a genuine PNG (larger dims than
+    mm_decode_png so the 8x9 dHash grid is well-posed: w = n%12+9,
+    h = (n//5)%10+8), `_parse_png` REALLY decodes it, the RGB mean
+    block-means to an 8x9 grid whose horizontal gradients give a 64-bit
+    dHash. Identical texts => identical images => identical hashes, so
+    docs collapse to one representative per DISTINCT hash before the
+    pair join (the dedup_minhash_lsh/dedup_simhash rep hardening — a
+    k-member identical cluster contributes ONE signature, not k²/2
+    candidate rows per block). Candidate pairs between distinct hashes
+    come from a 16x4-bit block-equality join — by pigeonhole, any pair
+    with hamming <= 15 agrees on at least one whole block, so recall at
+    the threshold is PERFECT (pinned == brute force in tests). The
+    block width is a stated corpus-matched choice: the synthetic docs
+    are all-distinct (closest image pairs sit at hamming 13-15), so the
+    8-block/<=7 parameterization every web-dedup deployment uses would
+    be vacuously empty here; 4-bit buckets are coarser (16 values ->
+    bucket size ~n_distinct/16, candidate volume ~n²/32 at the DISTINCT
+    hash level), which is the honest price of the wider threshold — at
+    web scale with real re-encoded near-dups, set n_blocks=8/T=7 and
+    the same plan tightens. Pairs re-expand to doc level: cross-group
+    via two membership joins, intra-group (hamming 0) via a same-hash
+    self-join.
+
+    Rows-only: the dHash depends on real PNG decode + float block means —
+    no SQL form; tests/test_kernels.py pins the full pair set against an
+    independent no-Spark reimplementation (construction rule -> numpy
+    dHash -> brute-force all-pairs hamming).
+
+    Scale: one documents scan; hash frame is 8 bytes/doc; the block join
+    shuffles 8 rows per DISTINCT hash; everything downstream of decode is
+    hash-sized, not pixel-sized. At 100 TB the builder stage is replaced
+    by binaryFile reads and the same dHash/mapInPandas stage."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        def _chunk(tag: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body))
+                + tag
+                + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, hashes = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                eb = text.encode("ascii")
+                n = len(eb)
+                w = n % 12 + 9
+                h = (n // 5) % 10 + 8
+                need = w * h * 3
+                pix = (eb * -(-need // n))[:need]
+                arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w * 3)
+                # genuine PNG round trip: filter rows 0/1/2, deflate,
+                # chunked container, then the REAL decoder
+                filtered = bytearray()
+                for r in range(h):
+                    f = r % 3
+                    line = arr[r].astype(np.int64)
+                    if f == 0:
+                        enc = line
+                    elif f == 1:
+                        enc = line.copy()
+                        enc[3:] = (line[3:] - line[:-3]) % 256
+                    else:
+                        enc = (line - arr[r - 1].astype(np.int64)) % 256
+                    filtered.append(f)
+                    filtered += enc.astype(np.uint8).tobytes()
+                png = (
+                    b"\x89PNG\r\n\x1a\n"
+                    + _chunk(
+                        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                    )
+                    + _chunk(b"IDAT", zlib.compress(bytes(filtered), 6))
+                    + _chunk(b"IEND", b"")
+                )
+                rw, rh, _d, _c, raw = _parse_png(png)
+                gray = (
+                    np.frombuffer(raw, dtype=np.uint8)
+                    .reshape(rh, rw, 3)
+                    .mean(axis=2)
+                )
+                ids.append(did)
+                hashes.append(_dhash64(gray))
+            yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
+
+    hashes = docs.mapInPandas(
+        hash_batches, schema="doc_id long, dhash long"
+    ).localCheckpoint()
+
+    reps = hashes.groupBy("dhash").agg(F.min("doc_id").alias("rep_id"))
+    n_blocks = 16
+    blocks = reps.select(
+        "dhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("dhash", b * 4).bitwiseAND(F.lit(0xF))
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("blk_idx", "blk_val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    hamming = F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash")))
+    hash_pairs = (
+        a.join(
+            b,
+            (F.col("a.blk_idx") == F.col("b.blk_idx"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.dhash") < F.col("b.dhash")),
+        )
+        .where(hamming <= 15)
+        .select(
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()  # a pair can agree on several blocks
+    )
+    ma = hashes.select(F.col("dhash").alias("ha"), F.col("doc_id").alias("id_a"))
+    mb = hashes.select(F.col("dhash").alias("hb"), F.col("doc_id").alias("id_b"))
+    cross = (
+        hash_pairs.join(ma, "ha")
+        .join(mb, "hb")
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "hamming",
+        )
+    )
+    x, y = hashes.alias("x"), hashes.alias("y")
+    intra = (
+        x.join(
+            y,
+            (F.col("x.dhash") == F.col("y.dhash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra).orderBy("doc_a", "doc_b")

@@ -1395,3 +1395,92 @@ def test_code_fingerprint_frozenset_consts_are_canonicalized():
     a = _fn_fingerprint(compile_fn(src))
     b = _fn_fingerprint(compile_fn(src))
     assert a == b
+
+
+def test_mm_dhash_near_dup_matches_bruteforce(spark, sf_dir):
+    """The image near-dup op's FULL pair set (cross-group block-join
+    candidates + intra-group identical-hash pairs) must equal an
+    independent no-Spark reimplementation: construction rule -> numpy
+    dHash -> brute-force all-pairs hamming <= 15. Perfect recall is the
+    block-pigeonhole guarantee; perfect precision is the exact verify."""
+    import itertools
+
+    from filemap_spark.operators.multimodal import mm_dhash_near_dup
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    hashes = {}
+    for _, row in docs.iterrows():
+        eb = row["text"].encode("ascii")
+        n = len(eb)
+        w, h = n % 12 + 9, (n // 5) % 10 + 8
+        need = w * h * 3
+        pix = (eb * -(-need // n))[:need]
+        gray = (
+            np.frombuffer(pix, dtype=np.uint8)
+            .reshape(h, w, 3)
+            .mean(axis=2)
+        )
+        rows = np.array_split(gray, 8, axis=0)
+        cells = np.array(
+            [[c.mean() for c in np.array_split(r, 9, axis=1)] for r in rows]
+        )
+        bits = (cells[:, 1:] > cells[:, :-1]).reshape(64)
+        hashes[int(row["doc_id"])] = int(
+            sum(1 << i for i in range(64) if bits[i])
+        )
+    expected = set()
+    for ia, ib in itertools.combinations(sorted(hashes), 2):
+        d = bin(hashes[ia] ^ hashes[ib]).count("1")
+        if d <= 15:
+            expected.add((ia, ib, d))
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in mm_dhash_near_dup(spark, sf_dir).collect()
+    }
+    assert len(expected) > 0, "fixture produced no near-dup pairs — vacuous"
+    assert got == expected
+
+
+def test_mm_dhash_near_dup_identical_image_clusters(spark, tmp_path):
+    """The intra-group path (absent from the all-distinct fixture): a
+    corpus with identical-text clusters must emit every within-cluster
+    pair at hamming 0 exactly once, plus cross-cluster near pairs, with
+    doc_a < doc_b throughout."""
+    from filemap_spark.operators.multimodal import mm_dhash_near_dup
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    # every 4th char flipped: measured dHash hamming 5 vs base — a real
+    # cross-group near pair (same length, so same image dims)
+    variant = "".join(("Z" if i % 4 == 0 else c) for i, c in enumerate(base))
+    far = "zyxw " * 27  # structurally different
+    rows = [
+        (1, base), (2, base), (3, base),        # 3-member identical cluster
+        (4, variant),                           # near neighbor of 1-3
+        (5, far), (6, far),                     # 2-member identical cluster
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, len(t)) for i, t in rows],
+        "doc_id long, text string, n_chars int",
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in mm_dhash_near_dup(spark, sf).collect()
+    }
+    intra = {(1, 2, 0), (1, 3, 0), (2, 3, 0), (5, 6, 0)}
+    assert intra <= got
+    # every remaining pair involves doc 4 against the base cluster (the
+    # perturbation stays within threshold) — never the far cluster
+    extra = got - intra
+    assert extra, "variant produced no near pair — perturbation too large"
+    for a, b, d in extra:
+        assert {a, b} <= {1, 2, 3, 4} and 4 in (a, b)
+        assert 0 < d <= 15, "variant must be a distinct-hash NEAR pair"
+    # the variant pairs with EVERY member of the identical cluster at the
+    # same distance (identical images share one hash)
+    assert {(a, b) for a, b, _ in extra} == {(1, 4), (2, 4), (3, 4)}
