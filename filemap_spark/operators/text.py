@@ -3632,3 +3632,120 @@ def pack_sequences_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
 pack_sequences_bestfit.__doc__ = pack_sequences_bestfit.__doc__.format(
     budget=_PACK_BUDGET, shard_docs=_PACK_SHARD_DOCS
 )
+
+
+def _bpe_apply(symbols: list[str], merges: list[tuple[str, str]]) -> list[str]:
+    """Apply learned merges to a symbol sequence in rank order — the
+    standard BPE tokenize step, shared by the trainer's re-segmentation
+    pass and the pytest reference."""
+    for left, right in merges:
+        i = 0
+        out: list[str] = []
+        while i < len(symbols):
+            if (
+                i + 1 < len(symbols)
+                and symbols[i] == left
+                and symbols[i + 1] == right
+            ):
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        symbols = out
+    return symbols
+
+
+_BPE_MERGES = 20
+
+
+@query("text_bpe_train", cost=2.5)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (round 13) — learn the first {k}
+    byte-pair-encoding merges from the corpus, the tokenizer-side step a
+    training-data engine owns (text_token_count counts with a FIXED
+    tokenizer; this LEARNS one). Classic Sennrich BPE over lowercased
+    whitespace words:
+
+    1. ONE corpus pass builds the WORD-TYPE table (word, count) — the
+       Zipf collapse that makes iterative BPE tractable: every later
+       pass runs over distinct types weighted by count, never raw docs.
+       Checkpointed once.
+    2. {k} rounds of: re-segment each type map-side under the merges
+       learned so far (the merges list is tiny and ships in the task
+       closure — exactly how production BPE trainers distribute), count
+       adjacent symbol pairs weighted by type count (partial aggregation
+       inside each Arrow batch, then one small groupBy), and take the
+       globally most frequent pair — exact integer counts, ties broken
+       lexicographically, so the merge sequence is fully deterministic.
+       The per-round driver action collects ONE row (the argmax pair) —
+       a bounded terminal scalar, not a corpus collect.
+
+    Output: (merge_rank, left, right, pair_count) for the learned
+    merges (fewer than {k} if the corpus exhausts pairs with count >= 2).
+
+    Rows-only: the {k}-round argmax recursion has no SQL form; pinned ==
+    a pure-Python reference BPE trainer over the collected type table in
+    tests/test_kernels.py (exact merge sequence AND counts).
+
+    Scale: the type table is millions of rows at 100 TB (vs trillions of
+    tokens); each round is one map + one pair-keyed partial agg + a
+    top-1 TakeOrdered. 2·{k} small jobs total — the structure every
+    distributed BPE trainer has; production caps/samples the type table
+    and this plan is unchanged."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+        )
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint()
+    )
+
+    merges: list[tuple[str, str, int]] = []
+    for _rank in range(_BPE_MERGES):
+        learned = [(left, right) for left, right, _n in merges]
+
+        def count_pairs(batches, _learned=learned):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                acc: dict[tuple[str, str], int] = {}
+                for w, c in zip(pdf["w"], pdf["c"]):
+                    syms = _bpe_apply(list(w), _learned)
+                    for a, b in zip(syms, syms[1:]):
+                        acc[(a, b)] = acc.get((a, b), 0) + int(c)
+                if acc:
+                    yield pd.DataFrame(
+                        {
+                            "left": [k[0] for k in acc],
+                            "right": [k[1] for k in acc],
+                            "c": list(acc.values()),
+                        }
+                    )
+
+        top = (
+            words.mapInPandas(
+                count_pairs, schema="left string, right string, c long"
+            )
+            .groupBy("left", "right")
+            .agg(F.sum("c").alias("n"))
+            .orderBy(F.desc("n"), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < 2:
+            break
+        merges.append((top[0]["left"], top[0]["right"], int(top[0]["n"])))
+
+    return spark.createDataFrame(
+        [(i, left, right, n) for i, (left, right, n) in enumerate(merges)],
+        "merge_rank int, left string, right string, pair_count long",
+    ).orderBy("merge_rank")
+
+
+text_bpe_train.__doc__ = text_bpe_train.__doc__.format(k=_BPE_MERGES)

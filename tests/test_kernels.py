@@ -1484,3 +1484,65 @@ def test_mm_dhash_near_dup_identical_image_clusters(spark, tmp_path):
     # the variant pairs with EVERY member of the identical cluster at the
     # same distance (identical images share one hash)
     assert {(a, b) for a, b, _ in extra} == {(1, 4), (2, 4), (3, 4)}
+
+
+def test_bpe_train_matches_pure_python_reference(spark, sf_dir):
+    """text_bpe_train's full merge sequence (order, symbols, counts) must
+    equal an independent single-process BPE trainer over the same
+    lowercased whitespace word-type table — determinism hinges on exact
+    integer counts + lexicographic tie-break, both reimplemented here."""
+    import collections
+
+    from filemap_spark.operators.text import (
+        _BPE_MERGES,
+        _bpe_apply,
+        text_bpe_train,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .toPandas()
+    )
+    counts: collections.Counter = collections.Counter()
+    for text in docs["text"]:
+        for w in text.lower().split():
+            counts[w] += 1
+
+    merges: list[tuple[str, str]] = []
+    expected = []
+    for _ in range(_BPE_MERGES):
+        pair_counts: collections.Counter = collections.Counter()
+        for w, c in counts.items():
+            syms = _bpe_apply(list(w), merges)
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] += c
+        if not pair_counts:
+            break
+        # max count, ties lexicographic on (left, right)
+        (left, right), n = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if n < 2:
+            break
+        merges.append((left, right))
+        expected.append((len(merges) - 1, left, right, n))
+
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in text_bpe_train(spark, sf_dir).collect()
+    ]
+    assert len(got) == _BPE_MERGES, "corpus should sustain all merges"
+    assert got == expected
+
+
+def test_bpe_apply_fuses_in_rank_order():
+    """The shared apply step: later merges can consume earlier merge
+    outputs (the defining BPE property), and non-adjacent occurrences
+    are untouched."""
+    from filemap_spark.operators.text import _bpe_apply
+
+    merges = [("a", "b"), ("ab", "c")]
+    assert _bpe_apply(list("abcab"), merges) == ["abc", "ab"]
+    assert _bpe_apply(list("acb"), merges) == ["a", "c", "b"]
+    assert _bpe_apply(list("ababab"), [("a", "b")]) == ["ab", "ab", "ab"]

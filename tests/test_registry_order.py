@@ -1,10 +1,11 @@
 """Grading-order guarantees (round 13): the grading driver demonstrably
 grades the FIRST 50 registry entries per round (rounds 1-12 each stopped
 at exactly #50), so round 13's window is the staging set (mm_decode_png,
-mm_decode_jpeg, mm_dhash_near_dup — the three real-codec multimodal
-debuts), the plan-changed regrade (_REGRADE_R13: emb_pair_distance_hist,
-task 7's scan-allowlist shrink), the FULL 26-op r6-vintage drain
-(_VINTAGE6_R13, task 1), and 20 oldest-r7
+mm_decode_jpeg, mm_dhash_near_dup, text_bpe_train — the real-codec
+multimodal debuts + the BPE trainer), the plan-changed regrade
+(_REGRADE_R13: emb_pair_distance_hist, task 7's scan-allowlist shrink),
+the FULL 26-op r6-vintage drain
+(_VINTAGE6_R13, task 1), and 19 oldest-r7
 refreshes (_VINTAGE7_R13) — exactly 50. After this round grades, no op's
 latest green driver row predates r7.
 
@@ -59,13 +60,14 @@ def _latest_green() -> dict[str, int]:
 
 
 def test_staging_has_the_new_ops_and_blocks_are_green():
-    """Round 13 registers exactly three new ops (the real-codec
-    multimodal debuts), which enter via _STAGING (the only legal path —
-    they have no driver row yet); every other window block is a
-    green-ledger subset."""
+    """Round 13 registers exactly four new ops (the real-codec
+    multimodal debuts + the BPE trainer), which enter via _STAGING (the
+    only legal path — they have no driver row yet); every other window
+    block is a green-ledger subset."""
     order = list(all_queries())
     assert _STAGING == (
         "mm_decode_png", "mm_decode_jpeg", "mm_dhash_near_dup",
+        "text_bpe_train",
     )
     assert not set(_STAGING) & _DRIVER_GREEN
     assert _DRIVER_GREEN | set(_STAGING) == set(_META)
@@ -117,12 +119,13 @@ def test_vintage7_block_is_r7_vintage():
     latest = _latest_green()
     for op in _VINTAGE7_R13:
         assert latest.get(op) == 7, (op, latest.get(op))
-    assert len(_VINTAGE7_R13) == 20
+    assert len(_VINTAGE7_R13) == 19
 
 
-def test_round13_registers_exactly_three_new_operators():
-    assert len(_META) == 300
-    # jpeg + dhash are rows-only (no SQL DCT / float dHash); png is oracle
+def test_round13_registers_exactly_four_new_operators():
+    assert len(_META) == 301
+    # jpeg/dhash/bpe are rows-only (no SQL DCT / float dHash / iterative
+    # argmax); png is oracle-graded
     assert len(all_oracle()) == 280
 
 
