@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from filemap_spark.functions.blocked import block_pigeonhole_pairs
 from filemap_spark.io import load_table
 from filemap_spark.registry import query
 
@@ -1068,22 +1069,36 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("asset_id")
 
 
-def _dhash64(gray) -> int:
-    """64-bit difference hash of a grayscale array (h>=8, w>=9): block-mean
-    the image to an 8x9 grid, emit bit (r*8+c) = cell[r][c+1] > cell[r][c].
-    Returned as a SIGNED int64 (bit 63 wraps negative) so it lands in a
-    Spark long and XOR/bit_count work unchanged."""
+def _dhash64(gray_sum) -> int:
+    """64-bit difference hash of an integer luminance array (h>=8, w>=9):
+    block the image to an 8x9 grid and emit bit (r*8+c) =
+    mean(cell[r][c+1]) > mean(cell[r][c]) — evaluated EXACTLY as the
+    cross-multiplied integer comparison sum2·area1 > sum1·area2 (the
+    repo's exact-integer determinism discipline: float block means
+    tie-break differently across summation algorithms/numpy versions,
+    and this synthetic corpus produces exact cell ties). Returned as a
+    SIGNED int64 (bit 63 wraps negative) so it lands in a Spark long and
+    XOR/bit_count work unchanged. `gray_sum` must be an integer array
+    (e.g. the per-pixel channel sum)."""
     import numpy as np
 
-    rows = np.array_split(gray, 8, axis=0)
-    cells = np.array(
-        [[c.mean() for c in np.array_split(r, 9, axis=1)] for r in rows]
+    rows = np.array_split(gray_sum, 8, axis=0)
+    cellsum = np.array(
+        [[int(c.sum()) for c in np.array_split(r, 9, axis=1)] for r in rows],
+        dtype=object,
     )
-    bits = (cells[:, 1:] > cells[:, :-1]).reshape(64)
+    area = np.array(
+        [
+            [c.size for c in np.array_split(r, 9, axis=1)]
+            for r in rows
+        ],
+        dtype=object,
+    )
     v = 0
-    for i in range(64):
-        if bits[i]:
-            v |= 1 << i
+    for r in range(8):
+        for c in range(8):
+            if cellsum[r][c + 1] * area[r][c] > cellsum[r][c] * area[r][c + 1]:
+                v |= 1 << (r * 8 + c)
     return v - (1 << 64) if v >= 1 << 63 else v
 
 
@@ -1101,9 +1116,10 @@ def mm_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Mechanism: each doc renders as a genuine PNG (larger dims than
     mm_decode_png so the 8x9 dHash grid is well-posed: w = n%12+9,
-    h = (n//5)%10+8), `_parse_png` REALLY decodes it, the RGB mean
-    block-means to an 8x9 grid whose horizontal gradients give a 64-bit
-    dHash. Identical texts => identical images => identical hashes, so
+    h = (n//5)%10+8), `_parse_png` REALLY decodes it, the per-pixel
+    channel SUM blocks to an 8x9 grid whose horizontal mean gradients —
+    compared as exact cross-multiplied integers, never floats — give a
+    64-bit dHash. Identical texts => identical images => identical hashes, so
     docs collapse to one representative per DISTINCT hash before the
     pair join (the dedup_minhash_lsh/dedup_simhash rep hardening — a
     k-member identical cluster contributes ONE signature, not k²/2
@@ -1133,9 +1149,7 @@ def mm_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     by binaryFile reads and the same dHash/mapInPandas stage."""
     import numpy as np
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "n_chars"
-    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -1185,48 +1199,28 @@ def mm_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + _chunk(b"IEND", b"")
                 )
                 rw, rh, _d, _c, raw = _parse_png(png)
-                gray = (
+                gray_sum = (
                     np.frombuffer(raw, dtype=np.uint8)
                     .reshape(rh, rw, 3)
-                    .mean(axis=2)
+                    .astype(np.int64)
+                    .sum(axis=2)
                 )
                 ids.append(did)
-                hashes.append(_dhash64(gray))
+                hashes.append(_dhash64(gray_sum))
             yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
 
     hashes = docs.mapInPandas(
         hash_batches, schema="doc_id long, dhash long"
     ).localCheckpoint()
 
-    reps = hashes.groupBy("dhash").agg(F.min("doc_id").alias("rep_id"))
-    n_blocks = 16
-    blocks = reps.select(
-        "dhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("dhash", b * 4).bitwiseAND(F.lit(0xF))
-                    for b in range(n_blocks)
-                ]
-            )
-        ).alias("blk_idx", "blk_val"),
-    )
-    a, b = blocks.alias("a"), blocks.alias("b")
-    hamming = F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash")))
-    hash_pairs = (
-        a.join(
-            b,
-            (F.col("a.blk_idx") == F.col("b.blk_idx"))
-            & (F.col("a.blk_val") == F.col("b.blk_val"))
-            & (F.col("a.dhash") < F.col("b.dhash")),
-        )
-        .where(hamming <= 15)
-        .select(
-            F.col("a.dhash").alias("ha"),
-            F.col("b.dhash").alias("hb"),
-            hamming.cast("int").alias("hamming"),
-        )
-        .distinct()  # a pair can agree on several blocks
+    reps = hashes.select("dhash").distinct()
+    # shared block-pigeonhole join (functions/blocked.py) — the signers
+    # here ARE the distinct hashes, so the id column is the signature
+    hash_pairs = block_pigeonhole_pairs(
+        reps, id_col="dhash", sig_col="dhash",
+        n_blocks=16, block_bits=4, threshold=15,
+    ).select(
+        F.col("id_a").alias("ha"), F.col("id_b").alias("hb"), "hamming"
     )
     ma = hashes.select(F.col("dhash").alias("ha"), F.col("doc_id").alias("id_a"))
     mb = hashes.select(F.col("dhash").alias("hb"), F.col("doc_id").alias("id_b"))

@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from filemap_spark.functions.blocked import block_pigeonhole_pairs
 from filemap_spark.functions.numeric import davg, davg_lnsafe, dsum
 from filemap_spark.functions.ranks import with_global_ntile
 from filemap_spark.io import load_table
@@ -1504,41 +1505,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _simhash_of(
         reps.select(F.col("rep_id").alias("doc_id"), "text")
     ).localCheckpoint()
-    n_blocks = 8
-    # Explode each signature into (block_idx, block_val) rows and equi-join
-    # on BOTH. An OR of 8 block equalities cannot hash-join (Spark falls
-    # back to a broadcast-nested-loop O(N²) plan); the exploded form is one
-    # hash-shuffle on the block key — the same bucket layout MinHash-LSH
-    # uses, and the shape that survives 100 TB.
-    blocks = sig.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("simhash", b * 8).bitwiseAND(F.lit(0xFF))
-                    for b in range(n_blocks)
-                ]
-            )
-        ).alias("blk_idx", "blk_val"),
-    )
-    a = blocks.alias("a")
-    b = blocks.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    rep_pairs = (
-        a.join(
-            b,
-            (F.col("a.blk_idx") == F.col("b.blk_idx"))
-            & (F.col("a.blk_val") == F.col("b.blk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .where(hamming <= 7)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.cast("int").alias("hamming"),
-        )
-        .distinct()  # a pair can agree on several blocks
+    # Block-pigeonhole candidate join (functions/blocked.py, shared with
+    # mm_dhash_near_dup): one hash-shuffle on the (blk_idx, blk_val) key —
+    # the bucket layout MinHash-LSH uses, and the shape that survives
+    # 100 TB; an OR of block equalities would broadcast-nested-loop O(N²).
+    rep_pairs = block_pigeonhole_pairs(
+        sig, id_col="doc_id", sig_col="simhash",
+        n_blocks=8, block_bits=8, threshold=7,
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "hamming",
     )
     return _expand_rep_pairs(
         rep_pairs,
@@ -3684,8 +3661,16 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (merge_rank, left, right, pair_count) for the learned
     merges (fewer than {k} if the corpus exhausts pairs with count >= 2).
 
+    Tokenization contract: words are JVM `lower` + Java-regex `\\s+`
+    splits — stated explicitly because Java and Python disagree on
+    Unicode whitespace (NBSP, U+2028) and locale casing (dotted İ); the
+    merge LEARNING below is tokenizer-agnostic, and the reference pin
+    collects its word types through the same JVM expression so it
+    exercises the recursion, not the tokenizer.
+
     Rows-only: the {k}-round argmax recursion has no SQL form; pinned ==
-    a pure-Python reference BPE trainer over the collected type table in
+    a pure-Python reference BPE trainer (independent segmentation
+    mechanism) over the JVM-collected type table in
     tests/test_kernels.py (exact merge sequence AND counts).
 
     Scale: the type table is millions of rows at 100 TB (vs trillions of

@@ -1400,8 +1400,9 @@ def test_code_fingerprint_frozenset_consts_are_canonicalized():
 def test_mm_dhash_near_dup_matches_bruteforce(spark, sf_dir):
     """The image near-dup op's FULL pair set (cross-group block-join
     candidates + intra-group identical-hash pairs) must equal an
-    independent no-Spark reimplementation: construction rule -> numpy
-    dHash -> brute-force all-pairs hamming <= 15. Perfect recall is the
+    independent no-Spark reimplementation: construction rule ->
+    reduceat-based block-mean dHash (different grid mechanism than the
+    op's) -> brute-force all-pairs hamming <= 15. Perfect recall is the
     block-pigeonhole guarantee; perfect precision is the exact verify."""
     import itertools
 
@@ -1412,6 +1413,15 @@ def test_mm_dhash_near_dup_matches_bruteforce(spark, sf_dir):
         .select("doc_id", "text")
         .toPandas()
     )
+    def _chunk_offsets(length: int, n: int) -> np.ndarray:
+        """array_split's partition rule written from its spec — the first
+        (length % n) chunks get one extra element — NOT via array_split,
+        so a misunderstanding of the grid partitioning in the op's
+        kernel can't cancel here."""
+        sizes = np.full(n, length // n)
+        sizes[: length % n] += 1
+        return np.concatenate(([0], np.cumsum(sizes)))
+
     hashes = {}
     for _, row in docs.iterrows():
         eb = row["text"].encode("ascii")
@@ -1419,19 +1429,29 @@ def test_mm_dhash_near_dup_matches_bruteforce(spark, sf_dir):
         w, h = n % 12 + 9, (n // 5) % 10 + 8
         need = w * h * 3
         pix = (eb * -(-need // n))[:need]
-        gray = (
+        gray_sum = (
             np.frombuffer(pix, dtype=np.uint8)
             .reshape(h, w, 3)
-            .mean(axis=2)
+            .astype(np.int64)
+            .sum(axis=2)
         )
-        rows = np.array_split(gray, 8, axis=0)
-        cells = np.array(
-            [[c.mean() for c in np.array_split(r, 9, axis=1)] for r in rows]
-        )
-        bits = (cells[:, 1:] > cells[:, :-1]).reshape(64)
-        hashes[int(row["doc_id"])] = int(
-            sum(1 << i for i in range(64) if bits[i])
-        )
+        # block sums via reduceat over explicitly-derived offsets — a
+        # different grid mechanism than the op's nested array_split
+        # loops; comparisons are the same exact cross-multiplied
+        # integers, so agreement is arithmetic, not luck
+        ro, co = _chunk_offsets(h, 8), _chunk_offsets(w, 9)
+        colsum = np.add.reduceat(gray_sum, ro[:-1], axis=0)
+        cellsum = np.add.reduceat(colsum, co[:-1], axis=1).astype(object)
+        area = np.outer(np.diff(ro), np.diff(co)).astype(object)
+        v = 0
+        for r in range(8):
+            for c in range(8):
+                if (
+                    cellsum[r][c + 1] * area[r][c]
+                    > cellsum[r][c] * area[r][c + 1]
+                ):
+                    v |= 1 << (r * 8 + c)
+        hashes[int(row["doc_id"])] = v
     expected = set()
     for ia, ib in itertools.combinations(sorted(hashes), 2):
         d = bin(hashes[ia] ^ hashes[ib]).count("1")
@@ -1486,35 +1506,60 @@ def test_mm_dhash_near_dup_identical_image_clusters(spark, tmp_path):
     assert {(a, b) for a, b, _ in extra} == {(1, 4), (2, 4), (3, 4)}
 
 
+def _apply_merges_ref(word: str, merges: list) -> list:
+    """INDEPENDENT BPE segmentation for the reference trainer — a
+    sentinel-string replace mechanism, not the op's index-walking loop,
+    so a greediness/ordering bug in the op's _bpe_apply cannot cancel
+    symmetrically. Tokens never contain \x00 (words are whitespace
+    splits), so \x00-anchored replace matches whole tokens only and
+    str.replace's resume-after-replacement scan is exactly BPE's greedy
+    left-to-right non-overlapping fuse."""
+    s = "\x00" + "\x00\x00".join(word) + "\x00"
+    for left, right in merges:
+        s = s.replace(
+            "\x00" + left + "\x00\x00" + right + "\x00",
+            "\x00" + left + right + "\x00",
+        )
+    return [tok for tok in s.split("\x00") if tok]
+
+
 def test_bpe_train_matches_pure_python_reference(spark, sf_dir):
     """text_bpe_train's full merge sequence (order, symbols, counts) must
-    equal an independent single-process BPE trainer over the same
-    lowercased whitespace word-type table — determinism hinges on exact
-    integer counts + lexicographic tie-break, both reimplemented here."""
+    equal an independent single-process BPE trainer: pair counting,
+    argmax, tie-break, AND segmentation are all reimplemented here (the
+    segmentation via a different mechanism — see _apply_merges_ref).
+    Word types come through the op's stated JVM tokenization contract
+    (lower + Java \\s+), so the pin exercises the recursion, not
+    engine tokenizer differences."""
     import collections
 
-    from filemap_spark.operators.text import (
-        _BPE_MERGES,
-        _bpe_apply,
-        text_bpe_train,
-    )
+    from pyspark.sql import functions as SF
 
-    docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .select("text")
-        .toPandas()
-    )
-    counts: collections.Counter = collections.Counter()
-    for text in docs["text"]:
-        for w in text.lower().split():
-            counts[w] += 1
+    from filemap_spark.operators.text import _BPE_MERGES, text_bpe_train
 
-    merges: list[tuple[str, str]] = []
+    counts = {
+        r["w"]: r["c"]
+        for r in (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(
+                SF.explode(
+                    SF.split(SF.lower("text"), r"\s+")
+                ).alias("w")
+            )
+            .where(SF.length("w") > 0)
+            .groupBy("w")
+            .count()
+            .withColumnRenamed("count", "c")
+            .collect()
+        )
+    }
+
+    merges: list = []
     expected = []
     for _ in range(_BPE_MERGES):
         pair_counts: collections.Counter = collections.Counter()
         for w, c in counts.items():
-            syms = _bpe_apply(list(w), merges)
+            syms = _apply_merges_ref(w, merges)
             for a, b in zip(syms, syms[1:]):
                 pair_counts[(a, b)] += c
         if not pair_counts:
@@ -1537,12 +1582,20 @@ def test_bpe_train_matches_pure_python_reference(spark, sf_dir):
 
 
 def test_bpe_apply_fuses_in_rank_order():
-    """The shared apply step: later merges can consume earlier merge
-    outputs (the defining BPE property), and non-adjacent occurrences
-    are untouched."""
+    """The op's apply step AND the test's independent mechanism must
+    both satisfy the BPE spec cases: later merges consume earlier merge
+    outputs, greedy left-to-right non-overlap, non-adjacent untouched —
+    and agree with each other on random words."""
     from filemap_spark.operators.text import _bpe_apply
 
     merges = [("a", "b"), ("ab", "c")]
-    assert _bpe_apply(list("abcab"), merges) == ["abc", "ab"]
-    assert _bpe_apply(list("acb"), merges) == ["a", "c", "b"]
-    assert _bpe_apply(list("ababab"), [("a", "b")]) == ["ab", "ab", "ab"]
+    for apply_fn in (lambda w, m: _bpe_apply(list(w), m), _apply_merges_ref):
+        assert apply_fn("abcab", merges) == ["abc", "ab"]
+        assert apply_fn("acb", merges) == ["a", "c", "b"]
+        assert apply_fn("ababab", [("a", "b")]) == ["ab", "ab", "ab"]
+        assert apply_fn("aaa", [("a", "a")]) == ["aa", "a"]
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        w = "".join(rng.choice(list("abcd"), size=rng.integers(1, 12)))
+        m = [("a", "b"), ("c", "d"), ("ab", "cd"), ("b", "c")]
+        assert _bpe_apply(list(w), m) == _apply_merges_ref(w, m), w

@@ -91,9 +91,10 @@ def test_window_is_staging_regrade_then_vintage6_then_vintage7():
 def test_regrade_block_is_the_plan_changed_ops():
     """The ops round-13 work touches take the first post-staging slots —
     emb_pair_distance_hist's plan changed (VERDICT r12 task 7: count +
-    pair-map ids now derive from the one loaded embeddings frame), so its
-    oracle row must be re-earned."""
-    assert set(_REGRADE_R13) == {"emb_pair_distance_hist"}
+    pair-map ids now derive from the one loaded embeddings frame) and
+    dedup_simhash's candidate join moved to the shared block-pigeonhole
+    helper — both rows must be re-earned."""
+    assert set(_REGRADE_R13) == {"emb_pair_distance_hist", "dedup_simhash"}
 
 
 def test_no_op_stranded_before_vintage6():
@@ -119,7 +120,7 @@ def test_vintage7_block_is_r7_vintage():
     latest = _latest_green()
     for op in _VINTAGE7_R13:
         assert latest.get(op) == 7, (op, latest.get(op))
-    assert len(_VINTAGE7_R13) == 19
+    assert len(_VINTAGE7_R13) == 18
 
 
 def test_round13_registers_exactly_four_new_operators():
