@@ -571,3 +571,52 @@ def test_png_decode_inverts_arbitrary_filter_sequences(w, h, seed, data):
     rw, rh, depth, ctype, raw = _parse_png(png)
     assert (rw, rh, depth, ctype) == (w, h, 8, 2)
     assert raw == pixels.tobytes()
+
+
+@given(
+    n_sigs=st.integers(min_value=2, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    params=st.sampled_from([(8, 8, 7), (16, 4, 15)]),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_block_pigeonhole_pairs_property(spark, n_sigs, seed, params):
+    """The shared candidate-join helper (functions/blocked.py) at BOTH
+    deployed parameterizations: for arbitrary 64-bit signatures, the
+    returned pair set equals brute-force all-pairs hamming <= threshold —
+    perfect recall (pigeonhole) AND perfect precision (exact verify),
+    property-wide."""
+    import itertools
+
+    import numpy as np
+
+    from filemap_spark.functions.blocked import block_pigeonhole_pairs
+
+    n_blocks, block_bits, threshold = params
+    rng = np.random.default_rng(seed)
+    # mixed population: random sigs + mutated near-neighbors so pairs
+    # under the threshold actually occur
+    sigs = list(rng.integers(0, 2**63 - 1, size=n_sigs, dtype=np.int64))
+    base = int(sigs[0])
+    for _ in range(min(4, n_sigs - 1)):
+        flips = rng.integers(0, 64, size=int(rng.integers(1, threshold + 3)))
+        m = base
+        for f in flips:
+            m ^= 1 << int(f)
+        m = m - (1 << 64) if m >= 1 << 63 else m
+        sigs.append(np.int64(m))
+    sigs = sorted({int(s) for s in sigs})
+    frame = spark.createDataFrame([(s,) for s in sigs], "sig long")
+
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in block_pigeonhole_pairs(
+            frame, id_col="sig", sig_col="sig",
+            n_blocks=n_blocks, block_bits=block_bits, threshold=threshold,
+        ).collect()
+    }
+    expected = set()
+    for a, b in itertools.combinations(sigs, 2):
+        d = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        if d <= threshold:
+            expected.add((min(a, b), max(a, b), d))
+    assert got == expected
