@@ -1247,3 +1247,130 @@ def mm_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cross.unionByName(intra).orderBy("doc_a", "doc_b")
+
+
+def _energy_hash64(samples) -> int:
+    """64-bit audio energy-contour hash: split the PCM into 65 frames
+    (array_split sizing), bit i = energy(frame[i+1])/len > energy(frame[i])/len
+    evaluated as the exact cross-multiplied INTEGER comparison
+    e2·n1 > e1·n2 (energies are int sums of squares — the same
+    no-float discipline as `_dhash64`). Empty frames (clips shorter than
+    65 samples) have e=n=0 and compare false deterministically. Returned
+    as signed int64 for Spark long arithmetic."""
+    import numpy as np
+
+    frames = np.array_split(samples.astype(np.int64), 65)
+    e = [int((f * f).sum()) for f in frames]
+    ln = [len(f) for f in frames]
+    v = 0
+    for i in range(64):
+        if e[i + 1] * ln[i] > e[i] * ln[i + 1]:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+@query(
+    "mm_audio_fingerprint_dedup",
+    cost=1.2,
+)
+def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO-level near-duplicate detection over REAL decoded PCM
+    (round 13) — the third modality of the dedup family (text: simhash,
+    image: dHash, audio: this), and the third consumer of the shared
+    block-pigeonhole join (functions/blocked.py). A training-data
+    pipeline runs this to drop re-encoded / padded near-identical clips
+    that byte hashing misses.
+
+    Mechanism: each doc renders as a genuine RIFF/WAVE file (16-bit mono
+    PCM, one sample per char — mm_decode_wav's builder), the STDLIB
+    `wave` parser REALLY decodes it, and the recovered samples hash to a
+    64-bit energy-contour fingerprint: 65 frames, bit i = mean energy of
+    frame i+1 exceeds frame i, compared as exact cross-multiplied
+    integers (`_energy_hash64` — no float anywhere, fully deterministic
+    across engines and numpy versions). Identical clips collapse to one
+    representative per distinct fingerprint; candidate pairs between
+    distinct fingerprints come from the shared 16×4-bit pigeonhole join
+    (perfect recall at hamming ≤ 15); doc-level expansion mirrors
+    mm_dhash_near_dup.
+
+    Rows-only (integer energy recursion has no SQL form); pinned == an
+    independent no-wave reimplementation (samples from the text formula
+    directly, energies via reduceat over explicitly-derived offsets) +
+    brute-force all-pairs in tests/test_kernels.py.
+
+    Scale: one documents scan; fingerprints are 8 bytes/doc; the block
+    join shuffles 16 rows per DISTINCT fingerprint. At 100 TB the
+    builder stage is replaced by binaryFile reads of real audio and the
+    same hash stage; a production deployment swaps the energy contour
+    for a spectral (chromaprint-style) bit derivation behind the same
+    signature-frame/pigeonhole plumbing."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import struct
+        import wave
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, hashes = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                eb = text.encode("ascii")
+                b = np.frombuffer(eb, dtype=np.uint8).astype(np.int64)
+                pcm = ((b - 100) * 256).astype("<i2").tobytes()
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(pcm))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(pcm))
+                )
+                with wave.open(_io.BytesIO(hdr + pcm), "rb") as wf:
+                    samples = np.frombuffer(
+                        wf.readframes(wf.getnframes()), dtype="<i2"
+                    )
+                ids.append(did)
+                hashes.append(_energy_hash64(samples))
+            yield pd.DataFrame({"doc_id": ids, "fhash": hashes})
+
+    hashes = docs.mapInPandas(
+        hash_batches, schema="doc_id long, fhash long"
+    ).localCheckpoint()
+
+    reps = hashes.select("fhash").distinct()
+    hash_pairs = block_pigeonhole_pairs(
+        reps, id_col="fhash", sig_col="fhash",
+        n_blocks=16, block_bits=4, threshold=15,
+    ).select(
+        F.col("id_a").alias("ha"), F.col("id_b").alias("hb"), "hamming"
+    )
+    ma = hashes.select(F.col("fhash").alias("ha"), F.col("doc_id").alias("id_a"))
+    mb = hashes.select(F.col("fhash").alias("hb"), F.col("doc_id").alias("id_b"))
+    cross = (
+        hash_pairs.join(ma, "ha")
+        .join(mb, "hb")
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "hamming",
+        )
+    )
+    x, y = hashes.alias("x"), hashes.alias("y")
+    intra = (
+        x.join(
+            y,
+            (F.col("x.fhash") == F.col("y.fhash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra).orderBy("doc_a", "doc_b")

@@ -1599,3 +1599,75 @@ def test_bpe_apply_fuses_in_rank_order():
         w = "".join(rng.choice(list("abcd"), size=rng.integers(1, 12)))
         m = [("a", "b"), ("c", "d"), ("ab", "cd"), ("b", "c")]
         assert _bpe_apply(list(w), m) == _apply_merges_ref(w, m), w
+
+
+def test_mm_audio_fingerprint_dedup_matches_bruteforce(spark, sf_dir):
+    """The audio near-dup op's pair set must equal an independent
+    reimplementation: samples straight from the text formula (no wave
+    module), frame energies via reduceat over explicitly-derived
+    offsets, the same exact cross-multiplied comparisons, brute-force
+    all-pairs hamming <= 15."""
+    import itertools
+
+    from filemap_spark.operators.multimodal import mm_audio_fingerprint_dedup
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+
+    def _offsets(length: int, n: int) -> np.ndarray:
+        sizes = np.full(n, length // n)
+        sizes[: length % n] += 1
+        return np.concatenate(([0], np.cumsum(sizes)))
+
+    hashes = {}
+    for _, row in docs.iterrows():
+        b = np.frombuffer(
+            row["text"].encode("ascii"), dtype=np.uint8
+        ).astype(np.int64)
+        samples = (b - 100) * 256  # the mm_decode_wav PCM formula
+        off = _offsets(len(samples), 65)
+        sq = samples * samples
+        # explicit slice sums over the independently-derived offsets
+        # (reduceat rejects end-of-array offsets for empty tail frames)
+        e = [int(sq[off[i] : off[i + 1]].sum()) for i in range(65)]
+        ln = np.diff(off)
+        v = 0
+        for i in range(64):
+            if e[i + 1] * int(ln[i]) > e[i] * int(ln[i + 1]):
+                v |= 1 << i
+        hashes[int(row["doc_id"])] = v
+
+    expected = set()
+    for ia, ib in itertools.combinations(sorted(hashes), 2):
+        d = bin(hashes[ia] ^ hashes[ib]).count("1")
+        if d <= 15:
+            expected.add((ia, ib, d))
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in mm_audio_fingerprint_dedup(spark, sf_dir).collect()
+    }
+    assert len(expected) > 0, "fixture produced no near-dup pairs — vacuous"
+    assert got == expected
+
+
+def test_energy_hash_identical_and_padded_clips():
+    """Fingerprint semantics: identical PCM -> identical hash; a clip
+    with tiny trailing padding keeps a NEAR hash (the robustness byte
+    hashing lacks); sub-65-sample clips hash deterministically."""
+    from filemap_spark.operators.multimodal import _energy_hash64
+
+    # a STRUCTURED clip (slow amplitude modulation — what real audio has;
+    # white noise has no contour, so boundary shifts flip coin-flip bits)
+    ts = np.arange(650)
+    amp = 400 + 300 * np.sin(2 * np.pi * ts * 2.5 / 650)
+    clip = (amp * np.where(ts % 2 == 0, 1, -1)).astype(np.int64)
+    h1 = _energy_hash64(clip)
+    assert h1 == _energy_hash64(clip.copy())
+    padded = np.concatenate([clip, np.zeros(6, dtype=np.int64)])
+    d = bin((h1 ^ _energy_hash64(padded)) & ((1 << 64) - 1)).count("1")
+    assert 0 < d <= 15, f"padding robustness window missed ({d} bits)"
+    assert _energy_hash64(np.array([5, -5, 7], dtype=np.int64)) == \
+        _energy_hash64(np.array([5, -5, 7], dtype=np.int64))

@@ -60,14 +60,14 @@ def _latest_green() -> dict[str, int]:
 
 
 def test_staging_has_the_new_ops_and_blocks_are_green():
-    """Round 13 registers exactly four new ops (the real-codec
-    multimodal debuts + the BPE trainer), which enter via _STAGING (the
-    only legal path — they have no driver row yet); every other window
-    block is a green-ledger subset."""
+    """Round 13 registers exactly five new ops (the real-codec
+    multimodal debuts, the BPE trainer, the audio fingerprint dedup),
+    which enter via _STAGING (the only legal path — they have no driver
+    row yet); every other window block is a green-ledger subset."""
     order = list(all_queries())
     assert _STAGING == (
         "mm_decode_png", "mm_decode_jpeg", "mm_dhash_near_dup",
-        "text_bpe_train",
+        "text_bpe_train", "mm_audio_fingerprint_dedup",
     )
     assert not set(_STAGING) & _DRIVER_GREEN
     assert _DRIVER_GREEN | set(_STAGING) == set(_META)
@@ -120,13 +120,13 @@ def test_vintage7_block_is_r7_vintage():
     latest = _latest_green()
     for op in _VINTAGE7_R13:
         assert latest.get(op) == 7, (op, latest.get(op))
-    assert len(_VINTAGE7_R13) == 18
+    assert len(_VINTAGE7_R13) == 17
 
 
-def test_round13_registers_exactly_four_new_operators():
-    assert len(_META) == 301
-    # jpeg/dhash/bpe are rows-only (no SQL DCT / float dHash / iterative
-    # argmax); png is oracle-graded
+def test_round13_registers_exactly_five_new_operators():
+    assert len(_META) == 302
+    # jpeg/dhash/bpe/audio are rows-only (no SQL DCT / perceptual hash /
+    # iterative argmax); png is oracle-graded
     assert len(all_oracle()) == 280
 
 
