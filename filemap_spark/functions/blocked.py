@@ -73,3 +73,63 @@ def block_pigeonhole_pairs(
         )
         .distinct()  # a pair can agree on several blocks
     )
+
+
+def fingerprint_near_dup_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    n_blocks: int,
+    block_bits: int,
+    threshold: int,
+) -> DataFrame:
+    """Doc-level near-dup pairs from a (id, 64-bit fingerprint) frame —
+    the full rep-collapse → pigeonhole → expansion pipeline shared by
+    `mm_dhash_near_dup` and `mm_audio_fingerprint_dedup` (extracted
+    round 13 for the same no-silent-divergence reason as
+    `block_pigeonhole_pairs`):
+
+    1. collapse to one row per DISTINCT fingerprint (identical items
+       share a fingerprint, so a k-member cluster contributes ONE
+       signature to the join, not k²/2 candidate rows per block);
+    2. cross-fingerprint candidates via the pigeonhole join;
+    3. expand to id level — cross-group via two membership joins,
+       intra-group (hamming 0) via a same-fingerprint self-join.
+
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b, ordered."""
+    reps = hashes.select(hash_col).distinct()
+    hash_pairs = block_pigeonhole_pairs(
+        reps, id_col=hash_col, sig_col=hash_col,
+        n_blocks=n_blocks, block_bits=block_bits, threshold=threshold,
+    ).select(
+        F.col("id_a").alias("ha"), F.col("id_b").alias("hb"), "hamming"
+    )
+    ma = hashes.select(
+        F.col(hash_col).alias("ha"), F.col(id_col).alias("id_a")
+    )
+    mb = hashes.select(
+        F.col(hash_col).alias("hb"), F.col(id_col).alias("id_b")
+    )
+    cross = (
+        hash_pairs.join(ma, "ha")
+        .join(mb, "hb")
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "hamming",
+        )
+    )
+    x, y = hashes.alias("x"), hashes.alias("y")
+    intra = (
+        x.join(
+            y,
+            (F.col(f"x.{hash_col}") == F.col(f"y.{hash_col}"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("doc_a"),
+            F.col(f"y.{id_col}").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra).orderBy("doc_a", "doc_b")

