@@ -996,15 +996,30 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     entropy state is per image, blocks stream through two 64-wide
     matmuls per 8×8 tile.
 
+    Round 14 (VERDICT r13 task 2, the repo's one weak component): the op
+    now runs the FAST codec pair (`encode_gray_fast`/`decode_gray_fast`
+    — numpy RLE + vectorized bit-pack on the encode side, one window-LUT
+    lookup per Huffman symbol on the decode side), pinned byte/coef/
+    pixel-identical to the per-bit reference pair in tests; and the doc
+    input is repartitioned to the session parallelism when it arrives as
+    a single file split (sf0.1 documents.parquet is one ~2 MB split, so
+    the old plan decoded 5,000 images on ONE core — the 21.7 s SCALE.md
+    number was a parallelism artifact stacked on the per-bit loops).
+    Restart-interval (DRI/RSTn) JPEGs are rejected loudly — see
+    functions/jpeg.py's stated limitation.
+
     Contract: documents.text is single-byte ASCII (FIXTURES.md); the
     builder hard-fails on multibyte text."""
     import numpy as np
 
-    from filemap_spark.functions.jpeg import decode_gray, encode_gray
+    from filemap_spark.functions.jpeg import decode_gray_fast, encode_gray_fast
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "n_chars"
     )
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < max(2, target // 4):
+        docs = docs.repartition(target)
 
     def build_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1027,7 +1042,7 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 h = (n // 3 % 2 + 2) * 8
                 pix = (eb * -(-(w * h) // n))[: w * h]
                 img = np.frombuffer(pix, dtype=np.uint8).reshape(h, w)
-                payload, coefs = encode_gray(img, quality=90)
+                payload, coefs = encode_gray_fast(img, quality=90)
                 rows["asset_id"].append(did)
                 rows["payload"].append(payload)
                 rows["enc_coef_sha"].append(
@@ -1048,7 +1063,7 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pdf["asset_id"], pdf["payload"],
                 pdf["enc_coef_sha"], pdf["src_pix"],
             ):
-                w, h, out, coefs = decode_gray(bytes(payload))
+                w, h, out, coefs = decode_gray_fast(bytes(payload))
                 src_img = np.frombuffer(
                     bytes(src), dtype=np.uint8
                 ).reshape(h, w)
