@@ -32,7 +32,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from filemap_spark.functions.blocked import fingerprint_near_dup_pairs
+from filemap_spark.functions.blocked import (
+    CORPUS_MATCHED_KNOB,
+    fingerprint_near_dup_pairs,
+)
 from filemap_spark.io import load_table
 from filemap_spark.registry import query
 
@@ -762,6 +765,14 @@ def _parse_png(data: bytes) -> tuple[int, int, int, int, bytes]:
     while pos + 12 <= len(data):
         (ln,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
+        # validate the declared length against the buffer BEFORE slicing
+        # (ADVICE r13): a truncated/oversized length would otherwise yield
+        # short body/CRC slices and a struct.error instead of the module's
+        # ValueError contract for malformed PNGs
+        if pos + 12 + ln > len(data):
+            raise ValueError(
+                f"truncated PNG chunk {tag!r}: declares {ln} bytes past EOF"
+            )
         body = data[pos + 8 : pos + 8 + ln]
         (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
@@ -1173,9 +1184,13 @@ def mm_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dHash -> brute-force all-pairs hamming).
 
     Scale: one documents scan; hash frame is 8 bytes/doc; the block join
-    shuffles 8 rows per DISTINCT hash; everything downstream of decode is
-    hash-sized, not pixel-sized. At 100 TB the builder stage is replaced
-    by binaryFile reads and the same dHash/mapInPandas stage."""
+    shuffles 16 rows per DISTINCT hash (n_blocks=16 4-bit blocks);
+    everything downstream of decode is hash-sized, not pixel-sized. At
+    100 TB the builder stage is replaced by binaryFile reads and the
+    same dHash/mapInPandas stage. Since round 14 the parameterization is
+    a CODE knob (`functions/blocked.py:CORPUS_MATCHED_KNOB`, web default
+    `WEB_SCALE_KNOB`), and every run measures + logs the pre-`distinct`
+    candidate volume, warning past 64×n_distinct (SCALE.md table)."""
     import numpy as np
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1242,9 +1257,10 @@ def mm_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_batches, schema="doc_id long, dhash long"
     ).localCheckpoint()
 
+    nb, bb, t = CORPUS_MATCHED_KNOB
     return fingerprint_near_dup_pairs(
         hashes, id_col="doc_id", hash_col="dhash",
-        n_blocks=16, block_bits=4, threshold=15,
+        n_blocks=nb, block_bits=bb, threshold=t,
     )
 
 
@@ -1329,7 +1345,8 @@ def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_batches, schema="doc_id long, fhash long"
     ).localCheckpoint()
 
+    nb, bb, t = CORPUS_MATCHED_KNOB
     return fingerprint_near_dup_pairs(
         hashes, id_col="doc_id", hash_col="fhash",
-        n_blocks=16, block_bits=4, threshold=15,
+        n_blocks=nb, block_bits=bb, threshold=t,
     )

@@ -1185,6 +1185,26 @@ def test_parse_png_rejects_corrupt_crc_and_bad_signature():
         _parse_png(bytes(png))
 
 
+def test_parse_png_rejects_oversized_chunk_length_with_valueerror():
+    """ADVICE r13: a chunk whose declared length runs past the buffer must
+    raise the module's ValueError contract, not a struct.error from short
+    body/CRC slices."""
+    import struct
+
+    from filemap_spark.operators.multimodal import _parse_png
+
+    pixels = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(4, 15)
+    png = bytearray(_encode_png_reference(pixels, [0, 1, 2, 0]))
+    # inflate IHDR's declared length far past EOF (CRC is checked AFTER
+    # the bounds check, so this must fail on the length, loudly)
+    struct.pack_into(">I", png, 8, 1 << 20)
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        _parse_png(bytes(png))
+    # a truncated buffer mid-chunk fails the same way
+    with pytest.raises(ValueError, match="PNG"):
+        _parse_png(bytes(png[:30]))
+
+
 def test_mm_decode_png_builder_exercises_filters_0_1_2(spark, sf_dir):
     """End-to-end: the graded op's PNGs round-trip through `_parse_png`,
     their filtered streams really cycle filter types 0/1/2 by row, and
@@ -1536,6 +1556,69 @@ def test_mm_dhash_near_dup_matches_bruteforce(spark, sf_dir):
     }
     assert len(expected) > 0, "fixture produced no near-dup pairs — vacuous"
     assert got == expected
+
+
+def test_pigeonhole_candidate_volume_counter_and_budget_warning(spark):
+    """Round 14 (VERDICT r13 task 5): the scale knob's counter. The
+    measured pre-`distinct` candidate volume must equal the bucket-exact
+    sum of m·(m-1)/2, and `fingerprint_near_dup_pairs` must emit the
+    RuntimeWarning when the volume blows the per-item budget (the
+    corpus-knob-at-web-scale misuse signal)."""
+    import warnings as _warnings
+
+    from filemap_spark.functions.blocked import (
+        CANDIDATE_BUDGET_PER_ITEM,
+        CORPUS_MATCHED_KNOB,
+        fingerprint_near_dup_pairs,
+        pigeonhole_candidate_volume,
+    )
+
+    # 40 distinct sigs that share block 0 in two groups of 20 (low nibble
+    # 0x5 / 0xA), all other blocks spread: per-bucket counts known exactly
+    sigs = [(i << 8) | (0x5 if i < 20 else 0xA) for i in range(40)]
+    frame = spark.createDataFrame([(s,) for s in sigs], "sig long")
+    n_distinct, cand = pigeonhole_candidate_volume(
+        frame, "sig", n_blocks=16, block_bits=4
+    )
+    assert n_distinct == 40
+    # brute-force the same bucket arithmetic independently
+    from collections import Counter
+
+    buckets = Counter()
+    for s in sigs:
+        for b in range(16):
+            buckets[(b, (s >> (4 * b)) & 0xF)] += 1
+    expected = sum(m * (m - 1) // 2 for m in buckets.values())
+    assert cand == expected > 0
+
+    # budget warning: identical-block corpus (every sig shares every
+    # block value) => candidates ~ n²/2 · n_blocks buckets >> budget·n
+    n = 2 * CANDIDATE_BUDGET_PER_ITEM + 8
+    hot = spark.createDataFrame(
+        [(i, 0) for i in range(n)], "doc_id long, fp long"
+    )
+    nb, bb, t = CORPUS_MATCHED_KNOB
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        fingerprint_near_dup_pairs(
+            hot, id_col="doc_id", hash_col="fp",
+            n_blocks=nb, block_bits=bb, threshold=t,
+        )
+        # all-identical fingerprints collapse to ONE rep -> no warning
+        assert not [w for w in caught if issubclass(w.category, RuntimeWarning)]
+    # distinct-but-colliding sigs (same low block, unique elsewhere)
+    # actually blow the budget through the rep-collapse
+    crowded = spark.createDataFrame(
+        [(i, i << 8) for i in range(n)], "doc_id long, fp long"
+    )
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        fingerprint_near_dup_pairs(
+            crowded, id_col="doc_id", hash_col="fp",
+            n_blocks=nb, block_bits=bb, threshold=t,
+        )
+        hits = [w for w in caught if issubclass(w.category, RuntimeWarning)]
+        assert hits and "WEB_SCALE_KNOB" in str(hits[0].message)
 
 
 def test_mm_dhash_near_dup_identical_image_clusters(spark, tmp_path):
