@@ -57,20 +57,8 @@ def pigeonhole_candidate_volume(
     hash-sized exploded frame (n_blocks rows per distinct signature —
     never touches documents or pixels), so it is cheap enough to run
     per-op as the scale counter. Returns (n_distinct, candidate_pairs)."""
-    mask = (1 << block_bits) - 1
     buckets = (
-        reps.select(
-            F.posexplode(
-                F.array(
-                    *[
-                        F.shiftright(sig_col, b * block_bits).bitwiseAND(
-                            F.lit(mask)
-                        )
-                        for b in range(n_blocks)
-                    ]
-                )
-            ).alias("blk_idx", "blk_val")
-        )
+        signature_blocks(reps, sig_col, n_blocks, block_bits, keep=[])
         .groupBy("blk_idx", "blk_val")
         .agg(F.count(F.lit(1)).alias("m"))
     )
@@ -79,6 +67,31 @@ def pigeonhole_candidate_volume(
         (F.sum("m") / n_blocks).alias("n_distinct"),
     ).collect()[0]
     return int(row["n_distinct"] or 0), int(row["cand"] or 0)
+
+
+def signature_blocks(
+    frame: DataFrame,
+    sig_col: str,
+    n_blocks: int,
+    block_bits: int,
+    keep: list[str],
+) -> DataFrame:
+    """Explode each signature into its (blk_idx, blk_val) rows — the
+    bucket relation every pigeonhole join/probe/counter shares."""
+    mask = (1 << block_bits) - 1
+    return frame.select(
+        *keep,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(sig_col, b * block_bits).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("blk_idx", "blk_val"),
+    )
 
 
 def block_pigeonhole_pairs(
@@ -100,21 +113,8 @@ def block_pigeonhole_pairs(
         raise ValueError(
             f"pigeonhole needs threshold < n_blocks, got {threshold} >= {n_blocks}"
         )
-    mask = (1 << block_bits) - 1
     cols = [id_col] if id_col == sig_col else [id_col, sig_col]
-    blocks = frame.select(
-        *cols,
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(sig_col, b * block_bits).bitwiseAND(
-                        F.lit(mask)
-                    )
-                    for b in range(n_blocks)
-                ]
-            )
-        ).alias("blk_idx", "blk_val"),
-    )
+    blocks = signature_blocks(frame, sig_col, n_blocks, block_bits, cols)
     a, b = blocks.alias("a"), blocks.alias("b")
     hamming = F.bit_count(
         F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}"))
@@ -224,3 +224,132 @@ def fingerprint_near_dup_pairs(
         )
     )
     return cross.unionByName(intra).orderBy("doc_a", "doc_b")
+
+
+def incremental_fingerprint_ingest(
+    spark,
+    docs: DataFrame,
+    hash_fn,
+    state_dir: str,
+    n_blocks: int,
+    block_bits: int,
+    threshold: int,
+) -> DataFrame:
+    """Ingest a document batch into a PERSISTED fingerprint index and
+    return the near-dup pairs the batch introduces — the
+    `dedup_incremental_lsh` make-semantics applied to the pigeonhole
+    modalities (round 14, VERDICT r13 task 6): when new media arrive,
+    only the new documents are decoded and hashed; the existing corpus
+    contributes through the persisted index, never re-decoded.
+
+    State layout under `state_dir`: one append-only parquet table
+    `fingerprints.parquet` (doc_id, fp) — simultaneously the make
+    ledger (anti-join on doc_id keeps re-ingest a no-op) and the probe
+    index (8 bytes per doc; the pigeonhole probe explodes it to
+    n_blocks rows per DISTINCT fp, never touching payload bytes).
+
+    `hash_fn(docs) -> (doc_id, fp long)` is the modality's decode+hash
+    stage (dHash for images, energy-contour hash for audio) — applied
+    AFTER the anti-join, so decode cost is delta-only by construction.
+
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b, where at least one
+    side is in THIS batch: (new, old) and (new, new) cross-fingerprint
+    pairs via an asymmetric block probe (delta fps on the build side,
+    all fps on the probe side — every emitted fp pair has a new fp by
+    construction, so no earlier batch's pairs are repeated), plus
+    hamming-0 pairs from new docs joining an existing or shared
+    fingerprint group. Ingesting batches that partition a corpus emits
+    each of the corpus's pairs EXACTLY once, cumulatively — each pair
+    surfaces in the batch of its later-arriving member (pinned against
+    the batch op in tests).
+
+    Scale: per batch, decode touches |delta| docs; the probe shuffles
+    n_blocks rows per distinct delta fp against the bucket-keyed index
+    blocks; the index append is one columnar write. The knob is the
+    same (n_blocks, block_bits, threshold) triple as the batch path
+    (CORPUS_MATCHED_KNOB / WEB_SCALE_KNOB)."""
+    import os
+
+    if threshold >= n_blocks:
+        raise ValueError(
+            f"pigeonhole needs threshold < n_blocks, got {threshold} >= {n_blocks}"
+        )
+    os.makedirs(state_dir, exist_ok=True)
+    fp_path = os.path.join(state_dir, "fingerprints.parquet")
+    have_state = os.path.exists(fp_path)
+
+    new_docs = docs
+    index = None
+    if have_state:
+        # localCheckpoint BEFORE the append below: the returned pair plan
+        # must read the pre-batch index even if executed after the write
+        index = spark.read.parquet(fp_path).localCheckpoint()
+        new_docs = new_docs.join(index.select("doc_id"), "doc_id", "left_anti")
+    # delta-only decode+hash, pinned (the ledger append must not flip
+    # the anti-join, and decode must run once, not per downstream use)
+    delta = hash_fn(new_docs).localCheckpoint()
+    if not delta.take(1):
+        return spark.createDataFrame([], "doc_a long, doc_b long, hamming int")
+
+    all_fps = index.unionByName(delta) if have_state else delta
+    new_reps = delta.select("fp").distinct()
+    all_reps = all_fps.select("fp").distinct()
+    probe = (
+        signature_blocks(
+            new_reps, "fp", n_blocks, block_bits, keep=["fp"]
+        )
+        .withColumnRenamed("fp", "nfp")
+        .alias("a")
+    )
+    target = (
+        signature_blocks(
+            all_reps, "fp", n_blocks, block_bits, keep=["fp"]
+        )
+        .withColumnRenamed("fp", "ofp")
+        .alias("b")
+    )
+    hamming = F.bit_count(F.col("a.nfp").bitwiseXOR(F.col("b.ofp")))
+    fp_pairs = (
+        probe.join(
+            target,
+            (F.col("a.blk_idx") == F.col("b.blk_idx"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.nfp") != F.col("b.ofp")),
+        )
+        .where(hamming <= threshold)
+        .select("nfp", "ofp", hamming.cast("int").alias("hamming"))
+        .distinct()
+    )
+    # expand: the new side through THIS batch's docs only (delta
+    # semantics), the other side through everything
+    cross = (
+        fp_pairs.join(
+            delta.select(F.col("fp").alias("nfp"), F.col("doc_id").alias("id_n")),
+            "nfp",
+        )
+        .join(
+            all_fps.select(F.col("fp").alias("ofp"), F.col("doc_id").alias("id_o")),
+            "ofp",
+        )
+        .select(
+            F.least("id_n", "id_o").alias("doc_a"),
+            F.greatest("id_n", "id_o").alias("doc_b"),
+            "hamming",
+        )
+    )
+    intra = (
+        delta.alias("d")
+        .join(
+            all_fps.alias("o"),
+            (F.col("d.fp") == F.col("o.fp"))
+            & (F.col("d.doc_id") != F.col("o.doc_id")),
+        )
+        .select(
+            F.least("d.doc_id", "o.doc_id").alias("doc_a"),
+            F.greatest("d.doc_id", "o.doc_id").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    pairs = cross.unionByName(intra).distinct()
+    delta.write.mode("append").parquet(fp_path)
+    return pairs

@@ -3734,3 +3734,108 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_bpe_train.__doc__ = text_bpe_train.__doc__.format(k=_BPE_MERGES)
+
+
+@query("text_bpe_apply", cost=3.0)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the merges `text_bpe_train` learns —
+    the apply half of the train→apply pair a pipeline actually runs at
+    100 TB (round 14, VERDICT r13 task 3). Structure:
+
+    1. learn the merge list via `text_bpe_train` (2·k small jobs over
+       the word-TYPE table); the result is ≤{k} rows, collected and
+       shipped in the task closure — the broadcast-merges distribution
+       every production BPE tokenizer uses;
+    2. segment each DISTINCT word type ONCE with the shared
+       `_bpe_apply` kernel (the Zipf collapse again: millions of types,
+       not trillions of tokens, pass through Python);
+    3. join the per-type symbol arrays back to the position-exploded
+       docs (plain equi-join on the word — AQE broadcasts the type
+       table while it fits and shuffle-joins beyond that) and
+       reassemble each doc's token stream JVM-side:
+       collect_list(struct(pos, toks)) → array_sort → flatten, so
+       token order is exact and deterministic regardless of agg order.
+
+    Output: (doc_id, n_tokens_bpe, token_md5) where token_md5 is md5
+    over the space-joined token stream (tokens are substrings of
+    lowercased whitespace-split words, so the space separator is
+    unambiguous); wordless docs emit (0, md5('')).
+
+    Tokenization contract matches the trainer: JVM `lower` +
+    Java-regex \\s+ splits (stated for the same Unicode-whitespace /
+    locale-casing reasons).
+
+    Rows-only: applying merges in rank order is iterative string
+    rewriting — no SQL form (and the merges themselves are learned, so
+    no oracle could restate them); pinned == an independent pure-Python
+    train+tokenize reference over the same corpus in
+    tests/test_kernels.py (exact per-doc counts AND stream hashes).
+
+    Scale: one docs scan for the type table (inside the trainer), one
+    for the position explode; Python touches only distinct types; the
+    stream reassembly is whole-stage-codegen collect_list/array_sort/
+    flatten with per-doc state bounded by doc length."""
+    import pandas as pd
+
+    merges = [
+        (r["left"], r["right"])
+        for r in text_bpe_train(spark, sf_dir).collect()
+    ]
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    types = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .where(F.length("w") > 0)
+        .distinct()
+    )
+
+    def segment(batches, _merges=merges):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "toks": [
+                        _bpe_apply(list(w), _merges) for w in pdf["w"]
+                    ],
+                }
+            )
+
+    seg = types.mapInPandas(segment, schema="w string, toks array<string>")
+
+    wordpos = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "w"),
+    ).where(F.length("w") > 0)
+
+    streams = (
+        wordpos.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                    lambda s: s["toks"],
+                )
+            ).alias("stream")
+        )
+        .select(
+            "doc_id",
+            F.size("stream").cast("long").alias("n_tokens_bpe"),
+            F.md5(F.concat_ws(" ", "stream")).alias("token_md5"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(streams, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens_bpe", F.lit(0)).alias("n_tokens_bpe"),
+            F.coalesce("token_md5", F.md5(F.lit(""))).alias("token_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+text_bpe_apply.__doc__ = text_bpe_apply.__doc__.format(k=_BPE_MERGES)

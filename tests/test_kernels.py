@@ -1757,6 +1757,59 @@ def test_bpe_apply_fuses_in_rank_order():
         assert _bpe_apply(list(w), m) == _apply_merges_ref(w, m), w
 
 
+def test_bpe_apply_op_matches_independent_tokenizer(spark, sf_dir):
+    """text_bpe_apply (round 14): every doc's BPE token count and stream
+    hash must equal an independent single-process tokenize — merges from
+    the (already reference-pinned) trainer, segmentation via the
+    sentinel-replace mechanism (_apply_merges_ref), stream assembly in
+    plain Python. Word sequences come through the op's stated JVM
+    tokenization contract (lower + Java \\s+ posexplode) so the pin
+    exercises the apply recursion and the ordered reassembly, not
+    engine tokenizer differences."""
+    import hashlib as _hashlib
+
+    from pyspark.sql import functions as SF
+
+    from filemap_spark.operators.text import text_bpe_apply, text_bpe_train
+
+    merges = [
+        (r["left"], r["right"])
+        for r in text_bpe_train(spark, sf_dir).collect()
+    ]
+    assert merges, "trainer produced no merges — vacuous"
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wordseq: dict[int, list[tuple[int, str]]] = {}
+    for r in (
+        docs.select(
+            "doc_id",
+            SF.posexplode(SF.split(SF.lower("text"), r"\s+")).alias(
+                "pos", "w"
+            ),
+        )
+        .where(SF.length("w") > 0)
+        .collect()
+    ):
+        wordseq.setdefault(r["doc_id"], []).append((r["pos"], r["w"]))
+
+    expected = {}
+    for did in [r["doc_id"] for r in docs.select("doc_id").collect()]:
+        toks: list[str] = []
+        for _pos, w in sorted(wordseq.get(did, [])):
+            toks.extend(_apply_merges_ref(w, merges))
+        expected[did] = (
+            len(toks),
+            _hashlib.md5(" ".join(toks).encode()).hexdigest(),
+        )
+
+    got = {
+        r["doc_id"]: (r["n_tokens_bpe"], r["token_md5"])
+        for r in text_bpe_apply(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert sum(n for n, _ in got.values()) > 0
+
+
 def test_mm_audio_fingerprint_dedup_matches_bruteforce(spark, sf_dir):
     """The audio near-dup op's pair set must equal an independent
     reimplementation: samples straight from the text formula (no wave
@@ -1831,3 +1884,66 @@ def test_energy_hash_identical_and_padded_clips():
     assert 0 < d <= 15, f"padding robustness window missed ({d} bits)"
     assert _energy_hash64(np.array([5, -5, 7], dtype=np.int64)) == \
         _energy_hash64(np.array([5, -5, 7], dtype=np.int64))
+
+
+def test_incremental_mm_dedup_matches_batch_delta_and_is_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """Round 14: each incremental multimodal op's delta equals its batch
+    sibling's (independently brute-force-pinned) pair set restricted to
+    pairs touching the arriving split; re-ingesting already-seen docs is
+    a no-op (the make ledger's anti-join), and the no-op path returns an
+    EMPTY frame without decoding anything."""
+    from filemap_spark.functions.blocked import (
+        CORPUS_MATCHED_KNOB,
+        incremental_fingerprint_ingest,
+    )
+    from filemap_spark.io import load_table
+    from filemap_spark.operators.multimodal import (
+        _audio_fhash_frame,
+        _image_dhash_frame,
+        mm_audio_fingerprint_dedup,
+        mm_dhash_near_dup,
+        mm_incremental_audio_dedup,
+        mm_incremental_dhash_dedup,
+    )
+
+    for inc_op, batch_op in (
+        (mm_incremental_dhash_dedup, mm_dhash_near_dup),
+        (mm_incremental_audio_dedup, mm_audio_fingerprint_dedup),
+    ):
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in inc_op(spark, sf_dir).collect()
+        }
+        expected = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in batch_op(spark, sf_dir).collect()
+            if r["doc_a"] % 10 == 0 or r["doc_b"] % 10 == 0
+        }
+        assert got == expected
+        assert expected, f"{inc_op.__name__}: vacuous fixture"
+
+    # idempotence on the raw ingest: same docs twice -> empty delta
+    nb, bb, t = CORPUS_MATCHED_KNOB
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    state = str(tmp_path / "idem_state")
+    first = incremental_fingerprint_ingest(
+        spark, docs, _image_dhash_frame, state,
+        n_blocks=nb, block_bits=bb, threshold=t,
+    )
+    assert first.count() > 0
+    decoded = {"n": 0}
+    real_fn = _image_dhash_frame
+
+    def counting_fn(d):
+        frame = real_fn(d)
+        decoded["n"] = frame.count()  # how many docs reach the hash stage
+        return frame
+
+    again = incremental_fingerprint_ingest(
+        spark, docs, counting_fn, state,
+        n_blocks=nb, block_bits=bb, threshold=t,
+    )
+    assert again.count() == 0
+    assert decoded["n"] == 0, "re-ingest decoded already-seen docs"

@@ -1,15 +1,14 @@
-"""Grading-order guarantees (round 13): the grading driver demonstrably
-grades the FIRST 50 registry entries per round (rounds 1-12 each stopped
-at exactly #50), so round 13's window is the staging set (mm_decode_png,
-mm_decode_jpeg, mm_dhash_near_dup, text_bpe_train,
-mm_audio_fingerprint_dedup — the four real-codec multimodal debuts + the
-BPE trainer), the plan-changed regrades (_REGRADE_R13:
-emb_pair_distance_hist, task 7's scan-allowlist shrink, and
-dedup_simhash, whose candidate join moved to the shared
-functions/blocked.py helper), the FULL 26-op r6-vintage drain
-(_VINTAGE6_R13, task 1), and 17 oldest-r7
-refreshes (_VINTAGE7_R13) — exactly 50. After this round grades, no op's
-latest green driver row predates r7.
+"""Grading-order guarantees (round 14): the grading driver demonstrably
+grades the FIRST 50 registry entries per round (rounds 1-13 each stopped
+at exactly #50), so round 14's window is the staging set (text_bpe_apply
+— the tokenizer apply half — plus the incremental multimodal dedup twins
+mm_incremental_dhash_dedup / mm_incremental_audio_dedup), the
+plan/kernel-changed regrades (_REGRADE_R14: the fast-codec JPEG op, the
+chunk-validated PNG op, the knob-and-counter dhash/audio pair, the
+helper-refactored simhash), the FULL 28-op r7-vintage drain
+(_VINTAGE7_R14, VERDICT r13 task 1), and 14 oldest-r8 refreshes
+(_VINTAGE8_R14) — exactly 50. After this round grades, no op's latest
+green driver row predates r8.
 
 Round-agnosticism (ADVICE r10 / VERDICT r10 task 2): the r10 versions of
 the vintage tests scanned ALL CORRECTNESS ledgers (range(1, 99)) and
@@ -28,10 +27,10 @@ from filemap_spark import all_oracle, all_queries
 from filemap_spark.registry import (
     _DRIVER_GREEN,
     _META,
-    _REGRADE_R13,
+    _REGRADE_R14,
     _STAGING,
-    _VINTAGE6_R13,
-    _VINTAGE7_R13,
+    _VINTAGE7_R14,
+    _VINTAGE8_R14,
     LEDGER_CAP,
 )
 
@@ -62,73 +61,81 @@ def _latest_green() -> dict[str, int]:
 
 
 def test_staging_has_the_new_ops_and_blocks_are_green():
-    """Round 13 registers exactly five new ops (the real-codec
-    multimodal debuts, the BPE trainer, the audio fingerprint dedup),
-    which enter via _STAGING (the only legal path — they have no driver
-    row yet); every other window block is a green-ledger subset."""
+    """Round 14 registers exactly three new ops (the BPE apply half and
+    the two incremental multimodal dedup twins), which enter via
+    _STAGING (the only legal path — they have no driver row yet); every
+    other window block is a green-ledger subset."""
     order = list(all_queries())
     assert _STAGING == (
-        "mm_decode_png", "mm_decode_jpeg", "mm_dhash_near_dup",
-        "text_bpe_train", "mm_audio_fingerprint_dedup",
+        "text_bpe_apply",
+        "mm_incremental_dhash_dedup",
+        "mm_incremental_audio_dedup",
     )
     assert not set(_STAGING) & _DRIVER_GREEN
     assert _DRIVER_GREEN | set(_STAGING) == set(_META)
-    for block in (_REGRADE_R13, _VINTAGE6_R13, _VINTAGE7_R13):
+    for block in (_REGRADE_R14, _VINTAGE7_R14, _VINTAGE8_R14):
         assert set(block) <= _DRIVER_GREEN
     assert len(order) == len(set(order)) == len(_META)
 
 
-def test_window_is_staging_regrade_then_vintage6_then_vintage7():
+def test_window_is_staging_regrade_then_vintage7_then_vintage8():
     order = list(all_queries())
     head = (
         list(_STAGING)
-        + list(_REGRADE_R13)
-        + list(_VINTAGE6_R13)
-        + list(_VINTAGE7_R13)
+        + list(_REGRADE_R14)
+        + list(_VINTAGE7_R14)
+        + list(_VINTAGE8_R14)
     )
     assert order[: len(head)] == head
     assert len(head) == len(set(head)) == WINDOW
 
 
 def test_regrade_block_is_the_plan_changed_ops():
-    """The ops round-13 work touches take the first post-staging slots —
-    emb_pair_distance_hist's plan changed (VERDICT r12 task 7: count +
-    pair-map ids now derive from the one loaded embeddings frame) and
-    dedup_simhash's candidate join moved to the shared block-pigeonhole
-    helper — both rows must be re-earned."""
-    assert set(_REGRADE_R13) == {"emb_pair_distance_hist", "dedup_simhash"}
+    """The ops round-14 work touches take the first post-staging slots —
+    mm_decode_jpeg (VERDICT r13 task 2: fast entropy codec pair +
+    repartition-to-parallelism), mm_decode_png (ADVICE r13 chunk-length
+    validation), mm_dhash_near_dup / mm_audio_fingerprint_dedup (task 5
+    knob + counter, task 6 hash-stage extraction), and dedup_simhash
+    (shared signature_blocks explode) — all rows must be re-earned."""
+    assert set(_REGRADE_R14) == {
+        "mm_decode_jpeg",
+        "mm_decode_png",
+        "mm_dhash_near_dup",
+        "mm_audio_fingerprint_dedup",
+        "dedup_simhash",
+    }
 
 
-def test_no_op_stranded_before_vintage6():
+def test_no_op_stranded_before_vintage7():
     """Freshness floor: in the capped pre-round ledger, every registered
-    op except the staged debut has been graded, and none's latest green
-    predates round 6 (the r12 window drained the r5 vintage)."""
+    op except the staged debuts has been graded, and none's latest green
+    predates round 7 (the r13 window drained the r6 vintage)."""
     latest = _latest_green()
     assert set(latest) >= set(_META) - set(_STAGING)
-    assert min(latest[op] for op in _META if op not in _STAGING) >= 6
+    assert min(latest[op] for op in _META if op not in _STAGING) >= 7
 
 
-def test_vintage6_block_drains_the_r6_vintage():
-    """_VINTAGE6_R13 must cover EVERY op whose latest green driver row in
-    the capped pre-round ledger is round 6 — so a stale block can't
-    silently strand an r6 row past this round."""
+def test_vintage7_block_drains_the_r7_vintage():
+    """_VINTAGE7_R14 must cover EVERY op whose latest green driver row in
+    the capped pre-round ledger is round 7 — so a stale block can't
+    silently strand an r7 row past this round."""
     latest = _latest_green()
-    r6 = {op for op, rnd in latest.items() if rnd == 6 and op in _META}
-    assert set(_VINTAGE6_R13) == r6
-    assert len(_VINTAGE6_R13) == 26
+    r7 = {op for op, rnd in latest.items() if rnd == 7 and op in _META}
+    assert set(_VINTAGE7_R14) == r7
+    assert len(_VINTAGE7_R14) == 28
 
 
-def test_vintage7_block_is_r7_vintage():
+def test_vintage8_block_is_r8_vintage():
     latest = _latest_green()
-    for op in _VINTAGE7_R13:
-        assert latest.get(op) == 7, (op, latest.get(op))
-    assert len(_VINTAGE7_R13) == 17
+    for op in _VINTAGE8_R14:
+        assert latest.get(op) == 8, (op, latest.get(op))
+    assert len(_VINTAGE8_R14) == 14
 
 
-def test_round13_registers_exactly_five_new_operators():
-    assert len(_META) == 302
-    # jpeg/dhash/bpe/audio are rows-only (no SQL DCT / perceptual hash /
-    # iterative argmax); png is oracle-graded
+def test_round14_registers_exactly_three_new_operators():
+    assert len(_META) == 305
+    # the BPE apply and both incremental twins are rows-only (learned
+    # merges / perceptual+energy hashes have no SQL form)
     assert len(all_oracle()) == 280
 
 
@@ -136,9 +143,9 @@ def test_green_tail_cost_tiers_nondecreasing():
     order = list(all_queries())
     head = (
         set(_STAGING)
-        | set(_REGRADE_R13)
-        | set(_VINTAGE6_R13)
-        | set(_VINTAGE7_R13)
+        | set(_REGRADE_R14)
+        | set(_VINTAGE7_R14)
+        | set(_VINTAGE8_R14)
     )
     green_tail = [n for n in order if n not in head]
     tiers = [_tier(n) for n in green_tail]

@@ -550,3 +550,59 @@ def test_windowed_topk_stream_state_ranks_to_batch(spark, sf_dir):
     )
     batch = all_queries()["stream_windowed_topk"](spark, sf_dir)
     assert canonical_rows(got.toPandas()) == canonical_rows(batch.toPandas())
+
+
+def test_incremental_mm_dedup_stream_converges_to_batch_pairs(
+    spark, sf_dir, tmp_path
+):
+    """Round 14 (VERDICT r13 task 6): the incremental multimodal ingest as
+    a REAL stream — image docs arrive as a file stream, each availableNow
+    micro-batch decodes+hashes ONLY its own docs and probes the persisted
+    fingerprint ledger via foreachBatch. The union of per-batch delta
+    pairs must equal the batch op's full pair set (hamming included) —
+    no pair missed across batch boundaries, none emitted twice."""
+    from filemap_spark.functions.blocked import (
+        CORPUS_MATCHED_KNOB,
+        incremental_fingerprint_ingest,
+    )
+    from filemap_spark.io import load_table
+    from filemap_spark.operators.multimodal import (
+        _image_dhash_frame,
+        mm_dhash_near_dup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    input_dir = str(tmp_path / "imgs_in")
+    docs.repartition(3).write.parquet(input_dir)
+    schema = spark.read.parquet(input_dir).schema
+
+    nb, bb, t = CORPUS_MATCHED_KNOB
+    state = str(tmp_path / "fp_state")
+    seen: list[tuple] = []
+
+    def sink(batch_df, _batch_id):
+        pairs = incremental_fingerprint_ingest(
+            spark, batch_df, _image_dhash_frame, state,
+            n_blocks=nb, block_bits=bb, threshold=t,
+        )
+        seen.extend(
+            (r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs.collect()
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    exact = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in mm_dhash_near_dup(spark, sf_dir).collect()
+    }
+    assert len(seen) == len(set(seen)), "a pair was emitted by two batches"
+    assert set(seen) == exact
