@@ -261,8 +261,40 @@ def invalidate(warehouse: str | None = None, prefix: str | None = None) -> int:
 
 
 # Bump to mass-invalidate persistent warehouses on a semantic change the
-# source fingerprint cannot see (e.g. a helper moved to ANOTHER module).
-_CACHE_VERSION = "2"
+# source fingerprint cannot see (e.g. a helper moved outside the
+# filemap_spark/functions/* closure folded in below).
+_CACHE_VERSION = "3"
+
+
+def _helper_sources() -> list[str]:
+    """Sources of every filemap_spark/functions/* module, sorted by file
+    name (ADVICE r13): ops call semantic helpers that live outside their
+    own module (functions/blocked.py's candidate joins, functions/jpeg.py's
+    codecs), so those files are part of every memoized command's closure —
+    invisible to the op-module source alone. Folding them into the
+    fingerprint trades coarser invalidation (any helper edit re-keys every
+    memoized op) for a closed correctness edge, the same trade the
+    op-module fold already made. Returns [] when sources are unreadable
+    (zip/frozen installs) — those installs fall back to the same
+    bytecode-level guarantees as the op fingerprint itself."""
+    func_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "functions",
+    )
+    out: list[str] = []
+    try:
+        names = sorted(os.listdir(func_dir))
+    except OSError:
+        return out
+    for name in names:
+        if not name.endswith(".py"):
+            continue
+        try:
+            with open(os.path.join(func_dir, name), encoding="utf-8") as fh:
+                out.append(fh.read())
+        except (OSError, UnicodeDecodeError):
+            continue
+    return out
 
 
 def _const_token(const) -> str:
@@ -325,6 +357,8 @@ def _fn_fingerprint(fn) -> str:
             parts.append(_code_fingerprint(code))
         else:  # builtin/C-implemented — identity is all there is
             parts.append(getattr(fn, "__qualname__", repr(fn)))
+    # cross-module helper closure (ADVICE r13) — see _helper_sources
+    parts.extend(_helper_sources())
     return hashlib.sha256("\x00".join(parts).encode()).hexdigest()
 
 

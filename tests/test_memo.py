@@ -522,3 +522,30 @@ def test_fn_fingerprint_bytecode_fallback_is_stable_and_distinct():
     b = _fn_fingerprint(compile_fn(src_b))
     assert a1 == a2, "same exec'd source must fingerprint identically"
     assert a1 != b, "different bytecode must not share a key"
+
+
+def test_fn_fingerprint_folds_in_shared_helper_sources(monkeypatch):
+    """ADVICE r13: helpers in filemap_spark/functions/* are part of every
+    memoized command's closure but live outside the op's module — a
+    helper edit must re-key the warehouse. _helper_sources must actually
+    read the functions package, and its content must flow into the
+    fingerprint."""
+    from filemap_spark.plans import memo
+
+    srcs = memo._helper_sources()
+    assert any("block_pigeonhole_pairs" in s for s in srcs), (
+        "functions/blocked.py source missing from the helper closure"
+    )
+    assert any("decode_gray_fast" in s for s in srcs), (
+        "functions/jpeg.py source missing from the helper closure"
+    )
+
+    def probe(spark, sf_dir):  # a stand-in memoized op
+        return None
+
+    before = memo._fn_fingerprint(probe)
+    monkeypatch.setattr(
+        memo, "_helper_sources", lambda: srcs + ["# edited helper"]
+    )
+    after = memo._fn_fingerprint(probe)
+    assert before != after, "helper edit did not re-key the fingerprint"
