@@ -93,6 +93,14 @@ BASELINE_WARM_SF01 = {
     "text_ngram_novelty": 1.02,  # 5b' re-record r13
     "pack_sequences_bestfit": 0.35,
     "win_concurrency_peak": 0.45,
+    # round-13 multimodal family, denominators recorded r14 under the
+    # scan-certified window protocol (BASELINE.md Table 6 —
+    # scripts/record_quiet_bars.py --family scan; decode-heavy Arrow/numpy
+    # CPU work, scan family: no corpus-sized exchange anywhere)
+    "mm_decode_png": 2.11,
+    "mm_decode_jpeg": 2.20,
+    "mm_dhash_near_dup": 12.64,
+    "mm_audio_fingerprint_dedup": 10.62,
 }
 
 # Per-family bar scaling (round 13, VERDICT r12 task 3). The r12 interleaved
@@ -238,13 +246,31 @@ EXTENDED_HEADLINE = (
     "text_ngram_novelty",
     "pack_sequences_bestfit",
     "win_concurrency_peak",
+    # round-13 multimodal decode/dedup family, bars ENFORCED from round
+    # 14 (VERDICT r13 task 4: the newest, most decode-heavy family was
+    # the only unbenched one): BASELINE.md Table 6 denominators
+    "mm_decode_png",
+    "mm_decode_jpeg",
+    "mm_dhash_near_dup",
+    "mm_audio_fingerprint_dedup",
 )
 
-# Next staging wave (none in round 7 — zero new operators by design, the
-# grading window drains the round-6 backlog). New ops land here first,
-# timed into the DETAIL sidecar only, and graduate into EXTENDED_HEADLINE
-# with recorded bars the round after their first quiet-rig measurement.
-STAGED_HEADLINE = ()
+# Next staging wave: new ops land here first, timed into the DETAIL
+# sidecar only, and graduate into EXTENDED_HEADLINE with recorded bars
+# the round after their first quiet-rig measurement. Round 14: the seven
+# registry _STAGING debuts (bars recordable r15 per the graduation
+# protocol; the four round-13 mm ops skip staging — they already have
+# one round of SCALE.md timings and got certified-quiet denominators
+# directly this round, VERDICT r13 task 4).
+STAGED_HEADLINE = (
+    "text_bpe_apply",
+    "mm_incremental_dhash_dedup",
+    "mm_incremental_audio_dedup",
+    "sample_shuffle_global",
+    "agg_weighted_percentile",
+    "mm_scene_cut_y4m",
+    "sim_ann_pq",
+)
 
 
 def _prev_round_timings(here: str, sf: float | None) -> dict[str, float]:
