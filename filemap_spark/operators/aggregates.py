@@ -3986,3 +3986,105 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return s.selectExpr(*[e.strip() for e in _split_select(_WELCH_FINAL)])
+
+
+@query(
+    "agg_weighted_percentile",
+    cost=0.8,
+    oracle="""
+    WITH g AS (
+      SELECT l_extendedprice AS v, sum(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1
+    ), c AS (
+      SELECT v, sum(w) OVER (ORDER BY v) AS cw, sum(w) OVER () AS tw FROM g
+    )
+    SELECT 'p50' AS pct, min(v) AS value FROM c WHERE cw * 2 >= tw
+    UNION ALL
+    SELECT 'p90' AS pct, min(v) FROM c WHERE cw * 10 >= tw * 9
+    ORDER BY pct
+    """,
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted percentiles (p50/p90 of l_extendedprice weighted by
+    l_quantity) — the statistic a quality-weighted sampling pipeline
+    thresholds on, which `percentile()` can't express (it weights rows
+    equally) and approx sketches only bound. Semantics: the smallest value
+    v whose cumulative weight reaches q of the total — weights collapsed
+    per DISTINCT value first, so ties are peer-inclusive exactly like a
+    RANGE window, and all comparisons are exact integer arithmetic
+    (den*cw >= num*W; l_quantity is integral by the data contract, cast
+    to bigint — no FP cumsum order-dependence anywhere).
+
+    Scale: the naive form is a full-corpus sort (single-partition window
+    — the anti-pattern, and plan_audit would flag it). This is the
+    two-pass bin-search instead: (1) one hash-agg collapses rows to
+    distinct values, one tiny agg gets (min, max, W); (2) a 1024-bin
+    range histogram of weight per bin (collect: <= 1024 rows — a
+    justified driver action, like a collected dim); the driver
+    prefix-sums to locate each quantile's bin and its exact
+    cumulative-weight offset; (3) per quantile, ONE bin's values
+    (expected n_distinct/1024 rows) are folded with a sorted-array
+    `aggregate` (the win_ewma pattern — no Window node anywhere, so the
+    plan audit's unpartitioned-window sweep stays clean by construction)
+    seeded with the driver's exact offset, selecting the first value
+    whose global cumulative weight crosses the threshold. No global sort
+    at any size; the fold runs over one bin, whose width shrinks as
+    1/n_bins regardless of corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (
+        li.groupBy(F.col("l_extendedprice").alias("v"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+        .localCheckpoint()  # pass 2 and the per-quantile pass 3 both consume it
+    )
+    stats = g.agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax"), F.sum("w").alias("tw")
+    ).collect()[0]
+    vmin, vmax, tw = stats["vmin"], stats["vmax"], stats["tw"]
+    n_bins = 1024
+    width = (vmax - vmin) / n_bins if vmax > vmin else 1.0
+    bin_col = F.least(
+        F.floor((F.col("v") - F.lit(vmin)) / F.lit(width)).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    hist = {
+        r["bin"]: r["bw"]
+        for r in g.groupBy(bin_col.alias("bin")).agg(F.sum("w").alias("bw")).collect()
+    }
+
+    results = []
+    for pct, num, den in (("p50", 1, 2), ("p90", 9, 10)):
+        cum_before, target_bin = 0, None
+        for b in sorted(hist):
+            if den * (cum_before + hist[b]) >= num * tw:
+                target_bin = b
+                break
+            cum_before += hist[b]
+        fold = F.aggregate(
+            F.sort_array(F.collect_list(F.struct("v", "w"))),
+            F.struct(
+                F.lit(cum_before).cast("long").alias("cum"),
+                F.lit(None).cast("double").alias("val"),
+            ),
+            lambda acc, x: F.struct(
+                (acc["cum"] + x["w"]).alias("cum"),
+                F.when(
+                    acc["val"].isNull()
+                    & (
+                        F.lit(den) * (acc["cum"] + x["w"])
+                        >= F.lit(num) * F.lit(tw)
+                    ),
+                    x["v"],
+                )
+                .otherwise(acc["val"])
+                .alias("val"),
+            ),
+        )
+        results.append(
+            g.where(bin_col == target_bin).agg(
+                F.lit(pct).alias("pct"), fold["val"].alias("value")
+            )
+        )
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("pct")

@@ -1439,3 +1439,146 @@ def mm_incremental_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the delta-applied decode+hash stage: stdlib `wave` PCM decode +
     integer energy-contour fingerprint)."""
     return _incremental_mm_delta(spark, sf_dir, _audio_fhash_frame)
+
+
+@query(
+    "mm_scene_cut_y4m",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, text, n_chars,
+             cast(n_chars % 8 + 2 AS int) AS w,
+             cast(floor(n_chars / 3) % 6 + 2 AS int) AS h,
+             cast(n_chars % 4 + 2 AS int) AS nf
+      FROM documents
+    ), buf AS (
+      SELECT doc_id, w, h, nf,
+             substr(repeat(text,
+                    cast(ceil((nf * w * h * 3.0) / n_chars) AS int)),
+                    1, nf * w * h * 3) AS b
+      FROM dims
+    ), frames AS (
+      SELECT doc_id, w, h, f,
+             substr(b, f * w * h * 3 + 1, w * h) AS luma
+      FROM (SELECT *, unnest(generate_series(0, nf - 1)) AS f FROM buf)
+    ), diffs AS (
+      SELECT cur.doc_id, cur.w, cur.h, cur.f,
+             sum(abs(ascii(substr(cur.luma, i, 1))
+                     - ascii(substr(prev.luma, i, 1)))) AS d
+      FROM frames cur
+      JOIN frames prev
+        ON prev.doc_id = cur.doc_id AND prev.f = cur.f - 1,
+           (SELECT unnest(generate_series(1, 63)) AS i) pos
+      WHERE i <= cur.w * cur.h
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_id AS asset_id, cast(f AS int) AS frame_no,
+           cast(d AS bigint) AS diff_energy,
+           cast((d * 10 > w * h * 300) AS int) AS is_cut
+    FROM diffs ORDER BY asset_id, frame_no
+    """,
+    cost=0.8,
+)
+def mm_scene_cut_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary (scene cut) detection over REALLY-decoded video — the
+    segmentation step a video training-data pipeline runs before frame
+    sampling, so clips don't straddle cuts. Streams are the same genuine
+    YUV4MPEG2 construction as `mm_decode_y4m` (JVM-built header + FRAME
+    markers + C444 planes; the decoder parses magic/geometry tokens and
+    validates every FRAME marker). Per successive frame pair the kernel
+    computes the luma-plane SAD (sum of absolute byte differences —
+    exact integers end to end), and flags a cut where mean abs diff
+    exceeds 30 gray levels (d*10 > w*h*300 in cross-multiplied integer
+    form — no FP threshold anywhere). The oracle rebuilds every frame
+    slice and re-sums byte diffs in SQL, so a decoder that misaligns by
+    one byte anywhere mismatches from that frame on.
+
+    Scale: embarrassingly-parallel Arrow decode (no shuffle until the
+    final order); per-asset state is two frames at a time, not the whole
+    stream, so memory is O(frame), and diff rows land pre-keyed by
+    (asset_id, frame_no) for any downstream clip assembly. Real-codec
+    deployments swap the parse step behind the `_real_decode_stub` seam;
+    the SAD kernel and the plan are codec-agnostic."""
+    docs = load_table(spark, sf_dir, "documents")
+    buf = docs.select(
+        "doc_id",
+        F.expr(_Y4M_W).alias("w"),
+        F.expr(_Y4M_H).alias("h"),
+        F.expr(_Y4M_NF).alias("nf"),
+        "text",
+        "n_chars",
+    ).select(
+        "doc_id",
+        "w",
+        "h",
+        "nf",
+        F.expr(
+            "substr(repeat(text, cast(ceil((nf * w * h * 3.0) / n_chars) AS int)),"
+            " 1, nf * w * h * 3)"
+        ).alias("b"),
+    )
+    assets = buf.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(
+            F.expr(
+                "concat('YUV4MPEG2 W', cast(w AS string), ' H', cast(h AS string),"
+                " ' F25:1 C444\\n',"
+                " array_join(transform(sequence(0, nf - 1),"
+                "   f -> concat('FRAME\\n', substr(b, f * w * h * 3 + 1, w * h * 3))"
+                " ), ''))"
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {"asset_id": [], "frame_no": [], "diff_energy": [], "is_cut": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                stream = bytes(payload)
+                nl = stream.index(b"\n")
+                header = stream[:nl].split(b" ")
+                if header[0] != b"YUV4MPEG2":
+                    raise ValueError(f"bad y4m magic: {header[0]!r}")
+                w = h = None
+                for tok in header[1:]:
+                    if tok.startswith(b"W"):
+                        w = int(tok[1:])
+                    elif tok.startswith(b"H"):
+                        h = int(tok[1:])
+                plane = w * h
+                pos, frame_no = nl + 1, 0
+                prev = None
+                while pos < len(stream):
+                    if stream[pos : pos + 6] != b"FRAME\n":
+                        raise ValueError(f"missing FRAME marker at {pos}")
+                    pos += 6
+                    luma = stream[pos : pos + plane]
+                    if len(luma) != plane:
+                        raise ValueError(
+                            f"mm_scene_cut_y4m: truncated luma plane "
+                            f"({len(luma)}/{plane} bytes) — documents.text "
+                            "must be single-byte ASCII (FIXTURES.md)"
+                        )
+                    cur = np.frombuffer(luma, dtype=np.uint8).astype(np.int64)
+                    if prev is not None:
+                        d = int(np.abs(cur - prev).sum())
+                        rows["asset_id"].append(aid)
+                        rows["frame_no"].append(frame_no)
+                        rows["diff_energy"].append(d)
+                        rows["is_cut"].append(int(d * 10 > plane * 300))
+                    prev = cur
+                    pos += plane * 3  # skip all three C444 planes
+                    frame_no += 1
+            out = pd.DataFrame(rows)
+            out["frame_no"] = out["frame_no"].astype("int32")
+            out["is_cut"] = out["is_cut"].astype("int32")
+            yield out
+
+    return assets.mapInPandas(
+        decode_batches,
+        schema="asset_id long, frame_no int, diff_energy bigint, is_cut int",
+    ).orderBy("asset_id", "frame_no")

@@ -1773,3 +1773,69 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+@query(
+    "sample_shuffle_global",
+    cost=0.5,
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, md5('shuf1:' || CAST(doc_id AS VARCHAR)) AS skey
+      FROM documents
+    )
+    SELECT substr(skey, 1, 1) AS bucket,
+           count(*) AS n_docs,
+           min(skey) AS key_min,
+           max(skey) AS key_max,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY skey, CAST(doc_id AS VARCHAR))) AS order_md5
+    FROM k GROUP BY 1 ORDER BY bucket
+    """,
+)
+def sample_shuffle_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle of the corpus — the epoch-ordering
+    step a training pipeline runs before writing shards: every doc gets a
+    content-addressed shuffle key md5('shuf1:' || doc_id) (seed string in
+    the key ⇒ a new epoch is a new seed, same machinery), and the corpus
+    is totally ordered by (skey, doc_id) with no RNG, no row-order
+    dependence, and no engine-specific hash — rerunning ingest anywhere
+    reproduces byte-identical shard order.
+
+    The graded surface PROVES the order without materializing it: the
+    keyspace splits into 16 range buckets (first hex nibble); per bucket
+    the op emits count, key range, and the md5 of the doc_id stream in
+    shuffle order — bucket-local order plus bucket ordering is the global
+    order, so any engine that would write a different shard sequence
+    mismatches here.
+
+    Scale: ONE hash-agg exchange on the 16 range buckets; the in-bucket
+    order fingerprint is sort_array over each bucket's collected ids —
+    bounded by n/16 per group here, and at 100 TB the same contract is
+    verified shard-wise instead (the write path is
+    repartitionByRange(skey).sortWithinPartitions(skey, doc_id) →
+    per-FILE fingerprints, one per output shard, never a corpus-sized
+    collect_list). The md5 key is uniform, so range buckets are
+    skew-free by construction even on adversarial doc_id distributions."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        F.md5(F.concat(F.lit("shuf1:"), F.col("doc_id").cast("string"))).alias("skey"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+    return (
+        keyed.groupBy(F.substring("skey", 1, 1).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("skey").alias("key_min"),
+            F.max("skey").alias("key_max"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("skey", "doc_id"))),
+                        lambda s: s["doc_id"],
+                    ),
+                    ",",
+                )
+            ).alias("order_md5"),
+        )
+        .orderBy("bucket")
+    )

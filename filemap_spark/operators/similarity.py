@@ -1579,3 +1579,160 @@ def emb_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 5)
         .select("q_id", F.col("rnk").cast("int").alias("rnk"), "vec_id", "hamming")
     )
+
+
+# Product-quantization geometry: M subspaces × K codewords. M·log2(K)
+# bits per vector (4 subspaces × 16 codewords = 4 bytes) replaces
+# d float64s (512 bytes at d=64) in the index — a 128× shuffle/memory
+# compression, which is what makes billion-vector ANN indexes fit at all.
+_PQ_M = 4
+_PQ_K = 16
+
+
+def _train_pq_codebooks(
+    spark: SparkSession,
+    sf_dir: str,
+    n_sub: int = _PQ_M,
+    k: int = _PQ_K,
+    n_iters: int = 5,
+    max_sample: int = 4096,
+) -> np.ndarray:
+    """(n_sub, k, d/n_sub) PQ codebooks — per-subspace Lloyd k-means on the
+    SAME bounded deterministic sample discipline as _train_centroids (the
+    max_sample smallest xxhash64(vec_id) rows via TakeOrdered, init = first
+    k sample subvectors in vec_id order, fixed iterations), so operators
+    and tests recompute identical codebooks with driver memory capped at
+    max_sample × dim float64 regardless of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sample_pdf = (
+        emb.orderBy(F.xxhash64(F.col("vec_id").cast("string")), "vec_id")
+        .limit(max_sample)
+        .toPandas()
+    )
+    raw_ids, raw_mat = _normalized_matrix(sample_pdf)
+    mat = raw_mat[np.argsort(raw_ids, kind="stable")]
+    d = mat.shape[1]
+    if d % n_sub:
+        raise ValueError(f"embedding dim {d} not divisible by n_sub={n_sub}")
+    sub = d // n_sub
+    books = np.empty((n_sub, k, sub))
+    for m in range(n_sub):
+        s = mat[:, m * sub : (m + 1) * sub]
+        cents = s[:k].copy()
+        for _ in range(n_iters):
+            # argmin ||s-c||² == argmin (-2 s·c + ||c||²); ties -> first
+            d2 = -2.0 * (s @ cents.T) + (cents**2).sum(axis=1)[None, :]
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = s[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[m] = cents
+    return books
+
+
+def _pq_reconstruct(books: np.ndarray, codes: np.ndarray) -> np.ndarray:
+    """Decode (n, M) int codes back to (n, d) float64 — concatenated
+    per-subspace codewords, the x̂ whose dot with a query IS the ADC
+    (asymmetric distance computation) score."""
+    return np.concatenate(
+        [books[m][codes[:, m]] for m in range(books.shape[0])], axis=1
+    )
+
+
+@query("sim_ann_pq", cost=1.5)  # rows-only: ANN recall is approximate by design
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-5 — `sim_ann_ivf`'s layout with the index
+    side PRODUCT-QUANTIZED: vectors in the inverted cells are stored as
+    M=4 codebook indexes (4 bytes) instead of 64 float64s, so the
+    index shuffle and the per-cell resident set shrink ~128× while the
+    probe plan (nprobe=2 nearest cells, cogroup join, per-cell top-5,
+    global window top-5) stays identical. Scoring is ADC: the query stays
+    full-precision and scores against the RECONSTRUCTED codeword vectors
+    x̂ — computed per cell from the tiny broadcast codebooks, never
+    shuffled — through the same pinned `_cell_topk` kernel as IVF.
+
+    This is the standard billion-scale ANN architecture (coarse quantizer
+    + PQ residual compression): at 100 TB of embeddings the raw vectors
+    cannot live in executor memory, but M·log2(K) bits each can. The
+    shipped variant quantizes the vector directly (not the cell residual)
+    — the residual refinement drops in by subtracting the broadcast cell
+    centroid before encoding and adding its dot back at score time, same
+    plan shape.
+
+    Rows-only by design (recall is approximate); the mechanism pin is the
+    IVF one, re-based on x̂: output ≡ brute-force top-5 over ADC scores
+    restricted to probed cells (tests/test_quality.py)."""
+    nprobe, k = 2, 5
+    cents = _train_centroids(spark, sf_dir)
+    books = _train_pq_codebooks(spark, sf_dir)
+    bc = spark.sparkContext.broadcast((cents, books))
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c, bk = bc.value
+        n_sub, _, sub = bk.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, mat = _normalized_matrix(pdf)
+            cell = np.argmax(mat @ c.T, axis=1)
+            codes = np.empty((len(ids), n_sub), dtype=np.int32)
+            for m in range(n_sub):
+                s = mat[:, m * sub : (m + 1) * sub]
+                d2 = -2.0 * (s @ bk[m].T) + (bk[m] ** 2).sum(axis=1)[None, :]
+                codes[:, m] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cell": cell.astype(np.int32),
+                    "code": list(codes),
+                }
+            )
+
+    index = emb.mapInPandas(encode, schema="vec_id long, cell int, code array<int>")
+
+    def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c, _ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, mat = _normalized_matrix(pdf)
+            sims = mat @ c.T
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, nprobe),
+                    "cell": top.ravel().astype(np.int32),
+                    "embedding": list(np.repeat(mat, nprobe, axis=0)),
+                }
+            )
+
+    q_df = emb.mapInPandas(
+        probes, schema="vec_id long, cell int, embedding array<double>"
+    )
+
+    def cell_topk_fn(q_pdf: pd.DataFrame, i_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": [], "nbr_id": [], "sim": []})
+        if q_pdf.empty or i_pdf.empty:
+            return empty
+        _, bk = bc.value
+        q_ids = q_pdf["vec_id"].to_numpy(dtype=np.int64)
+        q_mat = np.vstack(q_pdf["embedding"].to_numpy())
+        i_ids = i_pdf["vec_id"].to_numpy(dtype=np.int64)
+        codes = np.vstack(i_pdf["code"].to_numpy()).astype(np.int64)
+        recon = _pq_reconstruct(bk, codes)
+        return _cell_topk(q_ids, q_mat, i_ids, recon, k)
+
+    cands = (
+        q_df.groupby("cell")
+        .cogroup(index.groupby("cell"))
+        .applyInPandas(cell_topk_fn, schema="vec_id long, nbr_id long, sim double")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("vec_id", "nbr_id", "sim")
+        .orderBy("vec_id", F.desc("sim"), "nbr_id")
+    )

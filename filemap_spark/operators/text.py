@@ -3771,10 +3771,15 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     train+tokenize reference over the same corpus in
     tests/test_kernels.py (exact per-doc counts AND stream hashes).
 
-    Scale: one docs scan for the type table (inside the trainer), one
-    for the position explode; Python touches only distinct types; the
-    stream reassembly is whole-stage-codegen collect_list/array_sort/
-    flatten with per-doc state bounded by doc length."""
+    Scale: ONE docs scan in the apply plan — the split-words frame is
+    checkpointed and feeds all three consumers (type table, position
+    explode, wordless-doc completion join); the trainer's own single
+    scan runs in its separate pre-collected jobs (scan_sweep r14: the
+    first cut scanned documents 3× with zero reuse — Catalyst
+    branch-specialized the shared subtree, the exact class that sweep
+    exists to catch). Python touches only distinct types; the stream
+    reassembly is whole-stage-codegen collect_list/array_sort/flatten
+    with per-doc state bounded by doc length."""
     import pandas as pd
 
     merges = [
@@ -3783,8 +3788,11 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("ws")
+    ).localCheckpoint()
     types = (
-        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        words.select(F.explode("ws").alias("w"))
         .where(F.length("w") > 0)
         .distinct()
     )
@@ -3804,9 +3812,8 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seg = types.mapInPandas(segment, schema="w string, toks array<string>")
 
-    wordpos = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "w"),
+    wordpos = words.select(
+        "doc_id", F.posexplode("ws").alias("pos", "w")
     ).where(F.length("w") > 0)
 
     streams = (
@@ -3827,7 +3834,7 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        docs.select("doc_id")
+        words.select("doc_id")
         .join(streams, "doc_id", "left")
         .select(
             "doc_id",

@@ -908,3 +908,144 @@ def test_incremental_lsh_three_batches_partition_exact_pairs(spark, sf_dir, tmp_
         for r in QUERIES["dedup_near_jaccard"](spark, sf_dir).collect()
     }
     assert got_all == exact
+
+
+def test_pq_ann_mechanism_is_exact_within_probed_cells(spark, sf_dir):
+    """sim_ann_pq must return EXACTLY the brute-force ADC top-5 restricted
+    to its probed cells — the IVF mechanism pin re-based on the
+    reconstructed codeword vectors x̂: candidates and cells come from the
+    same deterministic sample-trained quantizer + codebooks the operator
+    broadcasts, scores are q·x̂ (ADC), ties break by nbr_id. Absolute
+    recall vs full-precision brute force is a data property and only gets
+    a sanity floor."""
+    import numpy as np
+
+    from filemap_spark.operators.similarity import (
+        _normalized_matrix,
+        _pq_reconstruct,
+        _train_centroids,
+        _train_pq_codebooks,
+    )
+
+    cents = _train_centroids(spark, sf_dir)
+    books = _train_pq_codebooks(spark, sf_dir)
+    pdf = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    ids, mat = _normalized_matrix(pdf)
+    assign = np.argmax(mat @ cents.T, axis=1)
+    n_sub, _, sub = books.shape
+    codes = np.empty((len(ids), n_sub), dtype=np.int64)
+    for m in range(n_sub):
+        s = mat[:, m * sub : (m + 1) * sub]
+        d2 = -2.0 * (s @ books[m].T) + (books[m] ** 2).sum(axis=1)[None, :]
+        codes[:, m] = np.argmin(d2, axis=1)
+    recon = _pq_reconstruct(books, codes)
+    expected = set()
+    for i, qid in enumerate(ids):
+        probes = np.argsort(-(mat[i] @ cents.T), kind="stable")[:2]
+        mask = np.isin(assign, probes) & (ids != qid)
+        cand_ids = ids[mask]
+        sims = np.round(recon[mask] @ mat[i], 6)
+        order = np.lexsort((cand_ids, -sims))[:5]
+        expected |= {(int(qid), int(cand_ids[j])) for j in order}
+    approx = QUERIES["sim_ann_pq"](spark, sf_dir).collect()
+    found = {(r["vec_id"], r["nbr_id"]) for r in approx}
+    assert found == expected
+
+    truth = {
+        (r["vec_id"], r["nbr_id"])
+        for r in QUERIES["sim_cosine_topk"](spark, sf_dir).collect()
+    }
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.10, f"IVF-PQ recall collapsed: {recall:.3f}"
+
+
+def test_weighted_percentile_matches_python_reference(spark, sf_dir):
+    """agg_weighted_percentile's two-pass bin search must equal the naive
+    single-sorted-list weighted percentile (peer-inclusive, exact integer
+    thresholds) computed test-side in plain Python."""
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_extendedprice", "l_quantity")
+        .collect()
+    )
+    agg: dict[float, int] = {}
+    for r in rows:
+        agg[r["l_extendedprice"]] = agg.get(r["l_extendedprice"], 0) + int(
+            r["l_quantity"]
+        )
+    total = sum(agg.values())
+    expected = {}
+    for pct, num, den in (("p50", 1, 2), ("p90", 9, 10)):
+        cum = 0
+        for v in sorted(agg):
+            cum += agg[v]
+            if den * cum >= num * total:
+                expected[pct] = v
+                break
+    got = {
+        r["pct"]: r["value"]
+        for r in QUERIES["agg_weighted_percentile"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_scene_cut_matches_python_reference(spark, sf_dir):
+    """mm_scene_cut_y4m's decoded SAD energies and cut flags must equal a
+    no-Spark reimplementation of the same Y4M construction + frame diff
+    (integer byte math, cross-multiplied threshold)."""
+    docs = (
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars").collect()
+    )
+    expected = {}
+    for r in docs:
+        text, n = r["text"], int(r["n_chars"])
+        w, h, nf = n % 8 + 2, (n // 3) % 6 + 2, n % 4 + 2
+        need = nf * w * h * 3
+        b = (text * -(-need // n))[:need].encode("ascii")
+        frames = [
+            b[f * w * h * 3 : f * w * h * 3 + w * h] for f in range(nf)
+        ]
+        for f in range(1, nf):
+            d = sum(abs(a - p) for a, p in zip(frames[f], frames[f - 1]))
+            expected[(r["doc_id"], f)] = (d, int(d * 10 > w * h * 300))
+    got = {
+        (r["asset_id"], r["frame_no"]): (r["diff_energy"], r["is_cut"])
+        for r in QUERIES["mm_scene_cut_y4m"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_sample_shuffle_global_is_deterministic_and_correct(spark, sf_dir):
+    """sample_shuffle_global's per-bucket order fingerprints must equal a
+    plain-Python md5 shuffle of the same corpus (portable key, bucket by
+    first nibble, order by (key, doc_id-as-string)), and re-running the
+    op must reproduce them byte-for-byte."""
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    buckets: dict[str, list[tuple[str, str]]] = {}
+    for r in docs:
+        did = str(r["doc_id"])
+        key = hashlib.md5(f"shuf1:{did}".encode()).hexdigest()
+        buckets.setdefault(key[0], []).append((key, did))
+    expected = {}
+    for b, items in buckets.items():
+        items.sort()
+        expected[b] = (
+            len(items),
+            items[0][0],
+            items[-1][0],
+            hashlib.md5(",".join(d for _, d in items).encode()).hexdigest(),
+        )
+    run1 = QUERIES["sample_shuffle_global"](spark, sf_dir).collect()
+    got = {
+        r["bucket"]: (r["n_docs"], r["key_min"], r["key_max"], r["order_md5"])
+        for r in run1
+    }
+    assert got == expected
+    run2 = QUERIES["sample_shuffle_global"](spark, sf_dir).collect()
+    assert run1 == run2

