@@ -3988,6 +3988,26 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.selectExpr(*[e.strip() for e in _split_select(_WELCH_FINAL)])
 
 
+def weighted_threshold_bin(
+    hist: dict[int, int], num: int, den: int, tw: int
+) -> tuple[int, int]:
+    """Driver half of the two-pass weighted-percentile bin search:
+    scanning histogram bins in ascending bin order, return
+    (target_bin, cum_before) where target_bin is the first bin whose
+    INCLUSIVE cumulative weight crosses num/den of the total tw and
+    cum_before is the exact cumulative weight of all earlier bins —
+    the offset the in-bin fold is seeded with. All-integer (den*cw >=
+    num*tw cross-multiplication), so there is no FP threshold anywhere.
+    Pure function; Hypothesis-pinned against the naive sorted-list
+    percentile in tests/test_properties.py."""
+    cum_before = 0
+    for b in sorted(hist):
+        if den * (cum_before + hist[b]) >= num * tw:
+            return b, cum_before
+        cum_before += hist[b]
+    raise ValueError(f"threshold {num}/{den} of {tw} unreachable over {sum(hist.values())}")
+
+
 @query(
     "agg_weighted_percentile",
     cost=0.8,
@@ -4053,12 +4073,7 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     results = []
     for pct, num, den in (("p50", 1, 2), ("p90", 9, 10)):
-        cum_before, target_bin = 0, None
-        for b in sorted(hist):
-            if den * (cum_before + hist[b]) >= num * tw:
-                target_bin = b
-                break
-            cum_before += hist[b]
+        target_bin, cum_before = weighted_threshold_bin(hist, num, den, tw)
         fold = F.aggregate(
             F.sort_array(F.collect_list(F.struct("v", "w"))),
             F.struct(

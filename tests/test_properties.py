@@ -620,3 +620,51 @@ def test_block_pigeonhole_pairs_property(spark, n_sigs, seed, params):
         if d <= threshold:
             expected.add((min(a, b), max(a, b), d))
     assert got == expected
+
+
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=120),
+    splits=st.lists(st.integers(min_value=0, max_value=119), max_size=6),
+    q=st.sampled_from([(1, 2), (9, 10), (1, 4), (99, 100), (1, 1)]),
+)
+@settings(max_examples=200, deadline=None)
+def test_weighted_threshold_bin_matches_naive_percentile(weights, splits, q):
+    """agg_weighted_percentile's driver half (weighted_threshold_bin) +
+    the in-bin scan must equal the naive sorted-list weighted percentile
+    for ANY value multiset, ANY monotone binning (including empty and
+    singleton bins), and any num/den threshold — the property that makes
+    the two-pass bin search safe to trust at corpus sizes the naive form
+    can't run at. Values are the sorted distinct ints 0..n-1 (value
+    identity is irrelevant to the search; only weights and bin
+    boundaries matter)."""
+    from filemap_spark.operators.aggregates import weighted_threshold_bin
+
+    num, den = q
+    n = len(weights)
+    # monotone binning: bin id = number of split points <= value index
+    cuts = sorted(set(s for s in splits if s < n))
+    bins = [sum(1 for c in cuts if c <= i) for i in range(n)]
+    hist: dict[int, int] = {}
+    for b, w in zip(bins, weights):
+        hist[b] = hist.get(b, 0) + w
+    tw = sum(weights)
+
+    target_bin, cum_before = weighted_threshold_bin(hist, num, den, tw)
+    cum = cum_before
+    got = None
+    for i in range(n):
+        if bins[i] != target_bin:
+            continue
+        cum += weights[i]
+        if den * cum >= num * tw:
+            got = i
+            break
+
+    cum, expected = 0, None
+    for i in range(n):
+        cum += weights[i]
+        if den * cum >= num * tw:
+            expected = i
+            break
+
+    assert got == expected
