@@ -1477,6 +1477,7 @@ def mm_incremental_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM diffs ORDER BY asset_id, frame_no
     """,
     cost=0.8,
+    memo=("documents",),
 )
 def mm_scene_cut_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shot-boundary (scene cut) detection over REALLY-decoded video — the

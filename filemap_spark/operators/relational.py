@@ -1778,6 +1778,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sample_shuffle_global",
     cost=0.5,
+    memo=("documents",),
     oracle="""
     WITH k AS (
       SELECT doc_id, md5('shuf1:' || CAST(doc_id AS VARCHAR)) AS skey

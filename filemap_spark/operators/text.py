@@ -3736,7 +3736,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_bpe_train.__doc__ = text_bpe_train.__doc__.format(k=_BPE_MERGES)
 
 
-@query("text_bpe_apply", cost=3.0)
+@query("text_bpe_apply", cost=3.0, memo=("documents",))
 def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus with the merges `text_bpe_train` learns —
     the apply half of the train→apply pair a pipeline actually runs at

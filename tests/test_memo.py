@@ -186,6 +186,10 @@ def test_registry_memo_ops_hit_path_row_identity(spark, sf_dir, monkeypatch):
         "text_ndcg_eval",
         "text_ngram_novelty",
         "text_rouge2_recall",
+        # round 14: the deterministic documents-sourced debuts
+        "sample_shuffle_global",
+        "mm_scene_cut_y4m",
+        "text_bpe_apply",
     }
     for name, fn in wrapped.items():
         raw = _QUERIES[name](spark, sf_dir).toPandas()
@@ -305,7 +309,7 @@ def test_memo_wrapped_op_stays_oracle_green(spark, sf_dir, monkeypatch):
     monkeypatch.setenv("FILEMAP_MEMO", "1")
     q = all_queries()
     oracles = all_oracle()
-    for name in ("graph_jaccard_neighbors", "text_bigram_pmi"):
+    for name in ("graph_jaccard_neighbors", "text_bigram_pmi", "sample_shuffle_global"):
         miss = run_one(name, q[name], oracles[name], spark, sf_dir)
         assert miss.ok, (name, miss)
         hit = run_one(name, q[name], oracles[name], spark, sf_dir)
