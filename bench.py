@@ -270,6 +270,8 @@ STAGED_HEADLINE = (
     "agg_weighted_percentile",
     "mm_scene_cut_y4m",
     "sim_ann_pq",
+    "emb_matryoshka_eval",
+    "graph_label_propagation",
 )
 
 

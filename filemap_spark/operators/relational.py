@@ -1840,3 +1840,85 @@ def sample_shuffle_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_LPA_ROUNDS = 5
+
+
+@query("graph_label_propagation", cost=2.0)  # rows-only: iterative fixpoint
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA) over
+    the part co-occurrence graph (edges = part pairs sharing >= 2 orders,
+    `graph_jaccard_neighbors`' blocking) — the graph-clustering sibling
+    of `dedup_connected_components`: where CC merges anything connected,
+    LPA's plurality vote keeps densely-linked groups together and lets
+    weak bridges split, which is the domain-clustering behavior a corpus
+    curation pipeline wants. Fixed {r} synchronous rounds; every node
+    starts as its own label; each round every node adopts the PLURALITY
+    label among its neighbors (vote-count DESC, label ASC tie-break —
+    exact integers, so the fixpoint is deterministic and engine-free).
+    Emits one row per surviving community: (community, n_members,
+    rep_part = min member) ordered by size desc then community.
+
+    Rows-only: an iterative fixpoint has no SQL form; pinned == a plain
+    Python synchronous LPA over the same collected edge list
+    (tests/test_quality.py).
+
+    Scale: per round ONE join keyed on node + one (node, label) hash agg
+    + one per-node argmax window — all shuffles keyed by node id, state
+    is one label per node, lineage truncated per round (localCheckpoint,
+    the pagerank discipline). Edge volume is bounded by the
+    shared-order blocking (sum of basket^2, never part x part); rounds
+    are a fixed constant, so total cost is {r} x O(edges)."""
+    po = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_orderkey").alias("o"))
+        .distinct()
+        .localCheckpoint()
+    )
+    a = po.select(F.col("p").alias("pa"), "o")
+    b = po.select(F.col("p").alias("pb"), F.col("o").alias("ob"))
+    undirected = (
+        a.join(b, (F.col("o") == F.col("ob")) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("i"))
+        .where(F.col("i") >= 2)
+        .select("pa", "pb")
+    )
+    # both directions once, checkpointed: every round re-reads this frame
+    edges = (
+        undirected.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(
+            undirected.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("dst").orderBy(F.desc("n"), F.asc("label"))
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), "label")
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("node").alias("rep_part"),
+        )
+        .orderBy(F.desc("n_members"), "community")
+    )
+
+
+graph_label_propagation.__doc__ = graph_label_propagation.__doc__.format(
+    r=_LPA_ROUNDS
+)

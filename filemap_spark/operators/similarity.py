@@ -73,6 +73,19 @@ def _normalized_matrix(df_pandas: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]
     return ids, mat / norms
 
 
+def _prefix_renormalize(mat: np.ndarray, dim: int | None) -> np.ndarray:
+    """Truncate row-normalized vectors to their first `dim` components and
+    re-normalize — cosine over the prefix subspace (truncate-raw-then-
+    normalize equals truncate-normalized-then-renormalize: the full-vector
+    scale cancels). `None` or a full-width dim is the identity."""
+    if dim is None or mat.size == 0 or dim >= mat.shape[1]:
+        return mat
+    pre = mat[:, :dim].copy()
+    norms = np.linalg.norm(pre, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return pre / norms
+
+
 def _index_location(sf_dir: str) -> tuple[str, tuple]:
     """(path, file-state fingerprint) of the embeddings table. The
     fingerprint (io.table_fingerprint) rides into worker closures so a
@@ -98,6 +111,7 @@ def _stream_topk_chunk(
     path: str,
     k: int,
     block_rows: int = _INDEX_BLOCK_ROWS,
+    dim: int | None = None,
 ) -> pd.DataFrame:
     """Exact top-k by (rounded sim DESC, nbr_id ASC) for one query chunk,
     STREAMING the index parquet block-by-block with a running top-k merge —
@@ -124,6 +138,7 @@ def _stream_topk_chunk(
         if rb.num_rows == 0:
             continue
         i_ids, i_mat = _normalized_matrix(rb.to_pandas())
+        i_mat = _prefix_renormalize(i_mat, dim)
         order = np.argsort(i_ids, kind="stable")
         si, sm = i_ids[order], i_mat[order]
         nb = len(si)
@@ -155,7 +170,9 @@ def _stream_topk_chunk(
     )
 
 
-def _cosine_topk_frame(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+def _cosine_topk_frame(
+    spark: SparkSession, sf_dir: str, k: int = 5, dim: int | None = None
+) -> DataFrame:
     """Top-k cosine neighbors per vector: executor-side STREAMED index read +
     blocked numpy matmul inside mapInPandas (Arrow-batched; no per-row
     Python; no whole-index materialization on driver or worker).
@@ -174,9 +191,12 @@ def _cosine_topk_frame(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFram
             if pdf.empty:
                 continue
             q_ids, q_mat = _normalized_matrix(pdf)
+            q_mat = _prefix_renormalize(q_mat, dim)
             for lo in range(0, len(q_ids), _QUERY_CHUNK_ROWS):
                 hi = lo + _QUERY_CHUNK_ROWS
-                out = _stream_topk_chunk(q_ids[lo:hi], q_mat[lo:hi], path, k)
+                out = _stream_topk_chunk(
+                    q_ids[lo:hi], q_mat[lo:hi], path, k, dim=dim
+                )
                 if len(out):
                     yield out
 
@@ -1735,4 +1755,94 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= k)
         .select("vec_id", "nbr_id", "sim")
         .orderBy("vec_id", F.desc("sim"), "nbr_id")
+    )
+
+
+# Matryoshka prefix dims: powers of two up to the contract embedding
+# width (64). 64 is the full-precision truth row (recall 1 by identity).
+_MRL_DIMS = (8, 16, 32, 64)
+
+
+@query(
+    "emb_matryoshka_eval",
+    cost=2.5,
+    oracle="""
+    WITH p AS (
+      SELECT * FROM (VALUES (8), (16), (32), (64)) AS t(prefix_dim)
+    ), sims AS (
+      SELECT p.prefix_dim, a.vec_id, b.vec_id AS nbr_id,
+             round(list_cosine_similarity(
+               list_transform(a.embedding[1:p.prefix_dim], x -> cast(x AS double)),
+               list_transform(b.embedding[1:p.prefix_dim], x -> cast(x AS double))
+             ), 6) AS sim
+      FROM p CROSS JOIN embeddings a
+      JOIN embeddings b ON a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT prefix_dim, vec_id, nbr_id,
+             row_number() OVER (
+               PARTITION BY prefix_dim, vec_id ORDER BY sim DESC, nbr_id
+             ) AS rn
+      FROM sims
+    ), tops AS (
+      SELECT prefix_dim, vec_id, nbr_id FROM ranked WHERE rn <= 5
+    ), truth AS (
+      SELECT vec_id, nbr_id FROM tops WHERE prefix_dim = 64
+    ), hits AS (
+      SELECT t.prefix_dim, count(*) AS n_hits
+      FROM tops t JOIN truth u USING (vec_id, nbr_id)
+      GROUP BY 1
+    ), tot AS (SELECT count(*) AS n_truth FROM truth)
+    SELECT prefix_dim, n_hits, n_truth,
+           round(n_hits * 1.0 / n_truth, 6) AS recall_at_5
+    FROM hits, tot ORDER BY prefix_dim
+    """,
+)
+def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) prefix-dimension evaluation — how much top-5
+    retrieval quality survives truncating embeddings to their first
+    8/16/32 components, the measurement that decides how small a
+    deployment can cut its vectors (truncate-and-renormalize is the MRL
+    inference recipe; storage/flops drop linearly in the kept width).
+    For each prefix width the exact top-5 per query runs over the
+    RE-NORMALIZED prefix subspace through the same streamed blocked
+    matmul as `sim_cosine_topk` (O(block) worker memory at any corpus
+    size, truncation applied per Arrow block so the narrow width also
+    SAVES flops); recall@5 counts overlap with the full-width truth set.
+    One (prefix_dim, n_hits, n_truth, recall_at_5) row per width —
+    counts are exact integers, recall derived from them.
+
+    Oracle-graded: DuckDB reranks every pair per width via list slices —
+    the 6dp-rounded (sim DESC, nbr_id) rank discipline is shared with
+    `sim_cosine_topk`, so both engines break ties identically.
+
+    Scale: 4 streamed brute-force passes (one per width); at corpus
+    scale each pass composes with the IVF/PQ index family instead —
+    the eval harness shape (hit-count join against a truth frame) is
+    `sim_recall_eval`'s, unchanged."""
+    truth = _cosine_topk_frame(spark, sf_dir, k=5).select(
+        "vec_id", "nbr_id"
+    ).localCheckpoint()
+
+    tops = truth.select(F.lit(64).alias("prefix_dim"), "vec_id", "nbr_id")
+    for d in _MRL_DIMS[:-1]:
+        tops = tops.unionByName(
+            _cosine_topk_frame(spark, sf_dir, k=5, dim=d).select(
+                F.lit(d).alias("prefix_dim"), "vec_id", "nbr_id"
+            )
+        )
+    hits = (
+        tops.join(truth, ["vec_id", "nbr_id"])
+        .groupBy("prefix_dim")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    totals = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        hits.crossJoin(F.broadcast(totals))
+        .select(
+            "prefix_dim",
+            "n_hits",
+            "n_truth",
+            F.round(F.col("n_hits") / F.col("n_truth"), 6).alias("recall_at_5"),
+        )
+        .orderBy("prefix_dim")
     )

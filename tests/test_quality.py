@@ -1049,3 +1049,65 @@ def test_sample_shuffle_global_is_deterministic_and_correct(spark, sf_dir):
     assert got == expected
     run2 = QUERIES["sample_shuffle_global"](spark, sf_dir).collect()
     assert run1 == run2
+
+
+def test_label_propagation_matches_python_reference(spark, sf_dir):
+    """graph_label_propagation must equal a plain-Python synchronous LPA
+    over the same collected edge list: same fixed rounds, same plurality
+    vote with (count DESC, label ASC) tie-break, same community rollup."""
+    from collections import Counter, defaultdict
+
+    from pyspark.sql import functions as F
+
+    from filemap_spark.operators.relational import _LPA_ROUNDS
+
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select(F.col("l_partkey").alias("p"), F.col("l_orderkey").alias("o")).distinct()
+    orders = defaultdict(list)
+    for r in po.collect():
+        orders[r["o"]].append(r["p"])
+    pair_counts: Counter = Counter()
+    for basket in orders.values():
+        basket = sorted(basket)
+        for i in range(len(basket)):
+            for j in range(i + 1, len(basket)):
+                pair_counts[(basket[i], basket[j])] += 1
+    nbrs = defaultdict(list)
+    for (pa, pb), n in pair_counts.items():
+        if n >= 2:
+            nbrs[pa].append(pb)
+            nbrs[pb].append(pa)
+    labels = {n: n for n in nbrs}
+    for _ in range(_LPA_ROUNDS):
+        new = {}
+        for n, ns in nbrs.items():
+            votes = Counter(labels[m] for m in ns)
+            new[n] = min(
+                votes, key=lambda lbl: (-votes[lbl], lbl)
+            )
+        labels = new
+    expected: dict[int, list[int]] = defaultdict(list)
+    for n, lbl in labels.items():
+        expected[lbl].append(n)
+    exp_rows = {
+        lbl: (len(members), min(members)) for lbl, members in expected.items()
+    }
+    got = {
+        r["community"]: (r["n_members"], r["rep_part"])
+        for r in QUERIES["graph_label_propagation"](spark, sf_dir).collect()
+    }
+    assert got == exp_rows
+
+
+def test_matryoshka_eval_is_monotone_with_exact_truth_row(spark, sf_dir):
+    """emb_matryoshka_eval sanity beyond the oracle: the full-width row is
+    recall 1 by identity, hit counts are monotone non-decreasing in the
+    prefix width, and every width shares the one truth denominator."""
+    rows = QUERIES["emb_matryoshka_eval"](spark, sf_dir).collect()
+    assert [r["prefix_dim"] for r in rows] == [8, 16, 32, 64]
+    truths = {r["n_truth"] for r in rows}
+    assert len(truths) == 1
+    hits = [r["n_hits"] for r in rows]
+    assert hits == sorted(hits)
+    assert rows[-1]["n_hits"] == rows[-1]["n_truth"]
+    assert rows[-1]["recall_at_5"] == 1.0

@@ -3,11 +3,13 @@ grades the FIRST 50 registry entries per round (rounds 1-13 each stopped
 at exactly #50), so round 14's window is the staging set (text_bpe_apply
 — the tokenizer apply half — the incremental multimodal dedup twins
 mm_incremental_dhash_dedup / mm_incremental_audio_dedup, and the second
-wave: sample_shuffle_global, agg_weighted_percentile, mm_scene_cut_y4m,
-sim_ann_pq), the plan/kernel-changed regrades (_REGRADE_R14: the
+waves: sample_shuffle_global, agg_weighted_percentile, mm_scene_cut_y4m,
+sim_ann_pq, emb_matryoshka_eval, graph_label_propagation), the
+plan/kernel-changed regrades (_REGRADE_R14: the
 fast-codec JPEG op, the chunk-validated PNG op, the knob-and-counter
-dhash/audio pair, the helper-refactored simhash), the FULL 28-op
-r7-vintage drain (_VINTAGE7_R14, VERDICT r13 task 1), and 10 oldest-r8
+dhash/audio pair, the helper-refactored simhash, the three
+streamed-cosine-kernel consumers), the FULL 28-op
+r7-vintage drain (_VINTAGE7_R14, VERDICT r13 task 1), and 5 oldest-r8
 refreshes (_VINTAGE8_R14) — exactly 50. After this round grades, no op's latest
 green driver row predates r8.
 
@@ -62,10 +64,11 @@ def _latest_green() -> dict[str, int]:
 
 
 def test_staging_has_the_new_ops_and_blocks_are_green():
-    """Round 14 registers exactly seven new ops (the BPE apply half, the
-    two incremental multimodal dedup twins, and the second wave: the
-    deterministic epoch shuffle, exact weighted percentiles, Y4M scene
-    cuts, and IVF-PQ ANN), which enter via
+    """Round 14 registers exactly nine new ops (the BPE apply half, the
+    two incremental multimodal dedup twins, the second wave: epoch
+    shuffle, exact weighted percentiles, Y4M scene cuts, IVF-PQ ANN, and
+    the third wave: Matryoshka prefix-dim eval, label-propagation
+    communities), which enter via
     _STAGING (the only legal path — they have no driver row yet); every
     other window block is a green-ledger subset."""
     order = list(all_queries())
@@ -77,6 +80,8 @@ def test_staging_has_the_new_ops_and_blocks_are_green():
         "agg_weighted_percentile",
         "mm_scene_cut_y4m",
         "sim_ann_pq",
+        "emb_matryoshka_eval",
+        "graph_label_propagation",
     )
     assert not set(_STAGING) & _DRIVER_GREEN
     assert _DRIVER_GREEN | set(_STAGING) == set(_META)
@@ -110,6 +115,10 @@ def test_regrade_block_is_the_plan_changed_ops():
         "mm_dhash_near_dup",
         "mm_audio_fingerprint_dedup",
         "dedup_simhash",
+        # wave 3's streamed-cosine kernel consumers (additive dim param)
+        "sim_cosine_topk",
+        "sim_knn_label",
+        "sim_recall_eval",
     }
 
 
@@ -136,16 +145,17 @@ def test_vintage8_block_is_r8_vintage():
     latest = _latest_green()
     for op in _VINTAGE8_R14:
         assert latest.get(op) == 8, (op, latest.get(op))
-    assert len(_VINTAGE8_R14) == 10
+    assert len(_VINTAGE8_R14) == 5
 
 
-def test_round14_registers_exactly_seven_new_operators():
-    assert len(_META) == 309
-    # the BPE apply, both incremental twins, and IVF-PQ are rows-only
-    # (learned merges / perceptual+energy hashes / approximate ANN have
-    # no SQL form); the shuffle, weighted-percentile, and scene-cut ops
+def test_round14_registers_exactly_nine_new_operators():
+    assert len(_META) == 311
+    # the BPE apply, both incremental twins, IVF-PQ, and label
+    # propagation are rows-only (learned merges / perceptual+energy
+    # hashes / approximate ANN / iterative fixpoints have no SQL form);
+    # the shuffle, weighted-percentile, scene-cut, and matryoshka ops
     # are oracle-graded
-    assert len(all_oracle()) == 283
+    assert len(all_oracle()) == 284
 
 
 def test_green_tail_cost_tiers_nondecreasing():
