@@ -1467,6 +1467,8 @@ def mm_incremental_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM frames cur
       JOIN frames prev
         ON prev.doc_id = cur.doc_id AND prev.f = cur.f - 1,
+           -- 63 = max w*h under the shared _Y4M_W/_Y4M_H geometry
+           -- (w <= 9, h <= 7); the WHERE bounds each asset exactly
            (SELECT unnest(generate_series(1, 63)) AS i) pos
       WHERE i <= cur.w * cur.h
       GROUP BY 1, 2, 3, 4

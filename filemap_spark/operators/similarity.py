@@ -1760,6 +1760,8 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Matryoshka prefix dims: powers of two up to the contract embedding
 # width (64). 64 is the full-precision truth row (recall 1 by identity).
+# NOTE: duplicated as the VALUES row in emb_matryoshka_eval's oracle SQL
+# (SQL needs literals) — change BOTH or the compare mismatches loudly.
 _MRL_DIMS = (8, 16, 32, 64)
 
 
