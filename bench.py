@@ -272,6 +272,8 @@ STAGED_HEADLINE = (
     "sim_ann_pq",
     "emb_matryoshka_eval",
     "graph_label_propagation",
+    "text_bpe_pack_sequences",
+    "agg_gini_grouped",
 )
 
 

@@ -4103,3 +4103,91 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in results[1:]:
         out = out.unionAll(r)
     return out.orderBy("pct")
+
+
+@query(
+    "agg_gini_grouped",
+    cost=0.8,
+    oracle="""
+    WITH cust AS (
+      SELECT c_nationkey AS nat, o_custkey AS cust,
+             sum(cast(round(o_totalprice * 100) AS bigint)) AS s
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT nat, s,
+             row_number() OVER (PARTITION BY nat ORDER BY s, cust) AS i,
+             count(*) OVER (PARTITION BY nat) AS n,
+             sum(s) OVER (PARTITION BY nat) AS tot
+      FROM cust
+    )
+    SELECT n_name AS nation, cast(max(n) AS bigint) AS n_customers,
+           round(cast(sum((2*i - n - 1) * s) AS double)
+                 / (max(n) * cast(max(tot) AS double)), 6) AS gini
+    FROM ranked JOIN nation ON nat = n_nationkey
+    GROUP BY n_name ORDER BY nation
+    """,
+)
+def agg_gini_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP Gini concentration — customer spend inequality within
+    each nation, the grouped sibling of `agg_gini_concentration` (which
+    is one global coefficient over doc lengths): the question a curation
+    pipeline asks per-domain/per-source (is one contributor dominating
+    its slice of the corpus?). Uses the exact
+    sorted-rank identity Gini = Σ(2i−n−1)·s_(i) / (n·Σs): per-cent
+    integer spend (round(o_totalprice·100) per ORDER, then integer sums
+    — never a rounded sum of doubles), integer ranks, one integer
+    numerator per nation, ONE double division at the end rounded to
+    6dp. Ties need no tie-break for correctness (swapping equal s
+    leaves the sum unchanged); the (s, cust) order is for engine-plan
+    determinism only. int64 headroom: |2i−n−1| < n and s ≤ per-customer
+    cents, so the numerator stays under ~1e18 up to ~60k customers ×
+    $5M spend per nation — document-scale corpora need decimal
+    promotion, stated here rather than discovered.
+
+    Scale: one fact join (AQE broadcasts customer while it fits), one
+    (nation, customer) hash agg, a rank window PARTITIONED by nation
+    (never a global sort), one per-nation agg, and a 25-row broadcast
+    name join."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("p"),
+    )
+    cust_dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    cust = (
+        orders.join(cust_dim, orders["o_custkey"] == cust_dim["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nat"), F.col("o_custkey").alias("cust")
+        )
+        .agg(F.sum("p").alias("s"))
+    )
+    w_i = Window.partitionBy("nat").orderBy("s", "cust")
+    w_n = Window.partitionBy("nat")
+    ranked = (
+        cust.withColumn("i", F.row_number().over(w_i))
+        .withColumn("n", F.count(F.lit(1)).over(w_n))
+        .withColumn("tot", F.sum("s").over(w_n))
+    )
+    per_nation = ranked.groupBy("nat").agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("s")).alias("num"),
+        F.max("tot").alias("tot"),
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nat"), F.col("n_name").alias("nation")
+    )
+    return (
+        per_nation.join(F.broadcast(nation), "nat")
+        .select(
+            "nation",
+            "n_customers",
+            F.round(
+                F.col("num").cast("double")
+                / (F.col("n_customers") * F.col("tot").cast("double")),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("nation")
+    )

@@ -3780,6 +3780,27 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists to catch). Python touches only distinct types; the stream
     reassembly is whole-stage-codegen collect_list/array_sort/flatten
     with per-doc state bounded by doc length."""
+    s = _bpe_token_streams(spark, sf_dir)
+    return s.select(
+        "doc_id",
+        F.size("stream").cast("long").alias("n_tokens_bpe"),
+        F.md5(F.concat_ws(" ", "stream")).alias("token_md5"),
+    ).orderBy("doc_id")
+
+
+text_bpe_apply.__doc__ = text_bpe_apply.__doc__.format(k=_BPE_MERGES)
+
+
+def _bpe_token_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, stream array<string>) — every doc's full BPE token stream
+    under the trainer's learned merges, the shared front half of
+    `text_bpe_apply` (counts + hashes) and `text_bpe_pack_sequences`
+    (training-window packing). Wordless docs carry an EMPTY stream (so
+    concat_ws hashes to md5('') and packing inserts just their EOS).
+    Plan: trainer (own pre-collected jobs) → checkpointed split-words
+    frame → distinct-type segmentation in Arrow batches → position-
+    exploded join back → codegen ordered reassembly. See
+    text_bpe_apply's docstring for the scan discipline."""
     import pandas as pd
 
     merges = [
@@ -3827,22 +3848,84 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("stream")
         )
-        .select(
-            "doc_id",
-            F.size("stream").cast("long").alias("n_tokens_bpe"),
-            F.md5(F.concat_ws(" ", "stream")).alias("token_md5"),
-        )
     )
     return (
         words.select("doc_id")
         .join(streams, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("n_tokens_bpe", F.lit(0)).alias("n_tokens_bpe"),
-            F.coalesce("token_md5", F.md5(F.lit(""))).alias("token_md5"),
+            F.coalesce("stream", F.array().cast("array<string>")).alias("stream"),
         )
-        .orderBy("doc_id")
     )
 
 
-text_bpe_apply.__doc__ = text_bpe_apply.__doc__.format(k=_BPE_MERGES)
+# Training-window packing geometry: fixed sequence length (tokens per
+# training window) and the document separator appended after every doc.
+_PACK_SEQ_LEN = 128
+_PACK_EOS = "</doc>"
+
+
+@query("text_bpe_pack_sequences", cost=3.5, memo=("documents",))
+def text_bpe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the BPE-tokenized corpus into fixed-length training windows —
+    the LAST step of the tokenizer pipeline (train → apply → PACK), the
+    one that actually emits what a pretraining run consumes: docs in
+    deterministic doc_id order, an EOS separator after every doc
+    (wordless docs contribute just their EOS), the concatenated stream
+    chunked into {L}-token sequences (final partial window kept,
+    flagged by its short n_tokens). Emits one audit row per window:
+    (seq_id, n_tokens, n_docs = distinct docs the window spans,
+    window_md5 over the space-joined tokens) — byte-stable across
+    engines, partitionings, and reruns, so a re-packed corpus can be
+    diffed window-by-window.
+
+    Rows-only (BPE streams have no SQL form); pinned == a plain-Python
+    end-to-end pack over the independent sentinel-replace tokenizer
+    (tests/test_kernels.py).
+
+    Scale: global token offsets come from `with_global_cumsum`
+    (functions/ranks.py) — ONE range exchange on doc_id plus a
+    numPartitions-row offset relation, never a single-partition window;
+    tokens then explode pre-keyed by seq_id ((start+pos) div {L}) into
+    one hash agg whose per-group state is one {L}-token window. Every
+    stage is corpus-proportional with bounded per-task memory."""
+    from filemap_spark.functions.ranks import with_global_cumsum
+
+    streams = _bpe_token_streams(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("stream"), F.array(F.lit(_PACK_EOS))).alias("toks"),
+    )
+    sized = streams.withColumn("n", F.size("toks").cast("long"))
+    offs = with_global_cumsum(sized, "n", "doc_id", cumsum_col="cum_end")
+    tok = offs.select(
+        "doc_id",
+        (F.col("cum_end") - F.col("n")).alias("start"),
+        F.posexplode("toks").alias("pos", "tok"),
+    ).select(
+        "doc_id",
+        "tok",
+        F.expr(f"(start + pos) div {_PACK_SEQ_LEN}").alias("seq_id"),
+        F.expr(f"cast((start + pos) % {_PACK_SEQ_LEN} as int)").alias("seq_pos"),
+    )
+    return (
+        tok.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.countDistinct("doc_id").cast("int").alias("n_docs"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("seq_pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("window_md5"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+text_bpe_pack_sequences.__doc__ = text_bpe_pack_sequences.__doc__.format(
+    L=_PACK_SEQ_LEN
+)

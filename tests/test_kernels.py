@@ -1947,3 +1947,63 @@ def test_incremental_mm_dedup_matches_batch_delta_and_is_idempotent(
     )
     assert again.count() == 0
     assert decoded["n"] == 0, "re-ingest decoded already-seen docs"
+
+
+def test_bpe_pack_sequences_matches_python_reference(spark, sf_dir):
+    """text_bpe_pack_sequences (round 14): every training window's token
+    count, distinct-doc span, and content hash must equal an end-to-end
+    plain-Python pack — merges from the reference-pinned trainer,
+    per-word segmentation via the independent sentinel-replace mechanism
+    (_apply_merges_ref), doc-order concatenation with the EOS separator,
+    and fixed-length chunking all reimplemented here. Exercises the
+    distributed global-offset cumsum (functions/ranks.py) against a
+    single-process ground truth."""
+    import hashlib as _hashlib
+
+    from pyspark.sql import functions as SF
+
+    from filemap_spark.operators.text import (
+        _PACK_EOS,
+        _PACK_SEQ_LEN,
+        text_bpe_pack_sequences,
+        text_bpe_train,
+    )
+
+    merges = [
+        (r["left"], r["right"])
+        for r in text_bpe_train(spark, sf_dir).collect()
+    ]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wordseq: dict[int, list[tuple[int, str]]] = {}
+    for r in (
+        docs.select(
+            "doc_id",
+            SF.posexplode(SF.split(SF.lower("text"), r"\s+")).alias("pos", "w"),
+        )
+        .where(SF.length("w") > 0)
+        .collect()
+    ):
+        wordseq.setdefault(r["doc_id"], []).append((r["pos"], r["w"]))
+
+    stream: list[tuple[int, str]] = []  # (doc_id, token) in pack order
+    for did in sorted(r["doc_id"] for r in docs.select("doc_id").collect()):
+        for _pos, w in sorted(wordseq.get(did, [])):
+            stream.extend((did, t) for t in _apply_merges_ref(w, merges))
+        stream.append((did, _PACK_EOS))
+
+    expected = {}
+    for lo in range(0, len(stream), _PACK_SEQ_LEN):
+        window = stream[lo : lo + _PACK_SEQ_LEN]
+        toks = [t for _, t in window]
+        expected[lo // _PACK_SEQ_LEN] = (
+            len(window),
+            len({d for d, _ in window}),
+            _hashlib.md5(" ".join(toks).encode()).hexdigest(),
+        )
+
+    got = {
+        r["seq_id"]: (r["n_tokens"], r["n_docs"], r["window_md5"])
+        for r in text_bpe_pack_sequences(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert len(got) > 1  # corpus spans multiple windows — non-vacuous

@@ -190,6 +190,7 @@ def test_registry_memo_ops_hit_path_row_identity(spark, sf_dir, monkeypatch):
         "sample_shuffle_global",
         "mm_scene_cut_y4m",
         "text_bpe_apply",
+        "text_bpe_pack_sequences",
     }
     for name, fn in wrapped.items():
         raw = _QUERIES[name](spark, sf_dir).toPandas()

@@ -4,12 +4,13 @@ at exactly #50), so round 14's window is the staging set (text_bpe_apply
 — the tokenizer apply half — the incremental multimodal dedup twins
 mm_incremental_dhash_dedup / mm_incremental_audio_dedup, and the second
 waves: sample_shuffle_global, agg_weighted_percentile, mm_scene_cut_y4m,
-sim_ann_pq, emb_matryoshka_eval, graph_label_propagation), the
+sim_ann_pq, emb_matryoshka_eval, graph_label_propagation,
+text_bpe_pack_sequences, agg_gini_grouped), the
 plan/kernel-changed regrades (_REGRADE_R14: the
 fast-codec JPEG op, the chunk-validated PNG op, the knob-and-counter
 dhash/audio pair, the helper-refactored simhash, the three
 streamed-cosine-kernel consumers), the FULL 28-op
-r7-vintage drain (_VINTAGE7_R14, VERDICT r13 task 1), and 5 oldest-r8
+r7-vintage drain (_VINTAGE7_R14, VERDICT r13 task 1), and 3 oldest-r8
 refreshes (_VINTAGE8_R14) — exactly 50. After this round grades, no op's latest
 green driver row predates r8.
 
@@ -64,11 +65,12 @@ def _latest_green() -> dict[str, int]:
 
 
 def test_staging_has_the_new_ops_and_blocks_are_green():
-    """Round 14 registers exactly nine new ops (the BPE apply half, the
-    two incremental multimodal dedup twins, the second wave: epoch
-    shuffle, exact weighted percentiles, Y4M scene cuts, IVF-PQ ANN, and
+    """Round 14 registers exactly eleven new ops (the BPE apply half,
+    the two incremental multimodal dedup twins, the second wave: epoch
+    shuffle, exact weighted percentiles, Y4M scene cuts, IVF-PQ ANN,
     the third wave: Matryoshka prefix-dim eval, label-propagation
-    communities), which enter via
+    communities, and the fourth: training-window packing, per-group
+    Gini), which enter via
     _STAGING (the only legal path — they have no driver row yet); every
     other window block is a green-ledger subset."""
     order = list(all_queries())
@@ -82,6 +84,8 @@ def test_staging_has_the_new_ops_and_blocks_are_green():
         "sim_ann_pq",
         "emb_matryoshka_eval",
         "graph_label_propagation",
+        "text_bpe_pack_sequences",
+        "agg_gini_grouped",
     )
     assert not set(_STAGING) & _DRIVER_GREEN
     assert _DRIVER_GREEN | set(_STAGING) == set(_META)
@@ -145,17 +149,17 @@ def test_vintage8_block_is_r8_vintage():
     latest = _latest_green()
     for op in _VINTAGE8_R14:
         assert latest.get(op) == 8, (op, latest.get(op))
-    assert len(_VINTAGE8_R14) == 5
+    assert len(_VINTAGE8_R14) == 3
 
 
-def test_round14_registers_exactly_nine_new_operators():
-    assert len(_META) == 311
-    # the BPE apply, both incremental twins, IVF-PQ, and label
+def test_round14_registers_exactly_eleven_new_operators():
+    assert len(_META) == 313
+    # the BPE apply + pack, both incremental twins, IVF-PQ, and label
     # propagation are rows-only (learned merges / perceptual+energy
     # hashes / approximate ANN / iterative fixpoints have no SQL form);
-    # the shuffle, weighted-percentile, scene-cut, and matryoshka ops
-    # are oracle-graded
-    assert len(all_oracle()) == 284
+    # the shuffle, weighted-percentile, scene-cut, matryoshka, and
+    # grouped-Gini ops are oracle-graded
+    assert len(all_oracle()) == 285
 
 
 def test_green_tail_cost_tiers_nondecreasing():
