@@ -668,3 +668,44 @@ def test_weighted_threshold_bin_matches_naive_percentile(weights, splits, q):
             break
 
     assert got == expected
+
+
+@given(
+    rows=st.integers(min_value=1, max_value=8),
+    dim=st.integers(min_value=1, max_value=16),
+    cut=st.integers(min_value=1, max_value=16),
+    scale=st.floats(min_value=0.1, max_value=100.0),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=150, deadline=None)
+def test_prefix_renormalize_is_order_invariant_with_scaling(
+    rows, dim, cut, scale, seed
+):
+    """The identity emb_matryoshka_eval rests on: truncating RAW vectors
+    then normalizing equals truncating NORMALIZED vectors then
+    re-normalizing (the full-vector scale cancels), for any width, any
+    cut (including cut >= dim = identity), and any positive per-vector
+    scaling. Also pins the zero-prefix guard (a vector whose first `cut`
+    components are all zero must not produce NaNs)."""
+    import numpy as np
+
+    from filemap_spark.operators.similarity import _prefix_renormalize
+
+    rng = np.random.default_rng(seed)
+    raw = rng.standard_normal((rows, dim)) * scale
+    raw[0, : min(cut, dim)] = 0.0  # exercise the zero-norm guard
+
+    full_norms = np.linalg.norm(raw, axis=1, keepdims=True)
+    full_norms[full_norms == 0] = 1.0
+    normalized = raw / full_norms
+
+    via_op = _prefix_renormalize(normalized, cut)
+
+    pre = raw[:, : min(cut, dim)]
+    norms = np.linalg.norm(pre, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    direct = pre / norms
+
+    assert via_op.shape == direct.shape
+    assert np.allclose(via_op, direct, atol=1e-12)
+    assert np.isfinite(via_op).all()
