@@ -257,11 +257,13 @@ EXTENDED_HEADLINE = (
 
 # Next staging wave: new ops land here first, timed into the DETAIL
 # sidecar only, and graduate into EXTENDED_HEADLINE with recorded bars
-# the round after their first quiet-rig measurement. Round 14: the seven
-# registry _STAGING debuts (bars recordable r15 per the graduation
-# protocol; the four round-13 mm ops skip staging — they already have
-# one round of SCALE.md timings and got certified-quiet denominators
-# directly this round, VERDICT r13 task 4).
+# the round after their first quiet-rig measurement. Round 14: the
+# registry _STAGING debuts, one tuple entry per staged op — no hardcoded
+# count here; ADVICE r14 caught the comment drifting from the tuple
+# (bars recordable r15 per the graduation protocol; the four round-13 mm
+# ops skip staging — they already have one round of SCALE.md timings and
+# got certified-quiet denominators directly this round, VERDICT r13
+# task 4).
 STAGED_HEADLINE = (
     "text_bpe_apply",
     "mm_incremental_dhash_dedup",

@@ -4013,7 +4013,8 @@ def weighted_threshold_bin(
     cost=0.8,
     oracle="""
     WITH g AS (
-      SELECT l_extendedprice AS v, sum(CAST(l_quantity AS BIGINT)) AS w
+      SELECT l_extendedprice AS v,
+             sum(CAST(floor(l_quantity) AS BIGINT)) AS w
       FROM lineitem GROUP BY 1
     ), c AS (
       SELECT v, sum(w) OVER (ORDER BY v) AS cw, sum(w) OVER () AS tw FROM g
@@ -4032,8 +4033,12 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     v whose cumulative weight reaches q of the total — weights collapsed
     per DISTINCT value first, so ties are peer-inclusive exactly like a
     RANGE window, and all comparisons are exact integer arithmetic
-    (den*cw >= num*W; l_quantity is integral by the data contract, cast
-    to bigint — no FP cumsum order-dependence anywhere).
+    (den*cw >= num*W; l_quantity is integral by the data contract and
+    enters as floor()→bigint — floor is exact and identical on every
+    IEEE double in both engines, unlike a bare double→bigint cast, which
+    truncates in Spark but rounds in DuckDB (ADVICE r14: a
+    contract-violating non-integral quantity would otherwise mismatch
+    the engines silently) — no FP cumsum order-dependence anywhere).
 
     Scale: the naive form is a full-corpus sort (single-partition window
     — the anti-pattern, and plan_audit would flag it). This is the
@@ -4053,7 +4058,7 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     g = (
         li.groupBy(F.col("l_extendedprice").alias("v"))
-        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+        .agg(F.sum(F.floor("l_quantity").cast("bigint")).alias("w"))
         .localCheckpoint()  # pass 2 and the per-quantile pass 3 both consume it
     )
     stats = g.agg(

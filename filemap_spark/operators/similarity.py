@@ -1815,7 +1815,14 @@ def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle-graded: DuckDB reranks every pair per width via list slices —
     the 6dp-rounded (sim DESC, nbr_id) rank discipline is shared with
-    `sim_cosine_topk`, so both engines break ties identically.
+    `sim_cosine_topk`, so both engines break ties identically. FP-path
+    note (ADVICE r14): the Spark kernel computes prefix cosine as
+    normalize→truncate→renormalize while the oracle normalizes the raw
+    prefix slice directly — mathematically identical (renormalizing a
+    scaled vector), and the property suite pins the identity
+    (tests/test_properties.py), but the extra per-component division
+    slightly enlarges the 1-ulp exposure at a 6dp rank-boundary tie —
+    the same accepted exposure class as sim_cosine_topk's libm dots.
 
     Scale: 4 streamed brute-force passes (one per width); at corpus
     scale each pass composes with the IVF/PQ index family instead —

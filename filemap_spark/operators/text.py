@@ -11,6 +11,8 @@ shuffle on the shingle hash, which is the standard dedup layout.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -3635,6 +3637,13 @@ def _bpe_apply(symbols: list[str], merges: list[tuple[str, str]]) -> list[str]:
 
 _BPE_MERGES = 20
 
+# Trainer-execution counter: incremented once per ACTUAL merge-learning
+# run (never on a warehouse hit). Exists for tests/test_memo.py's
+# train-once pin on the merge artifact (VERDICT r14 task 4) — a test can
+# run apply + pack back-to-back against a fresh warehouse and assert the
+# 2·k-job trainer executed exactly once.
+_BPE_TRAIN_RUNS = 0
+
 
 @query("text_bpe_train", cost=2.5)
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3679,6 +3688,9 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed BPE trainer has; production caps/samples the type table
     and this plan is unchanged."""
     import pandas as pd
+
+    global _BPE_TRAIN_RUNS
+    _BPE_TRAIN_RUNS += 1
 
     docs = load_table(spark, sf_dir, "documents").select("text")
     words = (
@@ -3742,10 +3754,12 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     the apply half of the train→apply pair a pipeline actually runs at
     100 TB (round 14, VERDICT r13 task 3). Structure:
 
-    1. learn the merge list via `text_bpe_train` (2·k small jobs over
-       the word-TYPE table); the result is ≤{k} rows, collected and
-       shipped in the task closure — the broadcast-merges distribution
-       every production BPE tokenizer uses;
+    1. load the merge list through the warehouse artifact
+       (_bpe_learned_merges, round 15): the 2·k-small-job trainer runs
+       ONCE per corpus version and every later call reads ≤{k} parquet
+       rows; the merges are collected and shipped in the task closure —
+       the broadcast-merges distribution every production BPE tokenizer
+       uses;
     2. segment each DISTINCT word type ONCE with the shared
        `_bpe_apply` kernel (the Zipf collapse again: millions of types,
        not trillions of tokens, pass through Python);
@@ -3774,7 +3788,8 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE docs scan in the apply plan — the split-words frame is
     checkpointed and feeds all three consumers (type table, position
     explode, wordless-doc completion join); the trainer's own single
-    scan runs in its separate pre-collected jobs (scan_sweep r14: the
+    scan runs in its separate pre-collected jobs — and only on the
+    once-per-corpus artifact miss (scan_sweep r14: the
     first cut scanned documents 3× with zero reuse — Catalyst
     branch-specialized the shared subtree, the exact class that sweep
     exists to catch). Python touches only distinct types; the stream
@@ -3791,22 +3806,55 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_bpe_apply.__doc__ = text_bpe_apply.__doc__.format(k=_BPE_MERGES)
 
 
+def _bpe_learned_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    """The trainer's learned merge list, served through the
+    content-addressed warehouse (VERDICT r14 task 4 — the
+    dedup_incremental_lsh persisted-state precedent: small parquet
+    state with make-semantics, always on). The 2·k-job trainer is ~8 s
+    of text_bpe_apply's ~9 s warm cost and its output is ≤{k} rows — a
+    textbook reusable artifact, so it executes ONCE per
+    (corpus fingerprint ⊕ trainer code closure) key and every later
+    apply/pack call on the same corpus version loads the tiny parquet
+    instead of retraining. Editing text.py (or any functions/* helper)
+    re-keys the artifact via the module-source closure in
+    memo.artifact_key; touching documents.parquet re-keys it too —
+    filemap's make edge, not a TTL cache. Train-once is pinned by
+    tests/test_memo.py counting _BPE_TRAIN_RUNS across an apply+pack
+    pair on a fresh warehouse; the kernel pins (independent
+    sentinel-replace tokenizer) are unchanged because the merges
+    themselves are byte-identical either way."""
+    from filemap_spark.plans.memo import artifact_key, cached_by_key
+
+    key = artifact_key(
+        "bpe_merges",
+        text_bpe_train,
+        [os.path.join(sf_dir, "documents.parquet")],
+    )
+    table, _hit = cached_by_key(
+        spark, key, lambda: text_bpe_train(spark, sf_dir).coalesce(1)
+    )
+    return [
+        (r["left"], r["right"]) for r in table.orderBy("merge_rank").collect()
+    ]
+
+
+_bpe_learned_merges.__doc__ = _bpe_learned_merges.__doc__.format(k=_BPE_MERGES)
+
+
 def _bpe_token_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, stream array<string>) — every doc's full BPE token stream
     under the trainer's learned merges, the shared front half of
     `text_bpe_apply` (counts + hashes) and `text_bpe_pack_sequences`
     (training-window packing). Wordless docs carry an EMPTY stream (so
     concat_ws hashes to md5('') and packing inserts just their EOS).
-    Plan: trainer (own pre-collected jobs) → checkpointed split-words
+    Plan: learned merges from the warehouse artifact (trains once per
+    corpus version — _bpe_learned_merges) → checkpointed split-words
     frame → distinct-type segmentation in Arrow batches → position-
     exploded join back → codegen ordered reassembly. See
     text_bpe_apply's docstring for the scan discipline."""
     import pandas as pd
 
-    merges = [
-        (r["left"], r["right"])
-        for r in text_bpe_train(spark, sf_dir).collect()
-    ]
+    merges = _bpe_learned_merges(spark, sf_dir)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     words = docs.select(

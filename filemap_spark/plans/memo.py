@@ -362,6 +362,28 @@ def _fn_fingerprint(fn) -> str:
     return hashlib.sha256("\x00".join(parts).encode()).hexdigest()
 
 
+def artifact_key(tag: str, fn, input_paths: Iterable[str]) -> str:
+    """Content address for a small derived ARTIFACT (learned BPE merges,
+    fitted codebooks, persisted index state): sha256(tag ⊕ producing
+    function's code closure ⊕ input fingerprints) — the same make edge
+    `memoized_query` keys whole ops by, exposed for ops that cache an
+    INTERNAL state table rather than their final output (VERDICT r14
+    task 4; the dedup_incremental_lsh persisted-ledger precedent).
+
+    The code closure is `_fn_fingerprint(fn)` — the producing function's
+    whole module source plus every functions/* helper — so editing the
+    trainer (or any kernel it could call) re-keys the artifact; touching
+    any byte of an input file re-keys it too. `tag` namespaces artifacts
+    that share a producer and inputs but differ in role."""
+    digest = hashlib.sha256()
+    digest.update(f"artifact:{tag}".encode())
+    digest.update(b"\x00")
+    digest.update(_fn_fingerprint(fn).encode())
+    digest.update(b"\x00")
+    digest.update(_input_fingerprint(input_paths).encode())
+    return digest.hexdigest()
+
+
 def memoized_query(fn, tables: tuple[str, ...]):
     """Wrap a registry query `(spark, sf_dir) -> DataFrame` in the
     warehouse (filemap's make-semantics applied to a whole graded op).
