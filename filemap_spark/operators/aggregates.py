@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 
 from filemap_spark.functions.numeric import (
     davg,
+    davg_lnsafe,
     dsum,
     mean_micro_6dp,
     quant_pos_fixed,
@@ -4193,6 +4194,96 @@ def agg_gini_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n_customers") * F.col("tot").cast("double")),
                 6,
             ).alias("gini"),
+        )
+        .orderBy("nation")
+    )
+
+
+# Per-customer Theil term, shared VERBATIM between the Spark plan and the
+# DuckDB oracle: the spend share ratio s·n/tot (all three enter as
+# exact-integer-valued doubles, so the two divisions/multiplies are the
+# identical IEEE ops in both engines) times its log. s > 0 by
+# construction (o_totalprice is positive), so ln never sees 0.
+_THEIL_TERM = (
+    "(cast(s AS double) * cast(n AS double) / cast(tot AS double))"
+    " * ln(cast(s AS double) * cast(n AS double) / cast(tot AS double))"
+)
+
+
+@query(
+    "agg_theil_index",
+    cost=0.8,
+    oracle=f"""
+    WITH cust AS (
+      SELECT c_nationkey AS nat, o_custkey AS cust,
+             sum(cast(round(o_totalprice * 100) AS bigint)) AS s
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT nat, s,
+             count(*) OVER (PARTITION BY nat) AS n,
+             sum(s) OVER (PARTITION BY nat) AS tot
+      FROM cust
+    )
+    SELECT n_name AS nation, cast(max(n) AS bigint) AS n_customers,
+           {davg_lnsafe(_THEIL_TERM, "theil_t")}
+    FROM r JOIN nation ON nat = n_nationkey
+    GROUP BY n_name ORDER BY nation
+    """,
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP Theil-T inequality index (round 15) — customer spend
+    concentration within each nation, the ENTROPY-based complement to
+    `agg_gini_grouped` over the identical per-customer integer-cent
+    spend frame: T = (1/n)·Σ (sᵢ/μ)·ln(sᵢ/μ), μ = tot/n. Theil is
+    additively DECOMPOSABLE (within-group terms sum to the corpus
+    total, the property Gini lacks), which is why mixture audits report
+    both: Gini for the familiar 0–1 scale, Theil for attributing
+    corpus-level inequality to individual domains/sources.
+
+    Determinism contract: the spend sᵢ is an exact integer (per-cent
+    round per order, integer sum per customer — agg_gini_grouped's
+    frame); each customer's term is the shared-text _THEIL_TERM IEEE
+    expression, quantized per row at 1e4 and mean-reduced through
+    davg_lnsafe (the libm-ln discipline of text_bigram_logprob: a 1-ulp
+    engine split must land within ~1e-15 of a 1e-4 boundary). Term
+    magnitude: the share ratio is ≤ n, so |term| ≤ n·ln(n) — ~7e5 at
+    60k customers/nation, ~7e9 q-units/row, int64-safe past 1e8
+    rows/group; corpus scales beyond that promote the sum to decimal,
+    stated here rather than discovered (the agg_gini_grouped ceiling
+    discipline).
+
+    Scale: one fact join (AQE broadcasts customer while it fits), one
+    (nation, customer) hash agg, count/sum windows PARTITIONED by
+    nation (never a global sort — and no rank needed at all, unlike
+    Gini), one per-nation agg, and a 25-row broadcast name join."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("p"),
+    )
+    cust_dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    cust = (
+        orders.join(cust_dim, orders["o_custkey"] == cust_dim["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nat"), F.col("o_custkey").alias("cust")
+        )
+        .agg(F.sum("p").alias("s"))
+    )
+    w_n = Window.partitionBy("nat")
+    r = cust.withColumn("n", F.count(F.lit(1)).over(w_n)).withColumn(
+        "tot", F.sum("s").over(w_n)
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nat"), F.col("n_name").alias("nation")
+    )
+    return (
+        r.join(F.broadcast(nation), "nat")
+        .groupBy("nation")
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.expr(davg_lnsafe(_THEIL_TERM, "theil_t")),
         )
         .orderBy("nation")
     )

@@ -149,6 +149,25 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HASH_FEATURE_BUCKETS = 64
 
 
+def _hash_bucket_col(col: str) -> Column:
+    """The feature-hashing bucket of a token: a 16-bit md5 slice modulo
+    {B} — md5 (not xxhash64) so bucket assignment is engine- and
+    rerun-portable. Shared (round 15) by `text_hash_features` (the
+    featurizer) and `text_quality_classifier` (the Naive-Bayes tier that
+    trains on those buckets) so the two ops can never hash into
+    different feature spaces. DuckDB spelling:
+    CAST(('0x' || substr(md5(word), 1, 4)) AS INT) % {B}."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("int")
+        % _HASH_FEATURE_BUCKETS
+    )
+
+
+_hash_bucket_col.__doc__ = _hash_bucket_col.__doc__.format(
+    B=_HASH_FEATURE_BUCKETS
+)
+
+
 @query(
     "text_hash_features",
     oracle=f"""
@@ -192,12 +211,8 @@ def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
     )
-    bucket = (
-        F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("int")
-        % _HASH_FEATURE_BUCKETS
-    )
     counts = (
-        toks.withColumn("bucket", bucket)
+        toks.withColumn("bucket", _hash_bucket_col("word"))
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("n"))
     )
@@ -2433,7 +2448,9 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     a document (the property that makes rule gates debuggable at corpus
     scale), plus the conjunction verdict. Complements the score-based
     `text_quality_score`/`text_quality_tiers`: rules are absolute, tiers
-    are relative.
+    are relative. The rule expressions live in the shared _gopher_columns
+    helper since round 15 — `text_quality_classifier` bootstraps its
+    training labels from the same verdict (regraded _REGRADE_R15).
 
     Determinism: every ratio is an int/int division — the same IEEE double
     in both engines — and thresholds compare the UNROUNDED value, so the
@@ -2445,6 +2462,30 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheapest stage of a curation pipeline and should run FIRST, before any
     dedup shuffle pays for documents the rules would have dropped."""
     docs = load_table(spark, sf_dir, "documents")
+    g = _gopher_columns()
+    return docs.select(
+        "doc_id",
+        g["n_tokens"].alias("n_tokens"),
+        F.round(g["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(g["short_ratio"], 6).alias("short_ratio"),
+        F.round(g["distinct_ratio"], 6).alias("distinct_ratio"),
+        g["n_stopwords"].alias("n_stopwords"),
+        g["r_len"].cast("int").alias("r_len"),
+        g["r_word_len"].cast("int").alias("r_word_len"),
+        g["r_short"].cast("int").alias("r_short"),
+        g["r_rep"].cast("int").alias("r_rep"),
+        g["r_stop"].cast("int").alias("r_stop"),
+        g["verdict"].alias("verdict"),
+    ).orderBy("doc_id")
+
+
+def _gopher_columns() -> dict[str, Column]:
+    """The five Gopher rule expressions and their conjunction verdict as
+    named Columns over a `text` column — extracted (round 15) so
+    `text_quality_classifier` can bootstrap its Naive-Bayes training
+    labels from the IDENTICAL verdict expression the audit op emits,
+    with no copy to drift. All thresholds compare UNROUNDED exact
+    int/int ratios (see text_gopher_rules)."""
     w = F.split("text", " ")
     n_tok = F.size(w).cast("bigint")
     mean_wl = (F.length("text") - n_tok + 1) / n_tok
@@ -2463,22 +2504,210 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_short = short_ratio <= 0.1
     r_rep = distinct_ratio >= 0.3
     r_stop = n_stop >= 2
-    return docs.select(
+    return {
+        "n_tokens": n_tok,
+        "mean_word_len": mean_wl,
+        "short_ratio": short_ratio,
+        "distinct_ratio": distinct_ratio,
+        "n_stopwords": n_stop,
+        "r_len": r_len,
+        "r_word_len": r_word_len,
+        "r_short": r_short,
+        "r_rep": r_rep,
+        "r_stop": r_stop,
+        "verdict": (
+            F.when(r_len & r_word_len & r_short & r_rep & r_stop, "keep")
+            .otherwise("drop")
+        ),
+    }
+
+
+# Naive-Bayes quality classifier arithmetic, shared VERBATIM between the
+# Spark plan (F.expr) and the DuckDB oracle so both engines evaluate the
+# identical IEEE expression tree. Log-odds quantize per-BUCKET at 1e4
+# (the davg_lnsafe discipline: libm ln is not correctly rounded, so a
+# 1-ulp Spark/DuckDB split must need ~1e-4-scale luck, ~1e-11 per value
+# over the ~{B}+1 distinct ln calls here); per-doc scores then compose
+# as EXACT integer dot products of token counts with the quantized
+# log-odds — no FP accumulation order anywhere.
+_NB_Q_SQL = (
+    "cast(round((ln(cast(nk + 1 as double)) - ln(cast(ntk + {B} as double))"
+    " - ln(cast(nd + 1 as double)) + ln(cast(ntd + {B} as double)))"
+    " * 10000) as bigint)"
+).format(B=_HASH_FEATURE_BUCKETS)
+_NB_QP_SQL = (
+    "cast(round((ln(cast(dk + 1 as double)) - ln(cast(dd + 1 as double)))"
+    " * 10000) as bigint)"
+)
+# exact integer q-units -> double via the dsum decimal-descale path
+# (functions/numeric.py: the double division sits on a rounding tie the
+# engines split; the decimal conversion is exact in both)
+_NB_SCORE_SQL = "cast(cast((s + q_prior) as decimal(38,4)) / 10000 as double)"
+
+# DuckDB-side Gopher labeling CTEs (t -> m -> lab), the oracle twin of
+# _gopher_columns()["verdict"]: same five rules, same UNROUNDED exact
+# int/int ratio thresholds. Kept next to the Spark helper so an edit to
+# either side is visibly one-sided in review.
+_GOPHER_LABEL_CTES = """t AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             cast(len(string_split(text, ' ')) AS bigint) AS n_tok,
+             length(text) AS n_ch
+      FROM documents
+    ), m AS (
+      SELECT doc_id, w, n_tok,
+             (n_ch - n_tok + 1) * 1.0 / n_tok AS mean_wl,
+             len(list_filter(w, x -> length(x) <= 2)) * 1.0 / n_tok AS short_ratio,
+             len(list_distinct(w)) * 1.0 / n_tok AS distinct_ratio,
+             cast(len(list_intersect(list_distinct(w),
+                                     ['the','a','of','to','and'])) AS int) AS n_stop
+      FROM t
+    ), lab AS (
+      SELECT doc_id, w,
+             CASE WHEN n_tok BETWEEN 30 AND 5000 AND mean_wl BETWEEN 3.0 AND 10.0
+                       AND short_ratio <= 0.1 AND distinct_ratio >= 0.3
+                       AND n_stop >= 2
+                  THEN 'keep' ELSE 'drop' END AS gopher_verdict
+      FROM m
+    )"""
+
+
+@query(
+    "text_quality_classifier",
+    cost=1.2,
+    oracle=f"""
+    WITH {_GOPHER_LABEL_CTES}, toks AS (
+      SELECT doc_id, gopher_verdict,
+             CAST(('0x' || substr(md5(word), 1, 4)) AS INT)
+               % {_HASH_FEATURE_BUCKETS} AS bucket
+      FROM (SELECT doc_id, gopher_verdict, unnest(w) AS word FROM lab)
+    ), cb AS (
+      SELECT bucket,
+             sum(CASE WHEN gopher_verdict = 'keep' THEN 1 ELSE 0 END) AS nk,
+             sum(CASE WHEN gopher_verdict = 'drop' THEN 1 ELSE 0 END) AS nd
+      FROM toks GROUP BY bucket
+    ), tt AS (
+      SELECT cast(sum(nk) AS bigint) AS ntk, cast(sum(nd) AS bigint) AS ntd
+      FROM cb
+    ), pr AS (
+      SELECT sum(CASE WHEN gopher_verdict = 'keep' THEN 1 ELSE 0 END) AS dk,
+             sum(CASE WHEN gopher_verdict = 'drop' THEN 1 ELSE 0 END) AS dd
+      FROM lab
+    ), lo AS (
+      SELECT bucket, {_NB_Q_SQL} AS q FROM cb CROSS JOIN tt
+    ), qpr AS (SELECT {_NB_QP_SQL} AS q_prior FROM pr),
+    db AS (
+      SELECT doc_id, bucket, count(*) AS n FROM toks GROUP BY doc_id, bucket
+    ), sc AS (
+      SELECT doc_id, cast(sum(n * q) AS bigint) AS s,
+             cast(sum(n) AS bigint) AS n_tokens
+      FROM db JOIN lo USING (bucket) GROUP BY doc_id
+    )
+    SELECT sc.doc_id, sc.n_tokens,
+           {_NB_SCORE_SQL} AS nb_score,
+           CASE WHEN sc.s + qpr.q_prior > 0 THEN 'keep' ELSE 'drop' END
+             AS nb_verdict,
+           lab.gopher_verdict,
+           cast((CASE WHEN sc.s + qpr.q_prior > 0 THEN 'keep' ELSE 'drop' END)
+                  = lab.gopher_verdict AS int) AS agree
+    FROM sc JOIN lab USING (doc_id) CROSS JOIN qpr
+    ORDER BY doc_id
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED quality-classifier tier (round 15, VERDICT r14 task 5 —
+    the fastText-style model a CCNet-style pipeline runs between the
+    heuristic gate and the final mix): a distributed multinomial Naive
+    Bayes over `text_hash_features`' {B} hashed buckets, bootstrapped
+    from `text_gopher_rules` verdicts as noisy labels, then scored
+    corpus-wide. Per document: the exact token count, the NB log-odds
+    score, the learned kept/rejected gate (score > 0), the Gopher
+    verdict it was trained against, and the agreement flag — so the
+    op IS its own agreement report (sum(agree)/count(*) downstream).
+
+    Why NB over hashed buckets: training is CLOSED-FORM — two hash
+    aggregates produce exact integer token counts per (bucket, class)
+    and exact doc priors; no iterative FP optimizer, no vocabulary
+    state (the hashing-trick property that matters at 100 TB), and the
+    learned model is a {B}-row broadcast table. Laplace +1 smoothing on
+    buckets, +1 on priors.
+
+    Determinism contract: log-odds quantize per bucket at 1e4 into
+    int64 (_NB_Q_SQL — the davg_lnsafe libm discipline over only ~{B}+1
+    distinct ln calls); each doc's score is then an exact integer dot
+    product count·q plus the quantized prior, descaled once through the
+    dsum decimal path; the gate compares the INTEGER score to zero
+    (ties → drop). Same-text fragments evaluate in both engines.
+
+    Oracle-graded end to end: labeling, hashing, training counts, and
+    scoring are all SQL-restatable (the oracle retrains the identical
+    model), so the driver hash-checks the whole learn→score loop.
+
+    Scale: ONE documents scan (the labeled split-words frame is
+    checkpointed and feeds the token explode and the final verdict
+    join); training is one (bucket, class) hash agg — {B}-row result —
+    plus one 1-row prior agg; scoring reuses the (doc, bucket) counts
+    against the BROADCAST {B}-row model, then one keyed agg per doc.
+    Every shuffle is on bucket or doc_id; model size is corpus-
+    independent. The heuristic bootstrap means no human labels are
+    shipped anywhere — swap the label column for curated labels and the
+    plan is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    lab = docs.select(
         "doc_id",
-        n_tok.alias("n_tokens"),
-        F.round(mean_wl, 6).alias("mean_word_len"),
-        F.round(short_ratio, 6).alias("short_ratio"),
-        F.round(distinct_ratio, 6).alias("distinct_ratio"),
-        n_stop.alias("n_stopwords"),
-        r_len.cast("int").alias("r_len"),
-        r_word_len.cast("int").alias("r_word_len"),
-        r_short.cast("int").alias("r_short"),
-        r_rep.cast("int").alias("r_rep"),
-        r_stop.cast("int").alias("r_stop"),
-        F.when(r_len & r_word_len & r_short & r_rep & r_stop, "keep")
-        .otherwise("drop")
-        .alias("verdict"),
-    ).orderBy("doc_id")
+        F.split("text", " ").alias("ws"),
+        _gopher_columns()["verdict"].alias("gopher_verdict"),
+    ).localCheckpoint()
+    toks = lab.select(
+        "doc_id", "gopher_verdict", F.explode("ws").alias("word")
+    ).withColumn("bucket", _hash_bucket_col("word"))
+
+    is_keep = (F.col("gopher_verdict") == "keep").cast("long")
+    cb = toks.groupBy("bucket").agg(
+        F.sum(is_keep).alias("nk"),
+        F.sum(1 - is_keep).alias("nd"),
+    )
+    tt = cb.agg(
+        F.sum("nk").cast("bigint").alias("ntk"),
+        F.sum("nd").cast("bigint").alias("ntd"),
+    )
+    pr = lab.agg(
+        F.sum(is_keep).alias("dk"), F.sum(1 - is_keep).alias("dd")
+    )
+    lo = cb.crossJoin(F.broadcast(tt)).select(
+        "bucket", F.expr(_NB_Q_SQL).alias("q")
+    )
+    qpr = pr.select(F.expr(_NB_QP_SQL).alias("q_prior"))
+
+    db = toks.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    sc = (
+        db.join(F.broadcast(lo), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n") * F.col("q")).cast("bigint").alias("s"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+        )
+    )
+    nb_verdict = F.when(F.col("s") + F.col("q_prior") > 0, "keep").otherwise(
+        "drop"
+    )
+    return (
+        sc.crossJoin(F.broadcast(qpr))
+        .join(lab.select("doc_id", "gopher_verdict"), "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(_NB_SCORE_SQL).alias("nb_score"),
+            nb_verdict.alias("nb_verdict"),
+            "gopher_verdict",
+            (nb_verdict == F.col("gopher_verdict")).cast("int").alias("agree"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+text_quality_classifier.__doc__ = text_quality_classifier.__doc__.format(
+    B=_HASH_FEATURE_BUCKETS
+)
 
 
 @query(
@@ -3976,4 +4205,151 @@ def text_bpe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 text_bpe_pack_sequences.__doc__ = text_bpe_pack_sequences.__doc__.format(
     L=_PACK_SEQ_LEN
+)
+
+
+# --- Content-defined chunking (FastCDC-style Gear hash) -------------------
+# Deterministic 256-entry Gear table: entry b = the first 16 hex digits of
+# md5(byte b) as uint64 — no RNG, so every engine, process, and rerun
+# chunks identically (the same portability reason every sample_* op keys
+# membership on md5).
+_CDC_MIN, _CDC_MASK, _CDC_MAX = 32, 0x7F, 512
+
+
+def _gear_table():
+    import hashlib as _hl
+
+    import numpy as _np
+
+    return _np.array(
+        [
+            int(_hl.md5(bytes([b])).hexdigest()[:16], 16)
+            for b in range(256)
+        ],
+        dtype=_np.uint64,
+    )
+
+
+def _cdc_boundaries(h, n: int) -> list[int]:
+    """Chunk END positions (inclusive) for one doc given its rolling-hash
+    array: the first candidate t with (h[t] & MASK) == 0 at least MIN-1
+    past the chunk start, forced at MAX, tail kept short. Walks only the
+    candidate positions, so the Python loop is O(#boundaries), not
+    O(bytes). Shared by the numpy kernel below and nothing else — the
+    pytest pin reimplements the walk independently over the byte-serial
+    recurrence."""
+    import numpy as _np
+
+    cands = _np.flatnonzero((h & _np.uint64(_CDC_MASK)) == 0)
+    ends: list[int] = []
+    start = 0
+    while start < n:
+        lo, hi = start + _CDC_MIN - 1, start + _CDC_MAX - 1
+        i = _np.searchsorted(cands, lo)
+        if i < len(cands) and cands[i] <= hi:
+            end = int(cands[i])
+        else:
+            end = min(hi, n - 1)
+        ends.append(end)
+        start = end + 1
+    return ends
+
+
+@query("dedup_cdc_chunks", cost=1.5, memo=("documents",))
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (round 15) — the storage-layer
+    dedup a 100 TB corpus store runs UNDER document-level dedup: each
+    document's UTF-8 bytes are split at Gear rolling-hash boundaries
+    (min {mn} / mask 0x{mask:x} ≈ avg {avg} / max {mx} bytes — the
+    FastCDC recipe), so identical byte runs SHARED between documents
+    produce identical chunks regardless of their offset (the
+    shift-resistance fixed-size blocks lack), and duplicate chunks are
+    found corpus-wide by one hash aggregate. Per document: chunk count,
+    byte count, and how many chunks/bytes also appear in ANOTHER
+    document — the dedup-savings report.
+
+    Gear hash: h_t = 2·h_(t-1) + gear[b_t] mod 2^64 — equivalently the
+    64-byte windowed sum Σ gear[b_(t-k)]·2^k, which is how the kernel
+    VECTORIZES it (64 shifted adds over the whole byte array, no
+    per-byte Python); the boundary walk touches only candidate
+    positions. The pytest pin (tests/test_kernels.py) recomputes chunks
+    through the BYTE-SERIAL recurrence — a genuinely independent
+    mechanism that agrees only if both the window identity and the
+    MIN/MAX walk are right.
+
+    Rows-only: a rolling hash over byte streams has no SQL form. Plan:
+    one Arrow-batched mapInPandas chunking pass (embarrassingly
+    parallel, numpy kernels), checkpointed so popularity and the
+    per-doc report share ONE documents scan; popularity is one hash agg
+    on 16-byte chunk hashes (never chunk bytes — the dedup_line_level
+    shuffle discipline); membership rides a hash equi-join on the chunk
+    hash; the report is one keyed agg per doc. No all-pairs anywhere;
+    chunk state is bounded by doc length."""
+    import pandas as pd
+    import numpy as np
+
+    gear = _gear_table()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def chunk(batches, _gear=gear):
+        import hashlib as _hl
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_doc, out_idx, out_h, out_len = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8") if text else b""
+                n = len(raw)
+                if n == 0:
+                    continue
+                b = np.frombuffer(raw, dtype=np.uint8)
+                g = _gear[b]
+                h = np.zeros(n, dtype=np.uint64)
+                for k in range(64):
+                    if k >= n:
+                        break
+                    h[k:] += g[: n - k] << np.uint64(k)
+                start = 0
+                for idx, end in enumerate(_cdc_boundaries(h, n)):
+                    piece = raw[start : end + 1]
+                    out_doc.append(int(doc_id))
+                    out_idx.append(idx)
+                    out_h.append(_hl.md5(piece).hexdigest())
+                    out_len.append(len(piece))
+                    start = end + 1
+            if out_doc:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": out_doc,
+                        "idx": out_idx,
+                        "h": out_h,
+                        "length": out_len,
+                    }
+                )
+
+    chunks = docs.mapInPandas(
+        chunk, schema="doc_id long, idx int, h string, length int"
+    ).localCheckpoint()
+    pop = chunks.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    dup = F.col("n_docs") > 1
+    return (
+        chunks.join(pop, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_chunks"),
+            F.sum("length").cast("bigint").alias("n_bytes"),
+            F.sum(F.when(dup, 1).otherwise(0)).cast("int").alias("n_dup_chunks"),
+            F.sum(F.when(dup, F.col("length")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+dedup_cdc_chunks.__doc__ = dedup_cdc_chunks.__doc__.format(
+    mn=_CDC_MIN, mask=_CDC_MASK, avg=_CDC_MASK + 1, mx=_CDC_MAX
 )

@@ -501,3 +501,90 @@ def test_ops_catalog_lists_full_registry(capsys):
     assert fam_lines and all(l.split("\t")[1] == "windows" for l in fam_lines)
     checks = {l.split("\t")[2] for l in lines}
     assert checks == {"oracle", "rows-only"}
+
+
+def test_dedup_modality_batch_and_stream_chain(spark, tmp_path):
+    """`dedup --modality image|audio` (round 15, VERDICT r14 task 7):
+    the perceptual fingerprint paths through BOTH the batch verb and the
+    incremental --stream verb. Two-batch arrival through the persisted
+    fingerprint ledger must (a) ingest delta-only (the ledger grows by
+    exactly the arriving batch), (b) surface the exact-duplicate pair
+    that spans the two batches, and (c) leave a survivors corpus
+    identical to a from-scratch batch `dedup --modality X` of the union
+    — the chained-corpus invariant the text test pins."""
+    import pytest
+
+    from filemap_spark.cli import run_dedup, run_dedup_stream
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "every single day without fail"
+    )
+    docs = {
+        1: base + " in the morning",
+        2: base + " in the morning",  # exact dup of 1, arrives in batch 2
+        3: "completely different text about spark catalyst optimizer "
+           "plans and distributed shuffle exchange strategies",
+        4: base + " in the evening",
+    }
+
+    for modality in ("image", "audio"):
+        root = tmp_path / modality
+        corpus = root / "corpus"
+        corpus.mkdir(parents=True)
+
+        def write_batch(ids):
+            rows = [(i, docs[i], "en", "test", len(docs[i])) for i in ids]
+            spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string, source string, "
+                "n_chars long",
+            ).coalesce(1).write.mode("append").parquet(str(corpus))
+
+        out = str(root / "stream_out")
+        write_batch([1, 3])
+        kept1, total1 = run_dedup_stream(
+            spark, str(corpus), out, modality=modality
+        )
+        assert (kept1, total1) == (2, 2)  # no dups inside batch 1
+        ledger = os.path.join(out, "_fp_state", "fingerprints.parquet")
+        ids1 = {r["doc_id"] for r in spark.read.parquet(ledger).collect()}
+        assert ids1 == {1, 3}
+
+        write_batch([2, 4])
+        kept2, total2 = run_dedup_stream(
+            spark, str(corpus), out, modality=modality
+        )
+        assert total2 == 4
+        ids2 = {r["doc_id"] for r in spark.read.parquet(ledger).collect()}
+        assert ids2 == {1, 2, 3, 4}  # grew by exactly batch 2
+        # the cross-batch exact duplicate must have been dropped
+        stream_kept = {
+            r["doc_id"]
+            for r in spark.read.parquet(
+                os.path.join(out, "documents.parquet")
+            ).collect()
+        }
+        assert 2 not in stream_kept, "cross-batch identical media kept"
+        assert 1 in stream_kept and 3 in stream_kept
+
+        # chained invariant: streaming survivors == from-scratch batch
+        # dedup of the union corpus through the same modality
+        union_dir = root / "union"
+        union_dir.mkdir()
+        spark.read.parquet(str(corpus)).write.mode("overwrite").parquet(
+            str(union_dir / "documents.parquet")
+        )
+        batch_out = str(root / "batch_out")
+        bkept, btotal = run_dedup(
+            spark, str(union_dir), batch_out, modality=modality
+        )
+        assert btotal == 4
+        batch_kept = {
+            r["doc_id"]
+            for r in spark.read.parquet(
+                os.path.join(batch_out, "documents.parquet")
+            ).collect()
+        }
+        assert stream_kept == batch_kept, (modality, stream_kept, batch_kept)
+        assert kept2 == bkept

@@ -2007,3 +2007,130 @@ def test_bpe_pack_sequences_matches_python_reference(spark, sf_dir):
     }
     assert got == expected
     assert len(got) > 1  # corpus spans multiple windows — non-vacuous
+
+
+# --- Content-defined chunking (dedup_cdc_chunks, round 15) ----------------
+
+
+def _cdc_ref_chunks(raw: bytes) -> list[bytes]:
+    """Independent byte-serial CDC reference: the Gear recurrence
+    h = 2h + gear[b] mod 2^64 walked one byte at a time with a naive
+    linear boundary scan — a genuinely different mechanism from the
+    op's 64-shift windowed vectorization + searchsorted candidate walk.
+    They agree only if the window identity (2^k dies past 64 shifts)
+    AND the MIN/MAX walk semantics are both right."""
+    import hashlib
+
+    from filemap_spark.operators.text import _CDC_MASK, _CDC_MAX, _CDC_MIN
+
+    gear = [
+        int(hashlib.md5(bytes([b])).hexdigest()[:16], 16) for b in range(256)
+    ]
+    n = len(raw)
+    h, hs = 0, []
+    for b in raw:
+        h = ((h << 1) + gear[b]) & 0xFFFFFFFFFFFFFFFF
+        hs.append(h)
+    chunks, start = [], 0
+    while start < n:
+        lo, hi = start + _CDC_MIN - 1, min(start + _CDC_MAX - 1, n - 1)
+        end = None
+        for t in range(lo, hi + 1):
+            if t < n and (hs[t] & _CDC_MASK) == 0:
+                end = t
+                break
+        if end is None:
+            end = hi
+        chunks.append(raw[start : end + 1])
+        start = end + 1
+    return chunks
+
+
+def test_cdc_windowed_hash_equals_byte_serial_recurrence():
+    """The op's vectorized rolling hash (64 shifted adds over the whole
+    byte array) must equal the textbook byte-serial Gear recurrence on
+    arbitrary bytes — including runs shorter than the 64-byte window."""
+    import numpy as np
+
+    from filemap_spark.operators.text import _cdc_boundaries, _gear_table
+
+    gear_np = _gear_table()
+    gear_py = [int(x) for x in gear_np]
+    rng = np.random.default_rng(20260816)
+    for n in (1, 7, 63, 64, 65, 300, 2048):
+        b = rng.integers(0, 256, size=n, dtype=np.uint8)
+        g = gear_np[b]
+        h = np.zeros(n, dtype=np.uint64)
+        for k in range(64):
+            if k >= n:
+                break
+            h[k:] += g[: n - k] << np.uint64(k)
+        ref, acc = [], 0
+        for x in b:
+            acc = ((acc << 1) + gear_py[int(x)]) & 0xFFFFFFFFFFFFFFFF
+            ref.append(acc)
+        assert [int(v) for v in h] == ref, f"hash mismatch at n={n}"
+        # and the candidate walk splits identically to the naive scan
+        got = _cdc_boundaries(h, n)
+        exp_ends = []
+        start = 0
+        raw = bytes(b.tolist())
+        for piece in _cdc_ref_chunks(raw):
+            exp_ends.append(start + len(piece) - 1)
+            start += len(piece)
+        assert got == exp_ends, f"boundary mismatch at n={n}"
+
+
+def test_cdc_chunks_op_matches_pure_python_reference(spark, sf_dir):
+    """dedup_cdc_chunks' per-doc dedup-savings report must equal an
+    end-to-end pure-Python pipeline: reference-chunk every document,
+    md5 each chunk, count distinct-doc popularity in a dict, and
+    aggregate the per-doc chunk/byte/dup counters."""
+    import collections
+    import hashlib
+
+    from filemap_spark.operators.text import dedup_cdc_chunks
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    per_doc: dict[int, list[tuple[str, int]]] = {}
+    owners: dict[str, set] = collections.defaultdict(set)
+    for doc_id, text in docs.items():
+        raw = text.encode("utf-8") if text else b""
+        if not raw:
+            continue
+        entries = []
+        for piece in _cdc_ref_chunks(raw):
+            h = hashlib.md5(piece).hexdigest()
+            entries.append((h, len(piece)))
+            owners[h].add(doc_id)
+        per_doc[doc_id] = entries
+    expected = {}
+    for doc_id, entries in per_doc.items():
+        dup = [(h, ln) for h, ln in entries if len(owners[h]) > 1]
+        expected[doc_id] = (
+            len(entries),
+            sum(ln for _, ln in entries),
+            len(dup),
+            sum(ln for _, ln in dup),
+        )
+
+    got = {
+        r["doc_id"]: (
+            r["n_chunks"],
+            r["n_bytes"],
+            r["n_dup_chunks"],
+            r["dup_bytes"],
+        )
+        for r in dedup_cdc_chunks(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the report is non-degenerate on the contract corpus: several
+    # chunks per doc on average, and SOME cross-doc duplicate chunks
+    # (the op exists to find them)
+    assert sum(v[0] for v in got.values()) >= 2 * len(got)
+    assert sum(v[2] for v in got.values()) > 0

