@@ -101,6 +101,29 @@ BASELINE_WARM_SF01 = {
     "mm_decode_jpeg": 2.20,
     "mm_dhash_near_dup": 12.64,
     "mm_audio_fingerprint_dedup": 10.62,
+    # round-14 staged debuts, denominators recorded r15 (BASELINE.md
+    # Table 7). Scan half: scan-certified window (pre/post 0.983/0.904).
+    "mm_incremental_dhash_dedup": 5.88,
+    "mm_incremental_audio_dedup": 3.71,
+    "mm_scene_cut_y4m": 1.08,
+    "sim_ann_pq": 1.41,
+    "emb_matryoshka_eval": 2.60,
+    # Shuffle half: recorded under the scan gate in a window whose
+    # shuffle canary read 1.167x/0.992x — the quietest pair of seven
+    # attempts; the strict shuffle gate (0.48 s reference) never
+    # certified this session (pre samples 1.47-1.72x on an idle box,
+    # the staleness case the SHUFFLE_CANARY_REF note predicts). Window
+    # disclosed in Table 7; these bars scale by the live shuffle factor
+    # at measurement time like the rest of the family, and
+    # min(old, new) applies on any future quieter re-record. The BPE
+    # pair's denominators time the merge-ARTIFACT-warm plan (VERDICT
+    # r14 task 4) — the op's real steady-state path.
+    "text_bpe_apply": 1.58,
+    "text_bpe_pack_sequences": 2.63,
+    "sample_shuffle_global": 0.33,
+    "agg_weighted_percentile": 1.16,
+    "graph_label_propagation": 3.41,
+    "agg_gini_grouped": 0.83,
 }
 
 # Per-family bar scaling (round 13, VERDICT r12 task 3). The r12 interleaved
@@ -117,6 +140,16 @@ BASELINE_WARM_SF01 = {
 # the full corpus — are shuffle-dominated; single-scan aggs, broadcast-join
 # stars, numpy-CPU kernels, and I/O-bound sinks follow the scan canary.
 SHUFFLE_DOMINATED = {
+    # r14 debuts classified r15 (BASELINE.md Table 7: position-explode
+    # join / range-exchange prefix sum / md5-keyed epoch exchange /
+    # distinct-value collapse / node-keyed LPA rounds / per-nation
+    # agg+rank windows — each dominated by a data-sized exchange)
+    "text_bpe_apply",
+    "text_bpe_pack_sequences",
+    "sample_shuffle_global",
+    "agg_weighted_percentile",
+    "graph_label_propagation",
+    "agg_gini_grouped",
     "agg_decile_lift",
     "agg_ks_two_sample",
     "dedup_incremental_lsh_delta",
@@ -253,29 +286,32 @@ EXTENDED_HEADLINE = (
     "mm_decode_jpeg",
     "mm_dhash_near_dup",
     "mm_audio_fingerprint_dedup",
+    # round-14 staged debuts, GRADUATED round 15 (VERDICT r14 task 2):
+    # BASELINE.md Table 7 denominators, per-family recording windows
+    "mm_incremental_dhash_dedup",
+    "mm_incremental_audio_dedup",
+    "mm_scene_cut_y4m",
+    "sim_ann_pq",
+    "emb_matryoshka_eval",
+    "text_bpe_apply",
+    "text_bpe_pack_sequences",
+    "sample_shuffle_global",
+    "agg_weighted_percentile",
+    "graph_label_propagation",
+    "agg_gini_grouped",
 )
 
 # Next staging wave: new ops land here first, timed into the DETAIL
 # sidecar only, and graduate into EXTENDED_HEADLINE with recorded bars
-# the round after their first quiet-rig measurement. Round 14: the
+# the round after their first quiet-rig measurement. Round 15: the
 # registry _STAGING debuts, one tuple entry per staged op — no hardcoded
 # count here; ADVICE r14 caught the comment drifting from the tuple
-# (bars recordable r15 per the graduation protocol; the four round-13 mm
-# ops skip staging — they already have one round of SCALE.md timings and
-# got certified-quiet denominators directly this round, VERDICT r13
-# task 4).
+# (bars recordable r16 per the graduation protocol; the eleven r14
+# debuts graduated this round with Table 7 denominators).
 STAGED_HEADLINE = (
-    "text_bpe_apply",
-    "mm_incremental_dhash_dedup",
-    "mm_incremental_audio_dedup",
-    "sample_shuffle_global",
-    "agg_weighted_percentile",
-    "mm_scene_cut_y4m",
-    "sim_ann_pq",
-    "emb_matryoshka_eval",
-    "graph_label_propagation",
-    "text_bpe_pack_sequences",
-    "agg_gini_grouped",
+    "text_quality_classifier",
+    "agg_theil_index",
+    "dedup_cdc_chunks",
 )
 
 
