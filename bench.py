@@ -312,6 +312,8 @@ STAGED_HEADLINE = (
     "text_quality_classifier",
     "agg_theil_index",
     "dedup_cdc_chunks",
+    "ts_periodogram",
+    "text_classifier_holdout_eval",
 )
 
 

@@ -4287,3 +4287,139 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# Periods probed by the periodogram — the candidate cycles the ACF/STL
+# siblings reason about (2/3-day short cycles, the weekly rhythm, the
+# fortnight).
+_PERIODOGRAM_DAYS = (2, 3, 7, 14)
+
+# Per-row quantized DFT projections, shared VERBATIM between engines:
+# the daily count n (exact int) times cos/sin of the exact-text phase
+# 2*pi()*t/P, quantized 1e4 into int64 so the cross-engine 1-ulp libm
+# cos/sin exposure needs ~1e-4-scale luck per row (the davg_lnsafe
+# argument), then summed exactly.
+_PGRAM_C = (
+    "sum(cast(round(n * cos(2 * pi() * (didx - d0) / period) * 10000)"
+    " as bigint))"
+)
+_PGRAM_S = (
+    "sum(cast(round(n * sin(2 * pi() * (didx - d0) / period) * 10000)"
+    " as bigint))"
+)
+
+
+@query(
+    "ts_periodogram",
+    oracle=f"""
+    WITH sparse AS (
+      SELECT event_type,
+             epoch_us(date_trunc('day', ts)) // 86400000000 AS didx,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), spans AS (
+      SELECT event_type, min(didx) AS d0, max(didx) AS d1
+      FROM sparse GROUP BY event_type
+    ), dense AS (
+      SELECT event_type, d0, unnest(generate_series(d0, d1)) AS didx
+      FROM spans
+    ), daily AS (
+      SELECT d.event_type, d.d0, d.didx, coalesce(x.n, 0) AS n
+      FROM dense d LEFT JOIN sparse x
+        ON x.event_type = d.event_type AND x.didx = d.didx
+    ), periods AS (
+      SELECT unnest([{", ".join(str(p) for p in _PERIODOGRAM_DAYS)}]) AS period
+    ), proj AS (
+      SELECT event_type, period,
+             count(*) AS n_days, sum(n) AS total,
+             {_PGRAM_C} AS c, {_PGRAM_S} AS s
+      FROM daily CROSS JOIN periods
+      GROUP BY event_type, period
+    )
+    SELECT event_type, cast(period AS int) AS period,
+           cast(n_days AS bigint) AS n_days,
+           round(sqrt((cast(cast(c AS decimal(38,4)) / 10000 AS double)
+                       * cast(cast(c AS decimal(38,4)) / 10000 AS double)
+                     + cast(cast(s AS decimal(38,4)) / 10000 AS double)
+                       * cast(cast(s AS decimal(38,4)) / 10000 AS double)))
+                 / total, 6) AS amp_share
+    FROM proj ORDER BY event_type, period
+    """,
+    cost=0.5,
+)
+def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-period DFT periodogram of the daily event-count series
+    (round 15) — the SPECTRAL member of the seasonality suite: ts_acf
+    reports lag-domain self-similarity, ts_dow_seasonality fingerprints
+    one known cycle (the week), ts_stl_lite removes it; this measures
+    the AMPLITUDE of each candidate cycle directly, per event type, so
+    a pipeline can rank which rhythm dominates before committing a
+    decomposition period. For each period P in {periods}: the series'
+    projection onto (cos, sin) at frequency 1/P, reported as
+    amp_share = sqrt(C² + S²) / Σn — the fraction of total event mass
+    oscillating at that period (0 = flat, larger = stronger cycle; the
+    single-frequency Fourier magnitude normalized by the series mass,
+    comparable across types of different volume).
+
+    Series contract: the SAME densified daily frame as ts_acf /
+    ts_stl_lite (zero-count days are real observations; span per type),
+    phase t = didx − d0 so the projection is translation-anchored to
+    each type's own span start.
+
+    Determinism: counts are exact integers; each row's cos/sin
+    projection quantizes at 1e4 into int64 (the davg_lnsafe libm
+    discipline — cos/sin are not correctly rounded, so Spark and DuckDB
+    can differ by 1 ulp on identical args) and the sums are exact; the
+    final sqrt/divide runs ONCE per output row on identical descaled
+    doubles (decimal descale, the dsum path). All hot-path fragments
+    are shared verbatim between the Spark plan and the oracle.
+
+    Scale: the fact reduces map-side to O(types × days) cells (one hash
+    agg); the 4-row period frame broadcast-crosses that bounded frame;
+    one final hash agg keyed (type, period). At per-entity scale the
+    same plan keys by (entity, didx) and the daily frame stays
+    proportional to active entity-days — no window, no sort, no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    sparse = ev.groupBy(
+        "event_type",
+        F.expr(
+            "unix_micros(date_trunc('day', ts)) div 86400000000"
+        ).alias("didx"),
+    ).agg(F.count("*").alias("n"))
+    spans = sparse.groupBy("event_type").agg(
+        F.min("didx").alias("d0"), F.max("didx").alias("d1")
+    )
+    dense = spans.select(
+        "event_type", "d0", F.explode(F.sequence("d0", "d1")).alias("didx")
+    )
+    daily = dense.join(sparse, ["event_type", "didx"], "left").select(
+        "event_type", "d0", "didx", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    periods = spark.createDataFrame(
+        [(p,) for p in _PERIODOGRAM_DAYS], "period int"
+    )
+    proj = (
+        daily.crossJoin(F.broadcast(periods))
+        .groupBy("event_type", "period")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("n").alias("total"),
+            F.expr(_PGRAM_C).alias("c"),
+            F.expr(_PGRAM_S).alias("s"),
+        )
+    )
+    cd = "cast(cast(c as decimal(38,4)) / 10000 as double)"
+    sd = "cast(cast(s as decimal(38,4)) / 10000 as double)"
+    return proj.select(
+        "event_type",
+        F.col("period").cast("int").alias("period"),
+        "n_days",
+        F.expr(
+            f"round(sqrt(({cd}) * ({cd}) + ({sd}) * ({sd})) / total, 6)"
+        ).alias("amp_share"),
+    ).orderBy("event_type", "period")
+
+
+ts_periodogram.__doc__ = ts_periodogram.__doc__.format(
+    periods=_PERIODOGRAM_DAYS
+)

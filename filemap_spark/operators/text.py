@@ -2539,6 +2539,14 @@ _NB_QP_SQL = (
     "cast(round((ln(cast(dk + 1 as double)) - ln(cast(dd + 1 as double)))"
     " * 10000) as bigint)"
 )
+# Laplace zero-count log-odds — what a bucket UNSEEN in the training
+# split scores at (nk = nd = 0 in _NB_Q_SQL): the holdout eval's
+# LEFT-join default. Never exercised in full-corpus training, where
+# every scored bucket was trained on.
+_NB_Q0_SQL = (
+    "cast(round((ln(cast(ntd + {B} as double)) - ln(cast(ntk + {B} as double)))"
+    " * 10000) as bigint)"
+).format(B=_HASH_FEATURE_BUCKETS)
 # exact integer q-units -> double via the dsum decimal-descale path
 # (functions/numeric.py: the double division sits on a rounding tie the
 # engines split; the decimal conversion is exact in both)
@@ -2650,7 +2658,44 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every shuffle is on bucket or doc_id; model size is corpus-
     independent. The heuristic bootstrap means no human labels are
     shipped anywhere — swap the label column for curated labels and the
-    plan is unchanged."""
+    plan is unchanged. The learn→score machinery lives in the shared
+    _nb_per_doc helper since the same round's
+    `text_classifier_holdout_eval` runs it on a train/test split."""
+    per_doc = _nb_per_doc(spark, sf_dir)
+    nb_verdict = F.when(F.col("s") + F.col("q_prior") > 0, "keep").otherwise(
+        "drop"
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(_NB_SCORE_SQL).alias("nb_score"),
+        nb_verdict.alias("nb_verdict"),
+        "gopher_verdict",
+        (nb_verdict == F.col("gopher_verdict")).cast("int").alias("agree"),
+    ).orderBy("doc_id")
+
+
+text_quality_classifier.__doc__ = text_quality_classifier.__doc__.format(
+    B=_HASH_FEATURE_BUCKETS
+)
+
+
+def _nb_per_doc(
+    spark: SparkSession, sf_dir: str, train_parity: int | None = None
+) -> DataFrame:
+    """Per-doc Naive-Bayes scoring frame (doc_id, n_tokens, s, q_prior,
+    gopher_verdict) shared by `text_quality_classifier` (train_parity
+    None: train AND score on the full corpus) and
+    `text_classifier_holdout_eval` (train on doc_id % 2 == train_parity,
+    score the complement — the honest generalization measurement).
+
+    Unseen-bucket edge (holdout mode only): a bucket present in the
+    score split but absent from the training split has no lo row; it
+    scores at the Laplace-smoothed zero-count log-odds q0 =
+    round((ln(ntd+B) − ln(ntk+B))·1e4) via a LEFT join + coalesce. In
+    full-corpus mode every scored bucket was trained on, so the
+    coalesce is never exercised and the classifier's semantics are
+    byte-identical to its pre-refactor round-15 form."""
     docs = load_table(spark, sf_dir, "documents")
     lab = docs.select(
         "doc_id",
@@ -2661,8 +2706,15 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "gopher_verdict", F.explode("ws").alias("word")
     ).withColumn("bucket", _hash_bucket_col("word"))
 
+    if train_parity is None:
+        train_toks, train_lab, score_toks = toks, lab, toks
+    else:
+        train_toks = toks.where(F.col("doc_id") % 2 == train_parity)
+        train_lab = lab.where(F.col("doc_id") % 2 == train_parity)
+        score_toks = toks.where(F.col("doc_id") % 2 != train_parity)
+
     is_keep = (F.col("gopher_verdict") == "keep").cast("long")
-    cb = toks.groupBy("bucket").agg(
+    cb = train_toks.groupBy("bucket").agg(
         F.sum(is_keep).alias("nk"),
         F.sum(1 - is_keep).alias("nd"),
     )
@@ -2670,44 +2722,145 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nk").cast("bigint").alias("ntk"),
         F.sum("nd").cast("bigint").alias("ntd"),
     )
-    pr = lab.agg(
+    pr = train_lab.agg(
         F.sum(is_keep).alias("dk"), F.sum(1 - is_keep).alias("dd")
     )
     lo = cb.crossJoin(F.broadcast(tt)).select(
         "bucket", F.expr(_NB_Q_SQL).alias("q")
     )
-    qpr = pr.select(F.expr(_NB_QP_SQL).alias("q_prior"))
+    consts = pr.crossJoin(F.broadcast(tt)).select(
+        F.expr(_NB_QP_SQL).alias("q_prior"),
+        F.expr(_NB_Q0_SQL).alias("q0"),
+    )
 
-    db = toks.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    db = score_toks.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
     sc = (
-        db.join(F.broadcast(lo), "bucket")
-        .groupBy("doc_id")
+        db.join(F.broadcast(lo), "bucket", "left")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc_id", "q_prior")
         .agg(
-            F.sum(F.col("n") * F.col("q")).cast("bigint").alias("s"),
+            F.sum(F.col("n") * F.coalesce(F.col("q"), F.col("q0")))
+            .cast("bigint")
+            .alias("s"),
             F.sum("n").cast("bigint").alias("n_tokens"),
         )
     )
-    nb_verdict = F.when(F.col("s") + F.col("q_prior") > 0, "keep").otherwise(
-        "drop"
-    )
-    return (
-        sc.crossJoin(F.broadcast(qpr))
-        .join(lab.select("doc_id", "gopher_verdict"), "doc_id")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.expr(_NB_SCORE_SQL).alias("nb_score"),
-            nb_verdict.alias("nb_verdict"),
-            "gopher_verdict",
-            (nb_verdict == F.col("gopher_verdict")).cast("int").alias("agree"),
-        )
-        .orderBy("doc_id")
-    )
+    return sc.join(lab.select("doc_id", "gopher_verdict"), "doc_id")
 
 
-text_quality_classifier.__doc__ = text_quality_classifier.__doc__.format(
-    B=_HASH_FEATURE_BUCKETS
+@query(
+    "text_classifier_holdout_eval",
+    cost=1.2,
+    oracle=f"""
+    WITH {_GOPHER_LABEL_CTES}, toks AS (
+      SELECT doc_id, gopher_verdict,
+             CAST(('0x' || substr(md5(word), 1, 4)) AS INT)
+               % {_HASH_FEATURE_BUCKETS} AS bucket
+      FROM (SELECT doc_id, gopher_verdict, unnest(w) AS word FROM lab)
+    ), cb AS (
+      SELECT bucket,
+             sum(CASE WHEN gopher_verdict = 'keep' THEN 1 ELSE 0 END) AS nk,
+             sum(CASE WHEN gopher_verdict = 'drop' THEN 1 ELSE 0 END) AS nd
+      FROM toks WHERE doc_id % 2 = 0 GROUP BY bucket
+    ), tt AS (
+      SELECT cast(sum(nk) AS bigint) AS ntk, cast(sum(nd) AS bigint) AS ntd
+      FROM cb
+    ), pr AS (
+      SELECT sum(CASE WHEN gopher_verdict = 'keep' THEN 1 ELSE 0 END) AS dk,
+             sum(CASE WHEN gopher_verdict = 'drop' THEN 1 ELSE 0 END) AS dd
+      FROM lab WHERE doc_id % 2 = 0
+    ), lo AS (
+      SELECT bucket, {_NB_Q_SQL} AS q FROM cb CROSS JOIN tt
+    ), consts AS (
+      SELECT {_NB_QP_SQL} AS q_prior, {_NB_Q0_SQL} AS q0
+      FROM pr CROSS JOIN tt
+    ), db AS (
+      SELECT doc_id, bucket, count(*) AS n FROM toks
+      WHERE doc_id % 2 = 1 GROUP BY doc_id, bucket
+    ), sc AS (
+      SELECT doc_id,
+             cast(sum(n * coalesce(q, q0)) AS bigint) AS s,
+             max(q_prior) AS q_prior
+      FROM db LEFT JOIN lo USING (bucket) CROSS JOIN consts
+      GROUP BY doc_id
+    ), verdicts AS (
+      SELECT sc.doc_id,
+             CASE WHEN sc.s + sc.q_prior > 0 THEN 1 ELSE 0 END AS p,
+             CASE WHEN lab.gopher_verdict = 'keep' THEN 1 ELSE 0 END AS y
+      FROM sc JOIN lab USING (doc_id)
+    )
+    SELECT cast(count(*) AS bigint) AS n_eval,
+           cast(sum(p * y) AS int) AS tp,
+           cast(sum(p * (1 - y)) AS int) AS fp,
+           cast(sum((1 - p) * y) AS int) AS fn,
+           cast(sum((1 - p) * (1 - y)) AS int) AS tn,
+           round(sum(cast(p = y AS int)) * 1.0 / count(*), 6) AS accuracy,
+           CASE WHEN sum(p) > 0
+                THEN round(sum(p * y) * 1.0 / sum(p), 6) END AS precision_keep,
+           CASE WHEN sum(y) > 0
+                THEN round(sum(p * y) * 1.0 / sum(y), 6) END AS recall_keep
+    FROM verdicts
+    """,
 )
+def text_classifier_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the learned quality tier (round 15) — the
+    measurement `text_quality_classifier`'s in-sample agreement column
+    cannot give: train the SAME closed-form Naive Bayes on the EVEN
+    doc_ids only, score the odd half it never saw, and report the
+    confusion matrix against the Gopher labels (keep = positive):
+    exact-integer tp/fp/fn/tn plus accuracy / precision / recall as
+    int/int ratios. One row. This is the number a curation pipeline
+    actually gates a learned filter on — in-sample agreement flatters a
+    memorizing model; the holdout split cannot.
+
+    Split rule: doc_id parity — deterministic, engine-portable, and
+    disjoint by construction (the same content-hash-split discipline as
+    sample_split_train_test, simplified to parity because doc_ids are
+    the contract's stable keys). Buckets unseen in training score at
+    the Laplace zero-count log-odds (LEFT join + coalesce with the
+    broadcast q0 — see _nb_per_doc), so the eval never silently drops
+    tokens the training half lacked.
+
+    Determinism: identical to the classifier (1e4-quantized log-odds,
+    exact integer dot products, integer gate); the metric divisions are
+    int/int — the same IEEE double in both engines — with
+    guarded-NULL precision/recall on degenerate splits.
+
+    Oracle-graded end to end: the DuckDB twin retrains the split model
+    and reproduces the confusion matrix exactly.
+
+    Scale: the same plan as the classifier (ONE documents scan via the
+    checkpointed labeled frame, one (bucket, class) agg, one broadcast
+    model join, one per-doc agg) plus a 5-integer final reduce — the
+    split predicates are map-side filters on the already-partitioned
+    token frame."""
+    per_doc = _nb_per_doc(spark, sf_dir, train_parity=0)
+    p = (F.col("s") + F.col("q_prior") > 0).cast("int")
+    y = (F.col("gopher_verdict") == "keep").cast("int")
+    v = per_doc.select(p.alias("p"), y.alias("y"))
+    return v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum(F.col("p") * F.col("y")).cast("int").alias("tp"),
+        F.sum(F.col("p") * (1 - F.col("y"))).cast("int").alias("fp"),
+        F.sum((1 - F.col("p")) * F.col("y")).cast("int").alias("fn"),
+        F.sum((1 - F.col("p")) * (1 - F.col("y"))).cast("int").alias("tn"),
+        F.round(
+            F.sum((F.col("p") == F.col("y")).cast("int"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
+        F.when(
+            F.sum("p") > 0,
+            F.round(F.sum(F.col("p") * F.col("y")) / F.sum("p"), 6),
+        ).alias("precision_keep"),
+        F.when(
+            F.sum("y") > 0,
+            F.round(F.sum(F.col("p") * F.col("y")) / F.sum("y"), 6),
+        ).alias("recall_keep"),
+    )
+
 
 
 @query(

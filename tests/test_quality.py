@@ -1145,3 +1145,76 @@ def test_quality_classifier_learns_past_majority_class(spark, sf_dir):
     )
     again = text_quality_classifier(spark, sf_dir).collect()
     assert again == out.collect()
+
+
+def test_holdout_eval_confusion_matrix_is_consistent(spark, sf_dir):
+    """The held-out NB eval must (a) partition the odd-doc_id half
+    exactly (tp+fp+fn+tn == n_eval == the odd-doc count), (b) stay
+    above chance out of sample — accuracy must beat the constant
+    majority-class predictor ON THE EVAL SPLIT (the generalization bar
+    the in-sample agreement column cannot certify), and (c) be
+    deterministic run to run."""
+    from pyspark.sql import functions as SF
+
+    from filemap_spark.operators.text import text_classifier_holdout_eval
+
+    row = text_classifier_holdout_eval(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents")
+    n_odd = docs.where(SF.col("doc_id") % 2 == 1).count()
+    assert row["n_eval"] == n_odd
+    assert row["tp"] + row["fp"] + row["fn"] + row["tn"] == row["n_eval"]
+    keep_rate = (row["tp"] + row["fn"]) / row["n_eval"]
+    majority = max(keep_rate, 1.0 - keep_rate)
+    assert row["accuracy"] > majority - 1e-9, (
+        f"out-of-sample accuracy {row['accuracy']:.3f} does not beat the "
+        f"majority-class predictor {majority:.3f}"
+    )
+    again = text_classifier_holdout_eval(spark, sf_dir).collect()[0]
+    assert again == row
+
+
+def test_periodogram_recovers_an_injected_cycle(spark, tmp_path):
+    """ts_periodogram on a synthetic corpus with a PURE 7-day cycle must
+    rank period 7 far above the off-periods — the end-to-end signal
+    check the oracle (which only confirms engine agreement) cannot
+    provide. A constant series must score ~0 at every period (its DFT
+    mass is all at frequency 0)."""
+    import math
+
+    from filemap_spark.operators.aggregates import ts_periodogram
+
+    rows = []
+    base = 1_700_000_000_000_000  # µs epoch, day-aligned enough
+    for day in range(56):
+        ts = (base // 86_400_000_000 + day) * 86_400_000_000
+        # weekly: counts 1..going strong every 7th day
+        n_weekly = 20 if day % 7 == 0 else 1
+        for i in range(n_weekly):
+            rows.append(("weekly", ts + i))
+        for i in range(5):  # constant series: 5/day, no cycle
+            rows.append(("flat", ts + i))
+    df = spark.createDataFrame(rows, "event_type string, us long").select(
+        "event_type",
+        __import__("pyspark.sql.functions", fromlist=["timestamp_micros"])
+        .timestamp_micros("us")
+        .alias("ts"),
+    )
+    src = tmp_path / "pgram"
+    src.mkdir()
+    df.write.parquet(str(src / "events.parquet"))
+
+    out = {
+        (r["event_type"], r["period"]): r["amp_share"]
+        for r in ts_periodogram(spark, str(src)).collect()
+    }
+    assert len(out) == 8  # 2 types x 4 periods
+    # the injected cycle dominates its off-periods by a wide margin
+    assert out[("weekly", 7)] > 3 * max(
+        out[("weekly", 2)], out[("weekly", 3)], out[("weekly", 14)]
+    )
+    # constant series: projections cancel (~0 at every probed period)
+    for p in (2, 3, 7, 14):
+        assert out[("flat", p)] < 0.02, (p, out[("flat", p)])
+    # normalized amplitude bound: sqrt(C^2+S^2) <= sqrt(2) * total mass
+    for v in out.values():
+        assert 0.0 <= v <= math.sqrt(2) + 1e-9

@@ -2,12 +2,13 @@
 grades the FIRST 50 registry entries per round (rounds 1-14 each stopped
 at exactly #50), so round 15's window is the staging set (the learned
 NB quality tier text_quality_classifier, the grouped Theil index
-agg_theil_index, and the content-defined-chunking dedup
-dedup_cdc_chunks), the plan/kernel-changed regrades (_REGRADE_R15: the
+agg_theil_index, the content-defined-chunking dedup dedup_cdc_chunks,
+the spectral-seasonality ts_periodogram, and the train/test-split
+text_classifier_holdout_eval), the plan/kernel-changed regrades (_REGRADE_R15: the
 merge-artifact BPE trio, the floor-cast weighted percentile, the
 3-method recall harness, and the _gopher_columns/_hash_bucket_col
 helper-extraction regrades), the FULL 35-op r8-vintage drain
-(_VINTAGE8_R15, VERDICT r14 task 1), and 5 oldest-r9 refreshes
+(_VINTAGE8_R15, VERDICT r14 task 1), and 3 oldest-r9 refreshes
 (_VINTAGE9_R15) — exactly 50. After this round grades, no op's latest
 green driver row predates r9.
 
@@ -62,15 +63,18 @@ def _latest_green() -> dict[str, int]:
 
 
 def test_staging_has_the_new_ops_and_blocks_are_green():
-    """Round 15 registers exactly three new ops (the learned NB quality
-    tier, the grouped Theil-T index, and the CDC chunk dedup), which
-    enter via _STAGING (the only legal path — they have no driver row
-    yet); every other window block is a green-ledger subset."""
+    """Round 15 registers exactly five new ops (the learned NB quality
+    tier, the grouped Theil-T index, the CDC chunk dedup, the spectral
+    periodogram, and the NB holdout eval), which enter via _STAGING
+    (the only legal path — they have no driver row yet); every other
+    window block is a green-ledger subset."""
     order = list(all_queries())
     assert _STAGING == (
         "text_quality_classifier",
         "agg_theil_index",
         "dedup_cdc_chunks",
+        "ts_periodogram",
+        "text_classifier_holdout_eval",
     )
     assert not set(_STAGING) & _DRIVER_GREEN
     assert _DRIVER_GREEN | set(_STAGING) == set(_META)
@@ -135,16 +139,17 @@ def test_vintage9_block_is_r9_vintage():
     latest = _latest_green()
     for op in _VINTAGE9_R15:
         assert latest.get(op) == 9, (op, latest.get(op))
-    assert len(_VINTAGE9_R15) == 5
+    assert len(_VINTAGE9_R15) == 3
 
 
-def test_round15_registers_exactly_three_new_operators():
-    assert len(_META) == 316
-    # the classifier and the Theil index are oracle-graded end to end;
-    # the CDC chunk dedup is rows-only (a rolling hash over byte streams
-    # has no SQL form), pinned against an independent byte-serial
-    # reference in tests/test_kernels.py
-    assert len(all_oracle()) == 287
+def test_round15_registers_exactly_five_new_operators():
+    assert len(_META) == 318
+    # the classifier, the Theil index, the periodogram, and the holdout
+    # eval are oracle-graded end to end; the CDC chunk dedup is
+    # rows-only (a rolling hash over byte streams has no SQL form),
+    # pinned against an independent byte-serial reference in
+    # tests/test_kernels.py
+    assert len(all_oracle()) == 289
 
 
 def test_green_tail_cost_tiers_nondecreasing():
