@@ -191,6 +191,8 @@ def test_registry_memo_ops_hit_path_row_identity(spark, sf_dir, monkeypatch):
         "mm_scene_cut_y4m",
         "text_bpe_apply",
         "text_bpe_pack_sequences",
+        # round 15: the CDC chunk dedup (documents-sourced, deterministic)
+        "dedup_cdc_chunks",
     }
     for name, fn in wrapped.items():
         raw = _QUERIES[name](spark, sf_dir).toPandas()
