@@ -9,7 +9,8 @@ over directories of text files), re-expressed on Spark.
         --cmd "tr ' ' '\\n'" --reduce "sort | uniq -c" --cmd "grep -v '^1 '"
     python -m filemap_spark query SF_DIR "SELECT ..."   # SQL over views
     python -m filemap_spark dedup SF_DIR OUTPUT --method near  # clean corpus
-    python -m filemap_spark quality SF_DIR OUTPUT [--clean-lines]  # rule gate
+    python -m filemap_spark quality SF_DIR OUTPUT [--clean-lines] \
+        [--gate learned]  # rule gate, or the trained NB tier
 
 Semantics preserved from the reference:
 - dataset = a directory (or glob) of text files; `.gz` handled transparently
@@ -585,7 +586,8 @@ def run_compact(
 
 
 def run_quality(
-    spark, input_dir: str, output: str, clean_lines: bool = False
+    spark, input_dir: str, output: str, clean_lines: bool = False,
+    gate: str = "rules",
 ) -> dict[str, int]:
     """Quality-gate a corpus as a CLI verb (round 5): apply the
     `text_gopher_rules` gate over INPUT/documents.parquet and materialize
@@ -594,11 +596,19 @@ def run_quality(
     corpus-dir verb. With `clean_lines`, cross-corpus duplicated lines are
     first stripped via `dedup_line_level` (text and n_chars rewritten from
     the surviving lines; docs that were ALL boilerplate drop out before
-    the gate even sees them). Composes the graded operators; returns the
-    per-rule drop audit — the numbers an operator reads before trusting
-    the gate."""
+    the gate even sees them). `--gate learned` (round 15, the
+    text_quality_classifier tier) swaps the rule conjunction for the
+    trained Naive-Bayes verdict — the CCNet-style upgrade path: bootstrap
+    labels from the rules, gate on the model — and the audit reports the
+    model/rules agreement instead of per-rule drop counts. Composes the
+    graded operators; returns the audit the operator reads before
+    trusting the gate."""
     from filemap_spark.io import load_table
-    from filemap_spark.operators.text import dedup_line_level, text_gopher_rules
+    from filemap_spark.operators.text import (
+        dedup_line_level,
+        text_gopher_rules,
+        text_quality_classifier,
+    )
 
     import shutil
     import tempfile
@@ -641,20 +651,49 @@ def run_quality(
             )
             docs = load_table(spark, tmp_corpus, "documents")
             input_dir = tmp_corpus
-        verdicts = text_gopher_rules(spark, input_dir)
-        # coalesce every summed counter: over an EMPTY corpus (a prior run
-        # kept zero docs, or --clean-lines dropped everything) sum() is NULL
-        audit_row = verdicts.agg(
-            F.count("*").alias("scored"),
-            F.coalesce(
-                F.sum(F.when(F.col("verdict") == "keep", 1).otherwise(0)), F.lit(0)
-            ).alias("kept"),
-            *[
-                F.coalesce(F.sum(1 - F.col(c)), F.lit(0)).alias(f"fail_{c}")
-                for c in ("r_len", "r_word_len", "r_short", "r_rep", "r_stop")
-            ],
-        ).collect()[0]
-        keepers = verdicts.where(F.col("verdict") == "keep").select("doc_id")
+        if gate == "learned":
+            verdicts = text_quality_classifier(spark, input_dir)
+            audit_row = verdicts.agg(
+                F.count("*").alias("scored"),
+                F.coalesce(
+                    F.sum(F.when(F.col("nb_verdict") == "keep", 1).otherwise(0)),
+                    F.lit(0),
+                ).alias("kept"),
+                F.coalesce(F.sum("agree"), F.lit(0)).alias("agree"),
+            ).collect()[0]
+            keepers = verdicts.where(F.col("nb_verdict") == "keep").select(
+                "doc_id"
+            )
+            audit = {
+                "scored": audit_row["scored"],
+                "kept": int(audit_row["kept"]),
+                "agree_with_rules": int(audit_row["agree"]),
+            }
+        else:
+            verdicts = text_gopher_rules(spark, input_dir)
+            # coalesce every summed counter: over an EMPTY corpus (a prior
+            # run kept zero docs, or --clean-lines dropped everything)
+            # sum() is NULL
+            audit_row = verdicts.agg(
+                F.count("*").alias("scored"),
+                F.coalesce(
+                    F.sum(F.when(F.col("verdict") == "keep", 1).otherwise(0)),
+                    F.lit(0),
+                ).alias("kept"),
+                *[
+                    F.coalesce(F.sum(1 - F.col(c)), F.lit(0)).alias(f"fail_{c}")
+                    for c in ("r_len", "r_word_len", "r_short", "r_rep", "r_stop")
+                ],
+            ).collect()[0]
+            keepers = verdicts.where(F.col("verdict") == "keep").select("doc_id")
+            audit = {
+                "scored": audit_row["scored"],
+                "kept": int(audit_row["kept"]),
+                **{
+                    f"fail_{c}": int(audit_row[f"fail_{c}"])
+                    for c in ("r_len", "r_word_len", "r_short", "r_rep", "r_stop")
+                },
+            }
         docs.join(keepers, "doc_id", "left_semi").write.mode("overwrite").parquet(
             os.path.join(output, "documents.parquet")
         )
@@ -664,12 +703,7 @@ def run_quality(
     return {
         "n_docs": n_docs,
         "lines_removed": int(lines_removed),
-        "scored": audit_row["scored"],
-        "kept": int(audit_row["kept"]),
-        **{
-            f"fail_{c}": int(audit_row[f"fail_{c}"])
-            for c in ("r_len", "r_word_len", "r_short", "r_rep", "r_stop")
-        },
+        **audit,
     }
 
 
@@ -753,6 +787,13 @@ def main(argv: list[str] | None = None) -> int:
         "--clean-lines",
         action="store_true",
         help="strip cross-corpus duplicated lines before gating",
+    )
+    p.add_argument(
+        "--gate",
+        choices=("rules", "learned"),
+        default="rules",
+        help="rules = the Gopher conjunction (default); learned = the "
+        "trained Naive-Bayes tier (text_quality_classifier)",
     )
 
     p = sub.add_parser(
@@ -900,7 +941,8 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark("filemap-cli")
         audit = run_quality(
-            spark, args.input, args.output, clean_lines=args.clean_lines
+            spark, args.input, args.output, clean_lines=args.clean_lines,
+            gate=args.gate,
         )
         for k, v in audit.items():
             print(f"{k}\t{v}")

@@ -588,3 +588,30 @@ def test_dedup_modality_batch_and_stream_chain(spark, tmp_path):
         }
         assert stream_kept == batch_kept, (modality, stream_kept, batch_kept)
         assert kept2 == bkept
+
+
+def test_quality_verb_learned_gate(spark, sf_dir, tmp_path):
+    """`quality --gate learned` (round 15): the verb must gate on the
+    trained NB tier's verdict — kept docs == text_quality_classifier's
+    nb_verdict='keep' set — report the model/rules agreement in the
+    audit, and stay corpus-chainable (output is a valid corpus dir)."""
+    from filemap_spark.cli import run_quality, run_stats
+    from filemap_spark.operators.text import text_quality_classifier
+
+    out = str(tmp_path / "learned_out")
+    audit = run_quality(spark, sf_dir, out, gate="learned")
+    clf = text_quality_classifier(spark, sf_dir).collect()
+    want_keep = {r["doc_id"] for r in clf if r["nb_verdict"] == "keep"}
+    got_keep = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            os.path.join(out, "documents.parquet")
+        ).collect()
+    }
+    assert got_keep == want_keep
+    assert audit["kept"] == len(want_keep)
+    assert audit["scored"] == len(clf)
+    assert audit["agree_with_rules"] == sum(r["agree"] for r in clf)
+    # chainable: the output dir is itself a corpus every verb accepts
+    stats = run_stats(spark, out)
+    assert stats["n_docs"] == len(want_keep)
