@@ -593,3 +593,30 @@ def test_bpe_merge_artifact_trains_once_per_corpus(spark, sf_dir, monkeypatch):
     ]
     assert text_ops._BPE_TRAIN_RUNS == runs0 + 2
     assert cached_merges == direct
+
+
+def test_nb_base_count_artifact_ingests_once_per_corpus(
+    spark, sf_dir, monkeypatch
+):
+    """VERDICT r15 task 4's make-semantics pin (the _BPE_TRAIN_RUNS
+    precedent): `text_quality_incremental`'s base-corpus count table is
+    a warehouse artifact keyed by (producer code closure ⊕ documents
+    fingerprint), so back-to-back runs on the same corpus execute the
+    base ingest exactly ONCE — the second call pays only the delta agg
+    and the scoring pass. Output identity across the hit is asserted
+    row for row."""
+    _fresh_warehouse(monkeypatch)
+    from filemap_spark.operators import text as text_ops
+
+    runs0 = text_ops._NB_INGEST_RUNS
+    first = canonical_rows(
+        text_ops.text_quality_incremental(spark, sf_dir).toPandas()
+    )
+    assert text_ops._NB_INGEST_RUNS == runs0 + 1, "first call must ingest"
+    second = canonical_rows(
+        text_ops.text_quality_incremental(spark, sf_dir).toPandas()
+    )
+    assert text_ops._NB_INGEST_RUNS == runs0 + 1, (
+        "second call must HIT the count-table artifact, not re-ingest"
+    )
+    assert second == first

@@ -1218,3 +1218,81 @@ def test_periodogram_recovers_an_injected_cycle(spark, tmp_path):
     # normalized amplitude bound: sqrt(C^2+S^2) <= sqrt(2) * total mass
     for v in out.values():
         assert 0.0 <= v <= math.sqrt(2) + 1e-9
+
+
+def test_incremental_nb_equals_full_retrain_row_for_row(spark, sf_dir, monkeypatch):
+    """`text_quality_incremental`'s graded claim, pinned cross-op: the
+    base-artifact + delta-merge path must reproduce the full-retrain
+    classifier's (doc_id, n_tokens, nb_score, nb_verdict) EXACTLY — the
+    count merge is integer arithmetic, so this is equality, not
+    tolerance. Run against a fresh warehouse so the base build actually
+    executes (hit-path identity is pinned in tests/test_memo.py)."""
+    import tempfile
+
+    from pyspark.sql import functions as SF
+
+    from filemap_spark.operators.text import (
+        text_quality_classifier,
+        text_quality_incremental,
+    )
+    from filemap_spark.testing import canonical_rows
+
+    monkeypatch.setenv(
+        "FILEMAP_WAREHOUSE", tempfile.mkdtemp(prefix="nb_inc_wh_")
+    )
+    inc = text_quality_incremental(spark, sf_dir).select(
+        "doc_id", "n_tokens", "nb_score", "nb_verdict"
+    )
+    full = text_quality_classifier(spark, sf_dir).select(
+        "doc_id", "n_tokens", "nb_score", "nb_verdict"
+    )
+    assert canonical_rows(inc.toPandas()) == canonical_rows(full.toPandas())
+    # the phase split actually partitions the corpus
+    phases = {
+        r["ingest_phase"]: r["n"]
+        for r in text_quality_incremental(spark, sf_dir)
+        .groupBy("ingest_phase")
+        .agg(SF.count(SF.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(phases) == {"base", "delta"}
+    assert phases["base"] > phases["delta"] > 0
+
+
+def test_dsir_importance_separates_target_from_raw(spark, sf_dir):
+    """DSIR mechanism: the importance weight is log(p_target/p_raw) with
+    target = the Gopher-keep slice, so keep docs must average a strictly
+    higher log_importance than drop docs (they ARE the target sample);
+    featureless docs (<2 words) appear with exactly 0.0 / n_feats 0, and
+    every doc appears exactly once. Deterministic run to run (closed-form
+    counts, no RNG)."""
+    from pyspark.sql import functions as SF
+
+    from filemap_spark.io import load_table
+    from filemap_spark.operators.text import (
+        _gopher_columns,
+        text_dsir_importance,
+    )
+
+    out = text_dsir_importance(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _gopher_columns()["verdict"].alias("verdict")
+    )
+    n_docs = docs.count()
+    assert out.count() == n_docs, "one row per document, none dropped"
+
+    means = {
+        r["verdict"]: r["m"]
+        for r in out.join(docs, "doc_id")
+        .groupBy("verdict")
+        .agg(SF.avg("log_importance").alias("m"))
+        .collect()
+    }
+    if "keep" in means and "drop" in means:
+        assert means["keep"] > means["drop"], (
+            f"target slice does not score higher: {means}"
+        )
+    few = out.where(SF.col("n_feats") == 0).collect()
+    for r in few:
+        assert r["log_importance"] == 0.0 and r["dsir_keep"] == 0
+    assert out.collect() == text_dsir_importance(spark, sf_dir).collect()

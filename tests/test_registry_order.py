@@ -1,16 +1,15 @@
-"""Grading-order guarantees (round 15): the grading driver demonstrably
-grades the FIRST 50 registry entries per round (rounds 1-14 each stopped
-at exactly #50), so round 15's window is the staging set (the learned
-NB quality tier text_quality_classifier, the grouped Theil index
-agg_theil_index, the content-defined-chunking dedup dedup_cdc_chunks,
-the spectral-seasonality ts_periodogram, and the train/test-split
-text_classifier_holdout_eval), the plan/kernel-changed regrades (_REGRADE_R15: the
-merge-artifact BPE trio, the floor-cast weighted percentile, the
-3-method recall harness, and the _gopher_columns/_hash_bucket_col
-helper-extraction regrades), the FULL 35-op r8-vintage drain
-(_VINTAGE8_R15, VERDICT r14 task 1), and 3 oldest-r9 refreshes
-(_VINTAGE9_R15) — exactly 50. After this round grades, no op's latest
-green driver row predates r9.
+"""Grading-order guarantees (round 16): the grading driver demonstrably
+grades the FIRST 50 registry entries per round (rounds 1-15 each stopped
+at exactly #50), so round 16's window is the staging set (the
+warehouse-artifact incremental NB twin text_quality_incremental and the
+DSIR hashed-bigram importance-weight op text_dsir_importance), the
+plan/kernel-changed regrades (_REGRADE_R16: EMPTY — both debuts are
+purely additive, reusing the shared gopher/bucket helpers read-only),
+the FULL 39-op r9-vintage drain (_VINTAGE9_R16, VERDICT r15 task 1,
+join_left_outer and scan_projection leading per the r15 hand-off note),
+and 9 oldest-r10 family-spread refreshes (_VINTAGE10_R16) — exactly
+2 + 0 + 39 + 9 = 50. After this round grades, no op's latest green
+driver row predates r10.
 
 Round-agnosticism (ADVICE r10 / VERDICT r10 task 2): the r10 versions of
 the vintage tests scanned ALL CORRECTNESS ledgers (range(1, 99)) and
@@ -29,10 +28,10 @@ from filemap_spark import all_oracle, all_queries
 from filemap_spark.registry import (
     _DRIVER_GREEN,
     _META,
-    _REGRADE_R15,
+    _REGRADE_R16,
     _STAGING,
-    _VINTAGE8_R15,
-    _VINTAGE9_R15,
+    _VINTAGE9_R16,
+    _VINTAGE10_R16,
     LEDGER_CAP,
 )
 
@@ -63,102 +62,88 @@ def _latest_green() -> dict[str, int]:
 
 
 def test_staging_has_the_new_ops_and_blocks_are_green():
-    """Round 15 registers exactly five new ops (the learned NB quality
-    tier, the grouped Theil-T index, the CDC chunk dedup, the spectral
-    periodogram, and the NB holdout eval), which enter via _STAGING
-    (the only legal path — they have no driver row yet); every other
-    window block is a green-ledger subset."""
+    """Round 16 registers exactly two new ops (the incremental NB twin
+    and the DSIR importance-weight pass), which enter via _STAGING (the
+    only legal path — they have no driver row yet); every other window
+    block is a green-ledger subset."""
     order = list(all_queries())
     assert _STAGING == (
-        "text_quality_classifier",
-        "agg_theil_index",
-        "dedup_cdc_chunks",
-        "ts_periodogram",
-        "text_classifier_holdout_eval",
+        "text_quality_incremental",
+        "text_dsir_importance",
     )
     assert not set(_STAGING) & _DRIVER_GREEN
     assert _DRIVER_GREEN | set(_STAGING) == set(_META)
-    for block in (_REGRADE_R15, _VINTAGE8_R15, _VINTAGE9_R15):
+    for block in (_REGRADE_R16, _VINTAGE9_R16, _VINTAGE10_R16):
         assert set(block) <= _DRIVER_GREEN
     assert len(order) == len(set(order)) == len(_META)
 
 
-def test_window_is_staging_regrade_then_vintage8_then_vintage9():
+def test_window_is_staging_regrade_then_vintage9_then_vintage10():
     order = list(all_queries())
     head = (
         list(_STAGING)
-        + list(_REGRADE_R15)
-        + list(_VINTAGE8_R15)
-        + list(_VINTAGE9_R15)
+        + list(_REGRADE_R16)
+        + list(_VINTAGE9_R16)
+        + list(_VINTAGE10_R16)
     )
     assert order[: len(head)] == head
     assert len(head) == len(set(head)) == WINDOW
 
 
-def test_regrade_block_is_the_plan_changed_ops():
-    """The ops round-15 work touches take the first post-staging slots —
-    text_bpe_apply / text_bpe_pack_sequences (VERDICT r14 task 4: merges
-    now load from the warehouse artifact), text_bpe_train (the
-    _BPE_TRAIN_RUNS counter — structurally identical, regraded out of
-    discipline), agg_weighted_percentile (ADVICE r14 floor()→bigint on
-    both engines), sim_recall_eval (VERDICT r14 task 6: ivf_pq leg), and
-    text_gopher_rules / text_hash_features (rule/bucket expressions
-    moved into the shared helpers the classifier trains through) — all
-    rows must be re-earned."""
-    assert set(_REGRADE_R15) == {
-        "text_bpe_apply",
-        "text_bpe_pack_sequences",
-        "text_bpe_train",
-        "agg_weighted_percentile",
-        "sim_recall_eval",
-        "text_gopher_rules",
-        "text_hash_features",
-    }
+def test_regrade_block_is_empty_this_round():
+    """Round-16 work is window hygiene, bench-bar recording, the two
+    rig-measurement re-records, CLI/doc polish, and two purely ADDITIVE
+    debuts — no existing op's plan or kernel helper changed, so the
+    regrade block is deliberately empty and its slots deepen the r10
+    refresh instead. (The incremental twin reuses _gopher_columns /
+    _hash_bucket_col / the _NB_*_SQL strings read-only.)"""
+    assert _REGRADE_R16 == ()
 
 
-def test_no_op_stranded_before_vintage8():
+def test_no_op_stranded_before_vintage9():
     """Freshness floor: in the capped pre-round ledger, every registered
     op except the staged debuts has been graded, and none's latest green
-    predates round 8 (the r14 window drained the r7 vintage)."""
+    predates round 9 (the r15 window drained the r8 vintage)."""
     latest = _latest_green()
     assert set(latest) >= set(_META) - set(_STAGING)
-    assert min(latest[op] for op in _META if op not in _STAGING) >= 8
+    assert min(latest[op] for op in _META if op not in _STAGING) >= 9
 
 
-def test_vintage8_block_drains_the_r8_vintage():
-    """_VINTAGE8_R15 must cover EVERY op whose latest green driver row in
-    the capped pre-round ledger is round 8 — so a stale block can't
-    silently strand an r8 row past this round."""
+def test_vintage9_block_drains_the_r9_vintage():
+    """_VINTAGE9_R16 must cover EVERY op whose latest green driver row in
+    the capped pre-round ledger is round 9 — so a stale block can't
+    silently strand an r9 row past this round."""
     latest = _latest_green()
-    r8 = {op for op, rnd in latest.items() if rnd == 8 and op in _META}
-    assert set(_VINTAGE8_R15) == r8
-    assert len(_VINTAGE8_R15) == 35
+    r9 = {op for op, rnd in latest.items() if rnd == 9 and op in _META}
+    assert set(_VINTAGE9_R16) == r9
+    assert len(_VINTAGE9_R16) == 39
+    # r15 hand-off note (registry _VINTAGE9_R15 comment): these two lead
+    assert _VINTAGE9_R16[:2] == ("join_left_outer", "scan_projection")
 
 
-def test_vintage9_block_is_r9_vintage():
+def test_vintage10_block_is_r10_vintage():
     latest = _latest_green()
-    for op in _VINTAGE9_R15:
-        assert latest.get(op) == 9, (op, latest.get(op))
-    assert len(_VINTAGE9_R15) == 3
+    for op in _VINTAGE10_R16:
+        assert latest.get(op) == 10, (op, latest.get(op))
+    assert len(_VINTAGE10_R16) == 9
 
 
-def test_round15_registers_exactly_five_new_operators():
-    assert len(_META) == 318
-    # the classifier, the Theil index, the periodogram, and the holdout
-    # eval are oracle-graded end to end; the CDC chunk dedup is
-    # rows-only (a rolling hash over byte streams has no SQL form),
-    # pinned against an independent byte-serial reference in
-    # tests/test_kernels.py
-    assert len(all_oracle()) == 289
+def test_round16_registers_exactly_two_new_operators():
+    assert len(_META) == 320
+    # both debuts are oracle-graded end to end: the incremental twin's
+    # oracle restates the base+delta count merge (incremental ≡ full
+    # retrain is the hash-checked claim) and the DSIR oracle rebuilds
+    # the hashed-bigram target/raw models
+    assert len(all_oracle()) == 291
 
 
 def test_green_tail_cost_tiers_nondecreasing():
     order = list(all_queries())
     head = (
         set(_STAGING)
-        | set(_REGRADE_R15)
-        | set(_VINTAGE8_R15)
-        | set(_VINTAGE9_R15)
+        | set(_REGRADE_R16)
+        | set(_VINTAGE9_R16)
+        | set(_VINTAGE10_R16)
     )
     green_tail = [n for n in order if n not in head]
     tiers = [_tier(n) for n in green_tail]
