@@ -349,6 +349,9 @@ EXTENDED_HEADLINE = (
 STAGED_HEADLINE = (
     "text_quality_incremental",
     "text_dsir_importance",
+    "text_kneser_ney_logprob",
+    "text_contamination_ngram",
+    "ts_cusum_changepoint",
 )
 
 

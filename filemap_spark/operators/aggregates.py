@@ -4423,3 +4423,150 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 ts_periodogram.__doc__ = ts_periodogram.__doc__.format(
     periods=_PERIODOGRAM_DAYS
 )
+
+
+# CUSUM statistic scaled by n so it stays an exact integer: the textbook
+# cumulative-deviation series S_t = Σ_{i<=t}(x_i − x̄) multiplied through
+# by n (x̄ = tot/n is rational): n·S_t = n·cum_t − t·tot — int64-exact in
+# both engines, so the argmax row and every comparison are deterministic.
+_CUSUM_CELLS_SQL = """,
+    sparse AS (
+      SELECT event_type,
+             epoch_us(date_trunc('day', ts)) // 86400000000 AS didx,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), spans AS (
+      SELECT event_type, min(didx) AS d0, max(didx) AS d1
+      FROM sparse GROUP BY event_type
+    ), dense AS (
+      SELECT event_type, unnest(generate_series(d0, d1)) AS didx FROM spans
+    ), daily AS (
+      SELECT d.event_type, d.didx, coalesce(x.n, 0) AS n
+      FROM dense d LEFT JOIN sparse x
+        ON x.event_type = d.event_type AND x.didx = d.didx
+    ), cells AS (
+      SELECT event_type, didx, n,
+             cast(row_number() OVER (PARTITION BY event_type ORDER BY didx)
+                  AS bigint) AS t,
+             cast(sum(n) OVER (PARTITION BY event_type ORDER BY didx
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS bigint) AS cum,
+             cast(count(*) OVER (PARTITION BY event_type) AS bigint) AS nd,
+             cast(sum(n) OVER (PARTITION BY event_type) AS bigint) AS tot
+      FROM daily
+    ), stat AS (
+      SELECT event_type, didx, t, cum, nd, tot,
+             abs(nd * cum - t * tot) AS abs_sxn,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(nd * cum - t * tot) DESC,
+                                         didx ASC) AS rn
+      FROM cells WHERE t < nd
+    )
+"""
+
+
+@query(
+    "ts_cusum_changepoint",
+    cost=0.45,
+    oracle=EVENTS_NORM_SQL
+    + _CUSUM_CELLS_SQL
+    + f"""
+    SELECT event_type,
+           nd AS n_days,
+           didx AS cp_didx,
+           cast(abs_sxn AS bigint) AS cusum_max_xn,
+           CASE WHEN (tot - cum) * t > cum * (nd - t) THEN 'up'
+                WHEN (tot - cum) * t < cum * (nd - t) THEN 'down'
+                ELSE 'flat' END AS direction,
+           {mean_micro_6dp("cum * 1000000", "t")} AS mean_before,
+           {mean_micro_6dp("(tot - cum) * 1000000", "(nd - t)")} AS mean_after
+    FROM stat WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift changepoint (round 16) — the DETECTION member of
+    the seasonality/trend suite: ts_acf finds the period, ts_periodogram
+    its spectrum, this op finds WHERE the level broke. Per event type,
+    over the ts_acf-contract densified daily count series (missing days
+    are real 0-observations), the classic cumulative-deviation statistic
+    S_t = Σ_{{i≤t}}(x_i − x̄); the changepoint estimate is argmax_t |S_t|
+    over t < n (the last cell is identically 0), earliest day on ties.
+
+    Determinism: the statistic is carried ×n so it never leaves exact
+    int64 — n·S_t = n·cum_t − t·tot where cum/tot/t are exact counts —
+    and the argmax is a (|n·S_t| DESC, didx ASC) row_number over the
+    bounded O(types × days) cell frame, so tie order is pinned. Split
+    means descale the exact integer ratios through mean_micro_6dp (the
+    davg tie rule); `direction` cross-multiplies the two rationals in
+    int64 instead of comparing doubles.
+
+    Output per type: n_days, cp_didx (epoch-day of the break), the exact
+    scaled statistic cusum_max_xn = max|n·S_t| (consumers descale by n —
+    kept integer per the numeric.py magnitude-ceiling rule), direction
+    ('up' = post-break mean higher), and the 6dp pre/post means.
+
+    Scale: ONE events scan reduced map-side to O(types × span-days)
+    cells; both windows are PARTITIONED by event_type (never global) and
+    the rank window runs on the same bounded frame — no join-back, no
+    driver state. Capacity: exact through tot ≤ ~9e12 events/type
+    (int64 µ-unit ceiling); past that swap the means to the
+    dsum_decimal path, the statistic column is ×n-scaled already."""
+    ev = load_table(spark, sf_dir, "events")
+    sparse = ev.groupBy(
+        "event_type",
+        F.expr(
+            "unix_micros(date_trunc('day', ts)) div 86400000000"
+        ).alias("didx"),
+    ).agg(F.count("*").alias("n"))
+    spans = sparse.groupBy("event_type").agg(
+        F.min("didx").alias("d0"), F.max("didx").alias("d1")
+    )
+    dense = spans.select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("didx")
+    )
+    daily = dense.join(sparse, ["event_type", "didx"], "left").select(
+        "event_type", "didx", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("didx")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("event_type")
+    cells = daily.select(
+        "event_type",
+        "didx",
+        F.row_number().over(w_ord).cast("bigint").alias("t"),
+        F.sum("n").over(w_cum).cast("bigint").alias("cum"),
+        F.count("*").over(w_all).cast("bigint").alias("nd"),
+        F.sum("n").over(w_all).cast("bigint").alias("tot"),
+    )
+    st = cells.where(F.col("t") < F.col("nd")).withColumn(
+        "abs_sxn",
+        F.abs(F.col("nd") * F.col("cum") - F.col("t") * F.col("tot")),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.col("abs_sxn").desc(), F.col("didx").asc()
+    )
+    post_gt = (F.col("tot") - F.col("cum")) * F.col("t") > F.col("cum") * (
+        F.col("nd") - F.col("t")
+    )
+    post_lt = (F.col("tot") - F.col("cum")) * F.col("t") < F.col("cum") * (
+        F.col("nd") - F.col("t")
+    )
+    return (
+        st.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("nd").alias("n_days"),
+            F.col("didx").alias("cp_didx"),
+            F.col("abs_sxn").cast("bigint").alias("cusum_max_xn"),
+            F.when(post_gt, "up")
+            .when(post_lt, "down")
+            .otherwise("flat")
+            .alias("direction"),
+            F.expr(mean_micro_6dp("cum * 1000000", "t")).alias("mean_before"),
+            F.expr(
+                mean_micro_6dp("(tot - cum) * 1000000", "(nd - t)")
+            ).alias("mean_after"),
+        )
+        .orderBy("event_type")
+    )

@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from filemap_spark.functions.blocked import block_pigeonhole_pairs
-from filemap_spark.functions.numeric import davg, davg_lnsafe, dsum
+from filemap_spark.functions.numeric import (
+    davg,
+    davg_lnsafe,
+    dsum,
+    mean_micro_6dp,
+)
 from filemap_spark.functions.ranks import with_global_ntile
 from filemap_spark.io import load_table
 from filemap_spark.registry import query
@@ -4861,4 +4866,215 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 text_dsir_importance.__doc__ = text_dsir_importance.__doc__.format(
     B=_HASH_FEATURE_BUCKETS
+)
+
+
+# Kneser-Ney per-bigram −ln p, spelled over exact-integer model columns
+# with d = 3/4: p = [(4·c12 − 3)·Ncc + 3·N1+fw(w1)·N1+bw(w2)] / (4·c1·Ncc)
+# — every doc bigram is in the corpus model (c12 ≥ 1), so the discount
+# max(c12 − d, 0) simplifies to the exact integer 4·c12 − 3 ≥ 1 and the
+# numerator is strictly positive. Products are spelled cast-to-double
+# FIRST (each IEEE multiply/add correctly rounded, identical in both
+# engines) so the expression never overflows int64 at any corpus scale.
+_KN_NLP_SQL = (
+    "ln(cast(4 * c1 as double) * cast(ncc as double))"
+    " - ln(cast(4 * c12 - 3 as double) * cast(ncc as double)"
+    " + cast(3 * n1fw as double) * cast(n1bw as double))"
+)
+
+
+@query(
+    "text_kneser_ney_logprob",
+    cost=1.2,
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ), bg0 AS (
+      SELECT doc_id, word AS w1,
+             lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM toks
+    ), bg AS (SELECT * FROM bg0 WHERE w2 IS NOT NULL),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    fw AS (SELECT w1, cast(sum(c12) AS bigint) AS c1,
+                  cast(count(*) AS bigint) AS n1fw
+           FROM c12 GROUP BY w1),
+    bw AS (SELECT w2, cast(count(*) AS bigint) AS n1bw FROM c12 GROUP BY w2),
+    t AS (SELECT cast(count(*) AS bigint) AS ncc FROM c12)
+    SELECT doc_id, cast(count(*) AS bigint) AS n_bigrams,
+           {davg_lnsafe(_KN_NLP_SQL, 'avg_neg_logp')}
+    FROM bg JOIN c12 USING (w1, w2) JOIN fw USING (w1) JOIN bw USING (w2)
+         CROSS JOIN t
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring (round 16) — the top of
+    the quality-scoring ladder (unigram → add-one bigram → KN bigram):
+    the smoothing every serious n-gram LM quality filter (the
+    CCNet-style perplexity gate) actually uses. Add-one smothers the
+    signal on Zipf data; KN discounts each seen bigram by d = 3/4 and
+    backs off to the CONTINUATION unigram — p_cont(w2) ∝ how many
+    distinct predecessors w2 has, not how often it occurs — so
+    "of the" scores on the fan-out of its context, and a frequent word
+    glued to one fixed neighbor (boilerplate) stops looking fluent:
+
+      p(w2|w1) = max(c12 − d, 0)/c1 + d·(N1+fw(w1)/c1)·(N1+bw(w2)/Ncc)
+
+    with c1 the context count, N1+fw/N1+bw the distinct-successor /
+    distinct-predecessor type counts and Ncc the distinct-bigram total.
+    Per doc: the mean negative log-likelihood over its bigrams.
+
+    Determinism: with d = 3/4 the probability is the exact integer ratio
+    in _KN_NLP_SQL; each −ln p is two ln calls on doubles produced by
+    identically-spelled correctly-rounded IEEE products (the ts_acf
+    discipline), and the mean runs through davg_lnsafe's 1e4 per-row
+    quantization + exact-int64 sum (the text_bigram_logprob lesson —
+    libm ln differs by 1 ulp between engines).
+
+    Scale: the bigram count table is materialized ONCE (vocab²-bounded,
+    Zipf ≪ corpus) and all three model marginals derive from it — the
+    forward (c1, N1+fw) and backward (N1+bw) type counts and the 1-row
+    Ncc — so the corpus is tokenized exactly once. All LM joins are
+    UNHINTED (AQE broadcasts while small, shuffled-hash at 100 TB — the
+    text_unigram_logprob OOM lesson); the 1-row total is broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.select(
+            "doc_id",
+            F.col("word").alias("w1"),
+            F.lead("word").over(w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    # one materialization feeds all three marginals + the probe join —
+    # the text_bigram_logprob round-10 scan-sweep form; bg itself stays
+    # un-checkpointed (corpus-sized per-bigram rows, the bm25 lesson).
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12")).localCheckpoint()
+    fw = c12.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count("*").cast("bigint").alias("n1fw"),
+    )
+    bw = c12.groupBy("w2").agg(F.count("*").cast("bigint").alias("n1bw"))
+    t = c12.agg(F.count("*").cast("bigint").alias("ncc"))
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .join(fw, "w1")
+        .join(bw, "w2")
+        .crossJoin(F.broadcast(t))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.expr(davg_lnsafe(_KN_NLP_SQL, "avg_neg_logp")),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# GPT-3/PaLM-style decontamination n: 13 consecutive tokens. Docs shorter
+# than n contribute no n-grams (slice(ws, 1, 0) is the typed empty array;
+# Spark's sequence() would DESCEND on a negative span — the guard is
+# correctness, not style).
+_CONTAM_N = 13
+
+
+@query(
+    "text_contamination_ngram",
+    cost=0.5,
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), g AS (
+      SELECT doc_id, array_to_string(ws[i:i+{_CONTAM_N - 1}], ' ') AS ng
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - {_CONTAM_N} + 1)) AS i
+            FROM w)
+    ), ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % 10 = 7),
+    tr AS (SELECT doc_id, ng FROM g WHERE doc_id % 10 <> 7),
+    tot AS (
+      SELECT doc_id, cast(count(*) AS bigint) AS n_ngrams
+      FROM tr GROUP BY doc_id
+    ), hit AS (
+      SELECT doc_id, cast(count(*) AS bigint) AS n_hit_occurrences,
+             cast(count(DISTINCT ng) AS bigint) AS n_hit_ngrams
+      FROM tr JOIN ev USING (ng) GROUP BY doc_id
+    )
+    SELECT doc_id, n_ngrams, n_hit_ngrams, n_hit_occurrences,
+           {mean_micro_6dp("n_hit_ngrams * 1000000", "n_ngrams")}
+             AS contamination_frac
+    FROM hit JOIN tot USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (round 16) — the published 13-gram
+    collision rule (GPT-3 appendix C / PaLM): a training document is
+    contaminated if any {N} consecutive tokens also appear in the
+    held-out evaluation set. Eval slice = doc_id % 10 == 7 (the fixture
+    proxy for a benchmark suite); train = everything else. Output: one
+    row per CONTAMINATED train doc — its n-gram total, how many distinct
+    n-grams collide, raw collision occurrences, and the 6dp contaminated
+    fraction — the report a curation pipeline feeds back into
+    dedup_materialize_clean's drop list before training.
+
+    Determinism: n-grams are exact string joins of the token array (no
+    hashing, no FP); counts are exact integers; the fraction descales
+    the exact integer ratio through mean_micro_6dp's int64 tie rule.
+
+    Scale: ONE documents scan (the per-doc token-array frame is
+    checkpointed, the dsir-lab pattern — doc-sized, never the exploded
+    stream); n-grams are built MAP-SIDE by transform-over-slice (no
+    positions window); the eval side reduces to distinct n-grams and the
+    probe join is UNHINTED — a real benchmark suite is human-written and
+    bounded (~1e6-1e7 n-grams at any corpus size), so AQE broadcasts it
+    and the train side never shuffles; with this fixture's
+    corpus-proportional eval slice the same plan degrades to a
+    shuffled-hash join instead of an executor OOM (the unigram-LM
+    lesson). Per-doc totals aggregate doc-keyed, no driver state."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).localCheckpoint()
+    n = _CONTAM_N
+    ng = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"case when size(ws) >= {n} then"
+                f" transform(sequence(1, size(ws) - {n} + 1),"
+                f" i -> array_join(slice(ws, i, {n}), ' '))"
+                f" else slice(ws, 1, 0) end"
+            )
+        ).alias("ng"),
+    )
+    ev = ng.where(F.col("doc_id") % 10 == 7).select("ng").distinct()
+    tr = ng.where(F.col("doc_id") % 10 != 7)
+    tot = tr.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_ngrams")
+    )
+    hit = tr.join(ev, "ng").groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_hit_occurrences"),
+        F.countDistinct("ng").cast("bigint").alias("n_hit_ngrams"),
+    )
+    return (
+        hit.join(tot, "doc_id")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_hit_ngrams",
+            "n_hit_occurrences",
+            F.expr(
+                mean_micro_6dp("n_hit_ngrams * 1000000", "n_ngrams")
+            ).alias("contamination_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+text_contamination_ngram.__doc__ = text_contamination_ngram.__doc__.format(
+    N=_CONTAM_N
 )

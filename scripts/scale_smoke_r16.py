@@ -40,8 +40,16 @@ DOC_OPS = (
     "text_classifier_holdout_eval",
     "text_quality_incremental",
     "text_dsir_importance",
+    # second r16 staging wave: KN is the bigram-table shape (model size
+    # is vocab²-bounded, probe side scales with tokens); contamination
+    # explodes 13-grams map-side and probes the eval-distinct set
+    "text_kneser_ney_logprob",
+    "text_contamination_ngram",
 )
-EVENT_OPS = ("ts_periodogram",)
+# cusum: the replica keeps the 30-day/type span, so its cell frame is
+# CONSTANT while row count grows 10× — expect near-flat, like the
+# periodogram
+EVENT_OPS = ("ts_periodogram", "ts_cusum_changepoint")
 
 SF_DIR = "/root/testdata/sf0.1"
 
@@ -98,6 +106,11 @@ def time_op(queries, name, spark, sf_dir) -> tuple[float, int]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument(
+        "--ops",
+        default=None,
+        help="comma-list subset of the smoke ops (default: all)",
+    )
     args = ap.parse_args()
 
     os.environ.pop("FILEMAP_MEMO", None)
@@ -108,6 +121,9 @@ def main() -> int:
     spark = get_spark("r16-scale-smoke")
     queries = all_queries()
     ops = DOC_OPS + EVENT_OPS
+    if args.ops:
+        want = set(args.ops.split(","))
+        ops = tuple(o for o in ops if o in want)
 
     rep_dir = build_replica_dir(spark, args.reps)
     try:

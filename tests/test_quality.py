@@ -1296,3 +1296,157 @@ def test_dsir_importance_separates_target_from_raw(spark, sf_dir):
     for r in few:
         assert r["log_importance"] == 0.0 and r["dsir_keep"] == 0
     assert out.collect() == text_dsir_importance(spark, sf_dir).collect()
+
+
+def test_kneser_ney_matches_python_reference(spark, sf_dir):
+    """`text_kneser_ney_logprob` vs an independently-coded interpolated-KN
+    model (collections.Counter + math.log, no Spark/DuckDB): same d=3/4
+    discount, same 1e4 quantization, same exact-int mean tie rule. The
+    oracle only proves engine agreement; this pins the MODEL — counts,
+    continuation marginals, and the discount algebra."""
+    import math
+    from collections import Counter
+
+    from filemap_spark.operators.text import text_kneser_ney_logprob
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    c12: Counter = Counter()
+    for ws in docs.values():
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] += 1
+    c1: Counter = Counter()
+    n1fw: Counter = Counter()
+    n1bw: Counter = Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c
+        n1fw[a] += 1
+        n1bw[b] += 1
+    ncc = len(c12)
+
+    def mean_6dp(qsum: int, n: int) -> float:
+        # davg_lnsafe's exact-integer mean: 1e4 q-units -> µ-units,
+        # truncating quotient + half-away-from-zero tie, descale once
+        s = 100 * qsum
+        sign = -1 if s < 0 else 1
+        t, rem = divmod(abs(s), n)
+        if 2 * rem >= n:
+            t += 1
+        return sign * t / 1_000_000
+
+    expect = {}
+    for d, ws in docs.items():
+        qsum = 0
+        n = 0
+        for a, b in zip(ws, ws[1:]):
+            # engine spelling: cast-to-double FIRST, then IEEE products
+            num = float(4 * c12[(a, b)] - 3) * float(ncc) + float(
+                3 * n1fw[a]
+            ) * float(n1bw[b])
+            den = float(4 * c1[a]) * float(ncc)
+            qsum += round((math.log(den) - math.log(num)) * 10000)
+            n += 1
+        if n:
+            expect[d] = (n, mean_6dp(qsum, n))
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_neg_logp"])
+        for r in text_kneser_ney_logprob(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for d, (n, m) in expect.items():
+        assert got[d][0] == n
+        # Python round() is half-even vs the engines' half-away — ties on
+        # ln outputs are measure-zero, but allow one q-unit of slack
+        assert abs(got[d][1] - m) <= 2e-4, (d, got[d], m)
+        assert got[d][1] > 0.0
+
+
+def test_contamination_matches_bruteforce(spark, sf_dir):
+    """`text_contamination_ngram` vs a brute-force Python 13-gram set
+    intersection on the same corpus: exact row parity on every column,
+    including the exact-integer 6dp fraction."""
+    from filemap_spark.operators.text import (
+        _CONTAM_N,
+        text_contamination_ngram,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+
+    def grams(ws):
+        n = _CONTAM_N
+        return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+
+    ev = set()
+    for d, ws in docs.items():
+        if d % 10 == 7:
+            ev.update(grams(ws))
+    expect = {}
+    for d, ws in docs.items():
+        if d % 10 == 7:
+            continue
+        gs = grams(ws)
+        hits = [g for g in gs if g in ev]
+        if hits:
+            frac_u, rem = divmod(len(set(hits)) * 1_000_000, len(gs))
+            if 2 * rem >= len(gs):
+                frac_u += 1
+            expect[d] = (len(gs), len(set(hits)), len(hits), frac_u / 1e6)
+
+    rows = text_contamination_ngram(spark, sf_dir).collect()
+    got = {
+        r["doc_id"]: (
+            r["n_ngrams"],
+            r["n_hit_ngrams"],
+            r["n_hit_occurrences"],
+            r["contamination_frac"],
+        )
+        for r in rows
+    }
+    assert got == expect
+    assert len(got) > 0  # the fixture plants real near-dup collisions
+
+
+def test_cusum_finds_an_injected_mean_shift(spark, tmp_path):
+    """`ts_cusum_changepoint` on a synthetic series with a KNOWN level
+    break must put the changepoint exactly at the last low-regime day
+    with the textbook statistic value; a constant series must report a
+    zero statistic with the tie broken to the earliest day and direction
+    'flat'. End-to-end signal check the parity oracle cannot provide."""
+    from filemap_spark.operators.aggregates import ts_cusum_changepoint
+
+    base_day = 1_700_000_000_000_000 // 86_400_000_000
+    rows = []
+    for day in range(30):
+        ts = (base_day + day) * 86_400_000_000
+        for i in range(5 if day < 15 else 15):  # 5/day then 15/day
+            rows.append(("shift", ts + i))
+        for i in range(7):  # constant 7/day
+            rows.append(("flat", ts + i))
+    df = spark.createDataFrame(rows, "event_type string, us long").select(
+        "event_type", F.timestamp_micros("us").alias("ts")
+    )
+    src = tmp_path / "cusum"
+    src.mkdir()
+    df.write.parquet(str(src / "events.parquet"))
+
+    out = {r["event_type"]: r for r in ts_cusum_changepoint(spark, str(src)).collect()}
+    assert set(out) == {"shift", "flat"}
+    s = out["shift"]
+    # mean = 10/day; S_t = -5t for t<=15, so |S| peaks at t=15 (day 14),
+    # carried x n=30: 30*75 = 2250
+    assert s["n_days"] == 30
+    assert s["cp_didx"] == base_day + 14
+    assert s["cusum_max_xn"] == 30 * 75
+    assert s["direction"] == "up"
+    assert s["mean_before"] == 5.0 and s["mean_after"] == 15.0
+    f = out["flat"]
+    assert f["cusum_max_xn"] == 0
+    assert f["cp_didx"] == base_day  # all-tie -> earliest day
+    assert f["direction"] == "flat"
+    assert f["mean_before"] == 7.0 and f["mean_after"] == 7.0

@@ -1,14 +1,19 @@
 """Grading-order guarantees (round 16): the grading driver demonstrably
 grades the FIRST 50 registry entries per round (rounds 1-15 each stopped
 at exactly #50), so round 16's window is the staging set (the
-warehouse-artifact incremental NB twin text_quality_incremental and the
-DSIR hashed-bigram importance-weight op text_dsir_importance), the
-plan/kernel-changed regrades (_REGRADE_R16: EMPTY — both debuts are
-purely additive, reusing the shared gopher/bucket helpers read-only),
-the FULL 39-op r9-vintage drain (_VINTAGE9_R16, VERDICT r15 task 1,
-join_left_outer and scan_projection leading per the r15 hand-off note),
-and 9 oldest-r10 family-spread refreshes (_VINTAGE10_R16) — exactly
-2 + 0 + 39 + 9 = 50. After this round grades, no op's latest green
+warehouse-artifact incremental NB twin text_quality_incremental, the
+DSIR hashed-bigram importance-weight op text_dsir_importance, the
+interpolated Kneser-Ney bigram LM scorer text_kneser_ney_logprob, the
+13-gram benchmark-decontamination op text_contamination_ngram, and the
+CUSUM mean-shift detector ts_cusum_changepoint), the
+plan/kernel-changed regrades (_REGRADE_R16: EMPTY — all five debuts are
+purely additive, reusing the shared gopher/bucket/numeric helpers
+read-only), the FULL 39-op r9-vintage drain (_VINTAGE9_R16, VERDICT r15
+task 1, join_left_outer and scan_projection leading per the r15
+hand-off note), and 6 oldest-r10 family-spread refreshes
+(_VINTAGE10_R16 — the second staging wave took three of the original
+nine slots; debuts outrank refreshes) — exactly
+5 + 0 + 39 + 6 = 50. After this round grades, no op's latest green
 driver row predates r10.
 
 Round-agnosticism (ADVICE r10 / VERDICT r10 task 2): the r10 versions of
@@ -62,14 +67,18 @@ def _latest_green() -> dict[str, int]:
 
 
 def test_staging_has_the_new_ops_and_blocks_are_green():
-    """Round 16 registers exactly two new ops (the incremental NB twin
-    and the DSIR importance-weight pass), which enter via _STAGING (the
-    only legal path — they have no driver row yet); every other window
-    block is a green-ledger subset."""
+    """Round 16 registers exactly five new ops (the incremental NB twin,
+    the DSIR importance-weight pass, the KN bigram LM scorer, the
+    13-gram decontamination op, and the CUSUM changepoint detector),
+    which enter via _STAGING (the only legal path — they have no driver
+    row yet); every other window block is a green-ledger subset."""
     order = list(all_queries())
     assert _STAGING == (
         "text_quality_incremental",
         "text_dsir_importance",
+        "text_kneser_ney_logprob",
+        "text_contamination_ngram",
+        "ts_cusum_changepoint",
     )
     assert not set(_STAGING) & _DRIVER_GREEN
     assert _DRIVER_GREEN | set(_STAGING) == set(_META)
@@ -92,11 +101,13 @@ def test_window_is_staging_regrade_then_vintage9_then_vintage10():
 
 def test_regrade_block_is_empty_this_round():
     """Round-16 work is window hygiene, bench-bar recording, the two
-    rig-measurement re-records, CLI/doc polish, and two purely ADDITIVE
+    rig-measurement re-records, CLI/doc polish, and five purely ADDITIVE
     debuts — no existing op's plan or kernel helper changed, so the
     regrade block is deliberately empty and its slots deepen the r10
     refresh instead. (The incremental twin reuses _gopher_columns /
-    _hash_bucket_col / the _NB_*_SQL strings read-only.)"""
+    _hash_bucket_col / the _NB_*_SQL strings read-only; the KN /
+    contamination / CUSUM wave reuses _tokens, davg_lnsafe,
+    mean_micro_6dp, and the ts_acf densify shape read-only.)"""
     assert _REGRADE_R16 == ()
 
 
@@ -125,16 +136,19 @@ def test_vintage10_block_is_r10_vintage():
     latest = _latest_green()
     for op in _VINTAGE10_R16:
         assert latest.get(op) == 10, (op, latest.get(op))
-    assert len(_VINTAGE10_R16) == 9
+    assert len(_VINTAGE10_R16) == 6
 
 
-def test_round16_registers_exactly_two_new_operators():
-    assert len(_META) == 320
-    # both debuts are oracle-graded end to end: the incremental twin's
-    # oracle restates the base+delta count merge (incremental ≡ full
-    # retrain is the hash-checked claim) and the DSIR oracle rebuilds
-    # the hashed-bigram target/raw models
-    assert len(all_oracle()) == 291
+def test_round16_registers_exactly_five_new_operators():
+    assert len(_META) == 323
+    # all five debuts are oracle-graded end to end: the incremental
+    # twin's oracle restates the base+delta count merge (incremental ≡
+    # full retrain is the hash-checked claim), the DSIR oracle rebuilds
+    # the hashed-bigram target/raw models, the KN oracle retrains the
+    # full continuation-count model, the contamination oracle re-derives
+    # both n-gram sides, and the CUSUM oracle re-ranks the exact-integer
+    # statistic cells
+    assert len(all_oracle()) == 294
 
 
 def test_green_tail_cost_tiers_nondecreasing():
