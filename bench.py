@@ -352,6 +352,8 @@ STAGED_HEADLINE = (
     "text_kneser_ney_logprob",
     "text_contamination_ngram",
     "ts_cusum_changepoint",
+    "text_contamination_incremental",
+    "ts_mad_anomaly",
 )
 
 

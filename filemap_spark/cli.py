@@ -13,6 +13,9 @@ over directories of text files), re-expressed on Spark.
         [--gate learned] [--scores-out DIR]  # rule gate, or the trained
         # NB tier; --scores-out exports the per-doc verdict frame
         # (OUTPUT='-' = scores only, no kept corpus)
+    python -m filemap_spark decontam SF_DIR OUTPUT --eval-dir BENCH \
+        [--max-frac F] [--report-out DIR]  # drop docs sharing a
+        # 13-gram with the benchmark corpus (text_contamination_ngram)
 
 Semantics preserved from the reference:
 - dataset = a directory (or glob) of text files; `.gz` handled transparently
@@ -728,6 +731,63 @@ def run_quality(
     }
 
 
+def run_decontam(
+    spark,
+    input_dir: str,
+    output: str,
+    eval_dir: str,
+    max_frac: float = 0.0,
+    report_out: str | None = None,
+) -> dict[str, int]:
+    """Benchmark-decontaminate a training corpus as a CLI verb (round
+    16): drop every INPUT/documents.parquet doc sharing a 13-gram with
+    ANY doc in EVAL_DIR/documents.parquet — the graded
+    `text_contamination_ngram` rule with a real, separate benchmark
+    corpus instead of the fixture split. `--max-frac` relaxes the gate
+    to "drop only docs whose contaminated 13-gram fraction exceeds F"
+    (default 0.0 = one collision drops, the published conservative
+    rule); `--report-out` exports the per-contaminated-doc collision
+    report as parquet. OUTPUT gets `documents.parquet` with all original
+    columns, so it chains into `dedup`/`quality`/`stats` like every
+    corpus-dir verb."""
+    from filemap_spark.io import load_table
+    from filemap_spark.operators.text import _contam_ngrams, _contam_report
+
+    docs = load_table(spark, input_dir, "documents")
+    n_docs = docs.count()
+    ws = docs.select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).localCheckpoint()
+    ev = (
+        _contam_ngrams(
+            load_table(spark, eval_dir, "documents").select(
+                "doc_id", F.split("text", " ").alias("ws")
+            )
+        )
+        .select("ng")
+        .distinct()
+    )
+    # the report is at most contaminated-doc-sized; checkpoint so the
+    # optional export, the drop-set derivation, and the audit counts
+    # run the probe join once
+    report = _contam_report(_contam_ngrams(ws), ev).localCheckpoint()
+    if report_out:
+        report.orderBy("doc_id").write.mode("overwrite").parquet(report_out)
+    dropped = report.where(F.col("contamination_frac") > max_frac).select(
+        "doc_id"
+    )
+    out = os.path.join(output, "documents.parquet")
+    docs.join(dropped, "doc_id", "left_anti").write.mode("overwrite").parquet(
+        out
+    )
+    return {
+        "n_docs": n_docs,
+        "contaminated": report.count(),
+        "dropped": dropped.count(),
+        "kept": spark.read.parquet(out).count(),
+    }
+
+
 class _StageAction(argparse.Action):
     """Collect repeated --cmd/--reduce flags as an ORDERED stage list."""
 
@@ -826,6 +886,30 @@ def main(argv: list[str] | None = None) -> int:
         "for --gate learned, per-rule flags otherwise) as a parquet "
         "dataset here; pass OUTPUT='-' to skip the kept corpus and "
         "export scores only",
+    )
+
+    p = sub.add_parser(
+        "decontam",
+        help="drop INPUT docs sharing a 13-gram with the EVAL benchmark corpus",
+    )
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument(
+        "--eval-dir",
+        required=True,
+        help="benchmark corpus dir (documents.parquet) to decontaminate against",
+    )
+    p.add_argument(
+        "--max-frac",
+        type=float,
+        default=0.0,
+        help="drop docs whose contaminated 13-gram fraction exceeds this "
+        "(default 0.0: any collision drops)",
+    )
+    p.add_argument(
+        "--report-out",
+        default=None,
+        help="also export the per-contaminated-doc collision report here",
     )
 
     p = sub.add_parser(
@@ -986,6 +1070,17 @@ def main(argv: list[str] | None = None) -> int:
         audit = run_quality(
             spark, args.input, args.output, clean_lines=args.clean_lines,
             gate=args.gate, scores_out=args.scores_out,
+        )
+        for k, v in audit.items():
+            print(f"{k}\t{v}")
+        return 0
+    if args.verb == "decontam":
+        from filemap_spark.session import get_spark
+
+        spark = get_spark("filemap-cli")
+        audit = run_decontam(
+            spark, args.input, args.output, eval_dir=args.eval_dir,
+            max_frac=args.max_frac, report_out=args.report_out,
         )
         for k, v in audit.items():
             print(f"{k}\t{v}")

@@ -4570,3 +4570,177 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Exact positional medians carried ×2 so even-count midpoints (x.5)
+# never leave int64: med2 = x_(⌈n/2⌉) + x_(⌊n/2⌋+1) over the value-sorted
+# cells (both picks are the middle element when n is odd). The MAD is
+# the same construction over D = |2·x − med2| (= 2·|x − med|), so
+# m2 = 2·median(D) = 4·MAD, and the k=3 robust-outlier rule
+# |x − med| > 3·MAD becomes the pure-integer comparison 2·D > 3·m2.
+_MAD_CELLS_SQL = """,
+    sparse AS (
+      SELECT event_type,
+             epoch_us(date_trunc('day', ts)) // 86400000000 AS didx,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), spans AS (
+      SELECT event_type, min(didx) AS d0, max(didx) AS d1
+      FROM sparse GROUP BY event_type
+    ), dense AS (
+      SELECT event_type, unnest(generate_series(d0, d1)) AS didx FROM spans
+    ), daily AS (
+      SELECT d.event_type, d.didx, cast(coalesce(x.n, 0) AS bigint) AS n
+      FROM dense d LEFT JOIN sparse x
+        ON x.event_type = d.event_type AND x.didx = d.didx
+    ), st AS (
+      SELECT event_type, didx, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n, didx) AS rn,
+             cast(count(*) OVER (PARTITION BY event_type) AS bigint) AS nd
+      FROM daily
+    ), med AS (
+      SELECT event_type,
+             cast(sum(CASE WHEN rn = (nd + 1) // 2 OR rn = nd // 2 + 1
+                           THEN n ELSE 0 END) AS bigint) AS med2
+      FROM st GROUP BY event_type
+    ), dev AS (
+      SELECT s.event_type, s.didx, s.n, m.med2,
+             abs(2 * s.n - m.med2) AS d
+      FROM st s JOIN med m ON m.event_type = s.event_type
+    ), dst AS (
+      SELECT event_type, didx, n, med2, d,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY d, didx) AS rn,
+             cast(count(*) OVER (PARTITION BY event_type) AS bigint) AS nd
+      FROM dev
+    ), mad AS (
+      SELECT event_type,
+             cast(sum(CASE WHEN rn = (nd + 1) // 2 OR rn = nd // 2 + 1
+                           THEN d ELSE 0 END) AS bigint) AS m2
+      FROM dst GROUP BY event_type
+    )
+"""
+
+
+@query(
+    "ts_mad_anomaly",
+    cost=0.5,
+    oracle=EVENTS_NORM_SQL
+    + _MAD_CELLS_SQL
+    + f"""
+    SELECT v.event_type, v.didx, v.n,
+           {mean_micro_6dp("v.med2 * 1000000", "2")} AS med,
+           {mean_micro_6dp("m.m2 * 1000000", "4")} AS mad,
+           CASE WHEN 2 * v.n > v.med2 THEN 'high' ELSE 'low' END
+             AS direction
+    FROM dev v JOIN mad m ON m.event_type = v.event_type
+    WHERE 2 * v.d > 3 * m.m2
+    ORDER BY v.event_type, v.didx
+    """,
+)
+def ts_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly days via median absolute deviation (round 16) —
+    the OUTLIER member of the time-series suite: ts_cusum_changepoint
+    finds sustained level breaks, this flags individual days. Per event
+    type, over the ts_acf-contract densified daily count series, a day
+    is anomalous when |x − median| > 3·MAD — the robust rule that,
+    unlike z-scores, is not corrupted by the anomalies themselves (the
+    median and MAD have a 50% breakdown point; a mean/stddev gate moves
+    toward the outliers it is supposed to catch).
+
+    Determinism: medians are POSITIONAL — row_number over (value, didx)
+    picks the middle cells, carried ×2 (med2, and m2 = 4·MAD) so
+    even-count midpoints stay exact int64 — and the flag rule
+    2·D > 3·m2 plus the direction test are pure integer comparisons.
+    The reported median and MAD descale their exact integers through
+    mean_micro_6dp (remainders are 0 mod 2 and 0 mod 4 at the µ-scale,
+    so no tie is ever exercised). A constant series has m2 = 0 and
+    D = 0 everywhere — nothing flags (0 > 0 is false), no division
+    anywhere, no NULL paths.
+
+    Scale: ONE events scan reduced map-side to the O(types × span-days)
+    cell frame, persisted (the ts_acf precedent) because both median
+    passes and the final probe consume it; every window is PARTITIONED
+    by event_type and both medians are aggregations of the bounded cell
+    frame — no global sort, no driver state. Per-entity anomaly scans
+    key the same plan by (entity, didx)."""
+    ev = load_table(spark, sf_dir, "events")
+    sparse = ev.groupBy(
+        "event_type",
+        F.expr(
+            "unix_micros(date_trunc('day', ts)) div 86400000000"
+        ).alias("didx"),
+    ).agg(F.count("*").alias("n"))
+    spans = sparse.groupBy("event_type").agg(
+        F.min("didx").alias("d0"), F.max("didx").alias("d1")
+    )
+    dense = spans.select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("didx")
+    )
+    # both median passes and the final probe consume the cell frame —
+    # persist() keeps it ONE runtime fact scan (ts_acf's rationale:
+    # bounded O(types × days), plan stays auditable, recompute-safe).
+    daily = (
+        dense.join(sparse, ["event_type", "didx"], "left")
+        .select(
+            "event_type",
+            "didx",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        )
+        .persist()
+    )
+    w_val = Window.partitionBy("event_type").orderBy("n", "didx")
+    w_all = Window.partitionBy("event_type")
+    st = daily.select(
+        "event_type",
+        "didx",
+        "n",
+        F.row_number().over(w_val).alias("rn"),
+        F.count("*").over(w_all).cast("bigint").alias("nd"),
+    )
+    med = st.groupBy("event_type").agg(
+        F.sum(
+            F.when(
+                F.expr("rn = (nd + 1) div 2 or rn = nd div 2 + 1"),
+                F.col("n"),
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("med2")
+    )
+    dev = st.select("event_type", "didx", "n").join(med, "event_type").select(
+        "event_type",
+        "didx",
+        "n",
+        "med2",
+        F.abs(2 * F.col("n") - F.col("med2")).alias("d"),
+    )
+    w_dev = Window.partitionBy("event_type").orderBy("d", "didx")
+    dst = dev.select(
+        "event_type",
+        "d",
+        F.row_number().over(w_dev).alias("rn"),
+        F.count("*").over(w_all).cast("bigint").alias("nd"),
+    )
+    mad = dst.groupBy("event_type").agg(
+        F.sum(
+            F.when(
+                F.expr("rn = (nd + 1) div 2 or rn = nd div 2 + 1"),
+                F.col("d"),
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("m2")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .where(2 * F.col("d") > 3 * F.col("m2"))
+        .select(
+            "event_type",
+            "didx",
+            "n",
+            F.expr(mean_micro_6dp("med2 * 1000000", "2")).alias("med"),
+            F.expr(mean_micro_6dp("m2 * 1000000", "4")).alias("mad"),
+            F.when(2 * F.col("n") > F.col("med2"), "high")
+            .otherwise("low")
+            .alias("direction"),
+        )
+        .orderBy("event_type", "didx")
+    )

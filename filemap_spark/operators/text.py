@@ -5039,8 +5039,30 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = docs.select(
         "doc_id", F.split("text", " ").alias("ws")
     ).localCheckpoint()
+    ng = _contam_ngrams(ws)
+    ev = ng.where(F.col("doc_id") % 10 == 7).select("ng").distinct()
+    tr = ng.where(F.col("doc_id") % 10 != 7)
+    return _contam_report(tr, ev).orderBy("doc_id")
+
+
+text_contamination_ngram.__doc__ = text_contamination_ngram.__doc__.format(
+    N=_CONTAM_N
+)
+
+
+# Train-once pin for the incremental decontamination twin: how many
+# times the base-report/eval-index artifacts were BUILT this process
+# (tests assert 1 across repeated runs on an unchanged corpus).
+_CONTAM_BASE_RUNS = 0
+
+
+def _contam_ngrams(ws_frame: DataFrame) -> DataFrame:
+    """(doc_id, ng) — the exploded {N}-gram stream over a (doc_id, ws)
+    token-array frame; map-side transform-over-slice, empty for docs
+    shorter than {N} tokens (shared by the batch and incremental
+    decontamination ops)."""
     n = _CONTAM_N
-    ng = ws.select(
+    return ws_frame.select(
         "doc_id",
         F.explode(
             F.expr(
@@ -5051,8 +5073,13 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ng"),
     )
-    ev = ng.where(F.col("doc_id") % 10 == 7).select("ng").distinct()
-    tr = ng.where(F.col("doc_id") % 10 != 7)
+
+
+def _contam_report(tr: DataFrame, ev: DataFrame) -> DataFrame:
+    """Per-contaminated-doc collision report of a train n-gram stream
+    `tr` against a distinct eval n-gram set `ev` — the shared back half
+    of both decontamination ops (unhinted probe join + exact-integer
+    6dp fraction)."""
     tot = tr.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_ngrams")
     )
@@ -5060,21 +5087,133 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_hit_occurrences"),
         F.countDistinct("ng").cast("bigint").alias("n_hit_ngrams"),
     )
+    return hit.join(tot, "doc_id").select(
+        "doc_id",
+        "n_ngrams",
+        "n_hit_ngrams",
+        "n_hit_occurrences",
+        F.expr(
+            mean_micro_6dp("n_hit_ngrams * 1000000", "n_ngrams")
+        ).alias("contamination_frac"),
+    )
+
+
+@query(
+    "text_contamination_incremental",
+    cost=0.8,
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), g AS (
+      SELECT doc_id, array_to_string(ws[i:i+{_CONTAM_N - 1}], ' ') AS ng
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - {_CONTAM_N} + 1)) AS i
+            FROM w)
+    ), ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % 10 = 7),
+    tr AS (SELECT doc_id, ng FROM g WHERE doc_id % 10 <> 7),
+    tot AS (
+      SELECT doc_id, cast(count(*) AS bigint) AS n_ngrams
+      FROM tr GROUP BY doc_id
+    ), hit AS (
+      SELECT doc_id, cast(count(*) AS bigint) AS n_hit_occurrences,
+             cast(count(DISTINCT ng) AS bigint) AS n_hit_ngrams
+      FROM tr JOIN ev USING (ng) GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0 THEN 'delta' ELSE 'base' END
+             AS ingest_phase,
+           n_ngrams, n_hit_ngrams, n_hit_occurrences,
+           {mean_micro_6dp("n_hit_ngrams * 1000000", "n_ngrams")}
+             AS contamination_frac
+    FROM hit JOIN tot USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def text_contamination_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental twin of `text_contamination_ngram` (round 16) — the
+    decontamination pass gains filemap's make-semantics, matching how
+    the check actually runs in production: the BENCHMARK side is fixed
+    (its distinct {N}-gram index persists as a content-addressed
+    warehouse artifact), the already-screened base crawl's collision
+    report persists as a second artifact, and an arriving delta batch
+    (doc_id % 10 = 0 here) pays ONLY its own n-gram explode + one probe
+    join against the persisted index. Output = base report ∪ delta
+    report with the ingest phase tagged.
+
+    Why incremental ≡ full recompute needs no merge argument at all
+    (simpler than the NB twin's sufficient-statistic case): the report
+    is per-doc INDEPENDENT — a train doc's row depends only on its own
+    n-grams and the fixed eval index — so unioning per-batch reports IS
+    the full report, row for row. The oracle restates the full
+    recompute and the driver hash-checks it.
+
+    Determinism: identical to the batch op (exact string n-grams, exact
+    integer counts, mean_micro_6dp fraction); artifacts are re-keyed by
+    input-file fingerprint ⊕ producing code (plans/memo.py), so a
+    changed corpus or edited kernel rebuilds rather than serving stale
+    state.
+
+    Scale: on the steady-state path the eval index is read from the
+    warehouse (never re-derived), the base report (≤ contaminated docs,
+    tiny) is read from the warehouse, and ONLY the delta is scanned,
+    exploded, and probed — decontamination cost tracks the ingest rate,
+    not the corpus. In this fixture base/delta/eval share one parquet
+    (one scan, checkpointed token frame); with a real partitioned crawl
+    the delta probe reads the delta partitions only. The probe join
+    stays UNHINTED (benchmark-sized index → AQE broadcast)."""
+    global _CONTAM_BASE_RUNS
+    from filemap_spark.plans.memo import artifact_key, cached_by_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).localCheckpoint()
+    ng = _contam_ngrams(ws)
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    is_eval = F.col("doc_id") % 10 == 7
+    is_delta = F.col("doc_id") % 10 == 0
+
+    def build_eval() -> DataFrame:
+        global _CONTAM_BASE_RUNS
+        _CONTAM_BASE_RUNS += 1
+        return ng.where(is_eval).select("ng").distinct().coalesce(1)
+
+    ev, _hit = cached_by_key(
+        spark,
+        artifact_key(
+            "contam_eval_ngrams", text_contamination_incremental, [doc_path]
+        ),
+        build_eval,
+    )
+
+    def build_base() -> DataFrame:
+        return _contam_report(
+            ng.where(~is_eval & ~is_delta), ev
+        ).coalesce(1)
+
+    base, _hit = cached_by_key(
+        spark,
+        artifact_key(
+            "contam_base_report", text_contamination_incremental, [doc_path]
+        ),
+        build_base,
+    )
+    delta = _contam_report(ng.where(is_delta), ev)
     return (
-        hit.join(tot, "doc_id")
+        base.withColumn("ingest_phase", F.lit("base"))
+        .unionByName(delta.withColumn("ingest_phase", F.lit("delta")))
         .select(
             "doc_id",
+            "ingest_phase",
             "n_ngrams",
             "n_hit_ngrams",
             "n_hit_occurrences",
-            F.expr(
-                mean_micro_6dp("n_hit_ngrams * 1000000", "n_ngrams")
-            ).alias("contamination_frac"),
+            "contamination_frac",
         )
         .orderBy("doc_id")
     )
 
 
-text_contamination_ngram.__doc__ = text_contamination_ngram.__doc__.format(
-    N=_CONTAM_N
+text_contamination_incremental.__doc__ = (
+    text_contamination_incremental.__doc__.format(N=_CONTAM_N)
 )

@@ -45,11 +45,14 @@ DOC_OPS = (
     # explodes 13-grams map-side and probes the eval-distinct set
     "text_kneser_ney_logprob",
     "text_contamination_ngram",
+    # third wave: min-of-2 on a fresh warehouse reports the incremental
+    # twin's artifact-warm (delta-only) path, like the NB twin
+    "text_contamination_incremental",
 )
 # cusum: the replica keeps the 30-day/type span, so its cell frame is
 # CONSTANT while row count grows 10× — expect near-flat, like the
 # periodogram
-EVENT_OPS = ("ts_periodogram", "ts_cusum_changepoint")
+EVENT_OPS = ("ts_periodogram", "ts_cusum_changepoint", "ts_mad_anomaly")
 
 SF_DIR = "/root/testdata/sf0.1"
 

@@ -676,3 +676,52 @@ def test_dedup_explicit_method_with_modality_prints_note(
     assert main(["dedup", corpus, out, "--method", "near", "--stream"]) == 0
     err = capsys.readouterr().err
     assert "--method near is ignored with --stream" in err
+
+
+def test_decontam_verb_drops_planted_contamination(spark, tmp_path):
+    """`decontam` drops exactly the train docs sharing a 13-gram with the
+    eval corpus, exports the collision report, and the output chains as
+    a corpus dir. A planted 13-token copy from an eval doc is the
+    contamination; every other train doc is collision-free by
+    construction (distinct token vocabularies)."""
+    from filemap_spark.cli import run_decontam, run_stats
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    run13 = " ".join(f"e{i}" for i in range(13))  # the eval 13-gram run
+    ev_doc = run13 + " tail0 tail1"
+    train = [
+        # doc 1 embeds the eval run mid-text -> contaminated
+        (1, "pre0 pre1 " + run13 + " post0", "en", "web", 0),
+        # docs 2/3: 15 tokens each, vocab disjoint from the eval corpus
+        (2, " ".join(f"a{i}" for i in range(15)), "en", "web", 0),
+        (3, " ".join(f"b{i}" for i in range(15)), "en", "web", 0),
+        # doc 4: shorter than 13 tokens -> no n-grams, never contaminated
+        (4, "short doc under thirteen tokens", "en", "web", 0),
+    ]
+    train = [(d, t, la, s, len(t)) for d, t, la, s, _ in train]
+    tr_dir, ev_dir = str(tmp_path / "train"), str(tmp_path / "eval")
+    spark.createDataFrame(train, schema).write.parquet(
+        f"{tr_dir}/documents.parquet"
+    )
+    spark.createDataFrame(
+        [(100, ev_doc, "en", "bench", len(ev_doc))], schema
+    ).write.parquet(f"{ev_dir}/documents.parquet")
+
+    out = str(tmp_path / "clean")
+    report_out = str(tmp_path / "report")
+    audit = run_decontam(
+        spark, tr_dir, out, eval_dir=ev_dir, report_out=report_out
+    )
+    assert audit == {"n_docs": 4, "contaminated": 1, "dropped": 1, "kept": 3}
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/documents.parquet").collect()
+    }
+    assert kept == {2, 3, 4}
+    rep = spark.read.parquet(report_out).collect()
+    assert len(rep) == 1 and rep[0]["doc_id"] == 1
+    # doc 1 has 16 tokens -> 4 13-grams, 3 of which lie inside pre+run13
+    # ... only windows fully inside the planted run collide: exactly 1
+    assert rep[0]["n_ngrams"] == 4 and rep[0]["n_hit_ngrams"] == 1
+    # chainable: stats runs over the decontaminated output
+    assert run_stats(spark, out)["n_docs"] == 3

@@ -1450,3 +1450,77 @@ def test_cusum_finds_an_injected_mean_shift(spark, tmp_path):
     assert f["cp_didx"] == base_day  # all-tie -> earliest day
     assert f["direction"] == "flat"
     assert f["mean_before"] == 7.0 and f["mean_after"] == 7.0
+
+
+def test_incremental_contamination_equals_batch_and_builds_once(
+    spark, sf_dir, monkeypatch
+):
+    """`text_contamination_incremental`'s graded claim, pinned cross-op:
+    base-artifact + delta-probe must reproduce `text_contamination_ngram`
+    row for row (per-doc independence makes this equality), the phase
+    tag must follow doc_id % 10, and re-running on an unchanged corpus
+    must NOT rebuild the eval-index/base-report artifacts (filemap's
+    make edge, the _NB_INGEST_RUNS pattern)."""
+    import tempfile
+
+    import filemap_spark.operators.text as text_ops
+    from filemap_spark.testing import canonical_rows
+
+    monkeypatch.setenv(
+        "FILEMAP_WAREHOUSE", tempfile.mkdtemp(prefix="contam_inc_wh_")
+    )
+    before = text_ops._CONTAM_BASE_RUNS
+    inc = text_ops.text_contamination_incremental(spark, sf_dir)
+    inc_pd = inc.toPandas()
+    assert text_ops._CONTAM_BASE_RUNS == before + 1  # built once...
+    rerun = text_ops.text_contamination_incremental(spark, sf_dir).toPandas()
+    assert text_ops._CONTAM_BASE_RUNS == before + 1  # ...and only once
+    assert canonical_rows(rerun) == canonical_rows(inc_pd)
+
+    batch = text_ops.text_contamination_ngram(spark, sf_dir).toPandas()
+    assert canonical_rows(inc_pd.drop(columns=["ingest_phase"])) == (
+        canonical_rows(batch)
+    )
+    for _, r in inc_pd.iterrows():
+        want = "delta" if r["doc_id"] % 10 == 0 else "base"
+        assert r["ingest_phase"] == want
+        assert r["doc_id"] % 10 != 7  # eval docs never appear
+
+
+def test_mad_anomaly_flags_injected_outlier(spark, tmp_path):
+    """`ts_mad_anomaly` on a synthetic series with one planted spike must
+    flag exactly that day with the exact median/MAD values; a constant
+    series must flag nothing (m2 = 0 and D = 0: the rule is strict).
+    End-to-end signal check the parity oracle cannot provide."""
+    from filemap_spark.operators.aggregates import ts_mad_anomaly
+
+    base_day = 1_700_000_000_000_000 // 86_400_000_000
+    rows = []
+    for day in range(30):
+        ts = (base_day + day) * 86_400_000_000
+        # noisy: alternating 9/11 with a single 50-count spike replacing
+        # the day-20 "9" -> sorted counts are 9 x14, 11 x15, 50, so both
+        # middles are 11 (med2 22); D = |2n-22| is 0 x15, 4 x14, 78, so
+        # both D-middles straddle 0/4 (m2 4, MAD 1); only the spike
+        # passes 2*D > 3*m2
+        n_noisy = 50 if day == 20 else (9 if day % 2 == 0 else 11)
+        for i in range(n_noisy):
+            rows.append(("noisy", ts + i))
+        for i in range(7):  # constant 7/day: never flags
+            rows.append(("flat", ts + i))
+    df = spark.createDataFrame(rows, "event_type string, us long").select(
+        "event_type", F.timestamp_micros("us").alias("ts")
+    )
+    src = tmp_path / "mad"
+    src.mkdir()
+    df.write.parquet(str(src / "events.parquet"))
+
+    out = ts_mad_anomaly(spark, str(src)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["event_type"] == "noisy"
+    assert r["didx"] == base_day + 20
+    assert r["n"] == 50
+    assert r["med"] == 11.0
+    assert r["mad"] == 1.0
+    assert r["direction"] == "high"

@@ -4,16 +4,18 @@ at exactly #50), so round 16's window is the staging set (the
 warehouse-artifact incremental NB twin text_quality_incremental, the
 DSIR hashed-bigram importance-weight op text_dsir_importance, the
 interpolated Kneser-Ney bigram LM scorer text_kneser_ney_logprob, the
-13-gram benchmark-decontamination op text_contamination_ngram, and the
-CUSUM mean-shift detector ts_cusum_changepoint), the
-plan/kernel-changed regrades (_REGRADE_R16: EMPTY — all five debuts are
-purely additive, reusing the shared gopher/bucket/numeric helpers
+13-gram benchmark-decontamination op text_contamination_ngram, the
+CUSUM mean-shift detector ts_cusum_changepoint, the decontamination
+make-semantics twin text_contamination_incremental, and the robust MAD
+anomaly-day detector ts_mad_anomaly), the
+plan/kernel-changed regrades (_REGRADE_R16: EMPTY — all seven debuts
+are purely additive, reusing the shared gopher/bucket/numeric helpers
 read-only), the FULL 39-op r9-vintage drain (_VINTAGE9_R16, VERDICT r15
 task 1, join_left_outer and scan_projection leading per the r15
-hand-off note), and 6 oldest-r10 family-spread refreshes
-(_VINTAGE10_R16 — the second staging wave took three of the original
-nine slots; debuts outrank refreshes) — exactly
-5 + 0 + 39 + 6 = 50. After this round grades, no op's latest green
+hand-off note), and 4 oldest-r10 family-spread refreshes
+(_VINTAGE10_R16 — the second and third staging waves took five of the
+original nine slots; debuts outrank refreshes) — exactly
+7 + 0 + 39 + 4 = 50. After this round grades, no op's latest green
 driver row predates r10.
 
 Round-agnosticism (ADVICE r10 / VERDICT r10 task 2): the r10 versions of
@@ -67,9 +69,10 @@ def _latest_green() -> dict[str, int]:
 
 
 def test_staging_has_the_new_ops_and_blocks_are_green():
-    """Round 16 registers exactly five new ops (the incremental NB twin,
-    the DSIR importance-weight pass, the KN bigram LM scorer, the
-    13-gram decontamination op, and the CUSUM changepoint detector),
+    """Round 16 registers exactly seven new ops (the incremental NB
+    twin, the DSIR importance-weight pass, the KN bigram LM scorer, the
+    13-gram decontamination op, the CUSUM changepoint detector, the
+    decontamination make-semantics twin, and the MAD anomaly detector),
     which enter via _STAGING (the only legal path — they have no driver
     row yet); every other window block is a green-ledger subset."""
     order = list(all_queries())
@@ -79,6 +82,8 @@ def test_staging_has_the_new_ops_and_blocks_are_green():
         "text_kneser_ney_logprob",
         "text_contamination_ngram",
         "ts_cusum_changepoint",
+        "text_contamination_incremental",
+        "ts_mad_anomaly",
     )
     assert not set(_STAGING) & _DRIVER_GREEN
     assert _DRIVER_GREEN | set(_STAGING) == set(_META)
@@ -101,13 +106,16 @@ def test_window_is_staging_regrade_then_vintage9_then_vintage10():
 
 def test_regrade_block_is_empty_this_round():
     """Round-16 work is window hygiene, bench-bar recording, the two
-    rig-measurement re-records, CLI/doc polish, and five purely ADDITIVE
-    debuts — no existing op's plan or kernel helper changed, so the
-    regrade block is deliberately empty and its slots deepen the r10
+    rig-measurement re-records, CLI/doc polish, and seven purely
+    ADDITIVE debuts — no existing op's plan or kernel helper changed, so
+    the regrade block is deliberately empty and its slots deepen the r10
     refresh instead. (The incremental twin reuses _gopher_columns /
     _hash_bucket_col / the _NB_*_SQL strings read-only; the KN /
-    contamination / CUSUM wave reuses _tokens, davg_lnsafe,
-    mean_micro_6dp, and the ts_acf densify shape read-only.)"""
+    contamination / CUSUM / MAD waves reuse _tokens, davg_lnsafe,
+    mean_micro_6dp, and the ts_acf densify shape read-only — the one
+    within-round exception is the batch contamination op sharing its
+    _contam_ngrams/_contam_report kernel with its incremental twin,
+    both STAGED this round, so no graded plan changed.)"""
     assert _REGRADE_R16 == ()
 
 
@@ -136,19 +144,20 @@ def test_vintage10_block_is_r10_vintage():
     latest = _latest_green()
     for op in _VINTAGE10_R16:
         assert latest.get(op) == 10, (op, latest.get(op))
-    assert len(_VINTAGE10_R16) == 6
+    assert len(_VINTAGE10_R16) == 4
 
 
-def test_round16_registers_exactly_five_new_operators():
-    assert len(_META) == 323
-    # all five debuts are oracle-graded end to end: the incremental
+def test_round16_registers_exactly_seven_new_operators():
+    assert len(_META) == 325
+    # all seven debuts are oracle-graded end to end: the incremental NB
     # twin's oracle restates the base+delta count merge (incremental ≡
     # full retrain is the hash-checked claim), the DSIR oracle rebuilds
     # the hashed-bigram target/raw models, the KN oracle retrains the
-    # full continuation-count model, the contamination oracle re-derives
-    # both n-gram sides, and the CUSUM oracle re-ranks the exact-integer
-    # statistic cells
-    assert len(all_oracle()) == 294
+    # full continuation-count model, the contamination oracles (batch
+    # AND incremental) re-derive both n-gram sides in full, the CUSUM
+    # oracle re-ranks the exact-integer statistic cells, and the MAD
+    # oracle re-derives both positional medians
+    assert len(all_oracle()) == 296
 
 
 def test_green_tail_cost_tiers_nondecreasing():
