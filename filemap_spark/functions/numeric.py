@@ -150,3 +150,38 @@ def davg_lnsafe(expr: str, alias: str, count_expr: str = "count(*)") -> str:
     past any |ln| ≤ 20 workload)."""
     s = f"(100 * sum(cast(round(({expr}) * 10000) as bigint)))"
     return f"{mean_micro_6dp(s, count_expr)} as {alias}"
+
+
+def round6_half_away(expr: str) -> str:
+    """Deterministic 6dp rounding of a DOUBLE expression — half away from
+    zero, spelled in pure IEEE ops that are bit-identical across engines
+    on identical inputs (×1e6 and +0.5 are correctly rounded, floor is
+    exact, the final /1e6 is correctly rounded).
+
+    Replaces `round(x, 6)` where x is an engine-identical double QUOTIENT
+    (exact-integer numerator over a non-power-of-10 divisor): Spark's
+    Round routes through BigDecimal.valueOf — the double's SHORTEST
+    string — and HALF_UPs a literal trailing '.5' that DuckDB's
+    binary-value round sees as just below the tie, yielding ADJACENT 6dp
+    outputs on the SAME double (hypothesis-found round 16:
+    `covar_samp` 526698.486863 Spark vs ...862 DuckDB — the quotient's
+    shortest repr was exactly ...4868625). Here the tie is decided by
+    +0.5-then-floor on the binary value, identically in both engines;
+    the result differs from either engine's round() by at most one
+    µ-unit AT an exact shortest-repr tie, and — the property that
+    matters — never differs BETWEEN them.
+
+    PRECONDITION: |x| ≤ ~9e9 (so x·1e6 stays within int64/2^53 — the
+    same magnitude ceiling the module header documents for 6dp hash
+    stability). Spark's floor(double) returns BIGINT, DuckDB's returns
+    DOUBLE; both are exact integer values ≤ 2^53, and the final division
+    converts them to the identical double — the divisor is an explicit
+    cast-to-double because a bare `1000000.0` literal is DECIMAL in
+    Spark, which would drag the bigint floor into decimal division and
+    change the OUTPUT TYPE (9-scale decimal vs double)."""
+    return (
+        f"(case when ({expr}) < 0"
+        f" then -floor(-({expr}) * 1000000.0 + 0.5)"
+        f" else floor(({expr}) * 1000000.0 + 0.5) end)"
+        f" / cast(1000000 as double)"
+    )

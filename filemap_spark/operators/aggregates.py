@@ -19,6 +19,7 @@ from filemap_spark.functions.numeric import (
     dsum,
     mean_micro_6dp,
     quant_pos_fixed,
+    round6_half_away,
 )
 from filemap_spark.io import load_table
 from filemap_spark.registry import query
@@ -1569,7 +1570,12 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # variance numerators are cast to double BEFORE their product (the exact
 # product would need ~47 digits); each exact decimal converts to the
 # identical nearest double in both engines, and the remaining ops are IEEE.
-_CORR_COV_SQL = """
+# The three quotients round at 6dp through round6_half_away, NOT round():
+# the quotient doubles are engine-identical, but round() on a double whose
+# SHORTEST repr ends in '.5' splits the engines (Spark BigDecimal HALF_UP
+# up, DuckDB binary-value down) — hypothesis found the covar_samp case on
+# random 2dp data in round 16 (526698.486863 vs ...862).
+_CORR_COV_SQL = f"""
 WITH s AS (
   SELECT l_returnflag,
          cast(round(l_quantity * 100) AS bigint) AS xs,
@@ -1591,12 +1597,18 @@ WITH s AS (
   FROM a
 )
 SELECT l_returnflag, cast(n AS bigint) AS n,
-       round(cast(num_cov AS double)
-             / (cast(n AS double) * cast(n AS double) * 10000.0), 6) AS covar_pop,
-       round(cast(num_cov AS double)
-             / (cast(n AS double) * (cast(n AS double) - 1.0) * 10000.0), 6) AS covar_samp,
-       round(cast(num_cov AS double)
-             / sqrt(cast(num_var_x AS double) * cast(num_var_y AS double)), 6) AS corr_qty_price
+       {round6_half_away(
+           "cast(num_cov AS double)"
+           " / (cast(n AS double) * cast(n AS double) * 10000.0)"
+       )} AS covar_pop,
+       {round6_half_away(
+           "cast(num_cov AS double)"
+           " / (cast(n AS double) * (cast(n AS double) - 1.0) * 10000.0)"
+       )} AS covar_samp,
+       {round6_half_away(
+           "cast(num_cov AS double)"
+           " / sqrt(cast(num_var_x AS double) * cast(num_var_y AS double))"
+       )} AS corr_qty_price
 FROM f ORDER BY l_returnflag
 """
 

@@ -8,14 +8,15 @@ interpolated Kneser-Ney bigram LM scorer text_kneser_ney_logprob, the
 CUSUM mean-shift detector ts_cusum_changepoint, the decontamination
 make-semantics twin text_contamination_incremental, and the robust MAD
 anomaly-day detector ts_mad_anomaly), the
-plan/kernel-changed regrades (_REGRADE_R16: EMPTY — all seven debuts
-are purely additive, reusing the shared gopher/bucket/numeric helpers
-read-only), the FULL 39-op r9-vintage drain (_VINTAGE9_R16, VERDICT r15
-task 1, join_left_outer and scan_projection leading per the r15
-hand-off note), and 4 oldest-r10 family-spread refreshes
-(_VINTAGE10_R16 — the second and third staging waves took five of the
-original nine slots; debuts outrank refreshes) — exactly
-7 + 0 + 39 + 4 = 50. After this round grades, no op's latest green
+plan/kernel-changed regrades (_REGRADE_R16: agg_corr_cov, whose 6dp
+rounding moved to round6_half_away after hypothesis found the round()
+cross-engine shortest-repr tie), the FULL 39-op r9-vintage drain
+(_VINTAGE9_R16, VERDICT r15 task 1, join_left_outer and
+scan_projection leading per the r15 hand-off note), and 3 oldest-r10
+family-spread refreshes (_VINTAGE10_R16 — the second and third staging
+waves took five of the original nine slots and the regrade a sixth;
+debuts and regrades outrank refreshes) — exactly
+7 + 1 + 39 + 3 = 50. After this round grades, no op's latest green
 driver row predates r10.
 
 Round-agnosticism (ADVICE r10 / VERDICT r10 task 2): the r10 versions of
@@ -104,19 +105,20 @@ def test_window_is_staging_regrade_then_vintage9_then_vintage10():
     assert len(head) == len(set(head)) == WINDOW
 
 
-def test_regrade_block_is_empty_this_round():
-    """Round-16 work is window hygiene, bench-bar recording, the two
-    rig-measurement re-records, CLI/doc polish, and seven purely
-    ADDITIVE debuts — no existing op's plan or kernel helper changed, so
-    the regrade block is deliberately empty and its slots deepen the r10
-    refresh instead. (The incremental twin reuses _gopher_columns /
-    _hash_bucket_col / the _NB_*_SQL strings read-only; the KN /
-    contamination / CUSUM / MAD waves reuse _tokens, davg_lnsafe,
-    mean_micro_6dp, and the ts_acf densify shape read-only — the one
-    within-round exception is the batch contamination op sharing its
+def test_regrade_block_is_the_corr_cov_rounding_fix():
+    """Round-16 regrades exactly one op: agg_corr_cov, whose shared
+    kernel's three output quotients moved from round(x, 6) to
+    numeric.round6_half_away after hypothesis found random 2dp data
+    where the engines' round() split on a shortest-repr '.5' double
+    (tests/test_properties.py now replays that example). The seven
+    debuts are purely ADDITIVE (the incremental twin reuses
+    _gopher_columns / _hash_bucket_col / the _NB_*_SQL strings
+    read-only; the KN / contamination / CUSUM / MAD waves reuse
+    _tokens, davg_lnsafe, mean_micro_6dp, and the ts_acf densify shape
+    read-only — the batch contamination op shares its
     _contam_ngrams/_contam_report kernel with its incremental twin,
-    both STAGED this round, so no graded plan changed.)"""
-    assert _REGRADE_R16 == ()
+    both STAGED this round, so no graded plan changed there)."""
+    assert _REGRADE_R16 == ("agg_corr_cov",)
 
 
 def test_no_op_stranded_before_vintage9():
@@ -144,7 +146,7 @@ def test_vintage10_block_is_r10_vintage():
     latest = _latest_green()
     for op in _VINTAGE10_R16:
         assert latest.get(op) == 10, (op, latest.get(op))
-    assert len(_VINTAGE10_R16) == 4
+    assert len(_VINTAGE10_R16) == 3
 
 
 def test_round16_registers_exactly_seven_new_operators():

@@ -653,3 +653,67 @@ def test_nb_count_ledger_stream_merges_to_full_retrain(spark, sf_dir, tmp_path):
     }
     assert ledger == full
     assert -1 in ledger, "doc-prior row (bucket = -1) missing from the ledger"
+
+
+def test_contamination_stream_probe_unions_to_batch_report(spark, sf_dir, tmp_path):
+    """The decontamination pass's foreachBatch twin (round 16): the
+    benchmark n-gram index is built ONCE; train documents arrive in
+    micro-batches and each batch pays only its own 13-gram explode +
+    probe against that fixed index — old batches are never re-read. The
+    union of per-batch collision reports must equal the one-shot
+    `text_contamination_ngram` report row for row (per-doc independence
+    — the same argument `text_contamination_incremental`'s oracle
+    grades in batch form)."""
+    from filemap_spark.io import load_table
+    from filemap_spark.operators.text import (
+        _contam_ngrams,
+        _contam_report,
+        text_contamination_ngram,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = (
+        _contam_ngrams(
+            docs.where("doc_id % 10 = 7").select(
+                "doc_id", F.split("text", " ").alias("ws")
+            )
+        )
+        .select("ng")
+        .distinct()
+        .localCheckpoint()  # the fixed benchmark index, built once
+    )
+    input_dir = str(tmp_path / "train_in")
+    docs.where("doc_id % 10 != 7").repartition(3).write.parquet(input_dir)
+    schema = spark.read.parquet(input_dir).schema
+
+    rows: list = []
+    batches: list = []
+
+    def sink(batch_df, batch_id):
+        ws = batch_df.select("doc_id", F.split("text", " ").alias("ws"))
+        rows.extend(_contam_report(_contam_ngrams(ws), ev).collect())
+        batches.append(batch_id)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batches) >= 2, "stream must actually run multiple micro-batches"
+
+    key = (
+        "doc_id", "n_ngrams", "n_hit_ngrams", "n_hit_occurrences",
+        "contamination_frac",
+    )
+    got = [tuple(r[k] for k in key) for r in rows]
+    assert len(got) == len({t[0] for t in got}), "a doc reported twice"
+    want = {
+        tuple(r[k] for k in key)
+        for r in text_contamination_ngram(spark, sf_dir).collect()
+    }
+    assert set(got) == want
