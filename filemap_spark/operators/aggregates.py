@@ -1818,9 +1818,22 @@ def agg_entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# share_pct quotient shared verbatim by the oracle and the Spark plan
+# (round 17): exact int64 numerator c·100, ONE cast to double per
+# operand, one IEEE division — engine-identical — then 6dp through
+# round6_half_away instead of round(): the quotient is exactly the
+# rational class whose shortest-repr '.5' ties split Spark's BigDecimal
+# HALF_UP from DuckDB's binary round (the r16 corr_cov incident;
+# functions/numeric.py:155 documents the mechanism, SURVEY r16 bullet
+# the triage that queued this site).
+_HH_SHARE_PCT = round6_half_away(
+    "cast(c * 100 as double) / cast(n_total as double)"
+)
+
+
 @query(
     "agg_heavy_hitters",
-    oracle="""
+    oracle=f"""
     WITH c AS (
       SELECT user_id, count(*) AS c FROM events GROUP BY user_id
     ), t AS (
@@ -1829,7 +1842,7 @@ def agg_entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
     )
     SELECT user_id, c AS n_events,
-           round(c * 100.0 / n_total, 6) AS share_pct
+           {_HH_SHARE_PCT} AS share_pct
     FROM c CROSS JOIN t
     WHERE c * n_users > 2 * n_total
     ORDER BY n_events DESC, user_id
@@ -1861,7 +1874,7 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("c").alias("n_events"),
-            F.expr("round(c * 100.0 / n_total, 6)").alias("share_pct"),
+            F.expr(_HH_SHARE_PCT).alias("share_pct"),
         )
         .orderBy(F.desc("n_events"), F.asc("user_id"))
     )
@@ -2129,9 +2142,21 @@ def agg_revenue_band_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# promo_pct quotient shared verbatim by the oracle and the Spark plan
+# (round 17): both operands are exact int64 micro-sums cast once to
+# double, the ×100 and the division are correctly-rounded IEEE ops —
+# engine-identical — and the 6dp goes through round6_half_away instead
+# of round() (the r16 corr_cov tie class; triage in the SURVEY r16
+# bullet queued this site).
+_Q14_PROMO_PCT = round6_half_away(
+    "cast(100 as double) * cast(promo_micro as double)"
+    " / cast(total_micro as double)"
+)
+
+
 @query(
     "agg_promo_share_q14",
-    oracle="""
+    oracle=f"""
     WITH s AS (
       SELECT sum(CASE WHEN p_type = 'PROMO' THEN
                cast(round(l_extendedprice * (1 - l_discount) * 1000000) AS bigint)
@@ -2143,8 +2168,7 @@ def agg_revenue_band_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
     )
-    SELECT round(100.0 * cast(promo_micro AS double) / cast(total_micro AS double), 6)
-             AS promo_pct,
+    SELECT {_Q14_PROMO_PCT} AS promo_pct,
            cast(cast(promo_micro AS decimal(38,6)) / 1000000 AS double) AS promo_revenue,
            cast(cast(total_micro AS decimal(38,6)) / 1000000 AS double) AS total_revenue,
            cast(n_lines AS bigint) AS n_lines
@@ -2189,11 +2213,7 @@ def agg_promo_share_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     descale = lambda c: f"cast(cast({c} as decimal(38,6)) / 1000000 as double)"  # noqa: E731
     return s.select(
-        F.round(
-            100.0 * F.col("promo_micro").cast("double")
-            / F.col("total_micro").cast("double"),
-            6,
-        ).alias("promo_pct"),
+        F.expr(_Q14_PROMO_PCT).alias("promo_pct"),
         F.expr(descale("promo_micro")).alias("promo_revenue"),
         F.expr(descale("total_micro")).alias("total_revenue"),
         F.col("n_lines").cast("bigint").alias("n_lines"),
@@ -3943,9 +3963,16 @@ _WELCH_STATS = """
 
 # Welch components from exact milli-unit power sums; va/vb are sample
 # variances in VALUE units (the /1e6 descale of milli² units).
-_WELCH_FINAL = """
+# mean_diff is a difference of exact-rational quotients — the r16
+# corr_cov round() tie class — so its 6dp goes through round6_half_away
+# (round 17; triage in the SURVEY r16 bullet). t_stat keeps round():
+# the sqrt in its denominator makes the quotient irrational, outside
+# the shortest-repr-'.5' tie class (the triage's safe classes).
+_WELCH_FINAL = f"""
     cast(n_a AS bigint) AS n_a, cast(n_b AS bigint) AS n_b,
-    round((cast(sa AS double) / n_a - cast(sb AS double) / n_b) / 1000, 6)
+    {round6_half_away(
+        "(cast(sa AS double) / n_a - cast(sb AS double) / n_b) / 1000"
+    )}
       AS mean_diff,
     round(((cast(sa AS double) / n_a - cast(sb AS double) / n_b) / 1000)
           / sqrt(((cast(n_a AS double) * ssa - cast(sa AS double) * sa)
@@ -4520,9 +4547,12 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE events scan reduced map-side to O(types × span-days)
     cells; both windows are PARTITIONED by event_type (never global) and
     the rank window runs on the same bounded frame — no join-back, no
-    driver state. Capacity: exact through tot ≤ ~9e12 events/type
-    (int64 µ-unit ceiling); past that swap the means to the
-    dsum_decimal path, the statistic column is ×n-scaled already."""
+    driver state. Capacity: exact through tot ≤ ~4e9 events/type — the
+    binding ceiling is the split means, which feed cum·1e6 into
+    mean_micro_6dp, whose exact-division argument needs the scaled sum
+    ≤ ~4e15 (2^53), not the raw int64 range (ADVICE r16); past that
+    swap the two means to the dsum_decimal path, the statistic column
+    is ×n-scaled already and exact through tot ≤ ~9e12."""
     ev = load_table(spark, sf_dir, "events")
     sparse = ev.groupBy(
         "event_type",
@@ -4586,7 +4616,11 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Exact positional medians carried ×2 so even-count midpoints (x.5)
 # never leave int64: med2 = x_(⌈n/2⌉) + x_(⌊n/2⌋+1) over the value-sorted
-# cells (both picks are the middle element when n is odd). The MAD is
+# cells. The two positional picks MUST be summed as two separate CASE
+# terms: when n is odd both ranks name the same middle row, and a single
+# OR-predicate CASE would count it once — halving med2 (ADVICE r16 high;
+# regression pinned by the odd-span test against statistics.median).
+# The MAD is
 # the same construction over D = |2·x − med2| (= 2·|x − med|), so
 # m2 = 2·median(D) = 4·MAD, and the k=3 robust-outlier rule
 # |x − med| > 3·MAD becomes the pure-integer comparison 2·D > 3·m2.
@@ -4613,8 +4647,9 @@ _MAD_CELLS_SQL = """,
       FROM daily
     ), med AS (
       SELECT event_type,
-             cast(sum(CASE WHEN rn = (nd + 1) // 2 OR rn = nd // 2 + 1
-                           THEN n ELSE 0 END) AS bigint) AS med2
+             cast(sum(CASE WHEN rn = (nd + 1) // 2 THEN n ELSE 0 END)
+                + sum(CASE WHEN rn = nd // 2 + 1 THEN n ELSE 0 END)
+                  AS bigint) AS med2
       FROM st GROUP BY event_type
     ), dev AS (
       SELECT s.event_type, s.didx, s.n, m.med2,
@@ -4628,8 +4663,9 @@ _MAD_CELLS_SQL = """,
       FROM dev
     ), mad AS (
       SELECT event_type,
-             cast(sum(CASE WHEN rn = (nd + 1) // 2 OR rn = nd // 2 + 1
-                           THEN d ELSE 0 END) AS bigint) AS m2
+             cast(sum(CASE WHEN rn = (nd + 1) // 2 THEN d ELSE 0 END)
+                + sum(CASE WHEN rn = nd // 2 + 1 THEN d ELSE 0 END)
+                  AS bigint) AS m2
       FROM dst GROUP BY event_type
     )
 """
@@ -4711,12 +4747,20 @@ def ts_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_val).alias("rn"),
         F.count("*").over(w_all).cast("bigint").alias("nd"),
     )
+    # two separate positional sums, NOT one OR-predicate: for odd nd the
+    # two ranks coincide and the middle row must be counted twice.
     med = st.groupBy("event_type").agg(
-        F.sum(
-            F.when(
-                F.expr("rn = (nd + 1) div 2 or rn = nd div 2 + 1"),
-                F.col("n"),
-            ).otherwise(F.lit(0))
+        (
+            F.sum(
+                F.when(F.expr("rn = (nd + 1) div 2"), F.col("n")).otherwise(
+                    F.lit(0)
+                )
+            )
+            + F.sum(
+                F.when(F.expr("rn = nd div 2 + 1"), F.col("n")).otherwise(
+                    F.lit(0)
+                )
+            )
         ).cast("bigint").alias("med2")
     )
     dev = st.select("event_type", "didx", "n").join(med, "event_type").select(
@@ -4734,11 +4778,17 @@ def ts_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w_all).cast("bigint").alias("nd"),
     )
     mad = dst.groupBy("event_type").agg(
-        F.sum(
-            F.when(
-                F.expr("rn = (nd + 1) div 2 or rn = nd div 2 + 1"),
-                F.col("d"),
-            ).otherwise(F.lit(0))
+        (
+            F.sum(
+                F.when(F.expr("rn = (nd + 1) div 2"), F.col("d")).otherwise(
+                    F.lit(0)
+                )
+            )
+            + F.sum(
+                F.when(F.expr("rn = nd div 2 + 1"), F.col("d")).otherwise(
+                    F.lit(0)
+                )
+            )
         ).cast("bigint").alias("m2")
     )
     return (

@@ -5051,8 +5051,11 @@ text_contamination_ngram.__doc__ = text_contamination_ngram.__doc__.format(
 
 
 # Train-once pin for the incremental decontamination twin: how many
-# times the base-report/eval-index artifacts were BUILT this process
-# (tests assert 1 across repeated runs on an unchanged corpus).
+# times the base-report/eval-index artifacts were BUILT this process —
+# BOTH builders increment it (ADVICE r16: a warehouse holding the eval
+# index but not the base report — a run killed between the two writes —
+# must still show the base rebuild), so a cold warehouse reads +2 and
+# repeated runs on an unchanged corpus add 0.
 _CONTAM_BASE_RUNS = 0
 
 
@@ -5187,6 +5190,8 @@ def text_contamination_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     def build_base() -> DataFrame:
+        global _CONTAM_BASE_RUNS
+        _CONTAM_BASE_RUNS += 1
         return _contam_report(
             ng.where(~is_eval & ~is_delta), ev
         ).coalesce(1)

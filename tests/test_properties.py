@@ -479,6 +479,62 @@ def test_mean_micro_6dp_batch_cross_engine(spark):
 
 
 @settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["click", "signup", "view"]),
+            st.integers(min_value=-10_000_00, max_value=10_000_00),  # cents
+        ),
+        min_size=1,
+        max_size=150,
+    ),
+)
+def test_welch_kernel_matches_duckdb_on_random_data(spark, rows):
+    """Round-17 extension of the corr_cov property (VERDICT r16 task 1):
+    the shared _WELCH_STATS/_WELCH_FINAL text over RANDOM 2-decimal
+    values must produce identical results in Spark and DuckDB — the
+    mean_diff quotient moved from round(x, 6) to round6_half_away
+    because a difference of exact-rational quotients is precisely the
+    class where the engines' round() can split on a shortest-repr '.5'
+    double. Two distinct anchor rows per group keep both sample
+    variances strictly positive (t_stat's denominator)."""
+    import duckdb
+
+    from filemap_spark.operators.aggregates import _WELCH_FINAL, _WELCH_STATS
+
+    data = [(t, c / 100.0) for t, c in rows]
+    for t in ("click", "signup"):
+        data += [(t, -355.25), (t, 7043.75)]  # variance anchors
+
+    sql = (
+        "WITH q AS (SELECT event_type,"
+        " cast(round(value * 1000) AS bigint) AS q FROM welch_ev"
+        " WHERE event_type IN ('click', 'signup')),"
+        f" s AS (SELECT {_WELCH_STATS} FROM q)"
+        f" SELECT {_WELCH_FINAL} FROM s"
+    )
+    sdf = spark.createDataFrame(data, "event_type string, value double")
+    sdf.createOrReplaceTempView("welch_ev")
+    try:
+        got = spark.sql(sql).toPandas()
+    finally:
+        spark.catalog.dropTempView("welch_ev")
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE welch_ev (event_type VARCHAR, value DOUBLE)")
+        con.executemany("INSERT INTO welch_ev VALUES (?, ?)", data)
+        expect = con.execute(sql).df()
+    finally:
+        con.close()
+    assert canonical_rows(got) == canonical_rows(expect)
+
+
+@settings(
     max_examples=15,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],

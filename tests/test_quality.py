@@ -1460,7 +1460,10 @@ def test_incremental_contamination_equals_batch_and_builds_once(
     row for row (per-doc independence makes this equality), the phase
     tag must follow doc_id % 10, and re-running on an unchanged corpus
     must NOT rebuild the eval-index/base-report artifacts (filemap's
-    make edge, the _NB_INGEST_RUNS pattern)."""
+    make edge, the _NB_INGEST_RUNS pattern). A cold warehouse counts +2
+    on _CONTAM_BASE_RUNS — one eval-index build, one base-report build
+    (ADVICE r16: each builder increments, so a warehouse holding the
+    eval index but not the base report still shows the base rebuild)."""
     import tempfile
 
     import filemap_spark.operators.text as text_ops
@@ -1472,9 +1475,9 @@ def test_incremental_contamination_equals_batch_and_builds_once(
     before = text_ops._CONTAM_BASE_RUNS
     inc = text_ops.text_contamination_incremental(spark, sf_dir)
     inc_pd = inc.toPandas()
-    assert text_ops._CONTAM_BASE_RUNS == before + 1  # built once...
+    assert text_ops._CONTAM_BASE_RUNS == before + 2  # eval + base, once each
     rerun = text_ops.text_contamination_incremental(spark, sf_dir).toPandas()
-    assert text_ops._CONTAM_BASE_RUNS == before + 1  # ...and only once
+    assert text_ops._CONTAM_BASE_RUNS == before + 2  # ...and only once
     assert canonical_rows(rerun) == canonical_rows(inc_pd)
 
     batch = text_ops.text_contamination_ngram(spark, sf_dir).toPandas()
@@ -1523,4 +1526,40 @@ def test_mad_anomaly_flags_injected_outlier(spark, tmp_path):
     assert r["n"] == 50
     assert r["med"] == 11.0
     assert r["mad"] == 1.0
+    assert r["direction"] == "high"
+
+
+def test_mad_anomaly_odd_span_median_matches_statistics_median(spark, tmp_path):
+    """ADVICE r16 (high) regression: on an ODD-length day span the two
+    positional median ranks (nd+1)//2 and nd//2+1 name the SAME middle
+    row, and the original single OR-predicate CASE counted it once —
+    halving med2/m2 and centering the flag rule on med/2. Pin med/mad on
+    a 31-day series against Python statistics.median of the exact same
+    counts (the even-span case is covered by the 30-day test above)."""
+    import statistics
+
+    from filemap_spark.operators.aggregates import ts_mad_anomaly
+
+    base_day = 1_700_000_000_000_000 // 86_400_000_000
+    counts = [60 if d == 20 else (9 if d % 2 == 0 else 11) for d in range(31)]
+    rows = []
+    for day, n in enumerate(counts):
+        ts = (base_day + day) * 86_400_000_000
+        rows.extend(("odd", ts + i) for i in range(n))
+    df = spark.createDataFrame(rows, "event_type string, us long").select(
+        "event_type", F.timestamp_micros("us").alias("ts")
+    )
+    src = tmp_path / "mad_odd"
+    src.mkdir()
+    df.write.parquet(str(src / "events.parquet"))
+
+    med = statistics.median(counts)  # 11 (16th of 31 sorted: 9x15,11x15,60)
+    mad = statistics.median([abs(n - med) for n in counts])  # 2
+    out = ts_mad_anomaly(spark, str(src)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["didx"] == base_day + 20
+    assert r["n"] == 60
+    assert r["med"] == float(med) == 11.0
+    assert r["mad"] == float(mad) == 2.0
     assert r["direction"] == "high"
