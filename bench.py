@@ -139,6 +139,21 @@ BASELINE_WARM_SF01 = {
     "text_quality_classifier": 1.65,
     "text_classifier_holdout_eval": 1.46,
     "agg_theil_index": 0.98,
+    # round-16 staged debuts, denominators recorded r17 (BASELINE.md
+    # Table 9): min over two post-certified windows per family, the
+    # second with family-mates leading the batch so the denominator is
+    # measured at the warmed-JIT position the bench suite actually
+    # gates (the canary-adjacent first-op position reads 1.7-3x its
+    # in-suite time; protocol note in Table 9). ts_mad_anomaly's
+    # denominator times the FIXED odd-span-median plan (ADVICE r16
+    # high — recorded after the two-CASE-sum fix landed).
+    "ts_cusum_changepoint": 0.99,
+    "ts_mad_anomaly": 0.94,
+    "text_quality_incremental": 1.79,
+    "text_dsir_importance": 1.46,
+    "text_kneser_ney_logprob": 1.36,
+    "text_contamination_ngram": 1.34,
+    "text_contamination_incremental": 0.95,
 }
 
 # Per-family bar scaling (round 13, VERDICT r12 task 3). The r12 interleaved
@@ -171,6 +186,16 @@ SHUFFLE_DOMINATED = {
     "text_quality_classifier",
     "text_classifier_holdout_eval",
     "agg_theil_index",
+    # r16 debuts classified r17 (BASELINE.md Table 9: all five text ops
+    # are dominated by corpus-sized token/bigram/13-gram explode
+    # exchanges — the NB-pair shape; the two ts debuts are SCAN family:
+    # map-side partial agg collapses events to O(types×days) cells, so
+    # no corpus-sized exchange exists in their plans)
+    "text_quality_incremental",
+    "text_dsir_importance",
+    "text_kneser_ney_logprob",
+    "text_contamination_ngram",
+    "text_contamination_incremental",
     "agg_decile_lift",
     "agg_ks_two_sample",
     "dedup_incremental_lsh_delta",
@@ -338,6 +363,17 @@ EXTENDED_HEADLINE = (
     "text_quality_classifier",
     "text_classifier_holdout_eval",
     "agg_theil_index",
+    # round-16 staged debuts, GRADUATED round 17 (VERDICT r16 task 2):
+    # BASELINE.md Table 9 denominators — the ts pair under a
+    # post-certified scan window, the text five under post-certified
+    # shuffle windows
+    "ts_cusum_changepoint",
+    "ts_mad_anomaly",
+    "text_quality_incremental",
+    "text_dsir_importance",
+    "text_kneser_ney_logprob",
+    "text_contamination_ngram",
+    "text_contamination_incremental",
 )
 
 # Next staging wave: new ops land here first, timed into the DETAIL
@@ -347,13 +383,8 @@ EXTENDED_HEADLINE = (
 # count here; ADVICE r14 caught the comment drifting from the tuple
 # (the five r15 debuts graduated this round with Table 8 denominators).
 STAGED_HEADLINE = (
-    "text_quality_incremental",
-    "text_dsir_importance",
-    "text_kneser_ney_logprob",
-    "text_contamination_ngram",
-    "ts_cusum_changepoint",
-    "text_contamination_incremental",
-    "ts_mad_anomaly",
+    "text_dsir_resample",
+    "dedup_exact_substring",
 )
 
 

@@ -10,9 +10,10 @@ over directories of text files), re-expressed on Spark.
     python -m filemap_spark query SF_DIR "SELECT ..."   # SQL over views
     python -m filemap_spark dedup SF_DIR OUTPUT --method near  # clean corpus
     python -m filemap_spark quality SF_DIR OUTPUT [--clean-lines] \
-        [--gate learned] [--scores-out DIR]  # rule gate, or the trained
-        # NB tier; --scores-out exports the per-doc verdict frame
-        # (OUTPUT='-' = scores only, no kept corpus)
+        [--gate learned|dsir|kn] [--scores-out DIR]  # rule gate, the
+        # trained NB tier, the DSIR importance gate, or the KN
+        # perplexity-median gate; --scores-out exports the per-doc
+        # verdict frame (OUTPUT='-' = scores only, no kept corpus)
     python -m filemap_spark decontam SF_DIR OUTPUT --eval-dir BENCH \
         [--max-frac F] [--report-out DIR]  # drop docs sharing a
         # 13-gram with the benchmark corpus (text_contamination_ngram)
@@ -609,6 +610,14 @@ def run_quality(
     graded operators; returns the audit the operator reads before
     trusting the gate.
 
+    `--gate dsir` (round 17, VERDICT r16 task 6) gates on
+    `text_dsir_importance`'s keep flag (exact-int log importance weight
+    > 0: the doc looks more target-like than raw-average); `--gate kn`
+    gates on `text_kneser_ney_logprob`'s per-doc mean −ln p at or under
+    the corpus MEDIAN (exact percentile — the CCNet perplexity-gate
+    shape; docs too short to have a bigram are unscored and dropped,
+    counted in the audit).
+
     `scores_out` (round 16, VERDICT r15 task 7) exports the PER-DOC
     verdict frame as a parquet dataset — the learned gate's
     (doc_id, n_tokens, nb_score, nb_verdict, gopher_verdict, agree), or
@@ -619,7 +628,9 @@ def run_quality(
     from filemap_spark.io import load_table
     from filemap_spark.operators.text import (
         dedup_line_level,
+        text_dsir_importance,
         text_gopher_rules,
+        text_kneser_ney_logprob,
         text_quality_classifier,
     )
 
@@ -686,6 +697,43 @@ def run_quality(
                 "scored": audit_row["scored"],
                 "kept": int(audit_row["kept"]),
                 "agree_with_rules": int(audit_row["agree"]),
+            }
+        elif gate == "dsir":
+            verdicts = text_dsir_importance(spark, input_dir)
+            if scores_out:
+                verdicts = verdicts.localCheckpoint()
+            audit_row = verdicts.agg(
+                F.count("*").alias("scored"),
+                F.coalesce(F.sum("dsir_keep"), F.lit(0)).alias("kept"),
+                F.coalesce(
+                    F.sum(F.when(F.col("n_feats") == 0, 1).otherwise(0)),
+                    F.lit(0),
+                ).alias("zero_feat"),
+            ).collect()[0]
+            keepers = verdicts.where(F.col("dsir_keep") == 1).select("doc_id")
+            audit = {
+                "scored": audit_row["scored"],
+                "kept": int(audit_row["kept"]),
+                "zero_feature_docs": int(audit_row["zero_feat"]),
+            }
+        elif gate == "kn":
+            # one execution: the median threshold and the keep filter both
+            # read the scored frame
+            verdicts = text_kneser_ney_logprob(spark, input_dir).localCheckpoint()
+            audit_row = verdicts.agg(
+                F.count("*").alias("scored"),
+                F.expr("percentile(avg_neg_logp, 0.5)").alias("med"),
+            ).collect()[0]
+            med = audit_row["med"]
+            keepers = verdicts.where(
+                F.col("avg_neg_logp") <= F.lit(med)
+            ).select("doc_id")
+            kept = keepers.count()
+            audit = {
+                "scored": audit_row["scored"],
+                "kept": kept,
+                "unscored_short_docs": n_docs - audit_row["scored"],
+                "median_neg_logp": round(float(med), 6) if med is not None else None,
             }
         else:
             verdicts = text_gopher_rules(spark, input_dir)
@@ -874,10 +922,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument(
         "--gate",
-        choices=("rules", "learned"),
+        choices=("rules", "learned", "dsir", "kn"),
         default="rules",
         help="rules = the Gopher conjunction (default); learned = the "
-        "trained Naive-Bayes tier (text_quality_classifier)",
+        "trained Naive-Bayes tier (text_quality_classifier); dsir = the "
+        "hashed-bigram importance-weight gate (text_dsir_importance, "
+        "keep iff log p_target/p_raw > 0); kn = the Kneser-Ney "
+        "perplexity gate (text_kneser_ney_logprob, keep iff the doc's "
+        "mean -ln p is at or under the corpus median)",
     )
     p.add_argument(
         "--scores-out",

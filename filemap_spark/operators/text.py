@@ -5222,3 +5222,328 @@ def text_contamination_incremental(spark: SparkSession, sf_dir: str) -> DataFram
 text_contamination_incremental.__doc__ = (
     text_contamination_incremental.__doc__.format(N=_CONTAM_N)
 )
+
+
+# --- round 17 debuts -------------------------------------------------------
+
+# DSIR resampling (the paper's back half): Gumbel-top-k sampling without
+# replacement with probability ∝ exp(log importance weight). The Gumbel
+# key is EXACT int64 end to end: the hashed-bigram log-weight s is
+# already an integer in 1e-4 units (_DSIR_Q_SQL), and the per-doc Gumbel
+# noise g = −ln(−ln(u)) quantizes at the same 1e-4 scale, so
+# key = s + g_q orders identically in both engines (doc_id tiebreak).
+# u is an exact rational from an md5 slice: h ∈ [0, 2^32), u = (h+1) /
+# (2^32+1) ∈ (0,1) strictly — both ln endpoints are safe.
+_DSIR_RESAMPLE_K = 100
+_DSIR_RESAMPLE_SALT = "dsir-resample-"
+# Engine-identical Gumbel noise in 1e-4 q-units over an exact bigint h.
+# ln is libm (1-ulp engine skew possible); the 1e4 quantization makes a
+# boundary flip need ~1e-15 luck against a 1e-4 grid — the documented
+# davg_lnsafe risk class. The divisor is cast-to-double (a bare decimal
+# literal would flip Spark into decimal division).
+_DSIR_GUMBEL_Q_SQL = (
+    "cast(round(-ln(-ln(cast(h + 1 as double)"
+    " / cast(4294967297 as double))) * 10000) as bigint)"
+)
+# exact 1e-4-unit integer -> double, via the decimal descale path
+_DSIR_KEY_SQL = "cast(cast(key as decimal(38,4)) / 10000 as double)"
+
+
+@query(
+    "text_dsir_resample",
+    cost=1.1,
+    oracle=f"""
+    WITH {{GOPHER}}, big AS (
+      SELECT doc_id, gopher_verdict, w[i] || ' ' || w[i + 1] AS bg
+      FROM (SELECT doc_id, gopher_verdict, w,
+                   unnest(generate_series(1, len(w) - 1)) AS i
+            FROM lab)
+    ), bb AS (
+      SELECT doc_id, gopher_verdict,
+             CAST(('0x' || substr(md5(bg), 1, 4)) AS INT)
+               % {_HASH_FEATURE_BUCKETS} AS bucket
+      FROM big
+    ), raw AS (
+      SELECT bucket, cast(count(*) AS bigint) AS rk,
+             cast(sum(CASE WHEN gopher_verdict = 'keep' THEN 1 ELSE 0 END)
+                  AS bigint) AS tk
+      FROM bb GROUP BY bucket
+    ), tot AS (
+      SELECT cast(sum(rk) AS bigint) AS tr, cast(sum(tk) AS bigint) AS tt
+      FROM raw
+    ), lo AS (
+      SELECT bucket, {{DSIRQ}} AS q FROM raw CROSS JOIN tot
+    ), db AS (
+      SELECT doc_id, bucket, count(*) AS n FROM bb GROUP BY doc_id, bucket
+    ), sc AS (
+      SELECT doc_id, cast(sum(n * q) AS bigint) AS s,
+             cast(sum(n) AS bigint) AS n_feats
+      FROM db JOIN lo USING (bucket) GROUP BY doc_id
+    ), alldocs AS (
+      SELECT lab.doc_id,
+             cast(coalesce(sc.n_feats, 0) AS bigint) AS n_feats,
+             cast(coalesce(sc.s, 0) AS bigint) AS s
+      FROM lab LEFT JOIN sc ON lab.doc_id = sc.doc_id
+    ), keyed AS (
+      SELECT doc_id, n_feats, s,
+             s + {_DSIR_GUMBEL_Q_SQL} AS key
+      FROM (SELECT *,
+                   CAST(('0x' || substr(md5('{_DSIR_RESAMPLE_SALT}'
+                        || cast(doc_id AS varchar)), 1, 8)) AS BIGINT) AS h
+            FROM alldocs)
+    )
+    SELECT doc_id, n_feats,
+           {_DSIR_SCORE_SQL} AS log_importance,
+           {_DSIR_KEY_SQL} AS sample_key
+    FROM keyed
+    ORDER BY key DESC, doc_id
+    LIMIT {_DSIR_RESAMPLE_K}
+    """.replace("{GOPHER}", _GOPHER_LABEL_CTES).replace(
+        "{DSIRQ}", _DSIR_Q_SQL
+    ),
+)
+def text_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR resampling (round 17) — the back half of Data Selection via
+    Importance Resampling (Xie et al. 2023), closing the loop
+    `text_dsir_importance` opened: having learned per-doc log importance
+    weights log(p_target/p_raw) under hashed-bigram models, SELECT the
+    training subset by sampling WITHOUT replacement with probability
+    ∝ exp(weight). The selection uses the Gumbel-top-k identity (the
+    paper's resampling step made deterministic): key_i = logw_i + g_i
+    with g_i ~ Gumbel(0,1), take the top k keys — equivalent in
+    distribution to softmax sampling without replacement, and
+    reproducible here because the "noise" is a hash of the doc_id.
+
+    Determinism (the grading point): the log-weight s is ALREADY an
+    exact int64 in 1e-4 units (the _DSIR_Q_SQL quantization), the
+    Gumbel noise quantizes at the same 1e-4 grid from an exact md5
+    rational u = (h+1)/(2^32+1), and key = s + g_q is exact integer
+    addition — so top-k membership and order are engine-identical by
+    construction, not by FP luck (ln's 1-ulp libm skew is absorbed by
+    the 1e-4 grid, the davg_lnsafe argument). doc_id breaks ties.
+
+    Scale: identical plan skeleton to text_dsir_importance — ONE
+    documents scan (labeled frame checkpointed), map-side zip_with
+    bigrams, a {B}-row broadcast model, one (doc, bucket) hash agg —
+    plus a hash column and TakeOrdered(k): the selection adds NO new
+    shuffle. At 100 TB, k scales to the token budget and the top-k is
+    a per-partition heap + driver merge of k rows (TakeOrdered), never
+    a global sort. Composes with sample_importance_hashed (the
+    unigram-lite ranking twin) and the quality/temperature mixes."""
+    docs = load_table(spark, sf_dir, "documents")
+    lab = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("ws"),
+        _gopher_columns()["verdict"].alias("gopher_verdict"),
+    ).localCheckpoint()
+    bg = lab.select(
+        "doc_id",
+        "gopher_verdict",
+        F.explode(
+            F.expr(
+                "zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)),"
+                " slice(ws, 2, greatest(size(ws) - 1, 0)),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bg"),
+    ).withColumn("bucket", _hash_bucket_col("bg"))
+    is_keep = (F.col("gopher_verdict") == "keep").cast("long")
+    raw = bg.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rk"),
+        F.sum(is_keep).cast("bigint").alias("tk"),
+    )
+    tot = raw.agg(
+        F.sum("rk").cast("bigint").alias("tr"),
+        F.sum("tk").cast("bigint").alias("tt"),
+    )
+    lo = raw.crossJoin(F.broadcast(tot)).select(
+        "bucket", F.expr(_DSIR_Q_SQL).alias("q")
+    )
+    db = bg.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    sc = (
+        db.join(F.broadcast(lo), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n") * F.col("q")).cast("bigint").alias("s"),
+            F.sum("n").cast("bigint").alias("n_feats"),
+        )
+    )
+    keyed = (
+        lab.select("doc_id")
+        .join(sc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feats", F.lit(0)).cast("bigint").alias("n_feats"),
+            F.coalesce("s", F.lit(0)).cast("bigint").alias("s"),
+        )
+        .withColumn(
+            "h",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(_DSIR_RESAMPLE_SALT),
+                            F.col("doc_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        )
+        .withColumn("key", F.col("s") + F.expr(_DSIR_GUMBEL_Q_SQL))
+    )
+    return (
+        keyed.orderBy(F.col("key").desc(), F.col("doc_id").asc())
+        .limit(_DSIR_RESAMPLE_K)
+        .select(
+            "doc_id",
+            "n_feats",
+            F.expr(_DSIR_SCORE_SQL).alias("log_importance"),
+            F.expr(_DSIR_KEY_SQL).alias("sample_key"),
+        )
+    )
+
+
+text_dsir_resample.__doc__ = text_dsir_resample.__doc__.format(
+    B=_HASH_FEATURE_BUCKETS
+)
+
+
+# ExactSubstr granularity (Lee et al. 2022 §4.1: remove substrings of
+# ≥ 50 tokens that appear more than once in the corpus). The exactness
+# argument for doing this with FIXED 50-token rolling windows instead
+# of a suffix array: a token sits inside some duplicated substring of
+# length ≥ L  ⟺  it sits inside some duplicated L-token window (⇒: any
+# duplicated substring of length ≥ L contains, around every one of its
+# tokens, at least one full L-window, and that window occurs wherever
+# the substring does; ⇐: the window itself IS a duplicated substring of
+# length exactly L). So coalescing duplicated L-windows reproduces the
+# suffix-array pass's per-token removal mask EXACTLY — only the
+# reporting granularity (maximal covered intervals) differs from
+# enumerating each repeated substring.
+_SUBSTR_SPAN_TOKENS = 50
+
+
+@query(
+    "dedup_exact_substring",
+    cost=1.4,
+    oracle=f"""
+    WITH sp AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(w, pos, pos + {_SUBSTR_SPAN_TOKENS - 1}), ' ')
+               AS span
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, len(w) - {_SUBSTR_SPAN_TOKENS - 1})) AS pos
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+    ), dup AS (
+      SELECT span FROM sp GROUP BY span HAVING count(*) > 1
+    ), hits AS (
+      SELECT s.doc_id, s.pos FROM sp s JOIN dup USING (span)
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {_SUBSTR_SPAN_TOKENS}
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ), grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS g
+      FROM isl
+    )
+    SELECT doc_id,
+           cast(min(pos) AS bigint) AS span_start,
+           cast(max(pos) + {_SUBSTR_SPAN_TOKENS - 1} AS bigint) AS span_end,
+           cast(max(pos) + {_SUBSTR_SPAN_TOKENS} - min(pos) AS bigint)
+             AS n_span_tokens,
+           cast(count(*) AS bigint) AS n_dup_windows
+    FROM grp GROUP BY doc_id, g
+    ORDER BY doc_id, span_start
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-span EXACT substring dedup (round 17) — the ExactSubstr rule
+    of "Deduplicating Training Data Makes Language Models Better" (Lee
+    et al. 2022): find, per document, the maximal token intervals covered
+    by some substring of ≥ {L} tokens that occurs more than once in the
+    corpus (the mask ExactSubstr cuts out of the training text; also the
+    "50-token verbatim overlap" rule MMLU-style decontamination uses).
+    `dedup_span_exact` reports which fixed 20-token windows are shared,
+    corpus-level; this op completes the recipe at the published 50-token
+    threshold and COALESCES runs of duplicated windows into maximal
+    per-doc spans — the module-header comment proves the fixed-window
+    mask equals the suffix-array pass's per-token mask exactly, so this
+    is the scalable Spark spelling of the letter of the paper, not an
+    approximation of it.
+
+    Determinism: spans are exact string equality (no hashing, no FP);
+    the island split is integer position arithmetic over a
+    doc-partitioned, position-ordered window; every output column is an
+    exact integer.
+
+    Scale: the window relation is O(tokens) rows; duplicate detection is
+    ONE span-keyed hash agg (wordcount's shuffle shape with heavier
+    keys — in production the span string is replaced by its 128-bit
+    hash before the exchange, the dedup_span_exact note) and the probe
+    join is span-keyed, never doc×doc. The islands/coalesce stage runs
+    on the HIT set only (duplicated windows — corpus-small), partitioned
+    by doc_id; no global sort, no driver state. The token-array frame is
+    checkpointed doc-sized (the contamination-op precedent) so both
+    consumers of the window stream derive from one documents scan."""
+    n = _SUBSTR_SPAN_TOKENS
+    docs = load_table(spark, sf_dir, "documents")
+    ws = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= n)
+        .localCheckpoint()
+    )
+    sp = ws.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("w") - (n - 1))).alias("pos"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.concat_ws(" ", F.expr(f"slice(w, pos, {n})")).alias("span"),
+    )
+    dup = sp.groupBy("span").agg(F.count(F.lit(1)).alias("cnt")).where(
+        F.col("cnt") > 1
+    ).select("span")
+    hits = sp.join(dup, "span").select("doc_id", "pos")
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w_ord) <= n, F.lit(0)
+        ).otherwise(F.lit(1)).alias("brk"),
+    )
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grp = isl.select(
+        "doc_id", "pos", F.sum("brk").over(w_cum).alias("g")
+    )
+    return (
+        grp.groupBy("doc_id", "g")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + (n - 1)).cast("bigint").alias("span_end"),
+            (F.max("pos") + n - F.min("pos")).cast("bigint").alias(
+                "n_span_tokens"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id", "span_start", "span_end", "n_span_tokens",
+            "n_dup_windows",
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+dedup_exact_substring.__doc__ = dedup_exact_substring.__doc__.format(
+    L=_SUBSTR_SPAN_TOKENS
+)

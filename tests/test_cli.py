@@ -615,6 +615,73 @@ def test_quality_verb_learned_gate(spark, sf_dir, tmp_path):
     assert stats["n_docs"] == len(want_keep)
 
 
+def test_quality_verb_dsir_and_kn_gates(spark, sf_dir, tmp_path):
+    """`quality --gate dsir|kn` (round 17, VERDICT r16 task 6): the verb
+    must gate on text_dsir_importance's integer keep flag / on
+    text_kneser_ney_logprob's corpus-median −ln p respectively, report
+    honest audits (including the unscored too-short docs the KN gate
+    cannot see), and stay corpus-chainable."""
+    from filemap_spark.cli import run_quality, run_stats
+    from filemap_spark.operators.text import (
+        text_dsir_importance,
+        text_kneser_ney_logprob,
+    )
+
+    # --gate dsir: kept set == the graded op's dsir_keep = 1 set
+    out_d = str(tmp_path / "dsir_out")
+    scores_d = str(tmp_path / "dsir_scores")
+    audit_d = run_quality(
+        spark, sf_dir, out_d, gate="dsir", scores_out=scores_d
+    )
+    imp = text_dsir_importance(spark, sf_dir).collect()
+    want_d = {r["doc_id"] for r in imp if r["dsir_keep"] == 1}
+    got_d = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            os.path.join(out_d, "documents.parquet")
+        ).collect()
+    }
+    assert got_d == want_d
+    assert audit_d["kept"] == len(want_d)
+    assert audit_d["scored"] == len(imp)
+    assert audit_d["zero_feature_docs"] == sum(
+        1 for r in imp if r["n_feats"] == 0
+    )
+    sdf = spark.read.parquet(scores_d)
+    assert set(sdf.columns) >= {"doc_id", "log_importance", "dsir_keep"}
+    assert audit_d["scores_rows"] == sdf.count()
+
+    # --gate kn: kept set == docs at or under the median avg_neg_logp;
+    # bigram-less docs are unscored and dropped, but counted
+    out_k = str(tmp_path / "kn_out")
+    audit_k = run_quality(spark, sf_dir, out_k, gate="kn")
+    kn = text_kneser_ney_logprob(spark, sf_dir).collect()
+    vals = sorted(r["avg_neg_logp"] for r in kn)
+    m = len(vals)
+    med = (
+        vals[m // 2]
+        if m % 2 == 1
+        else (vals[m // 2 - 1] + vals[m // 2]) / 2
+    )
+    want_k = {r["doc_id"] for r in kn if r["avg_neg_logp"] <= med}
+    got_k = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            os.path.join(out_k, "documents.parquet")
+        ).collect()
+    }
+    assert got_k == want_k
+    assert audit_k["kept"] == len(want_k)
+    assert audit_k["scored"] == len(kn)
+    n_docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).count()
+    assert audit_k["unscored_short_docs"] == n_docs - len(kn)
+    assert abs(audit_k["median_neg_logp"] - med) <= 5e-7
+    # chainable both ways
+    assert run_stats(spark, out_k)["n_docs"] == len(want_k)
+
+
 def test_quality_scores_out_exports_per_doc_frame(spark, sf_dir, tmp_path):
     """`quality --scores-out` (round 16, VERDICT r15 task 7): the per-doc
     verdict frame lands as a parquet dataset whose rows reconcile with

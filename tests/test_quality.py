@@ -1298,6 +1298,150 @@ def test_dsir_importance_separates_target_from_raw(spark, sf_dir):
     assert out.collect() == text_dsir_importance(spark, sf_dir).collect()
 
 
+def test_dsir_resample_is_gumbel_topk_of_importance(spark, sf_dir):
+    """DSIR resampling mechanism (round 17): the kept set must be EXACTLY
+    the top-k of (importance-weight q-units + md5-Gumbel q-units) with
+    doc_id tiebreak, recomputed here in pure Python from the importance
+    op's own weights — the Gumbel-top-k identity made deterministic. Also
+    pins k, the exact 1e-4 descale of sample_key, and rerun identity."""
+    import hashlib
+    import math
+
+    from filemap_spark.operators.text import (
+        _DSIR_RESAMPLE_K,
+        _DSIR_RESAMPLE_SALT,
+        text_dsir_importance,
+        text_dsir_resample,
+    )
+
+    imp = text_dsir_importance(spark, sf_dir).collect()
+
+    def half_away(v: float) -> int:
+        return math.floor(v + 0.5) if v >= 0 else -math.floor(-v + 0.5)
+
+    keyed = []
+    for r in imp:
+        s = half_away(r["log_importance"] * 10000)  # exact int recovery
+        h = int(
+            hashlib.md5(
+                f"{_DSIR_RESAMPLE_SALT}{r['doc_id']}".encode()
+            ).hexdigest()[:8],
+            16,
+        )
+        u = (h + 1) / 4294967297.0
+        g_q = half_away(-math.log(-math.log(u)) * 10000)
+        keyed.append((s + g_q, r["doc_id"], r["n_feats"]))
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    want = keyed[:_DSIR_RESAMPLE_K]
+
+    out = text_dsir_resample(spark, sf_dir).collect()
+    assert len(out) == min(_DSIR_RESAMPLE_K, len(imp))
+    assert [r["doc_id"] for r in out] == [d for _, d, _ in want]
+    for r, (k, _d, nf) in zip(out, want):
+        assert r["n_feats"] == nf
+        assert r["sample_key"] == float(k) / 10000
+    # the selection is weight-biased, not uniform: kept docs average a
+    # strictly higher log weight than the full corpus when any spread
+    # exists (guards against the key accidentally ignoring s)
+    kept_mean = sum(
+        r["log_importance"] for r in out
+    ) / len(out)
+    all_mean = sum(r["log_importance"] for r in imp) / len(imp)
+    if len(imp) > _DSIR_RESAMPLE_K and any(
+        r["log_importance"] != imp[0]["log_importance"] for r in imp
+    ):
+        assert kept_mean > all_mean
+    assert out == text_dsir_resample(spark, sf_dir).collect()
+
+
+def test_exact_substring_spans_match_pure_python_reference(spark, tmp_path):
+    """dedup_exact_substring mechanism (round 17): on a constructed corpus
+    with a 60-token cross-doc shared run, a within-doc 50-token repeat,
+    a 49-token near-miss, and an adjacency-merge case, the op's maximal
+    spans must equal an independent pure-Python ExactSubstr reference
+    (duplicated fixed-L windows → interval union), including the
+    window-count column."""
+    from filemap_spark.operators.text import (
+        _SUBSTR_SPAN_TOKENS as L,
+        dedup_exact_substring,
+    )
+
+    def w(tag, a, b):  # unique-vocabulary token run [a, b)
+        return [f"{tag}{i}" for i in range(a, b)]
+
+    shared60 = w("s", 0, 60)
+    shared49 = w("t", 0, L - 1)
+    rep50 = w("r", 0, L)
+    docs = {
+        # doc 1: unique prefix 20 + shared60 + unique tail 20
+        1: w("a", 0, 20) + shared60 + w("a", 20, 40),
+        # doc 2: the same 60-token run at a different offset
+        2: w("b", 0, 5) + shared60 + w("b", 5, 60),
+        # doc 3/4: a 49-token shared run — below threshold, no output
+        3: w("c", 0, 30) + shared49 + w("c", 30, 60),
+        4: w("d", 0, 10) + shared49 + w("d", 10, 70),
+        # doc 5: within-doc repeat of a 50-token run, far apart → two spans
+        5: rep50 + w("e", 0, 60) + rep50,
+        # doc 6: the run again (cross-doc too) with copies L apart → the
+        # duplicated windows sit ≤ L apart and the spans MERGE
+        6: rep50 + w("f", 0, 0) + rep50,
+    }
+    rows = [(i, " ".join(t)) for i, t in docs.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' as lang", "'src0' as source",
+        "cast(length(text) as long) as n_chars",
+    )
+    src = tmp_path / "substr"
+    src.mkdir()
+    df.write.parquet(str(src / "documents.parquet"))
+
+    # pure-Python ExactSubstr reference
+    from collections import Counter, defaultdict
+
+    counts = Counter()
+    wins = defaultdict(list)
+    for i, toks in docs.items():
+        for p in range(len(toks) - L + 1):
+            span = " ".join(toks[p : p + L])
+            counts[span] += 1
+            wins[i].append((p + 1, span))  # 1-indexed
+    want = []
+    for i in sorted(docs):
+        dup_pos = [p for p, s in wins[i] if counts[s] > 1]
+        run: list[int] = []
+        for p in dup_pos:
+            if run and p - run[-1] <= L:
+                run.append(p)
+            else:
+                if run:
+                    want.append(
+                        (i, run[0], run[-1] + L - 1,
+                         run[-1] + L - run[0], len(run))
+                    )
+                run = [p]
+        if run:
+            want.append(
+                (i, run[0], run[-1] + L - 1, run[-1] + L - run[0], len(run))
+            )
+
+    got = [
+        (r["doc_id"], r["span_start"], r["span_end"],
+         r["n_span_tokens"], r["n_dup_windows"])
+        for r in dedup_exact_substring(spark, str(src)).collect()
+    ]
+    assert got == want
+    # structure sanity on the constructed cases: docs 3/4 absent (49 <
+    # L), doc 5 has TWO spans of exactly L, docs 1/2 one 60-token span
+    by_doc = defaultdict(list)
+    for row in got:
+        by_doc[row[0]].append(row)
+    assert 3 not in by_doc and 4 not in by_doc
+    assert [r[3] for r in by_doc[1]] == [60]
+    assert [r[3] for r in by_doc[2]] == [60]
+    assert [r[3] for r in by_doc[5]] == [L, L]
+    assert len(by_doc[6]) == 1  # merged: copies exactly L apart
+
+
 def test_kneser_ney_matches_python_reference(spark, sf_dir):
     """`text_kneser_ney_logprob` vs an independently-coded interpolated-KN
     model (collections.Counter + math.log, no Spark/DuckDB): same d=3/4

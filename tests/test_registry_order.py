@@ -1,23 +1,19 @@
-"""Grading-order guarantees (round 16): the grading driver demonstrably
-grades the FIRST 50 registry entries per round (rounds 1-15 each stopped
-at exactly #50), so round 16's window is the staging set (the
-warehouse-artifact incremental NB twin text_quality_incremental, the
-DSIR hashed-bigram importance-weight op text_dsir_importance, the
-interpolated Kneser-Ney bigram LM scorer text_kneser_ney_logprob, the
-13-gram benchmark-decontamination op text_contamination_ngram, the
-CUSUM mean-shift detector ts_cusum_changepoint, the decontamination
-make-semantics twin text_contamination_incremental, and the robust MAD
-anomaly-day detector ts_mad_anomaly), the
-plan/kernel-changed regrades (_REGRADE_R16: agg_corr_cov, whose 6dp
-rounding moved to round6_half_away after hypothesis found the round()
-cross-engine shortest-repr tie), the FULL 39-op r9-vintage drain
-(_VINTAGE9_R16, VERDICT r15 task 1, join_left_outer and
-scan_projection leading per the r15 hand-off note), and 3 oldest-r10
-family-spread refreshes (_VINTAGE10_R16 — the second and third staging
-waves took five of the original nine slots and the regrade a sixth;
-debuts and regrades outrank refreshes) — exactly
-7 + 1 + 39 + 3 = 50. After this round grades, no op's latest green
-driver row predates r10.
+"""Grading-order guarantees (round 17): the grading driver demonstrably
+grades the FIRST 50 registry entries per round (rounds 1-16 each stopped
+at exactly #50), so round 17's window is the staging set (the Gumbel
+top-k DSIR selection op text_dsir_resample and the Lee et al. 50-token
+ExactSubstr mask dedup_exact_substring), the plan/kernel-changed
+regrades (_REGRADE_R17: the three round6_half_away migrations
+agg_heavy_hitters / agg_promo_share_q14 / agg_welch_ttest — VERDICT r16
+task 1, the exact-rational round(,6) tie class the r16 corr_cov
+incident burned — plus ts_mad_anomaly, whose odd-span positional median
+was halved by an OR-predicate CASE in BOTH engines (ADVICE r16 high),
+and text_contamination_incremental, whose build functions gained the
+_CONTAM_BASE_RUNS increment), and the FULL 43-op r10-vintage drain
+(_VINTAGE10_R17, VERDICT r16 task 3, the six ops cut from
+_VINTAGE10_R16 leading per the r16 hand-off note) — exactly
+2 + 5 + 43 = 50. After this round grades, no op's latest green driver
+row predates r11.
 
 Round-agnosticism (ADVICE r10 / VERDICT r10 task 2): the r10 versions of
 the vintage tests scanned ALL CORRECTNESS ledgers (range(1, 99)) and
@@ -36,10 +32,9 @@ from filemap_spark import all_oracle, all_queries
 from filemap_spark.registry import (
     _DRIVER_GREEN,
     _META,
-    _REGRADE_R16,
+    _REGRADE_R17,
     _STAGING,
-    _VINTAGE9_R16,
-    _VINTAGE10_R16,
+    _VINTAGE10_R17,
     LEDGER_CAP,
 )
 
@@ -70,106 +65,95 @@ def _latest_green() -> dict[str, int]:
 
 
 def test_staging_has_the_new_ops_and_blocks_are_green():
-    """Round 16 registers exactly seven new ops (the incremental NB
-    twin, the DSIR importance-weight pass, the KN bigram LM scorer, the
-    13-gram decontamination op, the CUSUM changepoint detector, the
-    decontamination make-semantics twin, and the MAD anomaly detector),
-    which enter via _STAGING (the only legal path — they have no driver
-    row yet); every other window block is a green-ledger subset."""
+    """Round 17 registers exactly two new ops (the DSIR Gumbel-top-k
+    resampler and the 50-token ExactSubstr mask), which enter via
+    _STAGING (the only legal path — they have no driver row yet); every
+    other window block is a green-ledger subset."""
     order = list(all_queries())
     assert _STAGING == (
-        "text_quality_incremental",
-        "text_dsir_importance",
-        "text_kneser_ney_logprob",
-        "text_contamination_ngram",
-        "ts_cusum_changepoint",
-        "text_contamination_incremental",
-        "ts_mad_anomaly",
+        "text_dsir_resample",
+        "dedup_exact_substring",
     )
     assert not set(_STAGING) & _DRIVER_GREEN
     assert _DRIVER_GREEN | set(_STAGING) == set(_META)
-    for block in (_REGRADE_R16, _VINTAGE9_R16, _VINTAGE10_R16):
+    for block in (_REGRADE_R17, _VINTAGE10_R17):
         assert set(block) <= _DRIVER_GREEN
     assert len(order) == len(set(order)) == len(_META)
 
 
-def test_window_is_staging_regrade_then_vintage9_then_vintage10():
+def test_window_is_staging_regrade_then_vintage10():
     order = list(all_queries())
-    head = (
-        list(_STAGING)
-        + list(_REGRADE_R16)
-        + list(_VINTAGE9_R16)
-        + list(_VINTAGE10_R16)
-    )
+    head = list(_STAGING) + list(_REGRADE_R17) + list(_VINTAGE10_R17)
     assert order[: len(head)] == head
     assert len(head) == len(set(head)) == WINDOW
 
 
-def test_regrade_block_is_the_corr_cov_rounding_fix():
-    """Round-16 regrades exactly one op: agg_corr_cov, whose shared
-    kernel's three output quotients moved from round(x, 6) to
-    numeric.round6_half_away after hypothesis found random 2dp data
-    where the engines' round() split on a shortest-repr '.5' double
-    (tests/test_properties.py now replays that example). The seven
-    debuts are purely ADDITIVE (the incremental twin reuses
-    _gopher_columns / _hash_bucket_col / the _NB_*_SQL strings
-    read-only; the KN / contamination / CUSUM / MAD waves reuse
-    _tokens, davg_lnsafe, mean_micro_6dp, and the ts_acf densify shape
-    read-only — the batch contamination op shares its
-    _contam_ngrams/_contam_report kernel with its incremental twin,
-    both STAGED this round, so no graded plan changed there)."""
-    assert _REGRADE_R16 == ("agg_corr_cov",)
+def test_regrade_block_is_the_r17_fix_set():
+    """Round-17 regrades exactly five ops: the three exact-rational
+    round(x, 6) sites migrated to numeric.round6_half_away with the
+    quotient spelling now SHARED verbatim between the oracle and the
+    Spark plan (the r16 corr_cov tie class; the welch kernel gained a
+    random-data cross-engine hypothesis property in
+    tests/test_properties.py), ts_mad_anomaly (odd-span median halved
+    by the single OR-predicate positional CASE — fixed as two summed
+    CASE terms in both engines, pinned against statistics.median), and
+    text_contamination_incremental (the _CONTAM_BASE_RUNS counter now
+    increments in build_base as well — ADVICE r16 low). The two debuts
+    are purely ADDITIVE: the resampler reuses _gopher_columns /
+    _hash_bucket_col / _DSIR_Q_SQL / _DSIR_SCORE_SQL read-only, and the
+    substring op reuses only load_table + the window primitives."""
+    assert _REGRADE_R17 == (
+        "agg_heavy_hitters",
+        "agg_promo_share_q14",
+        "agg_welch_ttest",
+        "ts_mad_anomaly",
+        "text_contamination_incremental",
+    )
 
 
-def test_no_op_stranded_before_vintage9():
+def test_no_op_stranded_before_vintage10():
     """Freshness floor: in the capped pre-round ledger, every registered
     op except the staged debuts has been graded, and none's latest green
-    predates round 9 (the r15 window drained the r8 vintage)."""
+    predates round 10 (the r16 window drained the r9 vintage)."""
     latest = _latest_green()
     assert set(latest) >= set(_META) - set(_STAGING)
-    assert min(latest[op] for op in _META if op not in _STAGING) >= 9
+    assert min(latest[op] for op in _META if op not in _STAGING) >= 10
 
 
-def test_vintage9_block_drains_the_r9_vintage():
-    """_VINTAGE9_R16 must cover EVERY op whose latest green driver row in
-    the capped pre-round ledger is round 9 — so a stale block can't
-    silently strand an r9 row past this round."""
+def test_vintage10_block_drains_the_r10_vintage():
+    """_VINTAGE10_R17 must cover EVERY op whose latest green driver row
+    in the capped pre-round ledger is round 10 — so a stale block can't
+    silently strand an r10 row past this round (min vintage strictly
+    rising is the VERDICT r16 task-3 done-condition)."""
     latest = _latest_green()
-    r9 = {op for op, rnd in latest.items() if rnd == 9 and op in _META}
-    assert set(_VINTAGE9_R16) == r9
-    assert len(_VINTAGE9_R16) == 39
-    # r15 hand-off note (registry _VINTAGE9_R15 comment): these two lead
-    assert _VINTAGE9_R16[:2] == ("join_left_outer", "scan_projection")
+    r10 = {op for op, rnd in latest.items() if rnd == 10 and op in _META}
+    assert set(_VINTAGE10_R17) == r10
+    assert len(_VINTAGE10_R17) == 43
+    # r16 hand-off note (registry _VINTAGE10_R16 comment): the six ops
+    # cut from the r16 refresh block lead the drain
+    assert _VINTAGE10_R17[:6] == (
+        "dedup_exact_text",
+        "udf_pipe_shell",
+        "win_first_last",
+        "graph_triangle_count",
+        "mm_decode_ppm",
+        "join_asof_nearest",
+    )
 
 
-def test_vintage10_block_is_r10_vintage():
-    latest = _latest_green()
-    for op in _VINTAGE10_R16:
-        assert latest.get(op) == 10, (op, latest.get(op))
-    assert len(_VINTAGE10_R16) == 3
-
-
-def test_round16_registers_exactly_seven_new_operators():
-    assert len(_META) == 325
-    # all seven debuts are oracle-graded end to end: the incremental NB
-    # twin's oracle restates the base+delta count merge (incremental ≡
-    # full retrain is the hash-checked claim), the DSIR oracle rebuilds
-    # the hashed-bigram target/raw models, the KN oracle retrains the
-    # full continuation-count model, the contamination oracles (batch
-    # AND incremental) re-derive both n-gram sides in full, the CUSUM
-    # oracle re-ranks the exact-integer statistic cells, and the MAD
-    # oracle re-derives both positional medians
-    assert len(all_oracle()) == 296
+def test_round17_registers_exactly_two_new_operators():
+    assert len(_META) == 327
+    # both debuts are oracle-graded end to end: the resampler's oracle
+    # rebuilds the hashed-bigram models AND the exact-int64 Gumbel keys
+    # (top-k membership is checked, not just scores), and the substring
+    # oracle re-derives the duplicated-window set and the island
+    # coalescing in full
+    assert len(all_oracle()) == 298
 
 
 def test_green_tail_cost_tiers_nondecreasing():
     order = list(all_queries())
-    head = (
-        set(_STAGING)
-        | set(_REGRADE_R16)
-        | set(_VINTAGE9_R16)
-        | set(_VINTAGE10_R16)
-    )
+    head = set(_STAGING) | set(_REGRADE_R17) | set(_VINTAGE10_R17)
     green_tail = [n for n in order if n not in head]
     tiers = [_tier(n) for n in green_tail]
     assert tiers == sorted(tiers), "expensive green re-grades must come last"
