@@ -40,6 +40,19 @@ background burst landed mid-window — post gating catches exactly that),
 while a JIT-cold first sample no longer blocks recording indefinitely.
 Denominators adopted under --window post must disclose it.
 
+Warmed-position batches (round 17). The recorder's standard position —
+ops timed directly after the canaries on a fresh JVM — charges the
+FIRST ops through window-exec/explode/higher-order codepaths their JIT
+compilation, which the bench suite (where bars actually gate, deep in a
+60-query warm session) never charges: r17 measured 1.7-3.3x inflation
+on the first family-op through (ts_cusum 1.641 vs 0.987 in-window
+warmed; ts_mad 1.907 vs 0.939). Protocol: record each family TWICE —
+once standard, once with already-barred family-mates leading the batch
+as JIT warmers (their own inflated first-position samples are discarded
+by min(old, new)) and the debut ops listed twice (the denominators dict
+keeps the LAST, warmed timing); adopt min over the certified windows.
+Disclose both samples in the BASELINE table (Table 9 precedent).
+
 Usage:
     python scripts/record_quiet_bars.py [--family scan] [--window post] mm_decode_png ...
 

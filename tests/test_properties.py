@@ -535,6 +535,53 @@ def test_welch_kernel_matches_duckdb_on_random_data(spark, rows):
 
 
 @settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10**7),   # c / promo_micro
+            st.integers(min_value=1, max_value=10**12),  # n_total / total_micro
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+)
+def test_share_fragments_match_duckdb_on_random_ratios(spark, pairs):
+    """Round-17 migrations, fragment-level: the shared share_pct and
+    promo_pct expressions (_HH_SHARE_PCT / _Q14_PROMO_PCT) must produce
+    identical doubles in Spark and DuckDB over random exact-integer
+    numerator/denominator pairs — including regimes where c·100/n_total
+    lands near 6dp ties. One VALUES relation per engine, both fragments
+    evaluated per row."""
+    import duckdb
+
+    from filemap_spark.operators.aggregates import (
+        _HH_SHARE_PCT,
+        _Q14_PROMO_PCT,
+    )
+
+    pairs = [(min(a, b), b) for a, b in pairs]  # shares <= 100%
+    values = ", ".join(
+        f"(cast({a} as bigint), cast({b} as bigint))" for a, b in pairs
+    )
+    sql = (
+        f"SELECT {_HH_SHARE_PCT} AS hh, "
+        f"{_Q14_PROMO_PCT.replace('promo_micro', 'c').replace('total_micro', 'n_total')} AS q14 "
+        f"FROM (VALUES {values}) AS t(c, n_total)"
+    )
+    got_spark = [(r["hh"], r["q14"]) for r in spark.sql(sql).collect()]
+    con = duckdb.connect()
+    try:
+        got_duck = con.execute(sql).fetchall()
+    finally:
+        con.close()
+    assert got_spark == [tuple(r) for r in got_duck]
+
+
+@settings(
     max_examples=15,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
