@@ -582,6 +582,81 @@ def test_share_fragments_match_duckdb_on_random_ratios(spark, pairs):
 
 
 @settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]),
+            min_size=1,
+            max_size=130,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_exact_substring_matches_reference_on_random_corpora(
+    spark, tmp_path_factory, docs
+):
+    """Round-17 substring-dedup property: on random tiny-vocabulary
+    corpora (3 tokens, doc lengths straddling the 50-token threshold —
+    maximal window collision pressure, within-doc AND cross-doc), the
+    op's maximal spans must equal the pure-Python ExactSubstr reference
+    (duplicated fixed-L windows → interval union). Random data reaches
+    island shapes the constructed mechanism test cannot enumerate:
+    nested overlaps, runs of identical windows, docs entirely below L."""
+    from collections import Counter, defaultdict
+
+    from filemap_spark.operators.text import (
+        _SUBSTR_SPAN_TOKENS as L,
+        dedup_exact_substring,
+    )
+
+    rows = [(i + 1, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' as lang", "'src0' as source",
+        "cast(length(text) as long) as n_chars",
+    )
+    src = tmp_path_factory.mktemp("substr_prop")
+    df.write.mode("overwrite").parquet(str(src / "documents.parquet"))
+
+    counts = Counter()
+    wins = defaultdict(list)
+    for i, toks in enumerate(docs):
+        for p in range(len(toks) - L + 1):
+            span = " ".join(toks[p : p + L])
+            counts[span] += 1
+            wins[i + 1].append((p + 1, span))
+    want = []
+    for i in sorted(wins):
+        dup_pos = [p for p, s in wins[i] if counts[s] > 1]
+        run = []
+        for p in dup_pos:
+            if run and p - run[-1] <= L:
+                run.append(p)
+            else:
+                if run:
+                    want.append(
+                        (i, run[0], run[-1] + L - 1,
+                         run[-1] + L - run[0], len(run))
+                    )
+                run = [p]
+        if run:
+            want.append(
+                (i, run[0], run[-1] + L - 1, run[-1] + L - run[0], len(run))
+            )
+
+    got = [
+        (r["doc_id"], r["span_start"], r["span_end"],
+         r["n_span_tokens"], r["n_dup_windows"])
+        for r in dedup_exact_substring(spark, str(src)).collect()
+    ]
+    assert got == want
+
+
+@settings(
     max_examples=15,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
