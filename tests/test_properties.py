@@ -478,6 +478,38 @@ def test_mean_micro_6dp_batch_cross_engine(spark):
     assert got_spark == got_duck == expect
 
 
+def test_dsir_gumbel_fragment_batch_cross_engine(spark):
+    """Round-17 resampler determinism, fragment-level: the shared
+    _DSIR_GUMBEL_Q_SQL text (md5-rational u → −ln(−ln u) quantized at
+    1e-4 into int64) must produce IDENTICAL integers in Spark and DuckDB
+    over the full h range — the endpoints (0 and 2^32−1, the extreme
+    Gumbel values ≈ −3.1/+22.2), a dense random batch, and near-boundary
+    values. One VALUES relation per engine (the mean_micro_6dp batch
+    pattern). This is the exact expression the sampling key adds to the
+    importance weight, so integer identity here IS top-k portability."""
+    import random
+
+    import duckdb
+
+    from filemap_spark.operators.text import _DSIR_GUMBEL_Q_SQL
+
+    rng = random.Random(20260817)
+    hs = [0, 1, 2**31, 2**32 - 2, 2**32 - 1]
+    hs += [rng.randrange(0, 2**32) for _ in range(400)]
+    values = ", ".join(f"(cast({h} as bigint))" for h in hs)
+    sql = f"SELECT {_DSIR_GUMBEL_Q_SQL} AS g FROM (VALUES {values}) AS t(h)"
+    got_spark = [r["g"] for r in spark.sql(sql).collect()]
+    con = duckdb.connect()
+    try:
+        got_duck = [r[0] for r in con.execute(sql).fetchall()]
+    finally:
+        con.close()
+    assert got_spark == got_duck
+    # magnitude envelope: |g_q| stays far inside int64 when added to any
+    # realistic importance sum (the docstring's capacity argument)
+    assert all(-40_000 <= g <= 230_000 for g in got_spark)
+
+
 @settings(
     max_examples=25,
     deadline=None,
