@@ -115,6 +115,24 @@ def block_pigeonhole_pairs(
         )
     cols = [id_col] if id_col == sig_col else [id_col, sig_col]
     blocks = signature_blocks(frame, sig_col, n_blocks, block_bits, cols)
+    # Parallelism guard (r17, optimization guide §2.2/§2.5): `frame` is
+    # usually a `.distinct()` output small enough that AQE coalesces its
+    # shuffle to ONE partition — and the partition count of the
+    # non-broadcast side is the task count of the candidate-generating
+    # join, whose OUTPUT is ~n²/2^block_bits rows (measured 20.5M
+    # candidates at sf0.1 streaming through 1 task: 6.3 s on one core vs
+    # 0.8 s spread over the session). The repartition is UNCONDITIONAL:
+    # the only runtime-partition probe PySpark offers
+    # (.rdd.getNumPartitions()) executes every upstream AQE stage a
+    # second time (measured +4 s on the incremental ingests), while this
+    # exchange moves only n_blocks 16-byte rows per distinct signature —
+    # bounded, payload-free, and ReuseExchange still computes the
+    # underlying distinct once for both join sides. On a cluster
+    # defaultParallelism is the executor-core total, so the width stays
+    # scale-adaptive rather than a local[32] constant.
+    blocks = blocks.repartition(
+        frame.sparkSession.sparkContext.defaultParallelism
+    )
     a, b = blocks.alias("a"), blocks.alias("b")
     hamming = F.bit_count(
         F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}"))
@@ -294,17 +312,21 @@ def incremental_fingerprint_ingest(
     all_fps = index.unionByName(delta) if have_state else delta
     new_reps = delta.select("fp").distinct()
     all_reps = all_fps.select("fp").distinct()
+    # spread both block frames before the candidate join — same
+    # AQE-coalesced-to-one-partition hazard as block_pigeonhole_pairs
+    # (the `.distinct()` outputs above are tiny, and whichever side is
+    # not broadcast sets the join's task count); unconditional for the
+    # same no-double-execution reason documented there
+    width = spark.sparkContext.defaultParallelism
     probe = (
-        signature_blocks(
-            new_reps, "fp", n_blocks, block_bits, keep=["fp"]
-        )
+        signature_blocks(new_reps, "fp", n_blocks, block_bits, keep=["fp"])
+        .repartition(width)
         .withColumnRenamed("fp", "nfp")
         .alias("a")
     )
     target = (
-        signature_blocks(
-            all_reps, "fp", n_blocks, block_bits, keep=["fp"]
-        )
+        signature_blocks(all_reps, "fp", n_blocks, block_bits, keep=["fp"])
+        .repartition(width)
         .withColumnRenamed("fp", "ofp")
         .alias("b")
     )

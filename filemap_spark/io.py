@@ -78,6 +78,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_single_split(df: DataFrame) -> DataFrame:
+    """Parallelism guard for a heavy Python/Arrow compute stage fed by an
+    under-split scan (optimization guide §2.5 input skew + §4).
+
+    The sf-scale contract tables are ONE parquet file under one 128 MB
+    split, so a decode-heavy `mapInPandas` directly over the scan runs as
+    ONE task: r17 measured `mm_dhash_near_dup` decoding 5,000 PNGs in a
+    single task (12.6 s wall) while 31 cores idled. Round-robin
+    repartition to the session parallelism when (and only when) the
+    input arrives with fewer than parallelism/4 partitions — at
+    production scale a many-file table already clears the threshold and
+    this is a no-op, and on a cluster `defaultParallelism` is the
+    executor-core total, so the target stays scale-adaptive rather than
+    a local[32] constant. The exchange moves each payload ONCE, straight
+    into the only stage that reads it (the guide §8 "move heavy bytes
+    once" shape); decode outputs are content-determined per row, so
+    results are partitioning-invariant. Extracted from mm_decode_jpeg's
+    r14 inline fix so every decode-stage consumer shares one guard.
+
+    PRECONDITION: call this on scan-fed plans only (scan + narrow
+    projections). `.rdd.getNumPartitions()` is free there, but on a plan
+    containing exchanges it EXECUTES every upstream AQE stage a second
+    time (measured +4 s on the incremental mm ingests before their guard
+    moved to the raw scan); post-shuffle frames that need spreading use
+    an unconditional bounded repartition instead (functions/blocked.py's
+    candidate joins document that pattern)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 4):
+        df = df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

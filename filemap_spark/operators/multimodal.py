@@ -36,7 +36,7 @@ from filemap_spark.functions.blocked import (
     CORPUS_MATCHED_KNOB,
     fingerprint_near_dup_pairs,
 )
-from filemap_spark.io import load_table
+from filemap_spark.io import load_table, spread_single_split
 from filemap_spark.registry import query
 
 
@@ -110,7 +110,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return _binary_assets(spark, sf_dir).mapInPandas(
+    return spread_single_split(_binary_assets(spark, sf_dir)).mapInPandas(
         decode_batches,
         schema="asset_id long, width int, height int, channels int, pixel_sha string",
     )
@@ -214,7 +214,7 @@ def mm_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return _binary_assets(spark, sf_dir).mapInPandas(
+    return spread_single_split(_binary_assets(spark, sf_dir)).mapInPandas(
         resize_batches,
         schema="asset_id long, out_bytes long, out_sha string, scale string",
     )
@@ -321,7 +321,7 @@ def mm_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Contract: documents.text is single-byte ASCII (FIXTURES.md) — the SQL
     builder counts CHARS while the decoder counts BYTES, so the decoder
     hard-fails (clear ValueError, no silent divergence) on multibyte text."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_single_split(load_table(spark, sf_dir, "documents"))
     assets = _ppm_assets(docs)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -447,7 +447,9 @@ def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_single_split(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def build_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -557,7 +559,7 @@ def mm_decode_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
     diverging from the oracle."""
     import numpy as np  # noqa: F401  (parity with sibling decoders)
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_single_split(load_table(spark, sf_dir, "documents"))
     buf = docs.select(
         "doc_id",
         "text",
@@ -693,7 +695,10 @@ def mm_patch_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shape a production JPEG+patchify deployment has, with the codec
     call as the single swap-in point (_real_decode_stub). Remainder rows/
     cols beyond the 2·⌊dim/2⌋ grid are dropped, as ViT preprocessing
-    does."""
+    does. (No spread_single_split here: the op's plan contract is pinned
+    shuffle-free — tests/test_plan_shape.py::
+    test_patch_features_single_arrow_stage — and it is not in the bench
+    suite, so the single-split decode stays the documented trade.)"""
     docs = load_table(spark, sf_dir, "documents")
     assets = _ppm_assets(docs)
 
@@ -887,8 +892,10 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "n_chars"
+    docs = spread_single_split(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "n_chars"
+        )
     )
 
     def _chunk(tag: bytes, body: bytes) -> bytes:
@@ -1025,12 +1032,11 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from filemap_spark.functions.jpeg import decode_gray_fast, encode_gray_fast
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "n_chars"
+    docs = spread_single_split(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "n_chars"
+        )
     )
-    target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < max(2, target // 4):
-        docs = docs.repartition(target)
 
     def build_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1191,7 +1197,9 @@ def mm_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a CODE knob (`functions/blocked.py:CORPUS_MATCHED_KNOB`, web default
     `WEB_SCALE_KNOB`), and every run measures + logs the pre-`distinct`
     candidate volume, warning past 64×n_distinct (SCALE.md table)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_single_split(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     hashes = (
         _image_dhash_frame(docs)
         .withColumnRenamed("fp", "dhash")
@@ -1208,7 +1216,11 @@ def mm_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _image_dhash_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, fp): the image decode+hash stage of `mm_dhash_near_dup`,
     shared with the incremental ingest — render the doc's genuine PNG,
-    REALLY decode it with `_parse_png`, dHash the channel-sum grid."""
+    REALLY decode it with `_parse_png`, dHash the channel-sum grid.
+    Callers spread a single-split `docs` to the session parallelism
+    BEFORE this frame (io.spread_single_split on the scan, where the
+    partition probe is free) — the decode is the dominant stage cost
+    and is embarrassingly parallel."""
     import numpy as np
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1327,7 +1339,9 @@ def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same hash stage; a production deployment swaps the energy contour
     for a spectral (chromaprint-style) bit derivation behind the same
     signature-frame/pigeonhole plumbing."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_single_split(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     hashes = (
         _audio_fhash_frame(docs)
         .withColumnRenamed("fp", "fhash")
@@ -1345,7 +1359,8 @@ def _audio_fhash_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, fp): the audio decode+hash stage of
     `mm_audio_fingerprint_dedup`, shared with the incremental ingest —
     render the doc's genuine WAV, decode through stdlib `wave`, hash the
-    energy contour."""
+    energy contour. Callers spread single-split input first, as in
+    `_image_dhash_frame`."""
     import numpy as np
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1386,7 +1401,9 @@ def _incremental_mm_delta(
     )
 
     nb, bb, t = CORPUS_MATCHED_KNOB
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_single_split(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     state_dir = tempfile.mkdtemp(prefix="mm_incr_")
     try:
         incremental_fingerprint_ingest(
@@ -1501,7 +1518,7 @@ def mm_scene_cut_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asset_id, frame_no) for any downstream clip assembly. Real-codec
     deployments swap the parse step behind the `_real_decode_stub` seam;
     the SAD kernel and the plan are codec-agnostic."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_single_split(load_table(spark, sf_dir, "documents"))
     buf = docs.select(
         "doc_id",
         F.expr(_Y4M_W).alias("w"),

@@ -25,7 +25,7 @@ from filemap_spark.functions.numeric import (
     mean_micro_6dp,
 )
 from filemap_spark.functions.ranks import with_global_ntile
-from filemap_spark.io import load_table
+from filemap_spark.io import load_table, spread_single_split
 from filemap_spark.registry import query
 
 
@@ -4447,7 +4447,9 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     gear = _gear_table()
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_single_split(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def chunk(batches, _gear=gear):
         import hashlib as _hl
