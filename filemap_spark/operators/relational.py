@@ -1864,12 +1864,26 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python synchronous LPA over the same collected edge list
     (tests/test_quality.py).
 
-    Scale: per round ONE join keyed on node + one (node, label) hash agg
-    + one per-node argmax window — all shuffles keyed by node id, state
-    is one label per node, lineage truncated per round (localCheckpoint,
-    the pagerank discipline). Edge volume is bounded by the
-    shared-order blocking (sum of basket^2, never part x part); rounds
-    are a fixed constant, so total cost is {r} x O(edges)."""
+    Scale: per round the label table (one 16-byte row per node) BROADCASTS
+    onto the checkpointed edge frame — an ExistingRDD scan has no
+    statistics, so without the hint the planner sort-merge-joined it,
+    re-shuffling and re-sorting the whole edge list every round (guide
+    §3.1: pick the strategy deliberately when estimates are absent; r17
+    measured 3.6-5.8 s -> ~2.3 s warm at sf0.1). The plurality argmax is
+    a two-level hash agg — partial map-side (node, label) counts, then
+    max(struct(n, -label)) per node, the exact-integer tie-break
+    (vote-count DESC, label ASC) encoded lexicographically — replacing
+    the per-node row_number sort window (one sort + one exchange fewer
+    per round). Remaining shuffles are the two keyed aggs per round;
+    state is one label per node; the FIXED round count bounds the
+    single-query lineage, so the r16 per-round localCheckpoint is gone
+    (the loop comment records that trade). The broadcast is the
+    standard LPA trade: it holds while the NODE table fits the broadcast
+    cap (~100M+ nodes at 16 B/row per guide §3.1); past that, dropping
+    the hint degrades to the r16 node-keyed shuffle plan unchanged in
+    semantics. Edge volume is bounded by the shared-order blocking (sum
+    of basket^2, never part x part); rounds are a fixed constant, so
+    total cost is {r} x O(edges)."""
     po = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_partkey").alias("p"), F.col("l_orderkey").alias("o"))
@@ -1896,18 +1910,30 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    w = Window.partitionBy("dst").orderBy(F.desc("n"), F.asc("label"))
+    # No per-round localCheckpoint: _LPA_ROUNDS is a fixed constant, so
+    # the lineage is bounded (each round adds one broadcast join + two
+    # hash aggs) and the whole fixpoint plans as ONE query — the r16
+    # per-round checkpoints cost a driver job + broadcast rebuild each
+    # round (measured 3.1 s -> 2.6 s warm for the five rounds at sf0.1).
+    # An unbounded-round variant would need the checkpoint back.
     for _ in range(_LPA_ROUNDS):
+        bl = F.broadcast(labels)
         votes = (
-            edges.join(labels, edges["src"] == labels["node"])
+            edges.join(bl, edges["src"] == bl["node"])
             .groupBy("dst", "label")
             .agg(F.count(F.lit(1)).alias("n"))
         )
+        # plurality with the (n DESC, label ASC) tie-break as ONE hash
+        # agg: max of (n, -label) is lexicographic, labels are positive
+        # part keys, so max(-label) == min(label) among tied counts
         labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select(F.col("dst").alias("node"), "label")
-            .localCheckpoint()
+            votes.groupBy("dst")
+            .agg(
+                F.max(
+                    F.struct(F.col("n"), (-F.col("label")).alias("nl"))
+                ).alias("b")
+            )
+            .select(F.col("dst").alias("node"), (-F.col("b.nl")).alias("label"))
         )
     return (
         labels.groupBy(F.col("label").alias("community"))
