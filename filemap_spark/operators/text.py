@@ -4151,7 +4151,7 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
        `_bpe_apply` kernel (the Zipf collapse again: millions of types,
        not trillions of tokens, pass through Python);
     3. join the per-type symbol arrays back to the position-exploded
-       docs (plain equi-join on the word — AQE broadcasts the type
+       docs (left equi-join on the word — AQE broadcasts the type
        table while it fits and shuffle-joins beyond that) and
        reassemble each doc's token stream JVM-side:
        collect_list(struct(pos, toks)) → array_sort → flatten, so
@@ -4173,8 +4173,9 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_kernels.py (exact per-doc counts AND stream hashes).
 
     Scale: ONE docs scan in the apply plan — the split-words frame is
-    checkpointed and feeds all three consumers (type table, position
-    explode, wordless-doc completion join); the trainer's own single
+    checkpointed and feeds both consumers (type table, outer position
+    explode; the r17 optimization round folded the wordless-doc
+    completion join into the reassembly agg); the trainer's own single
     scan runs in its separate pre-collected jobs — and only on the
     once-per-corpus artifact miss (scan_sweep r14: the
     first cut scanned documents 3× with zero reuse — Catalyst
@@ -4237,7 +4238,18 @@ def _bpe_token_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: learned merges from the warehouse artifact (trains once per
     corpus version — _bpe_learned_merges) → checkpointed split-words
     frame → distinct-type segmentation in Arrow batches → position-
-    exploded join back → codegen ordered reassembly. See
+    exploded LEFT join back → codegen ordered reassembly. The explode
+    is posexplode_outer and the reassembly agg drops empty words via a
+    null-yielding `when` inside collect_list (collect_list skips
+    nulls), so EVERY doc — wordless included — survives the one
+    groupBy with its exact stream; split() always yields ≥1 element,
+    so no doc loses its group. r17 (optimization round): this replaced
+    a separate wordless-doc completion join that re-sorted the
+    corpus-sized assembled streams through a SortMergeJoin on doc_id —
+    the saved Sort/Exchange/SMJ carried full token arrays, the
+    dominant payload at scale (plans/r17/text_bpe_apply_after.txt).
+    Result-identity vs the join form was asserted row-for-row before
+    the swap and stays pinned by the kernel tests. See
     text_bpe_apply's docstring for the scan discipline."""
     import pandas as pd
 
@@ -4269,27 +4281,23 @@ def _bpe_token_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = types.mapInPandas(segment, schema="w string, toks array<string>")
 
     wordpos = words.select(
-        "doc_id", F.posexplode("ws").alias("pos", "w")
-    ).where(F.length("w") > 0)
+        "doc_id", F.posexplode_outer("ws").alias("pos", "w")
+    )
 
-    streams = (
-        wordpos.join(seg, "w")
+    return (
+        wordpos.join(seg, "w", "left")
         .groupBy("doc_id")
         .agg(
             F.flatten(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.length("w") > 0, F.struct("pos", "toks"))
+                        )
+                    ),
                     lambda s: s["toks"],
                 )
             ).alias("stream")
-        )
-    )
-    return (
-        words.select("doc_id")
-        .join(streams, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("stream", F.array().cast("array<string>")).alias("stream"),
         )
     )
 
