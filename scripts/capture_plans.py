@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Capture `.explain("formatted")` for every bench-suite query (guide §1).
 
-Writes plans/r17/<query>_<tag>.txt for each query in the bench suites
-(HEADLINE + EXTENDED + STAGED + LLM). Usage:
+Writes plans/<round>/<query>_<tag>.txt for each query in the bench suites
+(HEADLINE + EXTENDED + STAGED + LLM); <round> comes from
+$FILEMAP_PLAN_ROUND (default r18). Usage:
 
     python scripts/capture_plans.py before [query ...]
     python scripts/capture_plans.py after  [query ...]
@@ -31,7 +32,9 @@ def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     only = set(sys.argv[2:])
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = os.path.join(here, "plans", "r17")
+    out_dir = os.path.join(
+        here, "plans", os.environ.get("FILEMAP_PLAN_ROUND", "r18")
+    )
     os.makedirs(out_dir, exist_ok=True)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("filemap-plan-capture")
@@ -41,8 +44,11 @@ def main() -> None:
         + list(LLM_HEADLINE)
     ))
     if only:
+        # explicit parens (ADVICE r17): `&` binds tighter than `-`, and the
+        # intended set is "requested names outside the suite that ARE
+        # registered queries"
         suite = [n for n in suite if n in only] + sorted(
-            only - set(suite) & set(queries)
+            (only - set(suite)) & set(queries)
         )
         suite = list(dict.fromkeys(n for n in suite if n in queries))
     for name in suite:
