@@ -101,6 +101,7 @@ def block_pigeonhole_pairs(
     n_blocks: int,
     block_bits: int,
     threshold: int,
+    include_equal: bool = False,
 ) -> DataFrame:
     """Pairs (id_a, id_b, hamming) with id_a < id_b and
     hamming(sig_a, sig_b) <= threshold, generated via the block join.
@@ -108,7 +109,13 @@ def block_pigeonhole_pairs(
     `frame` has one row per signer; `id_col` orders/identifies the pair
     sides (a doc id, or the signature itself when signers ARE distinct
     signatures — pass id_col == sig_col and the select collapses).
-    Requires threshold < n_blocks for the recall guarantee."""
+    Requires threshold < n_blocks for the recall guarantee.
+
+    `include_equal=True` relaxes the pair condition to id_a <= id_b, so
+    the DIAGONAL (x, x, hamming 0) rows survive — a same-signature
+    "pair" agrees on every block, which lets a distinct-signature
+    caller fold its separate same-signature membership self-join into
+    the one expansion pass (fingerprint_near_dup_pairs, r18)."""
     if threshold >= n_blocks:
         raise ValueError(
             f"pigeonhole needs threshold < n_blocks, got {threshold} >= {n_blocks}"
@@ -137,12 +144,17 @@ def block_pigeonhole_pairs(
     hamming = F.bit_count(
         F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}"))
     )
+    ordered = (
+        F.col(f"a.{id_col}") <= F.col(f"b.{id_col}")
+        if include_equal
+        else F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
     return (
         a.join(
             b,
             (F.col("a.blk_idx") == F.col("b.blk_idx"))
             & (F.col("a.blk_val") == F.col("b.blk_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & ordered,
         )
         .where(hamming <= threshold)
         .select(
@@ -171,9 +183,12 @@ def fingerprint_near_dup_pairs(
     1. collapse to one row per DISTINCT fingerprint (identical items
        share a fingerprint, so a k-member cluster contributes ONE
        signature to the join, not k²/2 candidate rows per block);
-    2. cross-fingerprint candidates via the pigeonhole join;
-    3. expand to id level — cross-group via two membership joins,
-       intra-group (hamming 0) via a same-fingerprint self-join.
+    2. candidates via the pigeonhole join WITH the diagonal kept
+       (include_equal — a same-fingerprint pair agrees on every block);
+    3. expand to id level in ONE pass of two membership joins: ha < hb
+       rows are the cross-group pairs, diagonal rows gated by
+       id_a < id_b are exactly the intra-group (hamming 0) pairs the
+       pre-r18 shape generated through a separate membership self-join.
 
     The knob (n_blocks, block_bits, threshold) picks the recall/volume
     trade: pass CORPUS_MATCHED_KNOB (16, 4, 15) for corpora whose near
@@ -207,9 +222,16 @@ def fingerprint_near_dup_pairs(
                 RuntimeWarning,
                 stacklevel=2,
             )
+    # include_equal folds the old intra-group membership self-join into
+    # the one expansion pass (r18): the diagonal (f, f, 0) hash rows
+    # expand to every same-fingerprint doc pair, gated by id_a < id_b so
+    # each surfaces exactly once; cross-fingerprint rows (ha < hb) pair
+    # distinct docs by construction. No union, no second join subtree,
+    # and still no distinct needed — each output row has one generation.
     hash_pairs = block_pigeonhole_pairs(
         reps, id_col=hash_col, sig_col=hash_col,
         n_blocks=n_blocks, block_bits=block_bits, threshold=threshold,
+        include_equal=True,
     ).select(
         F.col("id_a").alias("ha"), F.col("id_b").alias("hb"), "hamming"
     )
@@ -219,29 +241,17 @@ def fingerprint_near_dup_pairs(
     mb = hashes.select(
         F.col(hash_col).alias("hb"), F.col(id_col).alias("id_b")
     )
-    cross = (
+    return (
         hash_pairs.join(ma, "ha")
         .join(mb, "hb")
+        .where((F.col("ha") != F.col("hb")) | (F.col("id_a") < F.col("id_b")))
         .select(
             F.least("id_a", "id_b").alias("doc_a"),
             F.greatest("id_a", "id_b").alias("doc_b"),
             "hamming",
         )
+        .orderBy("doc_a", "doc_b")
     )
-    x, y = hashes.alias("x"), hashes.alias("y")
-    intra = (
-        x.join(
-            y,
-            (F.col(f"x.{hash_col}") == F.col(f"y.{hash_col}"))
-            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
-        )
-        .select(
-            F.col(f"x.{id_col}").alias("doc_a"),
-            F.col(f"y.{id_col}").alias("doc_b"),
-            F.lit(0).cast("int").alias("hamming"),
-        )
-    )
-    return cross.unionByName(intra).orderBy("doc_a", "doc_b")
 
 
 def incremental_fingerprint_ingest(
@@ -272,20 +282,24 @@ def incremental_fingerprint_ingest(
 
     Returns (doc_a, doc_b, hamming), doc_a < doc_b, where at least one
     side is in THIS batch: (new, old) and (new, new) cross-fingerprint
-    pairs via an asymmetric block probe (delta fps on the build side,
-    all fps on the probe side — every emitted fp pair has a new fp by
-    construction, so no earlier batch's pairs are repeated), plus
-    hamming-0 pairs from new docs joining an existing or shared
-    fingerprint group. Ingesting batches that partition a corpus emits
-    each of the corpus's pairs EXACTLY once, cumulatively — each pair
-    surfaces in the batch of its later-arriving member (pinned against
-    the batch op in tests).
+    pairs via an asymmetric block probe (delta fps broadcast as the
+    build side, all fps streamed — every emitted fp pair has a new fp
+    by construction, so no earlier batch's pairs are repeated).
+    Hamming-0 pairs from new docs joining an existing or shared
+    fingerprint group ride the SAME join since r18: a shared
+    fingerprint agrees on every block, so the probe's diagonal (f, f)
+    rows expand to exactly the old separate intra branch's pairs.
+    Ingesting batches that partition a corpus emits each of the
+    corpus's pairs EXACTLY once, cumulatively — each pair surfaces in
+    the batch of its later-arriving member (pinned against the batch
+    op in tests).
 
-    Scale: per batch, decode touches |delta| docs; the probe shuffles
-    n_blocks rows per distinct delta fp against the bucket-keyed index
-    blocks; the index append is one columnar write. The knob is the
-    same (n_blocks, block_bits, threshold) triple as the batch path
-    (CORPUS_MATCHED_KNOB / WEB_SCALE_KNOB)."""
+    Scale: per batch, decode touches |delta| docs; the probe broadcasts
+    n_blocks rows per distinct DELTA fp (16 B each — the in-code cap
+    note) against the round-robin-spread block frame of all distinct
+    fps; the index append is one single-file columnar write per batch.
+    The knob is the same (n_blocks, block_bits, threshold) triple as
+    the batch path (CORPUS_MATCHED_KNOB / WEB_SCALE_KNOB)."""
     import os
 
     if threshold >= n_blocks:
@@ -309,41 +323,69 @@ def incremental_fingerprint_ingest(
     if not delta.take(1):
         return spark.createDataFrame([], "doc_a long, doc_b long, hamming int")
 
-    all_fps = index.unionByName(delta) if have_state else delta
-    new_reps = delta.select("fp").distinct()
-    all_reps = all_fps.select("fp").distinct()
-    # spread both block frames before the candidate join — same
-    # AQE-coalesced-to-one-partition hazard as block_pigeonhole_pairs
-    # (the `.distinct()` outputs above are tiny, and whichever side is
-    # not broadcast sets the join's task count); unconditional for the
-    # same no-double-execution reason documented there
-    width = spark.sparkContext.defaultParallelism
-    probe = (
-        signature_blocks(new_reps, "fp", n_blocks, block_bits, keep=["fp"])
-        .repartition(width)
-        .withColumnRenamed("fp", "nfp")
-        .alias("a")
+    all_fps = (
+        index.withColumn("is_new", F.lit(False)).unionByName(
+            delta.withColumn("is_new", F.lit(True))
+        )
+        if have_state
+        else delta.withColumn("is_new", F.lit(True))
     )
+    # ONE tagged distinct serves both join sides (r18: the r17 shape ran
+    # TWO distinct aggs — delta-only and all — each its own exchange;
+    # max(is_new) over the members of a fingerprint marks whether any
+    # holder arrived in THIS batch, so the probe side is a filter of the
+    # same relation and ReuseExchange computes the agg once)
+    reps = all_fps.groupBy("fp").agg(F.max("is_new").alias("is_new"))
+    # Probe side (delta fps only) is BROADCAST: both inputs are
+    # statistics-less checkpoint scans, so left alone the planner's
+    # static choice is fragile and an AQE SMJ->BHJ conversion re-reads
+    # the streamed side through a coalesced-to-ONE-partition
+    # AQEShuffleRead — the exact trap the r17 spread fixed (guide §3.1:
+    # pick the strategy deliberately when estimates are absent). The
+    # hint pins build=probe in the INITIAL plan, so the streamed side
+    # keeps the round-robin width below and no probe-side exchange
+    # exists at all (r17 spread both sides; the build side's exchange
+    # was dead weight). Cap: the broadcast holds n_blocks rows per
+    # DISTINCT delta fingerprint (16 B each) — delta-sized, fine to
+    # ~50M distinct fps per batch; past that drop the hint and the
+    # r17 both-sides-spread shuffle join is the semantics-identical
+    # fallback.
+    probe = F.broadcast(
+        signature_blocks(
+            reps.where("is_new"), "fp", n_blocks, block_bits, keep=["fp"]
+        ).withColumnRenamed("fp", "nfp")
+    ).alias("a")
+    # spread the streamed block frame before the candidate join — the
+    # distinct output is tiny, AQE coalesces its shuffle to ONE
+    # partition, and the streamed-side partition count is the task
+    # count of a join whose OUTPUT is ~n²/2^block_bits rows;
+    # unconditional for the no-double-execution reason documented in
+    # block_pigeonhole_pairs
+    width = spark.sparkContext.defaultParallelism
     target = (
-        signature_blocks(all_reps, "fp", n_blocks, block_bits, keep=["fp"])
+        signature_blocks(reps, "fp", n_blocks, block_bits, keep=["fp"])
         .repartition(width)
         .withColumnRenamed("fp", "ofp")
         .alias("b")
     )
     hamming = F.bit_count(F.col("a.nfp").bitwiseXOR(F.col("b.ofp")))
+    # nfp == ofp rows are KEPT (r18): a same-fingerprint "pair" agrees
+    # on every block, so the join emits (f, f, 0) for each delta fp and
+    # the doc-level expansion below yields exactly the old separate
+    # intra branch's hamming-0 pairs — one join subtree instead of two.
     fp_pairs = (
         probe.join(
             target,
             (F.col("a.blk_idx") == F.col("b.blk_idx"))
-            & (F.col("a.blk_val") == F.col("b.blk_val"))
-            & (F.col("a.nfp") != F.col("b.ofp")),
+            & (F.col("a.blk_val") == F.col("b.blk_val")),
         )
         .where(hamming <= threshold)
         .select("nfp", "ofp", hamming.cast("int").alias("hamming"))
         .distinct()
     )
     # expand: the new side through THIS batch's docs only (delta
-    # semantics), the other side through everything
+    # semantics), the other side through everything; id_n != id_o drops
+    # the self-pairs the folded intra diagonal would otherwise emit
     cross = (
         fp_pairs.join(
             delta.select(F.col("fp").alias("nfp"), F.col("doc_id").alias("id_n")),
@@ -353,25 +395,17 @@ def incremental_fingerprint_ingest(
             all_fps.select(F.col("fp").alias("ofp"), F.col("doc_id").alias("id_o")),
             "ofp",
         )
+        .where(F.col("id_n") != F.col("id_o"))
         .select(
             F.least("id_n", "id_o").alias("doc_a"),
             F.greatest("id_n", "id_o").alias("doc_b"),
             "hamming",
         )
     )
-    intra = (
-        delta.alias("d")
-        .join(
-            all_fps.alias("o"),
-            (F.col("d.fp") == F.col("o.fp"))
-            & (F.col("d.doc_id") != F.col("o.doc_id")),
-        )
-        .select(
-            F.least("d.doc_id", "o.doc_id").alias("doc_a"),
-            F.greatest("d.doc_id", "o.doc_id").alias("doc_b"),
-            F.lit(0).cast("int").alias("hamming"),
-        )
-    )
-    pairs = cross.unionByName(intra).distinct()
-    delta.write.mode("append").parquet(fp_path)
+    pairs = cross.distinct()
+    # one state file per batch: the delta is already materialized (the
+    # checkpoint above), so the append is a 1-task scan of memory — and
+    # every later ingest's index scan pays per-file open cost, so small
+    # batches must not leave a file per shuffle partition (guide §6)
+    delta.coalesce(1).write.mode("append").parquet(fp_path)
     return pairs
