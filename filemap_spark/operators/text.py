@@ -1183,33 +1183,59 @@ def incremental_lsh_ingest(
     batch_reps = _dup_groups(novel)
     rep_docs = batch_reps.select(F.col("rep_id").alias("doc_id"), "text")
 
-    # Fused materialization (round 9, VERDICT r8 task 5): shingles and
-    # band buckets checkpoint as ONE tagged union frame — one job instead
-    # of the r3-r8 two sequential checkpoints (the band leg recomputes the
-    # cheap shingle explode inside the same job; the expensive minhash agg
-    # runs once either way). Rows with a non-null shingle are the shingle
-    # relation; null-shingle rows carry (band, bucket).
+    # The batch's ledger rows: every new doc annotated with its group rep
+    # (novel docs get the batch rep, joining docs their group's stored
+    # rep) — ONE relation serving the pair expansion and the ledger
+    # append. Built here so it can ride the fused checkpoint below.
+    ledger_rows = novel.select("doc_id", "thash").join(
+        batch_reps.select("thash", "rep_id", "sigworthy"), "thash"
+    )
+    if have_state:
+        joining = keyed.join(old_reps.select("thash"), "thash", "left_semi")
+        ledger_rows = ledger_rows.unionByName(
+            joining.select("doc_id", "thash").join(old_reps, "thash")
+        )
+    ledger_rows = ledger_rows.select("doc_id", "thash", "rep_id", "sigworthy")
+
+    # Fused materialization (round 9, VERDICT r8 task 5; widened r18):
+    # shingles, band buckets AND the batch ledger rows checkpoint as ONE
+    # tagged union frame — one job instead of the r3-r8 two sequential
+    # checkpoints plus the r10-r17 separate ledger checkpoint (the band
+    # leg recomputes the cheap shingle explode inside the same job; the
+    # expensive minhash agg runs once either way; the ledger legs'
+    # classification joins would otherwise re-run for every expansion
+    # branch AND the append — measured ~4x). Tags by nullness: non-null
+    # shingle = the shingle relation; non-null band = the LSH index
+    # rows; non-null thash = the ledger rows.
     sh = _shingle_frame(rep_docs)
+    _null = lambda t, name: F.lit(None).cast(t).alias(name)  # noqa: E731
     joint = (
         sh.select(
-            "doc_id",
-            "shingle",
-            F.lit(None).cast("int").alias("band"),
-            F.lit(None).cast("int").alias("bucket"),
+            "doc_id", "shingle", _null("int", "band"), _null("int", "bucket"),
+            _null("string", "thash"), _null("long", "rep_id"),
+            _null("boolean", "sigworthy"),
         )
         .unionByName(
             _band_buckets(sh).select(
-                "doc_id",
-                F.lit(None).cast("string").alias("shingle"),
-                "band",
-                "bucket",
+                "doc_id", _null("string", "shingle"), "band", "bucket",
+                _null("string", "thash"), _null("long", "rep_id"),
+                _null("boolean", "sigworthy"),
+            )
+        )
+        .unionByName(
+            ledger_rows.select(
+                "doc_id", _null("string", "shingle"), _null("int", "band"),
+                _null("int", "bucket"), "thash", "rep_id", "sigworthy",
             )
         )
         .localCheckpoint()
     )
     new_sh = joint.where(F.col("shingle").isNotNull()).select("doc_id", "shingle")
-    new_bands = joint.where(F.col("shingle").isNull()).select(
+    new_bands = joint.where(F.col("band").isNotNull()).select(
         "doc_id", "band", "bucket"
+    )
+    new_rows = joint.where(F.col("thash").isNotNull()).select(
+        "doc_id", "thash", "rep_id", "sigworthy"
     )
 
     if have_state:
@@ -1246,24 +1272,6 @@ def incremental_lsh_ingest(
         .distinct()
     )
     rep_pairs = _jaccard_verify(candidates, all_sh, threshold)
-
-    # The batch's ledger rows: every new doc annotated with its group rep
-    # (novel docs get the batch rep, joining docs their group's stored
-    # rep) — ONE relation serving the expansion and the ledger append.
-    new_rows = novel.select("doc_id", "thash").join(
-        batch_reps.select("thash", "rep_id", "sigworthy"), "thash"
-    )
-    if have_state:
-        joining = keyed.join(old_reps.select("thash"), "thash", "left_semi")
-        new_rows = new_rows.unionByName(
-            joining.select("doc_id", "thash").join(old_reps, "thash")
-        )
-    # materialized once: the classification joins above would otherwise
-    # re-run for every expansion branch AND the ledger append (~4×) —
-    # measured 5.4 → 4.2 s cold / 3.6 → 3.5 s warm on the sf0.1 delta
-    new_rows = new_rows.select(
-        "doc_id", "thash", "rep_id", "sigworthy"
-    ).localCheckpoint()
 
     # Expansion universe: all members (old + new) keyed directly on
     # rep_id — a rep-level pair expands to member pairs touching the
@@ -1313,10 +1321,33 @@ def incremental_lsh_ingest(
     )
     pairs = cross.unionByName(same).localCheckpoint()
 
-    # commit the batch AFTER the pairs are materialized (append-only)
-    new_rows.write.mode("append").parquet(ing_path)
-    new_sh.write.mode("append").parquet(sh_path)
-    new_bands.write.mode("append").parquet(band_path)
+    # Commit the batch AFTER the pairs are materialized (append-only).
+    # Ledger FIRST — preserving the pre-r18 sequential order's crash
+    # exposure (a ledger row without its index rows, never index rows
+    # without their ledger row, which would re-append them as novel) —
+    # then the two index appends CONCURRENTLY (guide §2.6: independent
+    # jobs from a small thread pool; both scan the same checkpointed
+    # joint frame, so the wall is max, not sum). coalesce(1): the rows
+    # are already materialized in the checkpoint, so each append is a
+    # single-task memory scan and the state grows ONE file per table
+    # per batch instead of one per shuffle partition (guide §6
+    # small-files; later probes pay per-file open cost).
+    new_rows.coalesce(1).write.mode("append").parquet(ing_path)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(
+                lambda df, p: df.coalesce(1)
+                .write.mode("append")
+                .parquet(p),
+                df,
+                p,
+            )
+            for df, p in ((new_sh, sh_path), (new_bands, band_path))
+        ]
+        for f in futs:
+            f.result()
     return pairs
 
 
