@@ -97,18 +97,65 @@ def spread_single_split(df: DataFrame) -> DataFrame:
     results are partitioning-invariant. Extracted from mm_decode_jpeg's
     r14 inline fix so every decode-stage consumer shares one guard.
 
-    PRECONDITION: call this on scan-fed plans only (scan + narrow
-    projections). `.rdd.getNumPartitions()` is free there, but on a plan
-    containing exchanges it EXECUTES every upstream AQE stage a second
-    time (measured +4 s on the incremental mm ingests before their guard
+    PRECONDITION (mechanically enforced since r18 — VERDICT r17 task 5):
+    call this on scan-fed plans only (scan + narrow projections).
+    `.rdd.getNumPartitions()` is free there, but on a plan containing
+    exchanges it EXECUTES every upstream AQE stage a second time
+    (measured +4 s on the incremental mm ingests before their guard
     moved to the raw scan); post-shuffle frames that need spreading use
     an unconditional bounded repartition instead (functions/blocked.py's
-    candidate joins document that pattern)."""
+    candidate joins document that pattern). A call on a plan with any
+    shuffle-inducing operator raises instead of silently paying the
+    double execution."""
+    _assert_scan_only(df)
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 4):
         df = df.repartition(target)
     return df
+
+
+# Logical operators whose presence means `.rdd.getNumPartitions()` will
+# plan (and under AQE, EXECUTE) a shuffle stage — the exact double-
+# execution hazard spread_single_split's precondition exists to prevent.
+# Narrow operators (Project/Filter/Generate/Union/scan relations) are
+# fine and deliberately not listed.
+_SPREAD_UNSAFE_NODES = (
+    "Join",
+    "Aggregate",
+    "Window",
+    "Sort",
+    "Deduplicate",
+    "Repartition",
+    "RepartitionByExpression",
+    "CollectMetrics",
+    "GlobalLimit",
+)
+
+
+def _assert_scan_only(df: DataFrame) -> None:
+    """Raise if `df`'s analyzed plan contains a shuffle-inducing operator
+    (wide node or explicit repartition). Pure plan inspection — nothing is
+    executed; node names are matched as whole words at line starts of the
+    analyzed-plan tree, where each operator prints as `:- NodeName ...`."""
+    import re
+
+    plan = df._jdf.queryExecution().analyzed().toString()
+    hits = sorted(
+        {
+            node
+            for node in _SPREAD_UNSAFE_NODES
+            if re.search(rf"^[\s:+-]*'?{node}[ \[(]", plan, re.MULTILINE)
+        }
+    )
+    if hits:
+        raise ValueError(
+            "spread_single_split requires a scan-only input plan "
+            "(scan + narrow projections): found shuffle-inducing "
+            f"operator(s) {hits}. Probing partition counts here would "
+            "re-execute every upstream AQE stage; use an unconditional "
+            "bounded repartition instead (see functions/blocked.py)."
+        )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

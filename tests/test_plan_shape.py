@@ -1457,3 +1457,32 @@ def test_text_rouge2_recall_exchange_reuse(spark, sf_dir):
     tables = re.findall(r"(\w+)\.parquet", plan)
     assert tables.count("documents") <= 2, tables
     assert plan.count("ReusedExchange") >= 1, plan
+
+
+def test_spread_single_split_rejects_shuffled_plans(spark, sf_dir):
+    """r18 (VERDICT r17 task 5): spread_single_split's scan-only
+    precondition is mechanical — probing partition counts on a shuffled
+    plan would re-execute every upstream AQE stage (+4 s measured when a
+    call site made exactly that mistake in r17), so the helper must
+    refuse wide inputs instead of silently paying it."""
+    import pytest as _pytest
+
+    from filemap_spark.io import load_table, spread_single_split
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # scan + narrow projection: accepted (the supported shape)
+    spread_single_split(docs)
+    spread_single_split(docs.where(F.length("text") > 0))
+    # checkpoint scans are scan-like: accepted (incremental-path inputs)
+    ck = docs.limit(0)  # cheap frame for plan-shape-only checks below
+    for bad in (
+        docs.join(docs.select("doc_id"), "doc_id", "left_anti"),
+        docs.groupBy("doc_id").count(),
+        docs.orderBy("doc_id"),
+        docs.distinct(),
+        docs.repartition(4),
+        ck.join(ck.select("doc_id"), "doc_id"),
+    ):
+        with _pytest.raises(ValueError, match="scan-only"):
+            spread_single_split(bad)
