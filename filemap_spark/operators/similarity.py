@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from filemap_spark.functions.numeric import davg
-from filemap_spark.io import load_table
+from filemap_spark.io import load_table, spread_single_split
 from filemap_spark.registry import query
 
 _COSINE_ORACLE_CORE = """
@@ -200,10 +200,9 @@ def _cosine_topk_frame(
                 if len(out):
                     yield out
 
-    queries_df = emb.select("vec_id", "embedding")
-    target = spark.sparkContext.defaultParallelism
-    if queries_df.rdd.getNumPartitions() < max(2, target // 4):
-        queries_df = queries_df.repartition(target)
+    # shared scan-fed spread guard (ADVICE r17: the inlined copy could
+    # silently diverge from io.spread_single_split's threshold logic)
+    queries_df = spread_single_split(emb.select("vec_id", "embedding"))
     return queries_df.mapInPandas(
         topk_batches, schema="vec_id long, nbr_id long, sim double"
     )
@@ -1867,10 +1866,9 @@ def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                         out.insert(0, "prefix_dim", d)
                         yield out[["prefix_dim", "vec_id", "nbr_id"]]
 
-    queries_df = emb.select("vec_id", "embedding")
-    target = spark.sparkContext.defaultParallelism
-    if queries_df.rdd.getNumPartitions() < max(2, target // 4):
-        queries_df = queries_df.repartition(target)
+    # shared scan-fed spread guard (ADVICE r17: the inlined copy could
+    # silently diverge from io.spread_single_split's threshold logic)
+    queries_df = spread_single_split(emb.select("vec_id", "embedding"))
     tops = queries_df.mapInPandas(
         topk_all_dims, schema="prefix_dim int, vec_id long, nbr_id long"
     ).localCheckpoint()
