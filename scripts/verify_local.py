@@ -42,7 +42,14 @@ def main() -> int:
             continue
         if not res.ok:
             failures += 1
-        print(f"{res} ({time.time() - t0:.2f}s)")
+        pin = ""
+        if name not in oracles:
+            # rows-only op: name its mechanism pin so the line reads as
+            # "graded elsewhere", not "unchecked" (VERDICT r17 task 8)
+            from filemap_spark.registry import rows_only_pins
+
+            pin = f" [pinned_by {rows_only_pins().get(name, '?')}]"
+        print(f"{res}{pin} ({time.time() - t0:.2f}s)")
     checked = len(names) - skipped
     print(f"\n{checked - failures}/{checked} passed" + (f", {skipped} skipped" if skipped else ""))
     return 1 if failures else 0

@@ -190,3 +190,22 @@ def test_survey_and_readme_counts_match_registry():
     m = re.search(r"\*\*Round-\d+ status[^*]*:\*\* (\d+) operators", readme)
     assert m, "README.md round-status line missing"
     assert int(m.group(1)) == n_ops, f"README says {m.group(1)}, registry has {n_ops}"
+
+
+def test_rows_only_pins_cover_exactly_the_no_oracle_ops():
+    """r18 (VERDICT r17 task 8): every registered op without a DuckDB
+    oracle must name its independent mechanism pin, and the named test
+    must exist in the named module — so a grading run can surface a
+    pinned_ok bit next to each no_oracle correctness row."""
+    import os
+    import re
+
+    from filemap_spark.registry import all_oracle, all_queries, rows_only_pins
+
+    pins = rows_only_pins()
+    assert set(pins) == set(all_queries()) - set(all_oracle())
+    here = os.path.dirname(os.path.abspath(__file__))
+    for op, ref in pins.items():
+        mod, fn = ref.split("::")
+        src = open(os.path.join(here, f"{mod}.py")).read()
+        assert re.search(rf"^def {fn}\(", src, re.M), f"{op}: {ref} missing"
