@@ -4871,10 +4871,27 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).withColumn("bucket", _hash_bucket_col("bg"))
-    is_keep = (F.col("gopher_verdict") == "keep").cast("long")
-    raw = bg.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("rk"),
-        F.sum(is_keep).cast("bigint").alias("tk"),
+    # ONE tokenize pass (r18, the sample_importance_hashed r12 rewrite
+    # applied to the bigram model): the doc×bucket agg keeps the verdict
+    # as a grouping key (functionally dependent on doc_id — zero extra
+    # groups), and the per-bucket model distribution re-aggregates THAT
+    # frame instead of re-running the explode+md5 pipeline. Both
+    # consumers hang off one identical exchange subtree which
+    # ReuseExchange dedupes; the explicit no-op null guards keep every
+    # branch's inferred-filter set (hence canonical plan) identical —
+    # without them the joins push isnotnull() into only some branches
+    # and the scan+explode runs twice (the relational.py precedent).
+    dbl = (
+        bg.select("doc_id", "gopher_verdict", "bucket")
+        .where(F.col("doc_id").isNotNull() & F.col("bucket").isNotNull())
+        .groupBy("doc_id", "gopher_verdict", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    raw = dbl.groupBy("bucket").agg(
+        F.sum("n").cast("bigint").alias("rk"),
+        F.sum(
+            F.when(F.col("gopher_verdict") == "keep", F.col("n")).otherwise(0)
+        ).cast("bigint").alias("tk"),
     )
     tot = raw.agg(
         F.sum("rk").cast("bigint").alias("tr"),
@@ -4883,9 +4900,8 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = raw.crossJoin(F.broadcast(tot)).select(
         "bucket", F.expr(_DSIR_Q_SQL).alias("q")
     )
-    db = bg.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("n"))
     sc = (
-        db.join(F.broadcast(lo), "bucket")
+        dbl.join(F.broadcast(lo), "bucket")
         .groupBy("doc_id")
         .agg(
             F.sum(F.col("n") * F.col("q")).cast("bigint").alias("s"),
@@ -5388,10 +5404,20 @@ def text_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).withColumn("bucket", _hash_bucket_col("bg"))
-    is_keep = (F.col("gopher_verdict") == "keep").cast("long")
-    raw = bg.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("rk"),
-        F.sum(is_keep).cast("bigint").alias("tk"),
+    # ONE tokenize pass — same r18 rewrite as text_dsir_importance (the
+    # shared-exchange comment there); verdict rides the doc×bucket agg
+    # key so the model distribution derives from it.
+    dbl = (
+        bg.select("doc_id", "gopher_verdict", "bucket")
+        .where(F.col("doc_id").isNotNull() & F.col("bucket").isNotNull())
+        .groupBy("doc_id", "gopher_verdict", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    raw = dbl.groupBy("bucket").agg(
+        F.sum("n").cast("bigint").alias("rk"),
+        F.sum(
+            F.when(F.col("gopher_verdict") == "keep", F.col("n")).otherwise(0)
+        ).cast("bigint").alias("tk"),
     )
     tot = raw.agg(
         F.sum("rk").cast("bigint").alias("tr"),
@@ -5400,9 +5426,8 @@ def text_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = raw.crossJoin(F.broadcast(tot)).select(
         "bucket", F.expr(_DSIR_Q_SQL).alias("q")
     )
-    db = bg.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("n"))
     sc = (
-        db.join(F.broadcast(lo), "bucket")
+        dbl.join(F.broadcast(lo), "bucket")
         .groupBy("doc_id")
         .agg(
             F.sum(F.col("n") * F.col("q")).cast("bigint").alias("s"),

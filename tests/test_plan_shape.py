@@ -1486,3 +1486,15 @@ def test_spread_single_split_rejects_shuffled_plans(spark, sf_dir):
     ):
         with _pytest.raises(ValueError, match="scan-only"):
             spread_single_split(bad)
+
+
+def test_dsir_ops_single_tokenize(spark, sf_dir):
+    """r18 rewrite (the sample_importance_hashed r12 pattern applied to
+    the bigram DSIR pair): the doc×bucket agg keeps the verdict as a
+    grouping key and the model distribution re-aggregates that frame, so
+    the explode+md5 tokenize pipeline must run ONCE per query through a
+    reused exchange — not once per distribution."""
+    for name in ("text_dsir_importance", "text_dsir_resample"):
+        plan = _final_adaptive_plan(spark, sf_dir, name)
+        assert plan.count("zip_with") == 1, (name, plan.count("zip_with"))
+        assert plan.count("ReusedExchange") >= 1, name
