@@ -5546,20 +5546,24 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the scalable Spark spelling of the letter of the paper, not an
     approximation of it.
 
-    Determinism: spans are exact string equality (no hashing, no FP);
-    the island split is integer position arithmetic over a
-    doc-partitioned, position-ordered window; every output column is an
-    exact integer.
+    Determinism: span equality rides a 128-bit key (two independently
+    seeded xxhash64 values of the token-slice ARRAY — injective to the
+    span string since tokens never contain the separator); a false
+    collision needs p ≈ n²/2¹²⁸, the `_keyed_by_text` discipline, and
+    the hash never reaches the output. The island split is integer
+    position arithmetic over a doc-partitioned, position-ordered
+    window; every output column is an exact integer.
 
-    Scale: the window relation is O(tokens) rows; duplicate detection is
-    ONE span-keyed hash agg (wordcount's shuffle shape with heavier
-    keys — in production the span string is replaced by its 128-bit
-    hash before the exchange, the dedup_span_exact note) and the probe
-    join is span-keyed, never doc×doc. The islands/coalesce stage runs
-    on the HIT set only (duplicated windows — corpus-small), partitioned
-    by doc_id; no global sort, no driver state. The token-array frame is
-    checkpointed doc-sized (the contamination-op precedent) so both
-    consumers of the window stream derive from one documents scan."""
+    Scale (r18 rewrite, guide §2.1/§2.3): duplicate detection is ONE
+    pass — count(*) over a window keyed by the 128-bit span hash — so
+    the explode pipeline runs once and the only corpus-sized exchange
+    moves 32-byte (hash, doc, pos) rows, never span strings (the
+    pre-r18 shape built the ~50-token span string twice — once for the
+    span-keyed agg, once for the probe join — and shuffled the strings
+    themselves). The islands/coalesce stage runs on the HIT set only
+    (duplicated windows — corpus-small), partitioned by doc_id; no
+    global sort, no driver state. The token-array frame is checkpointed
+    doc-sized (the contamination-op precedent)."""
     n = _SUBSTR_SPAN_TOKENS
     docs = load_table(spark, sf_dir, "documents")
     ws = (
@@ -5567,19 +5571,23 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("w") >= n)
         .localCheckpoint()
     )
-    sp = ws.select(
+    arr = F.expr(f"slice(w, pos, {n})")
+    keyed = ws.select(
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.size("w") - (n - 1))).alias("pos"),
         F.col("w"),
     ).select(
         "doc_id",
         "pos",
-        F.concat_ws(" ", F.expr(f"slice(w, pos, {n})")).alias("span"),
+        F.xxhash64(arr).alias("h1"),
+        F.xxhash64(F.lit(1), arr).alias("h2"),
     )
-    dup = sp.groupBy("span").agg(F.count(F.lit(1)).alias("cnt")).where(
-        F.col("cnt") > 1
-    ).select("span")
-    hits = sp.join(dup, "span").select("doc_id", "pos")
+    w_span = Window.partitionBy("h1", "h2")
+    hits = (
+        keyed.withColumn("cnt", F.count(F.lit(1)).over(w_span))
+        .where(F.col("cnt") > 1)
+        .select("doc_id", "pos")
+    )
     w_ord = Window.partitionBy("doc_id").orderBy("pos")
     isl = hits.select(
         "doc_id",
