@@ -1845,6 +1845,48 @@ def sample_shuffle_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LPA_ROUNDS = 5
 
 
+def _lpa_fixpoint(
+    edges: DataFrame,
+    labels: DataFrame,
+    rounds: int,
+    broadcast_hint: bool = True,
+) -> DataFrame:
+    """The synchronous LPA round loop shared by graph_label_propagation
+    and its broadcast-fallback test. No per-round localCheckpoint: the
+    round count is a fixed constant, so the lineage is bounded (each
+    round adds one join + two hash aggs) and the whole fixpoint plans as
+    ONE query — the r16 per-round checkpoints cost a driver job +
+    broadcast rebuild each round (measured 3.1 s -> 2.6 s warm for the
+    five rounds at sf0.1). An unbounded-round variant would need the
+    checkpoint back.
+
+    `broadcast_hint=False` is the documented past-the-broadcast-cap
+    fallback (labels outgrow the driver at ~100M+ nodes): the same loop
+    with the planner's shuffle join, label-identical by construction —
+    pinned by tests/test_quality.py so the degradation path stays
+    semantics-safe."""
+    for _ in range(rounds):
+        bl = F.broadcast(labels) if broadcast_hint else labels
+        votes = (
+            edges.join(bl, edges["src"] == bl["node"])
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # plurality with the (n DESC, label ASC) tie-break as ONE hash
+        # agg: max of (n, -label) is lexicographic, labels are positive
+        # part keys, so max(-label) == min(label) among tied counts
+        labels = (
+            votes.groupBy("dst")
+            .agg(
+                F.max(
+                    F.struct(F.col("n"), (-F.col("label")).alias("nl"))
+                ).alias("b")
+            )
+            .select(F.col("dst").alias("node"), (-F.col("b.nl")).alias("label"))
+        )
+    return labels
+
+
 @query("graph_label_propagation", cost=2.0)  # rows-only: iterative fixpoint
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by synchronous label propagation (LPA) over
@@ -1910,31 +1952,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    # No per-round localCheckpoint: _LPA_ROUNDS is a fixed constant, so
-    # the lineage is bounded (each round adds one broadcast join + two
-    # hash aggs) and the whole fixpoint plans as ONE query — the r16
-    # per-round checkpoints cost a driver job + broadcast rebuild each
-    # round (measured 3.1 s -> 2.6 s warm for the five rounds at sf0.1).
-    # An unbounded-round variant would need the checkpoint back.
-    for _ in range(_LPA_ROUNDS):
-        bl = F.broadcast(labels)
-        votes = (
-            edges.join(bl, edges["src"] == bl["node"])
-            .groupBy("dst", "label")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        # plurality with the (n DESC, label ASC) tie-break as ONE hash
-        # agg: max of (n, -label) is lexicographic, labels are positive
-        # part keys, so max(-label) == min(label) among tied counts
-        labels = (
-            votes.groupBy("dst")
-            .agg(
-                F.max(
-                    F.struct(F.col("n"), (-F.col("label")).alias("nl"))
-                ).alias("b")
-            )
-            .select(F.col("dst").alias("node"), (-F.col("b.nl")).alias("label"))
-        )
+    labels = _lpa_fixpoint(edges, labels, _LPA_ROUNDS)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(
