@@ -4359,39 +4359,70 @@ def text_bpe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: global token offsets come from `with_global_cumsum`
     (functions/ranks.py) — ONE range exchange on doc_id plus a
-    numPartitions-row offset relation, never a single-partition window;
-    tokens then explode pre-keyed by seq_id ((start+pos) div {L}) into
-    one hash agg whose per-group state is one {L}-token window. Every
-    stage is corpus-proportional with bounded per-task memory."""
+    numPartitions-row offset relation, never a single-partition window.
+    Windows then assemble from per-(doc, window) FRAGMENTS (r18): a
+    doc's token range is contiguous, so its intersection with a window
+    is one array slice — the explode emits O(n_docs + n_windows) rows
+    carrying token-array slices instead of one row per token, and the
+    window agg is a single count/sum/collect pass keyed by seq_id
+    (n_docs == fragment count, since each doc meets a window in at most
+    one slice). The pre-r18 per-token shape paid a Generate of the full
+    token stream, a struct build + hash-agg insert per token, and the
+    countDistinct rewrite's extra (seq_id, doc_id) agg level with its
+    second exchange. Every stage stays corpus-proportional with bounded
+    per-task memory (a fragment is at most {L} tokens)."""
     from filemap_spark.functions.ranks import with_global_cumsum
 
+    L = _PACK_SEQ_LEN
     streams = _bpe_token_streams(spark, sf_dir).select(
         "doc_id",
         F.concat(F.col("stream"), F.array(F.lit(_PACK_EOS))).alias("toks"),
     )
     sized = streams.withColumn("n", F.size("toks").cast("long"))
     offs = with_global_cumsum(sized, "n", "doc_id", cumsum_col="cum_end")
-    tok = offs.select(
-        "doc_id",
-        (F.col("cum_end") - F.col("n")).alias("start"),
-        F.posexplode("toks").alias("pos", "tok"),
-    ).select(
-        "doc_id",
-        "tok",
-        F.expr(f"(start + pos) div {_PACK_SEQ_LEN}").alias("seq_id"),
-        F.expr(f"cast((start + pos) % {_PACK_SEQ_LEN} as int)").alias("seq_pos"),
+    frag = (
+        offs.select(
+            "toks",
+            (F.col("cum_end") - F.col("n")).alias("start"),
+            "cum_end",
+        )
+        .select(
+            "toks",
+            "start",
+            "cum_end",
+            F.explode(
+                F.sequence(
+                    F.expr(f"start div {L}"), F.expr(f"(cum_end - 1) div {L}")
+                )
+            ).alias("seq_id"),
+        )
+        .select(
+            "seq_id",
+            F.expr(f"start + greatest(seq_id * {L} - start, 0L)").alias(
+                "frag_pos"
+            ),
+            F.expr(
+                f"slice(toks, cast(greatest(seq_id * {L} - start, 0L) + 1 as int),"
+                f" cast(least((seq_id + 1) * {L}, cum_end) - start"
+                f" - greatest(seq_id * {L} - start, 0L) as int))"
+            ).alias("frag"),
+        )
     )
     return (
-        tok.groupBy("seq_id")
+        frag.groupBy("seq_id")
         .agg(
-            F.count(F.lit(1)).cast("int").alias("n_tokens"),
-            F.countDistinct("doc_id").cast("int").alias("n_docs"),
+            F.sum(F.size("frag")).cast("int").alias("n_tokens"),
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
             F.md5(
                 F.concat_ws(
                     " ",
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("seq_pos", "tok"))),
-                        lambda s: s["tok"],
+                    F.flatten(
+                        F.transform(
+                            F.sort_array(
+                                F.collect_list(F.struct("frag_pos", "frag"))
+                            ),
+                            lambda s: s["frag"],
+                        )
                     ),
                 )
             ).alias("window_md5"),
