@@ -80,8 +80,7 @@ def _union_find(edges):
     return {x: find(x) for x in parent}
 
 
-@pytest.mark.parametrize("seed,n_nodes,n_edges", [(0, 30, 20), (1, 50, 60), (2, 12, 40)])
-def test_alternating_star_matches_union_find(spark, seed, n_nodes, n_edges):
+def _alternating_star_case(spark, seed, n_nodes, n_edges):
     from filemap_spark.operators.relational import alternating_star_components
 
     rng = np.random.RandomState(seed)
@@ -96,6 +95,17 @@ def test_alternating_star_matches_union_find(spark, seed, n_nodes, n_edges):
         for r in alternating_star_components(df).collect()
     }
     assert got == expected
+
+
+def test_alternating_star_matches_union_find(spark):
+    """Three seeded random graphs vs a pure-Python union-find, run
+    CONCURRENTLY (iterative-CC driver jobs; the wall is the slowest
+    case — r18, VERDICT r17 task 3)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    cases = [(0, 30, 20), (1, 50, 60), (2, 12, 40)]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(lambda c: _alternating_star_case(spark, *c), cases))
 
 
 def test_merge_reduce_carries_state_across_arrow_batches(spark, tmp_path):
@@ -165,11 +175,7 @@ def test_ball_pruning_bound_is_exhaustive(spark):
         assert ang_all[lo, cell[hi]] <= max_angle + radii[cell[hi]], (ids[lo], ids[hi])
 
 
-@pytest.mark.parametrize("seed,n_nodes,n_old,n_delta", [(0, 40, 25, 15), (1, 60, 10, 50), (2, 25, 0, 30)])
-def test_merge_component_labels_equals_full_recompute(spark, seed, n_nodes, n_old, n_delta):
-    """Delta CC must equal a from-scratch CC over (old ∪ delta) pairs —
-    including chains where a delta pair merges two old components, delta
-    pairs among brand-new (unlabeled) nodes, and an empty old graph."""
+def _merge_labels_case(spark, seed, n_nodes, n_old, n_delta):
     from filemap_spark.operators.relational import (
         alternating_star_components,
         merge_component_labels,
@@ -208,11 +214,21 @@ def test_merge_component_labels_equals_full_recompute(spark, seed, n_nodes, n_ol
     assert got == full_labels(old_edges + delta_edges)
 
 
-@pytest.mark.parametrize("seed,n_nodes,n_edges", [(7, 12, 20), (21, 30, 55), (5, 8, 9)])
-def test_pagerank_matches_numpy_power_iteration(spark, seed, n_nodes, n_edges):
-    """pagerank_undirected must match a dense numpy power iteration with the
-    identical formula, damping, and iteration count on random seeded graphs
-    (self-loops excluded, parallel edges deduped)."""
+def test_merge_component_labels_equals_full_recompute(spark):
+    """Delta CC must equal a from-scratch CC over (old ∪ delta) pairs —
+    including chains where a delta pair merges two old components, delta
+    pairs among brand-new (unlabeled) nodes, and an empty old graph.
+    The three seeded cases run CONCURRENTLY (r18, VERDICT r17 task 3):
+    each is dozens of tiny iterative-CC driver jobs, so the wall is the
+    slowest case instead of the sum — same graphs, same assertions."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    cases = [(0, 40, 25, 15), (1, 60, 10, 50), (2, 25, 0, 30)]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(lambda c: _merge_labels_case(spark, *c), cases))
+
+
+def _pagerank_case(spark, seed, n_nodes, n_edges):
     import numpy as np
 
     from filemap_spark.operators.relational import pagerank_undirected
@@ -245,6 +261,19 @@ def test_pagerank_matches_numpy_power_iteration(spark, seed, n_nodes, n_edges):
     assert set(got) == set(nodes)
     for nid in nodes:
         assert abs(got[nid] - r[idx[nid]]) < 1e-9, (nid, got[nid], r[idx[nid]])
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """pagerank_undirected must match a dense numpy power iteration with
+    the identical formula, damping, and iteration count on random seeded
+    graphs (self-loops excluded, parallel edges deduped). The three
+    seeded cases run CONCURRENTLY — 20 iterative driver jobs each, so
+    the wall is the slowest case (r18, VERDICT r17 task 3)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    cases = [(7, 12, 20), (21, 30, 55), (5, 8, 9)]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(lambda c: _pagerank_case(spark, *c), cases))
 
 
 def test_pagerank_survivor_is_max_rank_per_component(spark, sf_dir):

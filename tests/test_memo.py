@@ -194,22 +194,38 @@ def test_registry_memo_ops_hit_path_row_identity(spark, sf_dir, monkeypatch):
         # round 15: the CDC chunk dedup (documents-sourced, deterministic)
         "dedup_cdc_chunks",
     }
-    for name, fn in wrapped.items():
-        raw = _QUERIES[name](spark, sf_dir).toPandas()
-        first = fn(spark, sf_dir).toPandas()
-        n_before = len(warehouse_entries(wh))
-        second = fn(spark, sf_dir).toPandas()
-        assert len(warehouse_entries(wh)) == n_before, name  # hit: no new entry
-        # ORDER-SENSITIVE identity: stringified row tuples without sorting
-        def rows(pdf):
-            cols = sorted(pdf.columns)
-            return [
-                tuple(str(v) for v in r)
-                for r in pdf.reindex(cols, axis=1).itertuples(index=False, name=None)
-            ]
+    # Phase-parallel over a thread pool (r18, VERDICT r17 task 3 — the
+    # serial 39-execution loop was 42 s of suite wall): all raws, then
+    # all misses, then all hits; distinct ops write distinct warehouse
+    # keys so concurrent misses are independent, and the no-new-entries
+    # hit assertion is checked across the whole hit phase.
+    from concurrent.futures import ThreadPoolExecutor
 
-        assert rows(first) == rows(raw), name
-        assert rows(second) == rows(raw), name
+    names = sorted(wrapped)
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        raws = dict(zip(names, pool.map(
+            lambda n: _QUERIES[n](spark, sf_dir).toPandas(), names
+        )))
+        firsts = dict(zip(names, pool.map(
+            lambda n: wrapped[n](spark, sf_dir).toPandas(), names
+        )))
+        n_after_miss = len(warehouse_entries(wh))
+        seconds = dict(zip(names, pool.map(
+            lambda n: wrapped[n](spark, sf_dir).toPandas(), names
+        )))
+    assert len(warehouse_entries(wh)) == n_after_miss  # hits: no new entries
+
+    # ORDER-SENSITIVE identity: stringified row tuples without sorting
+    def rows(pdf):
+        cols = sorted(pdf.columns)
+        return [
+            tuple(str(v) for v in r)
+            for r in pdf.reindex(cols, axis=1).itertuples(index=False, name=None)
+        ]
+
+    for name in names:
+        assert rows(firsts[name]) == rows(raws[name]), name
+        assert rows(seconds[name]) == rows(raws[name]), name
 
 
 def test_all_queries_env_gate(spark, sf_dir, monkeypatch):
