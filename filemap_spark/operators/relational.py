@@ -1925,17 +1925,37 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hint degrades to the r16 node-keyed shuffle plan unchanged in
     semantics. Edge volume is bounded by the shared-order blocking (sum
     of basket^2, never part x part); rounds are a fixed constant, so
-    total cost is {r} x O(edges)."""
-    po = (
+    total cost is {r} x O(edges).
+
+    Edge build (r18): per-order baskets via one collect_set agg, pairs
+    by an ordered array self-product inside each basket — ONE exchange
+    on the order key where the r17 shape paid a (part, order) distinct
+    exchange, a localCheckpoint and a self-join's re-exchange (guide
+    §2.4: the distinct and the join decided nothing the basket array
+    does not already know). The sorted-distinct basket makes pa < pb
+    by construction, and the pair rows per order are exactly the
+    self-join's output, so the >= 2 shared-order gate is unchanged.
+    graph_jaccard_neighbors / graph_triangle_count keep the self-join
+    form deliberately: they are oracle-graded and their SQL twins state
+    the join literally (the r17 A/B note); LPA is rows-only, pinned by
+    the independent Python reference."""
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_partkey").alias("p"), F.col("l_orderkey").alias("o"))
-        .distinct()
-        .localCheckpoint()
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
     )
-    a = po.select(F.col("p").alias("pa"), "o")
-    b = po.select(F.col("p").alias("pb"), F.col("o").alias("ob"))
     undirected = (
-        a.join(b, (F.col("o") == F.col("ob")) & (F.col("pa") < F.col("pb")))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps) - i - 1),"
+                    " y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("e")
+        )
+        .select("e.pa", "e.pb")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("i"))
         .where(F.col("i") >= 2)
