@@ -154,6 +154,17 @@ BASELINE_WARM_SF01 = {
     "text_kneser_ney_logprob": 1.36,
     "text_contamination_ngram": 1.34,
     "text_contamination_incremental": 0.95,
+    # round-17 staged debuts, GRADUATED r18 (BASELINE.md Table 10).
+    # The strict certified-quiet protocol never fired in the r18 session
+    # (28 probe/recorder windows over ~3 h, shuffle canary 1.3-6.0x —
+    # the evidence is quoted in Table 10), so per the r15 Table-7
+    # precedent these adopt the MIN over the disclosed loaded windows
+    # (driver r17 bench, shuffle rig 1.669; session-1 r18 baseline
+    # bench, 1.561) and MUST be re-recorded under min(old, new) at the
+    # next certified-quiet opportunity. Both denominators time the
+    # pre-C3/C4 plan shapes — conservative for the optimized ops.
+    "text_dsir_resample": 1.68,
+    "dedup_exact_substring": 1.62,
 }
 
 # Per-family bar scaling (round 13, VERDICT r12 task 3). The r12 interleaved
@@ -196,6 +207,13 @@ SHUFFLE_DOMINATED = {
     "text_kneser_ney_logprob",
     "text_contamination_ngram",
     "text_contamination_incremental",
+    # r17 debuts classified r18 (BASELINE.md Table 10: dsir_resample
+    # shares dsir_importance's corpus-sized hashed-bigram explode
+    # exchange — one reused exchange since C3-r18; exact_substring's
+    # dominant stage is the per-token-position span-hash Window
+    # exchange, corpus-sized by construction)
+    "text_dsir_resample",
+    "dedup_exact_substring",
     "agg_decile_lift",
     "agg_ks_two_sample",
     "dedup_incremental_lsh_delta",
@@ -374,6 +392,12 @@ EXTENDED_HEADLINE = (
     "text_kneser_ney_logprob",
     "text_contamination_ngram",
     "text_contamination_incremental",
+    # round-17 staged debuts, GRADUATED round 18 (VERDICT r17 task 4):
+    # BASELINE.md Table 10 denominators, adopted under the disclosed-
+    # loaded-window protocol (no certified-quiet window existed in the
+    # r18 session; re-record per min(old, new) when one does)
+    "text_dsir_resample",
+    "dedup_exact_substring",
 )
 
 # Next staging wave: new ops land here first, timed into the DETAIL
@@ -382,10 +406,9 @@ EXTENDED_HEADLINE = (
 # registry _STAGING debuts, one tuple entry per staged op — no hardcoded
 # count here; ADVICE r14 caught the comment drifting from the tuple
 # (the five r15 debuts graduated this round with Table 8 denominators).
-STAGED_HEADLINE = (
-    "text_dsir_resample",
-    "dedup_exact_substring",
-)
+# Round 18: empty — no new ops landed in the optimization rounds; the
+# two r17 debuts graduated above.
+STAGED_HEADLINE = ()
 
 
 def _prev_round_timings(here: str, sf: float | None) -> dict[str, float]:
